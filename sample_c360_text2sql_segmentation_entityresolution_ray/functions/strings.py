@@ -1,0 +1,105 @@
+"""String similarity metrics for the pairwise scorer.
+
+Re-implements the fuzzy-matching primitives the reference delegates to
+AWS Entity Resolution ``ML_MATCHING`` (`lib/entity-resolution-service.ts:179-181`):
+Jaro-Winkler and bounded Levenshtein, plus slug normalization.  These
+run per candidate pair inside the scorer actor pool; inputs are short
+normalized slugs (<= 64 chars) so the O(len^2) DP stays cheap.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+_WS_RE = re.compile(r"\s+")
+_NONWORD_RE = re.compile(r"[^\w\s]+", re.UNICODE)
+
+
+def slug_of(text: str, max_len: int = 64) -> str:
+    """Normalized prefix slug: lowercase, punctuation stripped,
+    whitespace collapsed, truncated.  The ER 'name field' analog."""
+    s = _NONWORD_RE.sub(" ", text.lower())
+    s = _WS_RE.sub(" ", s).strip()
+    return s[:max_len]
+
+
+def jaro(s1: str, s2: str) -> float:
+    if s1 == s2:
+        return 1.0
+    len1, len2 = len(s1), len(s2)
+    if len1 == 0 or len2 == 0:
+        return 0.0
+    match_dist = max(len1, len2) // 2 - 1
+    s1_matches = [False] * len1
+    s2_matches = [False] * len2
+    matches = 0
+    for i, c1 in enumerate(s1):
+        start = max(0, i - match_dist)
+        end = min(i + match_dist + 1, len2)
+        for j in range(start, end):
+            if s2_matches[j] or s2[j] != c1:
+                continue
+            s1_matches[i] = True
+            s2_matches[j] = True
+            matches += 1
+            break
+    if matches == 0:
+        return 0.0
+    k = 0
+    transpositions = 0
+    for i in range(len1):
+        if not s1_matches[i]:
+            continue
+        while not s2_matches[k]:
+            k += 1
+        if s1[i] != s2[k]:
+            transpositions += 1
+        k += 1
+    transpositions //= 2
+    return (
+        matches / len1 + matches / len2 + (matches - transpositions) / matches
+    ) / 3.0
+
+
+def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
+    j = jaro(s1, s2)
+    prefix = 0
+    for c1, c2 in zip(s1[:4], s2[:4]):
+        if c1 != c2:
+            break
+        prefix += 1
+    return j + prefix * prefix_weight * (1.0 - j)
+
+
+def levenshtein(s1: str, s2: str, max_len: int = 64) -> int:
+    """Levenshtein distance with inputs truncated to ``max_len``
+    (vectorized DP: one numpy row per character of s1)."""
+    s1, s2 = s1[:max_len], s2[:max_len]
+    if s1 == s2:
+        return 0
+    if not s1:
+        return len(s2)
+    if not s2:
+        return len(s1)
+    b = np.frombuffer(s2.encode("utf-32-le"), dtype=np.uint32)
+    prev = np.arange(len(b) + 1, dtype=np.int64)
+    for i, ch in enumerate(s1):
+        cur = np.empty_like(prev)
+        cur[0] = i + 1
+        cost = (b != ord(ch)).astype(np.int64)
+        np.minimum(prev[1:] + 1, prev[:-1] + cost, out=cur[1:])
+        # carry insertions left-to-right
+        cur[1:] = np.minimum.accumulate(
+            cur[1:] - np.arange(1, len(b) + 1)
+        ) + np.arange(1, len(b) + 1)
+        prev = cur
+    return int(prev[-1])
+
+
+def levenshtein_sim(s1: str, s2: str) -> float:
+    m = max(len(s1), len(s2))
+    if m == 0:
+        return 1.0
+    return 1.0 - levenshtein(s1, s2) / m

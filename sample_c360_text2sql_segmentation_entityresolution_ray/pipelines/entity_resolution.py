@@ -1,0 +1,126 @@
+"""Flagship pipeline: pages → entity cluster assignments.
+
+The Ray-Data-native rebuild of the reference's DataIntegrationWorkflow
+ER leg (`lib/data-integration-workflow.ts:345-369` → AWS ER black box →
+`integrated_customer` table, `lib/data-storage.ts:154-218`):
+
+    read pages ─ extract (drop html) ─ normalize ─ LSH/domain banding
+      ─ groupby(block_key) pair-gen ─ dedupe ─ PairScorer actor pool
+      ─ threshold ─ [matched edges, materialized = checkpointable]
+      ─ min-label-propagation clustering ─ attach labels to all records
+
+Output schema (the `integrated_customer` analog, FIXTURES.md §4.1):
+    source:str, ConfidenceLevel:float64, RecordId:str, MatchID:str, lang:str
+
+Every record appears exactly once; unmatched records keep their own url
+as MatchID with ConfidenceLevel 1.0.  MatchID is the minimum url of the
+cluster — content-defined, deterministic under any parallelism.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import ray
+import ray.data
+
+from ..stages.blocking import band_emit_stage, dedupe_pairs_stage, pair_gen_stage
+from ..stages.clustering import confidence_stage, resolve_labels
+from ..stages.config import DEFAULT_CONFIG, ERConfig
+from ..stages.normalize import extract_stage, normalize_stage
+from ..stages.scoring import matched_edges_stage, score_pairs_stage
+
+
+def matched_edges(pages, cfg: ERConfig = DEFAULT_CONFIG):
+    """pages → scored matched edges (url_a, url_b, …, score), streaming."""
+    extracted = extract_stage(pages)
+    records = normalize_stage(extracted, cfg)
+    exploded = band_emit_stage(records, cfg)
+    pairs = dedupe_pairs_stage(pair_gen_stage(exploded, cfg), cfg)
+    scored = score_pairs_stage(pairs, cfg)
+    return matched_edges_stage(scored, cfg)
+
+
+def attach_labels(slim, labels, conf, cfg: ERConfig = DEFAULT_CONFIG):
+    """Left-attach (MatchID, ConfidenceLevel) onto the full record table.
+
+    Plan choice by measured size: a small label table is broadcast once
+    via ``ray.put`` and looked up per batch (no shuffle); a large one
+    goes through a hash-partitioned left join.  The reference's analog
+    is the `integrated_customer` overwrite (S3 sink,
+    `lambda/integrated_customer_updater/index.py:77-86`).
+    """
+    n_labels = labels.count()
+    if n_labels <= cfg.broadcast_label_limit:
+        lab_df = labels.to_pandas()
+        conf_df = conf.to_pandas()
+        label_map = dict(zip(lab_df["node"], lab_df["label"]))
+        conf_map = dict(zip(conf_df["node"], conf_df["ConfidenceLevel"]))
+        ref = ray.put((label_map, conf_map))
+
+        class Attach:
+            def __init__(self):
+                self.label_map, self.conf_map = ray.get(ref)
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                urls = df["url"]
+                lm, cm = self.label_map, self.conf_map
+                return pd.DataFrame(
+                    {
+                        "source": df["source"],
+                        "ConfidenceLevel": [cm.get(u, 1.0) for u in urls],
+                        "RecordId": urls,
+                        "MatchID": [lm.get(u, u) for u in urls],
+                        "lang": df["lang"],
+                    }
+                )
+
+        return slim.map_batches(Attach, batch_format="pandas", concurrency=4)
+
+    # large-label path: two hash-partitioned left joins
+    joined = slim.join(
+        labels,
+        join_type="left_outer",
+        num_partitions=cfg.cc_num_partitions,
+        on=("url",),
+        right_on=("node",),
+    ).join(
+        conf,
+        join_type="left_outer",
+        num_partitions=cfg.cc_num_partitions,
+        on=("url",),
+        right_on=("node",),
+    )
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": df["source"],
+                "ConfidenceLevel": df["ConfidenceLevel"].fillna(1.0),
+                "RecordId": df["url"],
+                "MatchID": df["label"].fillna(df["url"]),
+                "lang": df["lang"],
+            }
+        )
+
+    return joined.map_batches(_finish, batch_format="pandas")
+
+
+def resolve_entities(pages_factory, cfg: ERConfig = DEFAULT_CONFIG):
+    """Run the full ER pipeline.
+
+    ``pages_factory``: zero-arg callable returning the pages Dataset —
+    called twice (once for the match path, once for the slim record
+    re-read) so each consumption is an independent lazy plan; with a
+    Parquet source the second read prunes down to 3 columns and never
+    touches html bytes.
+
+    Returns ``(assignment, edges)`` — ``edges`` is materialized (it is
+    the natural checkpoint and is small: matched pairs only).
+    """
+    edges = matched_edges(pages_factory(), cfg).materialize()
+    labels = resolve_labels(edges, cfg)
+    conf = confidence_stage(edges)
+    slim = pages_factory().select_columns(["url", "source", "lang"])
+    assignment = attach_labels(slim, labels, conf, cfg)
+    return assignment, edges

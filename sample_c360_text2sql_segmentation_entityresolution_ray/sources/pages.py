@@ -1,0 +1,204 @@
+"""Deterministic synthesis of the north-rule pages table.
+
+BASELINE.json ``input_hint`` mandates a Common-Crawl-style Parquet table
+``(url:string, warc_ts:timestamp, html:binary, text:string,
+lang:string)``.  This module derives one deterministically from the
+driver's ``documents`` testdata table, planting the same ground-truth
+structure the reference's generator plants for customers
+(`/root/reference/dbloader/gen_testdata.py`):
+
+- ~50% of documents get a near-duplicate page on another domain
+  (``similar_customer_ratio = 0.5`` analog, `gen_testdata.py:18,493-504`);
+  every 17th doc gets 3 duplicates (cluster sizes 4 — exercises
+  transitive closure).
+- ~2% confounders: a page sharing the canonical page's domain (blocking
+  key) and boilerplate but with token order destroyed — a true
+  non-match (same-name/different-person analog, `gen_testdata.py:398-417`).
+- one hot domain holding ~10% of pages (skew for salted blocking).
+- ``page_relations`` ground-truth pairs (``customer_relations.csv``
+  analog, `gen_testdata.py:578-592`).
+
+Everything is a pure function of ``(doc_id, text, lang, source)`` — a
+per-row ``numpy`` generator seeded by ``doc_id`` — so synthesis is
+embarrassingly parallel inside ``map_batches`` and identical across
+runs, workers and scale factors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.extract import render_html
+
+EPOCH = 1_704_067_200  # 2024-01-01T00:00:00Z
+
+BOILER_PRE = "cookie notice accept privacy terms"
+BOILER_POST = "copyright example site contact careers"
+
+SALT_EVERY = 4  # a doc-unique marker token every 4th token
+
+
+def _salt(text: str, doc_id: int) -> str:
+    """Interleave doc-unique marker tokens so distinct documents are
+    guaranteed dissimilar (the driver's documents table plants its own
+    near-duplicate texts; without salting those would be extra true
+    matches outside the relations table and the planted truth would be
+    incomplete).  Pages of the SAME entity share the same salt, so
+    within-cluster similarity is preserved."""
+    toks = text.split()
+    out = []
+    for i, t in enumerate(toks):
+        if i % SALT_EVERY == 0:
+            out.append(f"x{doc_id:05d}m{i // SALT_EVERY}")
+        out.append(t)
+    return " ".join(out)
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("s")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+        ("source", pa.string()),
+    ]
+)
+
+RELATIONS_SCHEMA = pa.schema([("url_b", pa.string()), ("url_a", pa.string())])
+
+
+def _domain(doc_id: int, source: str) -> str:
+    if doc_id % 10 == 0:
+        return "hot.example.com"  # ~10% of pages: the skew domain
+    return f"{source}-{(doc_id // 20) % 100}.example.com"
+
+
+def _url(domain: str, kind: str, doc_id: int, idx: int = 0) -> str:
+    return f"https://{domain}/{kind}/{doc_id:08d}-{idx}"
+
+
+def _perturb(text: str, doc_id: int, dup_idx: int) -> str:
+    """Bounded token-level perturbation: ~3% drops, ~2% adjacent swaps,
+    plus boilerplate framing — keeps 3-shingle Jaccard ~0.8."""
+    rng = np.random.default_rng([42, doc_id, dup_idx])
+    toks = text.split()
+    keep = rng.random(len(toks)) > 0.03
+    toks = [t for t, k in zip(toks, keep) if k]
+    i = 0
+    while i < len(toks) - 1:
+        if rng.random() < 0.02:
+            toks[i], toks[i + 1] = toks[i + 1], toks[i]
+            i += 2
+        else:
+            i += 1
+    body = " ".join(toks)
+    if dup_idx % 2 == 0:
+        return BOILER_PRE + " " + body
+    return body + " " + BOILER_POST
+
+
+def _confound(text: str, doc_id: int) -> str:
+    """Token order destroyed (kills shingle overlap) + shared boilerplate
+    (keeps some blocking-level similarity): a true non-match."""
+    rng = np.random.default_rng([43, doc_id])
+    toks = text.split()
+    rng.shuffle(toks)
+    return BOILER_PRE + " " + " ".join(toks) + " " + BOILER_POST
+
+
+def _n_dups(doc_id: int) -> int:
+    if doc_id % 17 == 0:
+        return 3
+    if doc_id % 2 == 0:
+        return 1
+    return 0
+
+
+def _expand_pages(batch: pa.Table) -> pa.Table:
+    urls, tss, htmls, texts, langs, sources = [], [], [], [], [], []
+
+    def emit(url, ts, text, lang, source):
+        title = " ".join(text.split()[:6])
+        urls.append(url)
+        tss.append(ts)
+        htmls.append(render_html(text, title))
+        texts.append(text)
+        langs.append(lang)
+        sources.append(source)
+
+    for doc_id, text, lang, source in zip(
+        batch["doc_id"].to_pylist(),
+        batch["text"].to_pylist(),
+        batch["lang"].to_pylist(),
+        batch["source"].to_pylist(),
+    ):
+        dom = _domain(doc_id, source)
+        text = _salt(text, doc_id)
+        emit(_url(dom, "a", doc_id), EPOCH + doc_id, text, lang, source)
+        for j in range(_n_dups(doc_id)):
+            # duplicates live on a *different* domain family (LSH must
+            # catch them), except every 6th doc keeps the domain so the
+            # sorted-neighborhood/domain family is productive too.
+            ddom = dom if doc_id % 6 == 0 else f"m-{source}.alt.example.com"
+            emit(
+                _url(ddom, "b", doc_id, j),
+                EPOCH + doc_id + 100_000 * (j + 1),
+                _perturb(text, doc_id, j),
+                lang,
+                "alt-" + source,
+            )
+        if doc_id % 50 == 1:
+            emit(
+                _url(dom, "c", doc_id),
+                EPOCH + doc_id + 999_999,
+                _confound(text, doc_id),
+                lang,
+                source,
+            )
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("s")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(sources, pa.string()),
+        }
+    )
+
+
+def _expand_relations(batch: pa.Table) -> pa.Table:
+    url_b, url_a = [], []
+    for doc_id, source in zip(
+        batch["doc_id"].to_pylist(), batch["source"].to_pylist()
+    ):
+        dom = _domain(doc_id, source)
+        a = _url(dom, "a", doc_id)
+        for j in range(_n_dups(doc_id)):
+            ddom = dom if doc_id % 6 == 0 else f"m-{source}.alt.example.com"
+            url_b.append(_url(ddom, "b", doc_id, j))
+            url_a.append(a)
+    return pa.table(
+        {"url_b": pa.array(url_b, pa.string()), "url_a": pa.array(url_a, pa.string())}
+    )
+
+
+def documents_path(sf_dir: str) -> str:
+    return f"{sf_dir}/documents.parquet"
+
+
+def pages_dataset(sf_dir: str) -> "ray.data.Dataset":
+    """The synthesized pages table as a streaming Dataset."""
+    return ray.data.read_parquet(
+        documents_path(sf_dir), columns=["doc_id", "text", "lang", "source"]
+    ).map_batches(_expand_pages, batch_format="pyarrow")
+
+
+def relations_dataset(sf_dir: str) -> "ray.data.Dataset":
+    """Ground-truth labeled pairs (customer_relations analog)."""
+    return ray.data.read_parquet(
+        documents_path(sf_dir), columns=["doc_id", "source"]
+    ).map_batches(_expand_relations, batch_format="pyarrow")
