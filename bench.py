@@ -1,0 +1,176 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+``--scaling`` runs the headline ER pipeline twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs plus scaling efficiency (the sandbox evidence for the
+north rule's N→4N criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _consume(ds) -> int:
+    """Force full streaming execution; return row count."""
+    n = 0
+    for batch in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        n += batch.num_rows
+    return n
+
+
+def run_suite(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    import __ray_entry__ as entrymod
+    from sample_c360_text2sql_segmentation_entityresolution_ray.pipelines.entity_resolution import (
+        resolve_entities,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sources.pages import (
+        pages_dataset,
+    )
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    # headline: the flagship ER pipeline (docs/sec is the BASELINE metric)
+    t0 = time.time()
+    assignment, _edges = resolve_entities(lambda: pages_dataset(sf_dir))
+    n_pages = _consume(assignment)
+    er_sec = time.time() - t0
+    timings["er_pipeline"] = round(er_sec, 3)
+
+    bench_queries = [
+        "pricing_summary",
+        "orders_customer_join",
+        "lineitem_part_broadcast_join",
+        "top3_parts",
+        "top2_lineitems_per_flag",
+        "sessionize_events",
+        "exact_dedup_docs",
+        "minhash_dup_docs",
+        "simhash_dup_docs",
+        "doc_quality",
+        "knn_top10",
+    ]
+    for name in bench_queries:
+        t0 = time.time()
+        _consume(queries[name](sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "er_pipeline_sec",
+        "value": timings["er_pipeline"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+        "num_cpus": num_cpus,
+        "n_pages": n_pages,
+        "docs_per_sec": round(n_pages / er_sec, 2),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_headline(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from sample_c360_text2sql_segmentation_entityresolution_ray.pipelines.entity_resolution import (
+        resolve_entities,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sources.pages import (
+        pages_dataset,
+    )
+
+    t0 = time.time()
+    assignment, _ = resolve_entities(lambda: pages_dataset(sf_dir))
+    n_pages = _consume(assignment)
+    sec = time.time() - t0
+    ray.shutdown()
+    return {
+        "num_cpus": num_cpus,
+        "sec": round(sec, 3),
+        "n_pages": n_pages,
+        "docs_per_sec": round(n_pages / sec, 2),
+    }
+
+
+def run_scaling(sf_dir: str, low: int = 8, high: int = 32) -> dict:
+    """Fresh-process runs at two parallelism levels (same input)."""
+    runs = {}
+    for n in (low, high):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            env={**os.environ, "RAY_GRAFT_CPUS": str(n), "GRAFT_SF_DIR": sf_dir},
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        runs[n] = json.loads(out.stdout.strip().splitlines()[-1])
+    t_low, t_high = runs[low]["docs_per_sec"], runs[high]["docs_per_sec"]
+    eff = t_high / (t_low * (high / low))
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 4),
+        "unit": "ratio",
+        "sf": _sf_of(sf_dir),
+        "low": runs[low],
+        "high": runs[high],
+        "queries": {
+            f"docs_per_sec@{low}cpus": t_low,
+            f"docs_per_sec@{high}cpus": t_high,
+        },
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    elif "--headline-only" in sys.argv:
+        print(json.dumps(run_headline(sf_dir, num_cpus)))
+    else:
+        print(json.dumps(run_suite(sf_dir, num_cpus)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,3 @@
-"""General operator library (relational, dedup, ANN, text, multimodal)."""
+"""General operator library: relational, dedup, ANN, text, multimodal."""
+
+from . import ann, dedup, multimodal, relational, text  # noqa: F401

@@ -1,0 +1,373 @@
+"""Deduplication operators for large text corpora.
+
+The reference's dedup surface is `SELECT DISTINCT` plus the AWS-ER fuzzy
+match black box (SURVEY §2.7 U3/U4).  At training-data scale the same
+needs split into the standard family implemented here, all streaming
+Ray Data:
+
+- :func:`exact_dedup` — content-hash partition + per-group min-id keep.
+- :func:`minhash_dup_pairs` / :func:`minhash_dedup` — MinHash-LSH
+  candidate generation (shingle → signature → band → bucket groupby)
+  with exact shingle-Jaccard verification.
+- :func:`simhash_dup_pairs` — 64-bit SimHash, banded buckets, Hamming
+  verification.
+- :func:`ngram_jaccard_pairs` — character-n-gram Jaccard verification
+  of any candidate-pair stream.
+- :func:`embedding_dup_pairs` — random-hyperplane-bucketed cosine
+  near-dup over an embedding column.
+- :func:`dup_assignment` — pairs → connected components → (id, rep_id)
+  keep/drop table (rep = min id in component: content-defined).
+
+Every candidate generator bounds per-bucket work (``allpairs_cap``) and
+streams pairs; no stage materializes a global pair space.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..functions import texthash
+from ..functions.minhash import band_keys, minhash_signatures_concat
+from ..functions.simhash import hamming64, simhash_band_keys, simhash_batch
+from ..stages.clustering import connected_components_local
+from ..stages.config import ERConfig
+
+ALLPAIRS_CAP = 64  # max bucket size for all-pairs emission
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Keep one row (minimum id) per exact text value.
+
+    Hash-partition on a 64-bit content hash so the shuffle moves a
+    uint64 key instead of the full text; per-group keep min id.  At
+    60k–10^12 docs a 64-bit collision is ~never, and a collision only
+    risks dropping one extra row (documented trade vs grouping by the
+    raw text, which would shuffle full documents)."""
+
+    def _hash(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_h"] = texthash.hash_str_array(batch[text_col].to_numpy(object))
+        return batch
+
+    def _keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col, kind="mergesort").iloc[:1].drop(columns="_h")
+
+    return (
+        ds.map_batches(_hash, batch_format="pandas")
+        .groupby("_h")
+        .map_groups(_keep_min, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared featurization
+# ---------------------------------------------------------------------------
+
+def _shingle_featurize(texts: list[str], k: int, cap: int):
+    """One hash call for the whole batch; returns per-doc sorted unique
+    (bottom-``cap``) shingle-hash arrays."""
+    all_sh: list[str] = []
+    offsets = [0]
+    for text in texts:
+        toks = texthash.tokens_of(text)
+        if len(toks) < k:
+            sh = [" ".join(toks)] if toks else []
+        else:
+            sh = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        all_sh.extend(sh)
+        offsets.append(len(all_sh))
+    hashes = (
+        texthash.hash_str_array(all_sh) if all_sh else np.empty(0, np.uint64)
+    )
+    out = []
+    for i in range(len(texts)):
+        h = np.unique(hashes[offsets[i] : offsets[i + 1]])
+        out.append(h[:cap])  # bottom-k of a uniform hash = unbiased sample
+    return out
+
+
+def _jaccard_matrix_exact(sets: list[np.ndarray], ii: np.ndarray, jj: np.ndarray):
+    out = np.empty(len(ii))
+    for x, (i, j) in enumerate(zip(ii, jj)):
+        a, b = sets[i], sets[j]
+        if len(a) == 0 and len(b) == 0:
+            out[x] = 0.0
+            continue
+        inter = len(np.intersect1d(a, b, assume_unique=True))
+        out[x] = inter / (len(a) + len(b) - inter) if (len(a) or len(b)) else 0.0
+    return out
+
+
+def _bucket_pairs_frame(ids, extra_cols):
+    cols = {"id_a": pa.array(ids[0], pa.int64()), "id_b": pa.array(ids[1], pa.int64())}
+    cols.update(extra_cols)
+    return pa.table(cols)
+
+
+def _dedupe_pairs(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """One copy per (id_a, id_b): the same pair surfaces from many
+    buckets; groupby both keys, keep first."""
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.iloc[:1], batch_format="pandas"
+    )
+
+
+def _emit_bucket_pairs(g: pd.DataFrame, verify) -> pd.DataFrame:
+    """All-pairs within one bucket (size-capped upstream of the caller's
+    bucket definition), verified by ``verify(sub_df, ii, jj) -> (mask,
+    extra_col_dict)``."""
+    g = g.drop_duplicates("doc_id").sort_values("doc_id", kind="mergesort")
+    n = len(g)
+    if n < 2:
+        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64), "sim": pd.Series(dtype=float)})
+    if n > ALLPAIRS_CAP:
+        # giant bucket (degenerate content): compare each row to the
+        # bucket minimum only — linear, never quadratic; logged via the
+        # bucket_n column downstream if needed.
+        ii = np.zeros(n - 1, dtype=np.int64)
+        jj = np.arange(1, n, dtype=np.int64)
+    else:
+        ii, jj = np.triu_indices(n, k=1)
+    mask, sims = verify(g, ii, jj)
+    ids = g["doc_id"].to_numpy()
+    return pd.DataFrame(
+        {"id_a": ids[ii[mask]], "id_b": ids[jj[mask]], "sim": sims[mask]}
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH
+# ---------------------------------------------------------------------------
+
+def minhash_dup_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    shingle_k: int = 3,
+    shingle_cap: int = 256,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> "ray.data.Dataset":
+    """Near-duplicate pairs by MinHash-LSH blocking + exact
+    shingle-Jaccard verification (north-rule structure: shingle →
+    minhash → band → bucket groupby)."""
+
+    def _featurize(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        sets = _shingle_featurize(texts, shingle_k, shingle_cap)
+        concat = np.concatenate(sets) if sets else np.empty(0, np.uint64)
+        offs = np.cumsum([0] + [len(s) for s in sets])
+        sigs = minhash_signatures_concat(concat, offs, num_perm=num_perm)
+        keys = band_keys(sigs, bands)  # (n, bands)
+        n = batch.num_rows
+        idx = np.repeat(np.arange(n), bands)
+        return pa.table(
+            {
+                "bucket": pa.array(keys.reshape(-1), pa.uint64()),
+                "doc_id": pa.array(
+                    np.asarray(batch[id_col].to_pylist(), np.int64)[idx], pa.int64()
+                ),
+                "shingles": pa.array(
+                    [sets[i] for i in idx], pa.list_(pa.uint64())
+                ),
+            }
+        )
+
+    def _verify(g: pd.DataFrame, ii, jj):
+        sets = [np.asarray(s, np.uint64) for s in g["shingles"].to_numpy()]
+        sims = _jaccard_matrix_exact(sets, ii, jj)
+        return sims >= threshold, sims
+
+    exploded = ds.map_batches(_featurize, batch_format="pyarrow")
+    pairs = exploded.groupby("bucket").map_groups(
+        lambda g: _emit_bucket_pairs(g, _verify), batch_format="pandas"
+    )
+    return _dedupe_pairs(pairs)
+
+
+def dup_assignment(
+    pairs: "ray.data.Dataset", sim_col: str = "sim"
+) -> "ray.data.Dataset":
+    """pairs(id_a, id_b) → (doc_id, rep_id): connected components with
+    rep = min id (content-defined).  Pairs are small relative to the
+    corpus (matched near-dups only) so the driver union-find path is
+    used; at larger edge counts route through
+    :func:`..stages.clustering.connected_components`."""
+    df = pairs.to_pandas()
+    edges = df.rename(columns={"id_a": "url_a", "id_b": "url_b"})
+    lab = connected_components_local(ray.data.from_pandas(edges))
+    out = lab.rename(columns={"node": "doc_id", "label": "rep_id"})
+    return ray.data.from_pandas(out)
+
+
+def minhash_dedup(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id", **kw
+) -> "ray.data.Dataset":
+    """Corpus minus near-duplicates: every doc whose component rep is not
+    itself is dropped (keep the min-id representative)."""
+    pairs = minhash_dup_pairs(ds, text_col, id_col, **kw)
+    assign = dup_assignment(pairs)
+    drop = assign.filter(lambda r: r["doc_id"] != r["rep_id"])
+    from .relational import anti_join
+
+    return anti_join(ds, drop, on=id_col, right_on="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_dup_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> "ray.data.Dataset":
+    """Near-dup pairs by SimHash: 64-bit fingerprints, ``bands`` band
+    buckets (pigeonhole guarantees recall for Hamming ≤ bands-1),
+    exact Hamming verification in-bucket."""
+
+    def _featurize(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        tok_sets = [texthash.token_hashes(t, cap=512) for t in texts]
+        sh = simhash_batch(tok_sets)
+        keys = simhash_band_keys(sh, bands)  # (n, bands)
+        n = batch.num_rows
+        idx = np.repeat(np.arange(n), bands)
+        band_idx = np.tile(np.arange(bands, dtype=np.uint64), n)
+        # bucket key = (band index, band bits) packed — distinct bands
+        # must not collide
+        bucket = (band_idx << np.uint64(60)) | keys.reshape(-1)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.uint64()),
+                "doc_id": pa.array(
+                    np.asarray(batch[id_col].to_pylist(), np.int64)[idx], pa.int64()
+                ),
+                "simhash": pa.array(np.repeat(sh, bands), pa.uint64()),
+            }
+        )
+
+    def _verify(g: pd.DataFrame, ii, jj):
+        h = g["simhash"].to_numpy().astype(np.uint64)
+        d = hamming64(h[ii], h[jj])
+        return d <= max_hamming, (64 - d) / 64.0
+
+    exploded = ds.map_batches(_featurize, batch_format="pyarrow")
+    pairs = exploded.groupby("bucket").map_groups(
+        lambda g: _emit_bucket_pairs(g, _verify), batch_format="pandas"
+    )
+    return _dedupe_pairs(pairs)
+
+
+# ---------------------------------------------------------------------------
+# character-n-gram Jaccard verification
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    pairs: "ray.data.Dataset",
+    docs: "ray.data.Dataset",
+    n: int = 5,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Re-verify candidate pairs with exact character-``n``-gram Jaccard.
+
+    The doc texts are broadcast once (`ray.put`) — the candidate stream
+    is the big side.  For corpora whose text doesn't fit in one heap,
+    join the texts on instead (two hash joins on id_a / id_b)."""
+    texts = {
+        r[id_col]: r[text_col]
+        for r in docs.select_columns([id_col, text_col]).iter_rows()
+    }
+    ref = ray.put(texts)
+
+    def grams(s: str) -> set:
+        return {s[i : i + n] for i in range(max(1, len(s) - n + 1))}
+
+    class Verify:
+        def __init__(self):
+            self.texts = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            sims = np.empty(len(batch))
+            for x, (a, b) in enumerate(zip(batch["id_a"], batch["id_b"])):
+                ga, gb = grams(self.texts[a]), grams(self.texts[b])
+                u = len(ga | gb)
+                sims[x] = len(ga & gb) / u if u else 0.0
+            out = batch.copy()
+            out["ngram_jaccard"] = sims
+            return out[out["ngram_jaccard"] >= threshold]
+
+    return pairs.map_batches(Verify, batch_format="pandas", concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_dup_pairs(
+    ds: "ray.data.Dataset",
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 97,
+) -> "ray.data.Dataset":
+    """Cosine near-dup pairs: random-hyperplane LSH buckets (sign
+    pattern of ``n_planes`` projections) then exact in-bucket cosine.
+    Two near-identical vectors share the full sign pattern w.h.p.; for
+    higher recall lower ``n_planes`` or multi-probe (flip one bit)."""
+
+    def _featurize(batch: pa.Table) -> pa.Table:
+        embs = np.asarray(batch[emb_col].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(embs, axis=1, keepdims=True)
+        unit = embs / np.where(norms == 0, 1.0, norms)
+        dim = embs.shape[1]
+        planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+        signs = (unit @ planes) > 0  # (n, n_planes)
+        bucket = np.zeros(len(embs), dtype=np.uint64)
+        for p in range(n_planes):
+            bucket = (bucket << np.uint64(1)) | signs[:, p].astype(np.uint64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.uint64()),
+                "doc_id": pa.array(batch[id_col].to_pylist(), pa.int64()),
+                "unit": pa.array(list(unit.astype(np.float32)), pa.list_(pa.float32())),
+            }
+        )
+
+    def _verify(g: pd.DataFrame, ii, jj):
+        m = np.asarray([np.asarray(u, np.float64) for u in g["unit"].to_numpy()])
+        sims = np.einsum("ij,ij->i", m[ii], m[jj])
+        return sims >= threshold, sims
+
+    exploded = ds.map_batches(_featurize, batch_format="pyarrow")
+    pairs = exploded.groupby("bucket").map_groups(
+        lambda g: _emit_bucket_pairs(g, _verify), batch_format="pandas"
+    )
+    return _dedupe_pairs(pairs)
+
+
+__all__ = [
+    "exact_dedup",
+    "minhash_dup_pairs",
+    "minhash_dedup",
+    "dup_assignment",
+    "simhash_dup_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_dup_pairs",
+]

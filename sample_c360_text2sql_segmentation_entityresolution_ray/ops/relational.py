@@ -1,0 +1,315 @@
+"""Relational operator library — thin Ray-Data-first wrappers.
+
+The reference exposes its relational surface through Athena SQL (fixed
+strings in Lambdas plus the text2sql agent's generated queries — SURVEY
+§2.4-2.8).  Each helper here rebuilds one of those operators natively on
+``ray.data.Dataset`` with an explicit scale posture:
+
+- equi-joins: hash-partitioned ``Dataset.join`` (shuffle both sides) or
+  a broadcast build side shipped once via ``ray.put`` and probed inside
+  ``map_batches`` (no shuffle) — mirror of the reference's
+  purchase↔integrated_customer join
+  (`lambda/create_personalize_dataset_import_job/index.py:35-57`).
+- anti/semi joins: broadcast key-set membership filters
+  (`lambda/create_personalize_segment/index.py:44-77,141`; README.md:14).
+- union with key prefixing: `CONCAT('sub_', item_id)` analog
+  (`lambda/create_personalize_dataset_import_job/index.py:48-56`).
+- distinct / grouped count + HAVING / grouped top-k / per-group top-N /
+  sort+limit: `lib/data-storage.ts:210` (DISTINCT guidance), README.md:13
+  (NL workload), `lambda/create_personalize_segment/index.py:14,197`
+  (top-N users per item).
+
+All per-batch callables are vectorized (pyarrow.compute / pandas); no
+Python row loops.  Broadcast paths require the small side to fit in one
+worker heap — every helper documents which side that is and falls back
+to the shuffle join above the documented limit.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import AggregateFn, Count, Max, Mean, Min, Sum
+
+DEFAULT_JOIN_PARTITIONS = 32
+
+# Broadcast limits: rows, not bytes — callers with wide build sides
+# should select_columns first (documented per helper).
+BROADCAST_ROW_LIMIT = 5_000_000
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+def join_partitions_for_cluster(requested: int | None = None) -> int:
+    """Join aggregator-partition count sized to the cluster: Ray's hash
+    join spawns ``num_partitions`` aggregator ACTORS — more of them than
+    schedulable CPUs deadlocks a small cluster and oversubscribes a big
+    one.  Cap at 2×CPUs (and the requested value, if any)."""
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    cap = max(2, 2 * ncpu)
+    return min(requested, cap) if requested else min(DEFAULT_JOIN_PARTITIONS, cap)
+
+
+# Fractional CPU per join aggregator: keeps the actor pool from
+# starving the map stages on the same nodes.
+JOIN_AGGREGATOR_CPUS = 0.25
+
+
+def hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: Sequence[str],
+    right_on: Sequence[str] | None = None,
+    how: str = "inner",
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Hash-partitioned equi-join (shuffles both sides on the key).
+
+    The scale path for fact⋈fact joins; for fact⋈dim use
+    :func:`broadcast_join`.
+    """
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=join_partitions_for_cluster(num_partitions),
+        on=tuple(on),
+        right_on=tuple(right_on) if right_on else None,
+        aggregator_ray_remote_args={"num_cpus": JOIN_AGGREGATOR_CPUS},
+    )
+
+
+def broadcast_join(
+    large: "ray.data.Dataset",
+    small: "ray.data.Dataset",
+    on: Sequence[str],
+    right_on: Sequence[str] | None = None,
+    how: str = "inner",
+) -> "ray.data.Dataset":
+    """Broadcast-small-side equi-join: the build side is collected to a
+    single pandas DataFrame, put in the object store ONCE, and probed
+    per batch inside ``map_batches`` — zero shuffle of the large side.
+
+    Reference analog: the purchase↔integrated_customer join, where the
+    cluster map is tiny relative to the fact stream (SURVEY §2.4 J1).
+    The build side must fit in a worker heap (``BROADCAST_ROW_LIMIT``
+    rows); select only needed columns before calling.
+    """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"broadcast_join supports inner/left_outer, got {how}")
+    right_on = list(right_on) if right_on else list(on)
+    small_df = small.to_pandas()
+    if len(small_df) > BROADCAST_ROW_LIMIT:
+        raise ValueError(
+            f"build side has {len(small_df)} rows > {BROADCAST_ROW_LIMIT}; "
+            "use hash_join for large build sides"
+        )
+    ref = ray.put(small_df)
+    on = list(on)
+    pd_how = {"inner": "inner", "left_outer": "left"}[how]
+
+    class Probe:
+        def __init__(self):
+            self.small = ray.get(ref)  # once per actor, zero-copy reads
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(
+                self.small, how=pd_how, left_on=on, right_on=right_on
+            )
+
+    return large.map_batches(Probe, batch_format="pandas", concurrency=(1, 8))
+
+
+def _broadcast_key_set(right: "ray.data.Dataset", key: str):
+    """Distinct key values of ``right`` as an object-store broadcast ref."""
+    vals = right.unique(key)
+    return ray.put(pa.array(vals))
+
+
+def semi_join(
+    left: "ray.data.Dataset", right: "ray.data.Dataset", on: str, right_on: str | None = None
+) -> "ray.data.Dataset":
+    """Keep left rows whose key appears in ``right`` (membership filter,
+    `lambda/create_personalize_segment/index.py:44-77`).  Right side's
+    distinct keys are broadcast once; the left side never shuffles."""
+    ref = _broadcast_key_set(right, right_on or on)
+
+    class Filter:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch[on], value_set=self.keys)
+            return batch.filter(mask)
+
+    return left.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def anti_join(
+    left: "ray.data.Dataset", right: "ray.data.Dataset", on: str, right_on: str | None = None
+) -> "ray.data.Dataset":
+    """Keep left rows whose key does NOT appear in ``right`` — the
+    "excluding those who already bought it" NL workload (README.md:14)
+    and the new-items subtraction
+    (`lambda/create_personalize_segment/index.py:141`)."""
+    ref = _broadcast_key_set(right, right_on or on)
+
+    class Filter:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch[on], value_set=self.keys)
+            return batch.filter(pc.invert(mask))
+
+    return left.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------------------
+# set ops
+# ---------------------------------------------------------------------------
+
+def union_with_prefix(
+    main: "ray.data.Dataset",
+    sub: "ray.data.Dataset",
+    key_col: str,
+    prefix: str,
+    main_prefix: str = "",
+) -> "ray.data.Dataset":
+    """UNION ALL with key-space disambiguation: prefix ``sub``'s key
+    column so overlapping ID spaces can't collide (`CONCAT('sub_', …)`,
+    `lambda/create_personalize_dataset_import_job/index.py:48-56`)."""
+
+    def _prefix(p: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            col = pc.binary_join_element_wise(
+                pa.scalar(p), pc.cast(batch[key_col], pa.string()), ""
+            )
+            return batch.set_column(
+                batch.schema.get_field_index(key_col), key_col, col
+            )
+
+        return fn
+
+    sub2 = sub.map_batches(_prefix(prefix), batch_format="pyarrow")
+    if main_prefix:
+        main = main.map_batches(_prefix(main_prefix), batch_format="pyarrow")
+    return main.union(sub2)
+
+
+def distinct(ds: "ray.data.Dataset", cols: Sequence[str]) -> "ray.data.Dataset":
+    """SELECT DISTINCT cols — hash-partition on the key columns, first
+    row per group (`lib/data-storage.ts:210`; SURVEY §2.7 U3).  Dedup is
+    partial first (per-batch drop_duplicates) so the shuffle moves only
+    surviving rows."""
+    cols = list(cols)
+
+    def _local(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[cols].drop_duplicates()
+
+    return (
+        ds.map_batches(_local, batch_format="pandas")
+        .groupby(cols[0] if len(cols) == 1 else cols)
+        .map_groups(lambda g: g.iloc[:1], batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouped aggregates
+# ---------------------------------------------------------------------------
+
+def grouped_count_having(
+    ds: "ray.data.Dataset", key: str, min_count: int, count_name: str = "cnt"
+) -> "ray.data.Dataset":
+    """GROUP BY key HAVING count(*) >= min_count (README.md:13 —
+    "customers with ≥2 purchases").  Count() pre-aggregates per block
+    before the shuffle (Ray's AggregateFn does partial+final)."""
+    agg = ds.groupby(key).aggregate(Count(alias_name=count_name))
+
+    def _having(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch[count_name], min_count))
+
+    return agg.map_batches(_having, batch_format="pyarrow")
+
+
+def grouped_topk(
+    ds: "ray.data.Dataset",
+    key: str,
+    k: int,
+    count_name: str = "cnt",
+) -> "ray.data.Dataset":
+    """Top-k groups by row count (README.md:13 — "top-3 items").
+    Grouped count (partial-aggregated shuffle) → global sort on the
+    small aggregate → limit.  Ties broken by key ascending so the
+    result is deterministic."""
+    return (
+        ds.groupby(key)
+        .aggregate(Count(alias_name=count_name))
+        .sort([count_name, key], descending=[True, False])
+        .limit(k)
+    )
+
+
+def topn_per_group(
+    ds: "ray.data.Dataset",
+    group_key: str,
+    order_col: str,
+    n: int,
+    descending: bool = True,
+    tiebreak: Sequence[str] = (),
+) -> "ray.data.Dataset":
+    """Per-group top-N rows — the Personalize batch-segment semantics
+    (top `numResults` users per item,
+    `lambda/create_personalize_segment/index.py:14,194-205`; SURVEY O3).
+    One groupby shuffle; each group sorted locally (vectorized pandas),
+    deterministic via explicit tiebreak columns."""
+    by = [order_col, *tiebreak]
+    asc = [not descending] + [True] * len(tiebreak)
+
+    def _topn(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(by, ascending=asc, kind="mergesort").head(n)
+
+    return ds.groupby(group_key).map_groups(_topn, batch_format="pandas")
+
+
+def sort_limit(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    descending: Sequence[bool] | bool,
+    k: int | None = None,
+) -> "ray.data.Dataset":
+    """Global sort (range-partitioned shuffle) + optional limit —
+    presentation ordering (`lambda/webbackend/resthandler.py:66`,
+    SURVEY O1/O5).  For pure top-k prefer :func:`grouped_topk` /
+    per-batch partial top-k; a full sort of a 100 TB table is only
+    justified when the full ordering is the output."""
+    out = ds.sort(list(keys), descending=descending)
+    return out.limit(k) if k is not None else out
+
+
+__all__ = [
+    "hash_join",
+    "broadcast_join",
+    "semi_join",
+    "anti_join",
+    "union_with_prefix",
+    "distinct",
+    "grouped_count_having",
+    "grouped_topk",
+    "topn_per_group",
+    "sort_limit",
+    "Count",
+    "Sum",
+    "Min",
+    "Max",
+    "Mean",
+    "AggregateFn",
+]

@@ -1,0 +1,204 @@
+"""Text-analysis operators for training-data pipelines.
+
+The reference's only text analytics are the csvtool column profiler
+(`csvtool/csv_to_glue_catalog.py:147-156`) and LLM schema inference; at
+corpus scale the standard quartet implemented here is required.  All
+stages are stateless ``map_batches`` over Arrow/pandas batches with
+compiled regexes at module import (once per process, SURVEY §2.2 M6).
+
+- :func:`token_count_stage` — whitespace + BPE-ish token counts.
+- :func:`char_stats_stage` — length / punctuation / digit /
+  uppercase ratios (quality features).
+- :func:`quality_stage` — composite quality score (length, stopword
+  ratio, punctuation terminator ratio, alpha ratio, repetition).
+- :func:`langid_stage` — n-gram/stopword-profile language ID.
+- :func:`fingerprint_stage` — md5 content fingerprint (exact,
+  SQL-checkable) + Rabin-Karp rolling fingerprint (winnowing-style).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.texthash import BPE_ISH_RE, TOKEN_RE, rolling_fingerprint_batch
+
+_PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+_DIGIT_RE = re.compile(r"\d")
+_TERMINATOR_RE = re.compile(r"[.!?。！？]")
+
+# Tiny per-language stopword profiles (public common-word lists).  The
+# classifier scores each language by stopword hit-rate plus a script
+# check for CJK; ties resolve to the first language in order.
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for", "was", "with", "on", "as", "are", "this"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "mit", "ein", "eine", "den", "von", "zu", "im", "für", "auf", "des"},
+    "fr": {"le", "la", "les", "et", "des", "est", "une", "dans", "que", "pour", "qui", "sur", "pas", "au", "ce", "du"},
+    "es": {"el", "la", "los", "las", "de", "que", "y", "en", "un", "una", "es", "por", "con", "para", "del", "se"},
+}
+_LANG_ORDER = ["en", "de", "fr", "es"]
+_CJK_RE = re.compile(r"[一-鿿぀-ヿ]")
+
+
+def predict_lang(text: str) -> str:
+    """Heuristic language ID: CJK script check, then stopword hit-rate."""
+    if _CJK_RE.search(text):
+        return "zh"
+    toks = [t for t in TOKEN_RE.findall(text.lower())]
+    if not toks:
+        return "unknown"
+    best, best_rate = "unknown", 0.0
+    for lang in _LANG_ORDER:
+        sw = _STOPWORDS[lang]
+        rate = sum(1 for t in toks if t in sw) / len(toks)
+        if rate > best_rate:
+            best, best_rate = lang, rate
+    return best if best_rate > 0.02 else "unknown"
+
+
+def token_count_stage(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """(id, n_tokens, n_bpe_tokens): whitespace-split word count plus a
+    GPT-2-shaped regex token count."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        n_ws = np.fromiter((len(t.split()) for t in texts), np.int64, len(texts))
+        n_bpe = np.fromiter(
+            (len(BPE_ISH_RE.findall(t)) for t in texts), np.int64, len(texts)
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(n_ws, pa.int64()),
+                "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_fn, batch_format="pyarrow")
+
+
+def char_stats_stage(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """(id, n_chars, punct_ratio, digit_ratio, upper_ratio)."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        n = len(texts)
+        n_chars = np.fromiter((len(t) for t in texts), np.int64, n)
+        safe = np.where(n_chars == 0, 1, n_chars).astype(np.float64)
+        punct = np.fromiter((len(_PUNCT_RE.findall(t)) for t in texts), np.int64, n)
+        digit = np.fromiter((len(_DIGIT_RE.findall(t)) for t in texts), np.int64, n)
+        upper = np.fromiter((sum(1 for c in t if c.isupper()) for t in texts), np.int64, n)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_chars": pa.array(n_chars, pa.int64()),
+                "punct_ratio": pa.array(punct / safe, pa.float64()),
+                "digit_ratio": pa.array(digit / safe, pa.float64()),
+                "upper_ratio": pa.array(upper / safe, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(_fn, batch_format="pyarrow")
+
+
+def quality_stage(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Composite document quality in [0, 1] from public web-corpus
+    filtering heuristics (Gopher/C4-style): length band, stopword
+    presence, sentence terminators, alphabetic ratio, max line
+    repetition."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        scores = np.empty(len(texts))
+        n_tok = np.empty(len(texts), np.int64)
+        stop_ratio = np.empty(len(texts))
+        for i, t in enumerate(texts):
+            toks = TOKEN_RE.findall(t.lower())
+            n_tok[i] = len(toks)
+            sw = _STOPWORDS["en"]
+            stop_ratio[i] = (
+                sum(1 for x in toks if x in sw) / len(toks) if toks else 0.0
+            )
+            len_ok = 1.0 if 50 <= len(toks) <= 100_000 else 0.3
+            alpha = sum(c.isalpha() or c.isspace() for c in t) / max(1, len(t))
+            term = min(1.0, len(_TERMINATOR_RE.findall(t)) / max(1.0, len(toks) / 25))
+            lines = [ln for ln in t.split("\n") if ln.strip()]
+            rep = 1.0 - (
+                (len(lines) - len(set(lines))) / len(lines) if lines else 0.0
+            )
+            scores[i] = (
+                0.3 * len_ok
+                + 0.2 * min(1.0, stop_ratio[i] * 10)
+                + 0.2 * alpha
+                + 0.15 * term
+                + 0.15 * rep
+            )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "quality": pa.array(scores, pa.float64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "stopword_ratio": pa.array(stop_ratio, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(_fn, batch_format="pyarrow")
+
+
+def langid_stage(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """(id, lang_pred) via :func:`predict_lang`."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        preds = [predict_lang(t) for t in batch[text_col].to_pylist()]
+        return pa.table(
+            {id_col: batch[id_col], "lang_pred": pa.array(preds, pa.string())}
+        )
+
+    return ds.map_batches(_fn, batch_format="pyarrow")
+
+
+def fingerprint_stage(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """(id, fp_md5, fp_rolling): exact md5 content fingerprint (hex,
+    matches SQL ``md5(text)``) and the Rabin-Karp rolling XOR
+    fingerprint (byte-window content signature, robust to nothing —
+    it's an exact-content id with locality-friendly construction)."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+        roll = rolling_fingerprint_batch(texts)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "fp_md5": pa.array(md5s, pa.string()),
+                "fp_rolling": pa.array(roll, pa.uint64()),
+            }
+        )
+
+    return ds.map_batches(_fn, batch_format="pyarrow")
+
+
+__all__ = [
+    "predict_lang",
+    "token_count_stage",
+    "char_stats_stage",
+    "quality_stage",
+    "langid_stage",
+    "fingerprint_stage",
+]

@@ -75,21 +75,23 @@ def attach_labels(slim, labels, conf, cfg: ERConfig = DEFAULT_CONFIG):
                     }
                 )
 
-        return slim.map_batches(Attach, batch_format="pandas", concurrency=4)
+        # autoscaling pool (min 1): a fixed pool can reserve every CPU
+        # of a small cluster and deadlock the stages feeding it
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        return slim.map_batches(
+            Attach, batch_format="pandas", concurrency=(1, max(1, ncpu - 1))
+        )
 
     # large-label path: two hash-partitioned left joins
-    joined = slim.join(
-        labels,
-        join_type="left_outer",
-        num_partitions=cfg.cc_num_partitions,
-        on=("url",),
-        right_on=("node",),
-    ).join(
-        conf,
-        join_type="left_outer",
-        num_partitions=cfg.cc_num_partitions,
-        on=("url",),
-        right_on=("node",),
+    from ..ops.relational import hash_join
+
+    joined = hash_join(
+        slim, labels, on=("url",), right_on=("node",),
+        how="left_outer", num_partitions=cfg.cc_num_partitions,
+    )
+    joined = hash_join(
+        joined, conf, on=("url",), right_on=("node",),
+        how="left_outer", num_partitions=cfg.cc_num_partitions,
     )
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:

@@ -82,10 +82,12 @@ def connected_components(
         .materialize()
     )
 
+    from ..ops.relational import hash_join
+
     prev_sum = _labels_checksum(labels)
     for _round in range(cfg.cc_max_rounds):
-        msgs = sym.join(
-            labels, join_type="inner", num_partitions=P, on=("src",), right_on=("node",)
+        msgs = hash_join(
+            sym, labels, on=("src",), right_on=("node",), num_partitions=P
         ).map_batches(
             lambda df: pd.DataFrame({"node": df["dst"], "label": df["label"]}),
             batch_format="pandas",

@@ -105,12 +105,20 @@ class PairScorer:
 
 
 def score_pairs_stage(pairs, cfg: ERConfig = DEFAULT_CONFIG, idf_ref=None):
+    # Autoscaling pool (1, N): a FIXED pool of N actors each reserving a
+    # CPU can consume every core of a small cluster and deadlock the
+    # upstream stages feeding it; with min=1 the pipeline always
+    # progresses and Ray grows the pool only while CPUs are free.
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    pool_max = max(1, min(cfg.scorer_concurrency, ncpu - 1))
     return pairs.map_batches(
         PairScorer,
         fn_constructor_kwargs={"cfg": cfg, "idf_ref": idf_ref},
         batch_format="pandas",
         batch_size=cfg.scorer_batch_size,
-        concurrency=cfg.scorer_concurrency,
+        concurrency=(1, pool_max),
         num_cpus=1,
     )
 

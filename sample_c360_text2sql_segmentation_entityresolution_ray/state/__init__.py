@@ -1,1 +1,8 @@
-"""Checkpoint manifests, job-status registry, retention policies."""
+"""Checkpoint manifests, job-status registry, retention GC."""
+
+from .checkpoint import (  # noqa: F401
+    JobStatusRegistry,
+    gc_checkpoints,
+    load_manifest,
+    run_stage,
+)

@@ -1,0 +1,63 @@
+"""Similarity-search correctness: brute force vs numpy reference; IVF recall."""
+
+from __future__ import annotations
+
+import numpy as np
+
+import ray.data
+
+from sample_c360_text2sql_segmentation_entityresolution_ray.ops import ann
+
+
+def _corpus(n=200, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, dim))
+    return (
+        ray.data.from_items(
+            [{"vec_id": i, "embedding": m[i].tolist()} for i in range(n)]
+        ),
+        m,
+    )
+
+
+def _numpy_topk(m, q, k):
+    mu = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qu = q / np.linalg.norm(q)
+    sims = mu @ qu
+    order = np.lexsort((np.arange(len(m)), -sims))
+    return list(order[:k])
+
+
+def test_brute_force_matches_numpy():
+    ds, m = _corpus()
+    rng = np.random.default_rng(7)
+    queries = rng.standard_normal((3, m.shape[1]))
+    out = ann.knn_brute_force(ds, queries, k=5).to_pandas()
+    assert len(out) == 15
+    for q in range(3):
+        got = sorted(out[out["query_id"] == q]["vec_id"])
+        want = sorted(_numpy_topk(m, queries[q], 5))
+        assert got == want, f"query {q}: {got} != {want}"
+
+
+def test_ivf_recall():
+    ds, m = _corpus(n=400)
+    rng = np.random.default_rng(9)
+    queries = rng.standard_normal((4, m.shape[1]))
+    cents = ann.fit_centroids(ds, n_centroids=8)
+    bucketed = ann.ivf_bucket_stage(ds, cents).materialize()
+    out = ann.knn_ivf(bucketed, queries, cents, k=10, n_probe=4).to_pandas()
+    hits = 0
+    for q in range(4):
+        got = set(out[out["query_id"] == q]["vec_id"])
+        want = set(_numpy_topk(m, queries[q], 10))
+        hits += len(got & want)
+    recall = hits / 40
+    assert recall >= 0.5, f"IVF recall {recall}"
+
+
+def test_bucket_column_is_partitionable():
+    ds, _ = _corpus(n=50)
+    cents = ann.fit_centroids(ds, n_centroids=4)
+    b = ann.ivf_bucket_stage(ds, cents).to_pandas()
+    assert b["ivf_bucket"].between(0, 3).all()

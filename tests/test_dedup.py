@@ -1,0 +1,86 @@
+"""Dedup operator semantics on small planted corpora."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from sample_c360_text2sql_segmentation_entityresolution_ray.ops import dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the sun rises over "
+    "the quiet valley and birds sing their morning songs across the fields"
+)
+
+
+def _corpus():
+    rows = [
+        {"doc_id": 0, "text": BASE},
+        {"doc_id": 1, "text": BASE},  # exact dup of 0
+        {"doc_id": 2, "text": BASE.replace("quick", "speedy")},  # near dup of 0
+        {"doc_id": 3, "text": "completely different content about ray data "
+                              "pipelines streaming arrow batches through actors"},
+        {"doc_id": 4, "text": BASE + " extra trailing words appended here"},  # near dup
+    ]
+    return ray.data.from_items(rows)
+
+
+def test_exact_dedup_keeps_min_id():
+    out = dedup.exact_dedup(_corpus()).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 2, 3, 4]
+
+
+def test_minhash_dup_pairs_finds_planted():
+    pairs = dedup.minhash_dup_pairs(_corpus(), threshold=0.5).to_pandas()
+    found = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in found
+    assert (0, 2) in found
+    assert (0, 4) in found
+    assert all(3 not in p for p in found)
+
+
+def test_minhash_dedup_drops_near_dups():
+    kept = dedup.minhash_dedup(_corpus(), threshold=0.5).to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 3]
+
+
+def test_dup_assignment_transitive():
+    pairs = ray.data.from_pandas(
+        pd.DataFrame({"id_a": [0, 1], "id_b": [1, 2], "sim": [1.0, 1.0]})
+    )
+    out = dedup.dup_assignment(pairs).to_pandas()
+    assert dict(zip(out["doc_id"], out["rep_id"])) == {0: 0, 1: 0, 2: 0}
+
+
+def test_simhash_dup_pairs():
+    pairs = dedup.simhash_dup_pairs(_corpus(), max_hamming=10).to_pandas()
+    found = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in found
+    assert all(3 not in p for p in found)
+
+
+def test_ngram_jaccard_verify():
+    cand = ray.data.from_pandas(
+        pd.DataFrame({"id_a": [0, 0], "id_b": [1, 3], "sim": [1.0, 1.0]})
+    )
+    out = dedup.ngram_jaccard_pairs(cand, _corpus(), threshold=0.5).to_pandas()
+    assert list(out["id_b"]) == [1]
+    assert out["ngram_jaccard"].iloc[0] == 1.0
+
+
+def test_embedding_dup_pairs():
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(32)
+    rows = [
+        {"vec_id": 0, "embedding": base.tolist()},
+        {"vec_id": 1, "embedding": (base + 0.01 * rng.standard_normal(32)).tolist()},
+        {"vec_id": 2, "embedding": rng.standard_normal(32).tolist()},
+    ]
+    pairs = dedup.embedding_dup_pairs(
+        ray.data.from_items(rows), threshold=0.99
+    ).to_pandas()
+    found = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    assert found == {(0, 1)}

@@ -1,0 +1,66 @@
+"""Text-analysis operator semantics."""
+
+from __future__ import annotations
+
+import hashlib
+
+import ray.data
+
+from sample_c360_text2sql_segmentation_entityresolution_ray.ops import text as textops
+
+
+def test_predict_lang_real_samples():
+    samples = {
+        "en": "the cat sat on the mat and it was happy that the sun was out",
+        "de": "der hund ist nicht mit der katze in das haus gegangen und die",
+        "fr": "le chat est dans la maison et les oiseaux sont sur le toit pour",
+        "es": "el perro está en la casa y los gatos son de la ciudad que es",
+        "zh": "这是一个中文句子用来测试语言识别",
+    }
+    for lang, s in samples.items():
+        assert textops.predict_lang(s) == lang, (lang, s)
+    assert textops.predict_lang("") == "unknown"
+    assert textops.predict_lang("qwzx 12345 zzz") == "unknown"
+
+
+def _docs():
+    return ray.data.from_items(
+        [
+            {"doc_id": 0, "text": "Hello world! This is a test."},
+            {"doc_id": 1, "text": ""},
+            {"doc_id": 2, "text": "one two  three\nfour"},
+        ]
+    )
+
+
+def test_token_counts():
+    out = textops.token_count_stage(_docs()).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_tokens"] == 6
+    assert out.loc[1, "n_tokens"] == 0
+    assert out.loc[2, "n_tokens"] == 4
+    assert out.loc[0, "n_bpe_tokens"] == 8  # words + '!' + '.'
+
+
+def test_char_stats():
+    out = textops.char_stats_stage(_docs()).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_chars"] == 28
+    assert out.loc[1, "n_chars"] == 0
+    assert 0 < out.loc[0, "punct_ratio"] < 0.2
+
+
+def test_quality_orders_sensibly():
+    good = " ".join(["the quick brown fox jumps over the lazy dog."] * 20)
+    bad = "@@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( ))))"
+    ds = ray.data.from_items(
+        [{"doc_id": 0, "text": good}, {"doc_id": 1, "text": bad}]
+    )
+    out = textops.quality_stage(ds).to_pandas().set_index("doc_id")
+    assert out.loc[0, "quality"] > out.loc[1, "quality"]
+
+
+def test_fingerprints_match_md5():
+    out = textops.fingerprint_stage(_docs()).to_pandas().set_index("doc_id")
+    assert out.loc[0, "fp_md5"] == hashlib.md5(
+        "Hello world! This is a test.".encode()
+    ).hexdigest()
+    assert out.loc[0, "fp_rolling"] != out.loc[2, "fp_rolling"]
