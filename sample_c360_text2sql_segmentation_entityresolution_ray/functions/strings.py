@@ -103,3 +103,53 @@ def levenshtein_sim(s1: str, s2: str) -> float:
     if m == 0:
         return 1.0
     return 1.0 - levenshtein(s1, s2) / m
+
+
+def _encode_padded(strs, max_len: int) -> tuple[np.ndarray, np.ndarray]:
+    """(n, L) uint32 code-point matrix (0-padded) + length vector."""
+    lens = np.fromiter((min(len(s), max_len) for s in strs), np.int64, len(strs))
+    L = max(1, int(lens.max()) if len(lens) else 1)
+    out = np.zeros((len(strs), L), dtype=np.uint32)
+    for i, s in enumerate(strs):
+        s = s[:max_len]
+        if s:
+            out[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    return out, lens
+
+
+def levenshtein_sim_batch(a_list, b_list, max_len: int = 64) -> np.ndarray:
+    """Batched normalized Levenshtein similarity: one DP over the whole
+    batch — each of the O(max_len) row steps is a numpy kernel across
+    all pairs, so per-pair cost is ~1000× below the scalar loop.  Exact
+    same values as :func:`levenshtein_sim` (truncated to ``max_len``).
+    """
+    n = len(a_list)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    A, la = _encode_padded(a_list, max_len)
+    B, lb = _encode_padded(b_list, max_len)
+    La, Lb = A.shape[1], B.shape[1]
+    ar = np.arange(Lb + 1, dtype=np.int64)
+    prev = np.broadcast_to(ar, (n, Lb + 1)).copy()
+    dist = lb.astype(np.float64).copy()  # rows with la == 0
+    for i in range(1, La + 1):
+        cost = (B != A[:, i - 1][:, None]).astype(np.int64)  # (n, Lb)
+        t = np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost)
+        u = np.concatenate([np.full((n, 1), i, dtype=np.int64), t], axis=1) - ar
+        cur = np.minimum.accumulate(u, axis=1) + ar
+        done = la == i
+        if done.any():
+            dist[done] = cur[done, lb[done]]
+        prev = cur
+    m = np.maximum(1, np.maximum(la, lb)).astype(np.float64)
+    return 1.0 - dist / m
+
+
+def jaro_winkler_batch(a_list, b_list) -> np.ndarray:
+    """Batched Jaro-Winkler (scalar loop — JW is ~10× cheaper than the
+    scalar Levenshtein and called only on the gated subset)."""
+    return np.fromiter(
+        (jaro_winkler(a, b) for a, b in zip(a_list, b_list)),
+        np.float64,
+        len(a_list),
+    )

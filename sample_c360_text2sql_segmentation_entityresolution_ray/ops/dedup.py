@@ -54,18 +54,19 @@ def exact_dedup(
     risks dropping one extra row (documented trade vs grouping by the
     raw text, which would shuffle full documents)."""
 
+    from .relational import dedupe_by_key
+
     def _hash(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
         batch["_h"] = texthash.hash_str_array(batch[text_col].to_numpy(object))
         return batch
 
-    def _keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col, kind="mergesort").iloc[:1].drop(columns="_h")
+    def _drop_h(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.drop(columns="_h")
 
-    return (
-        ds.map_batches(_hash, batch_format="pandas")
-        .groupby("_h")
-        .map_groups(_keep_min, batch_format="pandas")
+    hashed = ds.map_batches(_hash, batch_format="pandas")
+    return dedupe_by_key(hashed, ["_h"], sort_by=id_col).map_batches(
+        _drop_h, batch_format="pandas"
     )
 
 
@@ -116,10 +117,10 @@ def _bucket_pairs_frame(ids, extra_cols):
 
 def _dedupe_pairs(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
     """One copy per (id_a, id_b): the same pair surfaces from many
-    buckets; groupby both keys, keep first."""
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.iloc[:1], batch_format="pandas"
-    )
+    buckets; partition-hash dedupe (see relational.dedupe_by_key)."""
+    from .relational import dedupe_by_key
+
+    return dedupe_by_key(pairs, ["id_a", "id_b"])
 
 
 def _emit_bucket_pairs(g: pd.DataFrame, verify) -> pd.DataFrame:

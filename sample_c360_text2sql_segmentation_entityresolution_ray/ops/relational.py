@@ -205,21 +205,60 @@ def union_with_prefix(
     return main.union(sub2)
 
 
-def distinct(ds: "ray.data.Dataset", cols: Sequence[str]) -> "ray.data.Dataset":
-    """SELECT DISTINCT cols — hash-partition on the key columns, first
-    row per group (`lib/data-storage.ts:210`; SURVEY §2.7 U3).  Dedup is
-    partial first (per-batch drop_duplicates) so the shuffle moves only
-    surviving rows."""
+DEDUP_PARTITIONS = 64
+
+
+def dedupe_by_key(
+    ds: "ray.data.Dataset",
+    cols: Sequence[str],
+    partitions: int = DEDUP_PARTITIONS,
+    sort_by: str | None = None,
+) -> "ray.data.Dataset":
+    """Keep one row per distinct ``cols`` value.
+
+    Ray's ``groupby(cols).map_groups`` pays ~ms of Python per group —
+    ruinous at one-group-per-row cardinality.  Instead: local per-batch
+    dedup (pre-shuffle shrink) → hash the key into ``partitions``
+    buckets → ONE groupby with ``partitions`` groups, vectorized
+    pandas dedup inside each.  ``sort_by``: keep the minimum of that
+    column per key (content-defined winner) instead of an arbitrary
+    first."""
     cols = list(cols)
 
     def _local(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[cols].drop_duplicates()
+        if sort_by:
+            batch = batch.sort_values(sort_by, kind="mergesort")
+        batch = batch.drop_duplicates(cols)
+        key = batch[cols[0]].astype(str)
+        for c in cols[1:]:
+            key = key + "\x1f" + batch[c].astype(str)
+        batch = batch.copy()
+        batch["_part"] = (
+            pd.util.hash_array(key.to_numpy(object)) % partitions
+        ).astype("int32")
+        return batch
+
+    def _finish(g: pd.DataFrame) -> pd.DataFrame:
+        if sort_by:
+            g = g.sort_values(sort_by, kind="mergesort")
+        return g.drop_duplicates(cols).drop(columns="_part")
 
     return (
         ds.map_batches(_local, batch_format="pandas")
-        .groupby(cols[0] if len(cols) == 1 else cols)
-        .map_groups(lambda g: g.iloc[:1], batch_format="pandas")
+        .groupby("_part")
+        .map_groups(_finish, batch_format="pandas")
     )
+
+
+def distinct(ds: "ray.data.Dataset", cols: Sequence[str]) -> "ray.data.Dataset":
+    """SELECT DISTINCT cols (`lib/data-storage.ts:210`; SURVEY §2.7 U3):
+    :func:`dedupe_by_key` over a projection."""
+    cols = list(cols)
+
+    def _proj(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[cols]
+
+    return dedupe_by_key(ds.map_batches(_proj, batch_format="pandas"), cols)
 
 
 # ---------------------------------------------------------------------------

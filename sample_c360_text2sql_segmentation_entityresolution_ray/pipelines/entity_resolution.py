@@ -24,7 +24,7 @@ import pandas as pd
 import ray
 import ray.data
 
-from ..stages.blocking import band_emit_stage, dedupe_pairs_stage, pair_gen_stage
+from ..stages.blocking import band_emit_stage, pair_gen_stage
 from ..stages.clustering import confidence_stage, resolve_labels
 from ..stages.config import DEFAULT_CONFIG, ERConfig
 from ..stages.normalize import extract_stage, normalize_stage
@@ -32,13 +32,22 @@ from ..stages.scoring import matched_edges_stage, score_pairs_stage
 
 
 def matched_edges(pages, cfg: ERConfig = DEFAULT_CONFIG):
-    """pages → scored matched edges (url_a, url_b, …, score), streaming."""
+    """pages → scored matched edges (url_a, url_b, …, score), streaming.
+
+    Candidate pairs are scored WITH cross-block duplicates (dup factor
+    ≈ 2.1× measured): a duplicate costs one extra vectorized score,
+    while deduping candidates costs a second full shuffle of the pair
+    feature payload.  Dedup happens here instead, on the matched-edge
+    table — orders of magnitude smaller than the candidate stream."""
     extracted = extract_stage(pages)
     records = normalize_stage(extracted, cfg)
     exploded = band_emit_stage(records, cfg)
-    pairs = dedupe_pairs_stage(pair_gen_stage(exploded, cfg), cfg)
+    pairs = pair_gen_stage(exploded, cfg)
     scored = score_pairs_stage(pairs, cfg)
-    return matched_edges_stage(scored, cfg)
+    edges = matched_edges_stage(scored, cfg)
+    from ..ops.relational import dedupe_by_key
+
+    return dedupe_by_key(edges, ["url_a", "url_b"])
 
 
 def attach_labels(slim, labels, conf, cfg: ERConfig = DEFAULT_CONFIG):

@@ -190,15 +190,66 @@ def documents_path(sf_dir: str) -> str:
     return f"{sf_dir}/documents.parquet"
 
 
-def pages_dataset(sf_dir: str) -> "ray.data.Dataset":
-    """The synthesized pages table as a streaming Dataset."""
-    return ray.data.read_parquet(
-        documents_path(sf_dir), columns=["doc_id", "text", "lang", "source"]
-    ).map_batches(_expand_pages, batch_format="pyarrow")
+def _read_blocks(replicate: int = 1) -> int:
+    """Per-read block count for the documents read: a single small
+    parquet file would otherwise become 1-16 blocks and cap every
+    downstream map_batches at that parallelism (measured: flat 8→32-CPU
+    scaling).  Target ≈ 4 blocks per core TOTAL across replicas — block
+    counts in the thousands make the sort-based shuffles slower than
+    the compute they carry (measured: 32 cpus slower than 8)."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    total = max(64, 4 * ncpu)
+    return max(8, total // max(1, replicate))
 
 
-def relations_dataset(sf_dir: str) -> "ray.data.Dataset":
+REPLICA_STRIDE = 100_000  # doc_id offset between replicas (>> any sf's max id)
+
+
+def _docs_dataset(sf_dir: str, replicate: int) -> "ray.data.Dataset":
+    base = ray.data.read_parquet(
+        documents_path(sf_dir),
+        columns=["doc_id", "text", "lang", "source"],
+        override_num_blocks=_read_blocks(replicate),
+    )
+    if replicate <= 1:
+        return base
+
+    def _shift(r: int):
+        off = REPLICA_STRIDE * r
+
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            idx = batch.schema.get_field_index("doc_id")
+            return batch.set_column(
+                idx, "doc_id", pc.add(batch["doc_id"], off)
+            )
+
+        return fn
+
+    parts = [base.map_batches(_shift(r), batch_format="pyarrow") for r in range(replicate)]
+    return parts[0].union(*parts[1:])
+
+
+def pages_dataset(sf_dir: str, replicate: int = 1) -> "ray.data.Dataset":
+    """The synthesized pages table as a streaming Dataset.
+
+    ``replicate``: deterministic corpus scale-up for benchmarking — R
+    shifted copies of the documents table (disjoint doc_id ranges, so
+    per-doc salting keeps replicas mutually dissimilar: no cross-replica
+    matches, R× the entities).  Hot-domain skew is preserved (the hot
+    domain takes ~10% of every replica)."""
+    return _docs_dataset(sf_dir, replicate).map_batches(
+        _expand_pages, batch_format="pyarrow"
+    )
+
+
+def relations_dataset(sf_dir: str, replicate: int = 1) -> "ray.data.Dataset":
     """Ground-truth labeled pairs (customer_relations analog)."""
-    return ray.data.read_parquet(
-        documents_path(sf_dir), columns=["doc_id", "source"]
-    ).map_batches(_expand_relations, batch_format="pyarrow")
+    return (
+        _docs_dataset(sf_dir, replicate)
+        .select_columns(["doc_id", "source"])
+        .map_batches(_expand_relations, batch_format="pyarrow")
+    )

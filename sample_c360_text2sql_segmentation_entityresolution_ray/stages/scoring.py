@@ -21,7 +21,7 @@ import pandas as pd
 
 import ray
 
-from ..functions.strings import jaro_winkler, levenshtein_sim
+from ..functions.strings import jaro_winkler_batch, levenshtein_sim_batch
 from .config import DEFAULT_CONFIG, ERConfig
 
 EDGE_COLUMNS = ["url_a", "url_b", "jaccard", "cosine", "jw", "score", "block_n"]
@@ -66,26 +66,54 @@ class PairScorer:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         cfg = self.cfg
         n = len(batch)
-        jac = np.empty(n)
-        cos = np.empty(n)
-        jw = np.empty(n)
+        if n == 0:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in zip(
+                EDGE_COLUMNS, [object, object, float, float, float, float, np.int32]
+            )})
+        jac = np.zeros(n)
+        cos = np.zeros(n)
+        jw = np.zeros(n)
         sh_a = batch["shingles_a"].to_numpy()
         sh_b = batch["shingles_b"].to_numpy()
-        sl_a = batch["slug_a"].to_numpy()
-        sl_b = batch["slug_b"].to_numpy()
-        for i in range(n):
-            sa = np.asarray(sh_a[i], dtype=np.uint64)
-            sb = np.asarray(sh_b[i], dtype=np.uint64)
-            jac[i] = self._jaccard(sa, sb)
-            if jac[i] >= cfg.min_jaccard:
-                # only pay for the finer metrics when coarse overlap exists
-                cos[i] = self._cosine(sa, sb)
-                jw[i] = 0.5 * jaro_winkler(sl_a[i], sl_b[i]) + 0.5 * levenshtein_sim(
-                    sl_a[i], sl_b[i]
-                )
+        # MinHash pre-gate: one vectorized (n, num_perm) signature
+        # comparison estimates Jaccard for the WHOLE batch; only pairs
+        # whose estimate clears (min_jaccard - est_gate_margin) pay the
+        # exact per-pair set intersection.  σ(est) = sqrt(j(1-j)/64) ≈
+        # 0.06, so the margin makes a false drop of a true borderline
+        # pair < 0.5%; junk pairs (the vast majority) skip the loop.
+        sig_a = np.stack([np.asarray(s, np.uint8) for s in batch["mh8_a"]])
+        sig_b = np.stack([np.asarray(s, np.uint8) for s in batch["mh8_b"]])
+        est = (sig_a == sig_b).mean(axis=1)
+        exact = est >= (cfg.min_jaccard - cfg.est_gate_margin)
+        jac[:] = est  # below-gate pairs keep the estimate (floored later)
+        for i in np.flatnonzero(exact):
+            # ONE sorted-set intersection per pair feeds both metrics:
+            # shingle sets are unique, so TF-cosine = |∩| / sqrt(|a||b|)
+            # (identical value to the general formula at 1/3 the cost);
+            # the IDF-weighted variant takes the slower path.
+            sa = np.asarray(sh_a[i], dtype=np.uint32)
+            sb = np.asarray(sh_b[i], dtype=np.uint32)
+            if len(sa) == 0 or len(sb) == 0:
+                jac[i] = 0.0
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac[i] = inter / union if union else 0.0
+            if self.idf is None:
+                cos[i] = inter / np.sqrt(len(sa) * len(sb))
             else:
-                cos[i] = 0.0
-                jw[i] = 0.0
+                cos[i] = self._cosine(sa, sb)
+        # string metrics only where coarse overlap exists, batched:
+        # the Levenshtein DP runs once over the gated subset (numpy
+        # kernels across pairs), not per pair.
+        gate = jac >= cfg.min_jaccard
+        if gate.any():
+            sl_a = batch["slug_a"].to_numpy()[gate]
+            sl_b = batch["slug_b"].to_numpy()[gate]
+            jw[gate] = 0.5 * jaro_winkler_batch(sl_a, sl_b) + 0.5 * levenshtein_sim_batch(
+                sl_a, sl_b
+            )
+        cos = np.where(gate, cos, 0.0)
         score = cfg.w_jaccard * jac + cfg.w_cosine * cos + cfg.w_jw * jw
         # hard floor: a pair below min_jaccard can never match, however
         # high its cosine/JW (defends against boilerplate-similar and

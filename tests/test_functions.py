@@ -17,7 +17,9 @@ from sample_c360_text2sql_segmentation_entityresolution_ray.functions.simhash im
 )
 from sample_c360_text2sql_segmentation_entityresolution_ray.functions.strings import (
     jaro_winkler,
+    jaro_winkler_batch,
     levenshtein_sim,
+    levenshtein_sim_batch,
 )
 from sample_c360_text2sql_segmentation_entityresolution_ray.functions.texthash import (
     hash_str_array,
@@ -86,6 +88,26 @@ def test_string_metrics():
     assert levenshtein_sim("kitten", "kitten") == 1.0
     assert abs(levenshtein_sim("kitten", "sitting") - (1 - 3 / 7)) < 1e-9
     assert levenshtein_sim("", "") == 1.0
+
+
+def test_levenshtein_batch_matches_scalar():
+    rng = np.random.default_rng(7)
+    alphabet = "abcdef 日本語"
+    pairs = []
+    for _ in range(200):
+        la, lb = rng.integers(0, 20, 2)
+        a = "".join(rng.choice(list(alphabet), la))
+        b = "".join(rng.choice(list(alphabet), lb))
+        pairs.append((a, b))
+    pairs += [("", ""), ("", "abc"), ("same", "same"), ("kitten", "sitting")]
+    a_list = [p[0] for p in pairs]
+    b_list = [p[1] for p in pairs]
+    batch = levenshtein_sim_batch(a_list, b_list)
+    scalar = np.array([levenshtein_sim(a, b) for a, b in pairs])
+    np.testing.assert_allclose(batch, scalar, atol=1e-12)
+    jwb = jaro_winkler_batch(a_list, b_list)
+    jws = np.array([jaro_winkler(a, b) for a, b in pairs])
+    np.testing.assert_allclose(jwb, jws, atol=1e-12)
 
 
 def test_rolling_fingerprint_content_defined():
