@@ -371,6 +371,68 @@ def _q_knn_ivf_top10(sf_dir: str):
     return ann.knn_ivf(bucketed, np.asarray([q]), cents, k=10, n_probe=4)
 
 
+def _q_customer_er(sf_dir: str):
+    """Customer-record ER (the reference's literal workload): two
+    customer masters → integrated_customer with MatchID clusters."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.pipelines.customer_er import (
+        resolve_customers,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sources import c360
+
+    assignment, _ = resolve_customers(
+        lambda: c360.customer_master(sf_dir),
+        lambda: c360.subbrand_customer_master(sf_dir),
+    )
+    return assignment
+
+
+def _q_c360_interactions(sf_dir: str):
+    """Personalize dataset-import build: purchases ⋈ integrated on
+    RecordId → (USER_ID=MatchID, ITEM_ID w/ sub_ prefix, TIMESTAMP)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.pipelines.customer_er import (
+        resolve_customers,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.pipelines.segments import (
+        build_interactions,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sources import c360
+
+    assignment, _ = resolve_customers(
+        lambda: c360.customer_master(sf_dir),
+        lambda: c360.subbrand_customer_master(sf_dir),
+    )
+    return build_interactions(
+        c360.purchase_history(sf_dir),
+        c360.subbrand_purchase_history(sf_dir),
+        assignment,
+    )
+
+
+def _q_c360_segments(sf_dir: str):
+    """Item-based segments: top users per item by co-purchase affinity,
+    prior purchasers excluded (batch segment job analog)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.pipelines.customer_er import (
+        resolve_customers,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.pipelines.segments import (
+        build_interactions,
+        item_based_segments,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sources import c360
+
+    assignment, _ = resolve_customers(
+        lambda: c360.customer_master(sf_dir),
+        lambda: c360.subbrand_customer_master(sf_dir),
+    )
+    inter = build_interactions(
+        c360.purchase_history(sf_dir),
+        c360.subbrand_purchase_history(sf_dir),
+        assignment,
+    ).materialize()
+    targets = [str(i) for i in range(1, 6)]
+    return item_based_segments(inter, targets, n=20)
+
+
 def _q_langid_docs(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return textops.langid_stage(docs)
@@ -406,6 +468,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_top10": _q_knn_top10,
         # rows-only (sketch/model-based; no exact SQL equivalent)
         "er_assignment": _q_er_assignment,
+        "customer_er_assignment": _q_customer_er,
+        "c360_interactions": _q_c360_interactions,
+        "c360_segments": _q_c360_segments,
         "minhash_dup_docs": _q_minhash_dup_docs,
         "simhash_dup_docs": _q_simhash_dup_docs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,

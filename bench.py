@@ -141,7 +141,7 @@ def run_scaling(sf_dir: str, low: int = 8, high: int = 32) -> dict:
     job is compute-bound: at 1× sf0.1 (~8k pages) fixed costs — actor
     pool spin-up, per-stage scheduling, shuffle barriers — dominate the
     ~20 s wall and the two CPU counts measure overhead, not scaling."""
-    replicate = os.environ.get("GRAFT_BENCH_REPLICATE", "8")
+    replicate = os.environ.get("GRAFT_BENCH_REPLICATE", "24")
     runs = {}
     for n in (low, high):
         out = subprocess.run(

@@ -1,3 +1,12 @@
 """General operator library: relational, dedup, ANN, text, multimodal."""
 
-from . import ann, dedup, multimodal, relational, text  # noqa: F401
+from . import (  # noqa: F401
+    ann,
+    dedup,
+    format,
+    io,
+    multimodal,
+    profile,
+    relational,
+    text,
+)

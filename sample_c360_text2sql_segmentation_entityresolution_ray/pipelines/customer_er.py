@@ -1,0 +1,243 @@
+"""Customer-record entity resolution — the reference's literal use case.
+
+AWS ER ``ML_MATCHING`` over the two customer masters
+(`lib/entity-resolution-service.ts:54-183`) rebuilt natively:
+
+1. ``normalize_customers`` — the schema-mapping stage (M1): both
+   sources project onto one canonical match schema
+   (email→EMAIL_ADDRESS lowercased, firstname/lastname→NAME trimmed
+   lowercase, gender/age→STRING, created_at→DATE), each row tagged
+   with its source (`inputSourceConfig`, `:144-153`).
+2. Blocking: three exact keys per record — normalized email, full
+   name, lastname+age-decade — exploded and routed through the same
+   hash-partition vectorized pair generator as the page pipeline.
+3. ``CustomerPairScorer`` — actor-pool stage: email equality, batched
+   Jaro-Winkler on names, age closeness, gender agreement.  Weights
+   put an email match or an exact (name, age, gender) agreement above
+   threshold, while the planted same-name/different-person
+   confounders (different age + email, `gen_testdata.py:398-417`)
+   stay below it.
+4. Clustering + output: reuse of ``resolve_labels`` /
+   ``confidence_stage`` — MatchID = min customer_id of the cluster;
+   output is the ``integrated_customer`` table
+   (`lib/data-storage.ts:154-218`) with full payload columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..functions.strings import jaro_winkler_batch
+from ..functions.texthash import hash_str_array
+from ..stages.blocking import emit_partition_pairs_generic
+from ..stages.clustering import confidence_stage, resolve_labels
+from ..stages.config import DEFAULT_CONFIG, ERConfig
+
+MATCH_THRESHOLD = 0.75
+W_EMAIL, W_NAME, W_AGE, W_GENDER = 0.5, 0.3, 0.1, 0.1
+PAIR_PARTITIONS = 64
+BLOCK_CAP = 40
+SNM_WINDOW = 5
+
+
+def normalize_customers(main, sub) -> "ray.data.Dataset":
+    """Both sources → one canonical match-record table (M1)."""
+
+    def _norm(source: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            emails = [e.strip().lower() for e in batch["email"].to_pylist()]
+            names = [
+                f"{f.strip().lower()} {l.strip().lower()}"
+                for f, l in zip(
+                    batch["firstname"].to_pylist(), batch["lastname"].to_pylist()
+                )
+            ]
+            return pa.table(
+                {
+                    "customer_id": batch["customer_id"],
+                    "source": pa.array([source] * batch.num_rows, pa.string()),
+                    "email": pa.array(emails, pa.string()),
+                    "name": pa.array(names, pa.string()),
+                    "gender": batch["gender"],
+                    "age": batch["age"],
+                    "created_at": batch["created_at"],
+                }
+            )
+
+        return fn
+
+    return main.map_batches(_norm("main"), batch_format="pyarrow").union(
+        sub.map_batches(_norm("subbrand"), batch_format="pyarrow")
+    )
+
+
+def customer_band_emit(records) -> "ray.data.Dataset":
+    """Explode each record into 3 exact block keys: email, full name,
+    lastname+age-decade (catches typo'd emails via name, same-name
+    different-decade stays apart)."""
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        emails = batch["email"].to_pylist()
+        names = batch["name"].to_pylist()
+        ages = batch["age"].to_pylist()
+        lastnames = [nm.split(" ")[-1] for nm in names]
+        k_email = hash_str_array([f"em:{e}" for e in emails])
+        k_name = hash_str_array([f"nm:{nm}" for nm in names])
+        k_la = hash_str_array(
+            [f"la:{ln}:{a // 10}" for ln, a in zip(lastnames, ages)]
+        )
+        keys = np.stack([k_email, k_name, k_la], axis=1)  # (n, 3)
+        idx = np.repeat(np.arange(n), 3)
+        sub = batch.select(
+            ["customer_id", "email", "name", "gender", "age"]
+        ).take(idx)
+        out = sub.add_column(
+            0, "block_key", pa.array(keys.reshape(-1), pa.uint64())
+        )
+        part = (keys.reshape(-1) % np.uint64(PAIR_PARTITIONS)).astype(np.int32)
+        return out.append_column("part", pa.array(part, pa.int32()))
+
+    return records.map_batches(_emit, batch_format="pyarrow")
+
+
+def customer_pair_gen(exploded) -> "ray.data.Dataset":
+    return exploded.groupby("part").map_groups(
+        lambda g: emit_partition_pairs_generic(
+            g,
+            id_col="customer_id",
+            order_col="name",
+            payload_cols=["email", "name", "gender", "age"],
+            cap=BLOCK_CAP,
+            window=SNM_WINDOW,
+        ),
+        batch_format="pandas",
+    )
+
+
+class CustomerPairScorer:
+    """Actor-pool pairwise scorer (ST1 analog) — fully vectorized."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "url_a": pd.Series(dtype=object),
+                    "url_b": pd.Series(dtype=object),
+                    "score": pd.Series(dtype=float),
+                    "block_n": pd.Series(dtype=np.int32),
+                }
+            )
+        email_eq = (
+            batch["email_a"].to_numpy() == batch["email_b"].to_numpy()
+        ).astype(float)
+        name_jw = jaro_winkler_batch(
+            batch["name_a"].to_numpy(), batch["name_b"].to_numpy()
+        )
+        age_a = batch["age_a"].to_numpy().astype(float)
+        age_b = batch["age_b"].to_numpy().astype(float)
+        age_sim = np.maximum(0.0, 1.0 - np.abs(age_a - age_b) / 5.0)
+        gender_eq = (
+            batch["gender_a"].to_numpy() == batch["gender_b"].to_numpy()
+        ).astype(float)
+        score = (
+            W_EMAIL * email_eq
+            + W_NAME * name_jw
+            + W_AGE * age_sim
+            + W_GENDER * gender_eq
+        )
+        # edge columns named url_a/url_b so the clustering stages
+        # (resolve_labels / confidence_stage) are reused verbatim
+        return pd.DataFrame(
+            {
+                "url_a": batch["customer_id_a"].to_numpy(),
+                "url_b": batch["customer_id_b"].to_numpy(),
+                "score": score,
+                "block_n": batch["block_n"].to_numpy(),
+            }
+        )
+
+
+def customer_matched_edges(records, cfg: ERConfig = DEFAULT_CONFIG):
+    exploded = customer_band_emit(records)
+    pairs = customer_pair_gen(exploded)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    scored = pairs.map_batches(
+        CustomerPairScorer,
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, max(1, min(cfg.scorer_concurrency, ncpu - 1))),
+        num_cpus=1,
+    )
+
+    def _thr(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["score"] >= MATCH_THRESHOLD]
+
+    edges = scored.map_batches(_thr, batch_format="pandas")
+    from ..ops.relational import dedupe_by_key
+
+    return dedupe_by_key(edges, ["url_a", "url_b"])
+
+
+def resolve_customers(
+    main_factory, sub_factory, cfg: ERConfig = DEFAULT_CONFIG
+):
+    """Full customer ER: returns (integrated_customer Dataset, edges).
+
+    integrated_customer schema (`lib/data-storage.ts:154-218` /
+    FIXTURES.md §4.1): source, ConfidenceLevel, RecordId, MatchID +
+    payload (email, firstname is folded into name, gender, age,
+    created_at)."""
+    records = normalize_customers(main_factory(), sub_factory())
+    edges = customer_matched_edges(records, cfg).materialize()
+    labels = resolve_labels(edges, cfg)
+    conf = confidence_stage(edges)
+
+    lab_df = labels.to_pandas()
+    conf_df = conf.to_pandas()
+    label_map = dict(zip(lab_df["node"], lab_df["label"]))
+    conf_map = dict(zip(conf_df["node"], conf_df["ConfidenceLevel"]))
+    ref = ray.put((label_map, conf_map))
+
+    class Attach:
+        def __init__(self):
+            self.label_map, self.conf_map = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ids = df["customer_id"]
+            return pd.DataFrame(
+                {
+                    "source": df["source"],
+                    "ConfidenceLevel": [self.conf_map.get(i, 1.0) for i in ids],
+                    "RecordId": ids,
+                    "MatchID": [self.label_map.get(i, i) for i in ids],
+                    "email": df["email"],
+                    "name": df["name"],
+                    "gender": df["gender"],
+                    "age": df["age"],
+                    "created_at": df["created_at"],
+                }
+            )
+
+    records2 = normalize_customers(main_factory(), sub_factory())
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    assignment = records2.map_batches(
+        Attach, batch_format="pandas", concurrency=(1, max(1, ncpu - 1))
+    )
+    return assignment, edges
+
+
+__all__ = [
+    "normalize_customers",
+    "customer_band_emit",
+    "customer_pair_gen",
+    "CustomerPairScorer",
+    "customer_matched_edges",
+    "resolve_customers",
+]

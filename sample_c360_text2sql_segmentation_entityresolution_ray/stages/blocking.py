@@ -119,6 +119,64 @@ def _empty_pairs() -> pd.DataFrame:
     return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _PAIR_COLUMNS.items()})
 
 
+def emit_partition_pairs_generic(
+    df: pd.DataFrame,
+    id_col: str,
+    order_col: str,
+    payload_cols: list[str],
+    cap: int,
+    window: int,
+) -> pd.DataFrame:
+    """Generic vectorized pair emission for ONE hash partition — the
+    kernel behind :func:`_emit_partition_pairs` (pages) and the
+    structured-record ER in ``pipelines/customer_er.py``.  Emits
+    ``{id_col}_a/_b``, ``{payload}_a/_b`` and ``block_n``."""
+    df = df.drop_duplicates(["block_key", id_col])
+    keys = df["block_key"].to_numpy().astype(np.uint64)
+    out_cols = (
+        [f"{id_col}_a", f"{id_col}_b"]
+        + [f"{c}_{s}" for c in payload_cols for s in ("a", "b")]
+        + ["block_n"]
+    )
+    if len(keys) < 2:
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols[:-1]}
+                            | {"block_n": pd.Series(dtype=np.int32)})
+    ids = df[id_col].to_numpy()
+    ordv = df[order_col].to_numpy()
+    payload = {c: df[c].to_numpy() for c in payload_cols}
+    order = np.lexsort((ids, ordv, keys))
+    keys, ids, ordv = keys[order], ids[order], ordv[order]
+    payload = {c: v[order] for c, v in payload.items()}
+    _, counts = np.unique(keys, return_counts=True)
+    gid = np.repeat(np.arange(len(counts)), counts)
+    size = np.repeat(counts, counts).astype(np.int32)
+    D = int(min(counts.max() - 1, max(cap - 1, window - 1)))
+    ii_l, jj_l = [], []
+    for d in range(1, D + 1):
+        same = gid[:-d] == gid[d:]
+        if d >= window:
+            same &= size[:-d] <= cap
+        i = np.flatnonzero(same)
+        if len(i):
+            ii_l.append(i)
+            jj_l.append(i + d)
+    if not ii_l:
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols[:-1]}
+                            | {"block_n": pd.Series(dtype=np.int32)})
+    ii = np.concatenate(ii_l)
+    jj = np.concatenate(jj_l)
+    a, b = ids[ii], ids[jj]
+    flip = a > b
+    ii2 = np.where(flip, jj, ii)
+    jj2 = np.where(flip, ii, jj)
+    data = {f"{id_col}_a": ids[ii2], f"{id_col}_b": ids[jj2]}
+    for c, v in payload.items():
+        data[f"{c}_a"] = v[ii2]
+        data[f"{c}_b"] = v[jj2]
+    data["block_n"] = size[ii]
+    return pd.DataFrame(data).drop_duplicates([f"{id_col}_a", f"{id_col}_b"])
+
+
 def _emit_partition_pairs(df: pd.DataFrame, cfg: ERConfig) -> pd.DataFrame:
     """Vectorized pair emission for ONE hash partition of block keys.
 
@@ -134,62 +192,14 @@ def _emit_partition_pairs(df: pd.DataFrame, cfg: ERConfig) -> pd.DataFrame:
       skew guard.  ``block_n`` rides on every pair so capping is
       observable, never silent.
     """
-    df = df.drop_duplicates(["block_key", "url"])
-    keys = df["block_key"].to_numpy().astype(np.uint64)
-    if len(keys) < 2:
-        return _empty_pairs()
-    slugs = df["slug"].to_numpy()
-    urls = df["url"].to_numpy()
-    shingles = df["shingles"].to_numpy()
-    mh8 = df["mh8"].to_numpy()
-    order = np.lexsort((urls, slugs, keys))
-    keys = keys[order]
-    urls = urls[order]
-    slugs = slugs[order]
-    shingles = shingles[order]
-    mh8 = mh8[order]
-    n = len(keys)
-    _, counts = np.unique(keys, return_counts=True)
-    gid = np.repeat(np.arange(len(counts)), counts)
-    size = np.repeat(counts, counts).astype(np.int32)
-    cap, w = cfg.allpairs_cap, cfg.snm_window
-    D = int(min(counts.max() - 1, max(cap - 1, w - 1)))
-    ii_l: list[np.ndarray] = []
-    jj_l: list[np.ndarray] = []
-    for d in range(1, D + 1):
-        same = gid[:-d] == gid[d:]
-        if d >= w:
-            same &= size[:-d] <= cap
-        i = np.flatnonzero(same)
-        if len(i):
-            ii_l.append(i)
-            jj_l.append(i + d)
-    if not ii_l:
-        return _empty_pairs()
-    ii = np.concatenate(ii_l)
-    jj = np.concatenate(jj_l)
-    # canonical order url_a < url_b (dedup identity across blocks)
-    a, b = urls[ii], urls[jj]
-    flip = a > b
-    ii2 = np.where(flip, jj, ii)
-    jj2 = np.where(flip, ii, jj)
-    out = pd.DataFrame(
-        {
-            "url_a": urls[ii2],
-            "url_b": urls[jj2],
-            "slug_a": slugs[ii2],
-            "slug_b": slugs[jj2],
-            "shingles_a": shingles[ii2],
-            "shingles_b": shingles[jj2],
-            "mh8_a": mh8[ii2],
-            "mh8_b": mh8[jj2],
-            "block_n": size[ii],
-        }
+    return emit_partition_pairs_generic(
+        df,
+        id_col="url",
+        order_col="slug",
+        payload_cols=["slug", "shingles", "mh8"],
+        cap=cfg.allpairs_cap,
+        window=cfg.snm_window,
     )
-    # in-partition dedup: different blocks of the same pair often hash
-    # to the same partition; dropping them here is free and shrinks the
-    # scorer's duplicate factor (global dedup happens post-threshold)
-    return out.drop_duplicates(["url_a", "url_b"])
 
 
 def pair_gen_stage(exploded, cfg: ERConfig = DEFAULT_CONFIG):

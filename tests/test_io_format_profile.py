@@ -1,0 +1,113 @@
+"""JSONL segment IO, overwrite sink, CSV reader, encoding, formatter,
+column profiler, schema registry."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from sample_c360_text2sql_segmentation_entityresolution_ray.ops import (
+    format as fmt,
+    io as ioops,
+    profile as prof,
+)
+
+
+def test_segment_jsonl_roundtrip(tmp_path):
+    out = str(tmp_path / "seg_in")
+    ioops.write_segment_jsonl(["i1", "i2"], out)
+    files = [f for f in os.listdir(out) if f.endswith(".json")]
+    assert files
+    # simulate the batch job's .json.out result files
+    res_dir = tmp_path / "seg_out"
+    res_dir.mkdir()
+    with open(res_dir / "part.json", "w") as f:
+        f.write(json.dumps({"input": {"itemId": "i1"}, "output": {"usersList": ["u1", "u2"]}}) + "\n")
+        f.write(json.dumps({"input": {"itemId": "i2"}, "output": {"usersList": []}}) + "\n")
+    got = ioops.read_segment_results(str(res_dir)).to_pandas()
+    assert list(zip(got["item_id"], got["user_id"])) == [("i1", "u1"), ("i1", "u2")]
+
+
+def test_read_csv_table(tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("id,name\n1,alice\n2,bob\n")
+    schema = pa.schema([("id", pa.int64()), ("name", pa.string())])
+    df = ioops.read_csv_table(str(p), schema).to_pandas()
+    assert list(df["id"]) == [1, 2]
+    assert df["id"].dtype == "int64"
+
+
+def test_overwrite_dir_swaps_atomically(tmp_path):
+    dest = str(tmp_path / "out")
+    n1 = ioops.overwrite_dir(
+        ray.data.from_pandas(pd.DataFrame({"x": [1, 2]})), dest
+    )
+    assert n1 == 2
+    n2 = ioops.overwrite_dir(
+        ray.data.from_pandas(pd.DataFrame({"x": [7, 8, 9]})), dest
+    )
+    assert n2 == 3
+    assert ray.data.read_parquet(dest).count() == 3  # old contents gone
+
+
+def test_detect_and_decode():
+    assert ioops.detect_and_decode("héllo".encode("utf-8")) == ("héllo", "utf-8")
+    text, enc = ioops.detect_and_decode("日本語".encode("shift-jis"))
+    assert text == "日本語" and enc in ("shift-jis", "cp932")
+
+
+def test_group_files_by_header(tmp_path):
+    a = tmp_path / "a.csv"; a.write_text("x,y\n1,2\n")
+    b = tmp_path / "b.csv"; b.write_text("y,x\n3,4\n")   # same cols, reordered
+    c = tmp_path / "c.csv"; c.write_text("x,z\n5,6\n")
+    groups = ioops.group_files_by_header([str(a), str(b), str(c)])
+    sizes = sorted(len(v) for v in groups.values())
+    assert sizes == [1, 2]  # a+b together (sorted header), c alone
+
+
+def test_format_result_small_and_truncated():
+    small = ray.data.from_items([{"a": i, "b": f"v{i}"} for i in range(3)])
+    r = fmt.format_result(small)
+    assert not r["truncated"] and r["row_count_probe"] == 3
+    assert r["text"].splitlines()[0] == "a | b"
+    big = ray.data.range(400).map(lambda row: {"a": row["id"]})
+    r2 = fmt.format_result(big)
+    assert r2["truncated"] and r2["row_count_probe"] == fmt.ROW_THRESHOLD
+    assert len(r2["text"].splitlines()) == fmt.PREVIEW_ROWS + 2  # header + hint
+
+
+def test_profile_and_infer():
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "ints": ["1", "-2", "33"],
+                "decs": ["1.5", "2", "3.25"],
+                "strs": ["a", "2x", "3"],
+            }
+        )
+    )
+    p = prof.profile_columns(ds, ["ints", "decs", "strs"])
+    assert prof.infer_type(p["ints"]) == "BIG_INT"
+    assert prof.infer_type(p["decs"]) == "DOUBLE"
+    assert prof.infer_type(p["strs"]) == "STRING"
+
+
+def test_schema_registry_prompt_block():
+    reg = prof.SchemaRegistry()
+    reg.register(
+        "integrated_customer",
+        "unified customers; MatchID joins across brands (use DISTINCT)",
+        {
+            "RecordId": ("STRING", "original customer_id"),
+            "MatchID": ("STRING", "cluster label"),
+        },
+    )
+    block = reg.prompt_block()
+    assert "Table: integrated_customer" in block
+    assert "MatchID STRING  -- cluster label" in block
