@@ -282,6 +282,28 @@ def _q_events_daily(sf_dir: str):
     return _round_cols(agg, ["sum_value"])
 
 
+def _q_asof_last_order(sf_dir: str):
+    """As-of join (custom operator): each event matched to the user's
+    latest order at or before the event time."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    joined = rel.asof_join(
+        ev, orders, left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate", how="inner",
+    )
+
+    def _proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"],
+                "user_id": df["user_id"],
+                "last_order_date": df["o_orderdate"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+            }
+        )
+
+    return joined.map_batches(_proj, batch_format="pandas")
+
+
 SESSION_GAP_S = 1800
 
 
@@ -460,6 +482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "high_value_revenue": _q_high_value_revenue,
         "events_daily": _q_events_daily,
         "sessionize_events": _q_sessionize_events,
+        "asof_last_order": _q_asof_last_order,
         # training-data ops — oracle-checked where SQL-expressible
         "exact_dedup_docs": _q_exact_dedup_docs,
         "doc_token_counts": _q_doc_token_counts,
@@ -568,6 +591,13 @@ def oracle_sql() -> dict[str, str]:
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                    count(*) AS n_events
             FROM numbered GROUP BY user_id, sid
+        """,
+        "asof_last_order": """
+            SELECT e.event_id, e.user_id,
+                   strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS last_order_date
+            FROM events e
+            ASOF JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         """,
         "exact_dedup_docs": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text

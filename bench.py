@@ -70,6 +70,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timings["er_pipeline"] = round(er_sec, 3)
 
     bench_queries = [
+        "customer_er_assignment",
+        "asof_last_order",
         "pricing_summary",
         "orders_customer_join",
         "lineitem_part_broadcast_join",

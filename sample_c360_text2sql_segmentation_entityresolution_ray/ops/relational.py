@@ -173,6 +173,55 @@ def anti_join(
     return left.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 8))
 
 
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    how: str = "inner",
+) -> "ray.data.Dataset":
+    """As-of join: for each left row, the LAST right row of the same key
+    with ``right_ts <= left_ts`` (backward direction — DuckDB/pandas
+    ``ASOF JOIN`` semantics).  An operator Ray Data lacks, composed per
+    the custom-operator ladder: broadcast the (dim-sized) right side
+    once, sorted by ts; each left batch sorts locally and runs a
+    vectorized ``pandas.merge_asof``.
+
+    Scale path for a LARGE right side: hash-bucket both sides on the
+    key into partitioned Parquet, then per-bucket merge_asof — the
+    partitioning assumption is key-hash co-location; this broadcast
+    variant requires only that the right side fit one worker heap."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"asof_join supports inner/left_outer, got {how}")
+    right_df = right.to_pandas().sort_values(right_ts, kind="mergesort")
+    if len(right_df) > BROADCAST_ROW_LIMIT:
+        raise ValueError("right side too large to broadcast; bucket both sides")
+    ref = ray.put(right_df)
+
+    class AsOf:
+        def __init__(self):
+            self.right = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.sort_values(left_ts, kind="mergesort")
+            out = pd.merge_asof(
+                batch,
+                self.right,
+                left_on=left_ts,
+                right_on=right_ts,
+                left_by=left_key,
+                right_by=right_key,
+                direction="backward",
+            )
+            if how == "inner":
+                out = out[out[right_ts].notna()]
+            return out
+
+    return left.map_batches(AsOf, batch_format="pandas", concurrency=(1, 8))
+
+
 # ---------------------------------------------------------------------------
 # set ops
 # ---------------------------------------------------------------------------
@@ -337,6 +386,8 @@ def sort_limit(
 __all__ = [
     "hash_join",
     "broadcast_join",
+    "asof_join",
+    "dedupe_by_key",
     "semi_join",
     "anti_join",
     "union_with_prefix",

@@ -117,7 +117,37 @@ def attach_labels(slim, labels, conf, cfg: ERConfig = DEFAULT_CONFIG):
     return joined.map_batches(_finish, batch_format="pandas")
 
 
-def resolve_entities(pages_factory, cfg: ERConfig = DEFAULT_CONFIG):
+def _edge_metrics(cfg: ERConfig):
+    def fn(edges) -> dict:
+        import pyarrow.compute as pc
+
+        n_capped = 0
+        n = 0
+        smin = None
+        for b in edges.select_columns(["block_n", "score"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        ):
+            n += b.num_rows
+            n_capped += pc.sum(
+                pc.cast(pc.greater(b["block_n"], cfg.allpairs_cap), "int64")
+            ).as_py() or 0
+            mn = pc.min(b["score"]).as_py()
+            smin = mn if smin is None else min(smin, mn)
+        return {
+            "n_edges": n,
+            "edges_from_capped_blocks": n_capped,
+            "min_edge_score": smin,
+        }
+
+    return fn
+
+
+def resolve_entities(
+    pages_factory,
+    cfg: ERConfig = DEFAULT_CONFIG,
+    checkpoint_dir: str | None = None,
+    input_fingerprint: str = "",
+):
     """Run the full ER pipeline.
 
     ``pages_factory``: zero-arg callable returning the pages Dataset —
@@ -126,10 +156,29 @@ def resolve_entities(pages_factory, cfg: ERConfig = DEFAULT_CONFIG):
     Parquet source the second read prunes down to 3 columns and never
     touches html bytes.
 
+    ``checkpoint_dir``: if set, the matched-edge table — the expensive
+    stage — is checkpointed via :func:`..state.run_stage` with lineage
+    (input fingerprint, per-partition file list) + stage metrics (edge
+    count, capped-block provenance, min matched score); a re-run with
+    the same fingerprint resumes from the Parquet checkpoint without
+    recomputing blocking/scoring (the reference's full-refresh S3
+    prefix + DynamoDB status, rebuilt resumable).
+
     Returns ``(assignment, edges)`` — ``edges`` is materialized (it is
     the natural checkpoint and is small: matched pairs only).
     """
-    edges = matched_edges(pages_factory(), cfg).materialize()
+    if checkpoint_dir:
+        from ..state import run_stage
+
+        edges = run_stage(
+            "matched_edges",
+            checkpoint_dir,
+            input_fingerprint,
+            lambda: matched_edges(pages_factory(), cfg),
+            metrics_fn=_edge_metrics(cfg),
+        )
+    else:
+        edges = matched_edges(pages_factory(), cfg).materialize()
     labels = resolve_labels(edges, cfg)
     conf = confidence_stage(edges)
     slim = pages_factory().select_columns(["url", "source", "lang"])

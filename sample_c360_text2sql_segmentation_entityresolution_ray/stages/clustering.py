@@ -69,8 +69,12 @@ def connected_components(
     edges, cfg: ERConfig = DEFAULT_CONFIG
 ) -> "ray.data.Dataset":
     """Distributed min-label propagation.  Returns (node, label)."""
-    P = cfg.cc_num_partitions
     sym = _sym_edges(edges).materialize()
+    # partitions sized to the data: a partition count far above the row
+    # count leaves join partitions empty, which (a) wastes aggregator
+    # actors and (b) trips an Arrow empty-schema edge case in the hash
+    # join finalizer on Ray 2.49
+    P = max(2, min(cfg.cc_num_partitions, sym.count() // 1000 + 2))
 
     from ..ops.relational import dedupe_by_key
 

@@ -51,12 +51,15 @@ def run_stage(
     input_fingerprint: str,
     dataset_factory,
     metrics: dict | None = None,
+    metrics_fn=None,
 ) -> "ray.data.Dataset":
     """Compute-or-resume one stage.
 
     ``dataset_factory``: zero-arg callable returning the stage's output
     Dataset (lazy).  If a manifest exists with the same fingerprint the
-    computation is skipped entirely and the Parquet output re-read."""
+    computation is skipped entirely and the Parquet output re-read.
+    ``metrics_fn(out_ds) -> dict`` lets callers record stage metrics
+    computed from the written output (row distributions, cap counts)."""
     stage_dir = os.path.join(checkpoint_dir, name)
     data_dir = os.path.join(stage_dir, "data")
     m = load_manifest(stage_dir)
@@ -71,13 +74,20 @@ def run_stage(
     ds.write_parquet(data_dir)
     out = ray.data.read_parquet(data_dir)
     n_rows = out.count()  # metadata-only on parquet
+    all_metrics = dict(metrics or {})
+    if metrics_fn is not None:
+        all_metrics.update(metrics_fn(out))
+    files = sorted(
+        f for f in os.listdir(data_dir) if f.endswith(".parquet")
+    )
     manifest = {
         "stage": name,
         "input_fingerprint": input_fingerprint,
         "row_count": n_rows,
         "wall_s": round(time.time() - t0, 3),
         "written_at": time.time(),
-        "metrics": metrics or {},
+        "partitions": files,  # per-partition lineage: output files
+        "metrics": all_metrics,
     }
     tmp = _manifest_path(stage_dir) + ".tmp"
     with open(tmp, "w") as f:

@@ -41,6 +41,36 @@ def test_run_stage_computes_then_resumes(tmp_path):
     assert calls["n"] == 2
 
 
+def test_er_checkpoint_resume(tmp_path, sf_dir):
+    from sample_c360_text2sql_segmentation_entityresolution_ray.pipelines.entity_resolution import (
+        resolve_entities,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sources.pages import (
+        pages_dataset,
+    )
+
+    ckpt = str(tmp_path / "er")
+    fp = f"{sf_dir}|default-cfg"
+    a1, e1 = resolve_entities(
+        lambda: pages_dataset(sf_dir), checkpoint_dir=ckpt, input_fingerprint=fp
+    )
+    n_edges = e1.count()
+    m = load_manifest(os.path.join(ckpt, "matched_edges"))
+    assert m["row_count"] == n_edges
+    assert m["metrics"]["n_edges"] == n_edges
+    assert m["metrics"]["min_edge_score"] >= 0.4
+    assert len(m["partitions"]) > 0  # per-partition lineage recorded
+
+    # resume: same fingerprint → edges come from the checkpoint
+    a2, e2 = resolve_entities(
+        lambda: pages_dataset(sf_dir), checkpoint_dir=ckpt, input_fingerprint=fp
+    )
+    assert e2.count() == n_edges
+    m2 = load_manifest(os.path.join(ckpt, "matched_edges"))
+    assert m2["written_at"] == m["written_at"]  # NOT recomputed
+    assert a2.count() == a1.count()
+
+
 def test_job_status_mutex(tmp_path):
     reg = JobStatusRegistry(str(tmp_path / "status.json"))
     assert reg.read()["status"] == "NONE"
