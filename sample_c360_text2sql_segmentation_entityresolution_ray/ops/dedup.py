@@ -109,12 +109,6 @@ def _jaccard_matrix_exact(sets: list[np.ndarray], ii: np.ndarray, jj: np.ndarray
     return out
 
 
-def _bucket_pairs_frame(ids, extra_cols):
-    cols = {"id_a": pa.array(ids[0], pa.int64()), "id_b": pa.array(ids[1], pa.int64())}
-    cols.update(extra_cols)
-    return pa.table(cols)
-
-
 def _dedupe_pairs(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
     """One copy per (id_a, id_b): the same pair surfaces from many
     buckets; partition-hash dedupe (see relational.dedupe_by_key)."""
@@ -123,27 +117,76 @@ def _dedupe_pairs(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
     return dedupe_by_key(pairs, ["id_a", "id_b"])
 
 
-def _emit_bucket_pairs(g: pd.DataFrame, verify) -> pd.DataFrame:
-    """All-pairs within one bucket (size-capped upstream of the caller's
-    bucket definition), verified by ``verify(sub_df, ii, jj) -> (mask,
-    extra_col_dict)``."""
-    g = g.drop_duplicates("doc_id").sort_values("doc_id", kind="mergesort")
+DEDUP_PAIR_PARTITIONS = 64
+SNM_WINDOW = 5  # window width inside over-cap buckets (linear guard)
+
+
+def _emit_partition_bucket_pairs(g: pd.DataFrame, verify) -> pd.DataFrame:
+    """Vectorized pair emission for ONE hash partition of buckets (the
+    same sorted (i, i+d)-sweep as the ER blocking stage — per-bucket
+    ``map_groups`` pays ~ms of Python per bucket, ruinous at one bucket
+    per near-dup group).  Buckets over ``ALLPAIRS_CAP`` emit window
+    pairs only (linear).  ``verify(sorted_df, ii, jj) -> (mask, sims)``
+    runs vectorized over all candidate index pairs."""
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series(dtype=np.int64),
+            "id_b": pd.Series(dtype=np.int64),
+            "sim": pd.Series(dtype=float),
+        }
+    )
+    g = g.drop_duplicates(["bucket", "doc_id"]).sort_values(
+        ["bucket", "doc_id"], kind="mergesort"
+    )
     n = len(g)
     if n < 2:
-        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64), "sim": pd.Series(dtype=float)})
-    if n > ALLPAIRS_CAP:
-        # giant bucket (degenerate content): compare each row to the
-        # bucket minimum only — linear, never quadratic; logged via the
-        # bucket_n column downstream if needed.
-        ii = np.zeros(n - 1, dtype=np.int64)
-        jj = np.arange(1, n, dtype=np.int64)
-    else:
-        ii, jj = np.triu_indices(n, k=1)
+        return empty
+    buckets = g["bucket"].to_numpy()
+    _, counts = np.unique(buckets, return_counts=True)
+    gid = np.repeat(np.arange(len(counts)), counts)
+    size = np.repeat(counts, counts).astype(np.int64)
+    D = int(min(counts.max() - 1, max(ALLPAIRS_CAP - 1, SNM_WINDOW - 1)))
+    ii_l, jj_l = [], []
+    for d in range(1, D + 1):
+        same = gid[:-d] == gid[d:]
+        if d >= SNM_WINDOW:
+            same &= size[:-d] <= ALLPAIRS_CAP
+        i = np.flatnonzero(same)
+        if len(i):
+            ii_l.append(i)
+            jj_l.append(i + d)
+    if not ii_l:
+        return empty
+    ii = np.concatenate(ii_l)
+    jj = np.concatenate(jj_l)
     mask, sims = verify(g, ii, jj)
     ids = g["doc_id"].to_numpy()
-    return pd.DataFrame(
+    out = pd.DataFrame(
         {"id_a": ids[ii[mask]], "id_b": ids[jj[mask]], "sim": sims[mask]}
     )
+    return out.drop_duplicates(["id_a", "id_b"])
+
+
+def _bucketed_pairs(exploded: "ray.data.Dataset", verify) -> "ray.data.Dataset":
+    """bucket-exploded rows → verified near-dup pairs, via ONE groupby
+    with ``DEDUP_PAIR_PARTITIONS`` groups."""
+
+    def _part(batch: pa.Table) -> pa.Table:
+        part = (
+            batch["bucket"].to_numpy(zero_copy_only=False)
+            % np.uint64(DEDUP_PAIR_PARTITIONS)
+        ).astype(np.int32)
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    pairs = (
+        exploded.map_batches(_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: _emit_partition_bucket_pairs(g, verify),
+            batch_format="pandas",
+        )
+    )
+    return _dedupe_pairs(pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -190,11 +233,7 @@ def minhash_dup_pairs(
         sims = _jaccard_matrix_exact(sets, ii, jj)
         return sims >= threshold, sims
 
-    exploded = ds.map_batches(_featurize, batch_format="pyarrow")
-    pairs = exploded.groupby("bucket").map_groups(
-        lambda g: _emit_bucket_pairs(g, _verify), batch_format="pandas"
-    )
-    return _dedupe_pairs(pairs)
+    return _bucketed_pairs(ds.map_batches(_featurize, batch_format="pyarrow"), _verify)
 
 
 def dup_assignment(
@@ -266,11 +305,7 @@ def simhash_dup_pairs(
         d = hamming64(h[ii], h[jj])
         return d <= max_hamming, (64 - d) / 64.0
 
-    exploded = ds.map_batches(_featurize, batch_format="pyarrow")
-    pairs = exploded.groupby("bucket").map_groups(
-        lambda g: _emit_bucket_pairs(g, _verify), batch_format="pandas"
-    )
-    return _dedupe_pairs(pairs)
+    return _bucketed_pairs(ds.map_batches(_featurize, batch_format="pyarrow"), _verify)
 
 
 # ---------------------------------------------------------------------------
@@ -356,11 +391,7 @@ def embedding_dup_pairs(
         sims = np.einsum("ij,ij->i", m[ii], m[jj])
         return sims >= threshold, sims
 
-    exploded = ds.map_batches(_featurize, batch_format="pyarrow")
-    pairs = exploded.groupby("bucket").map_groups(
-        lambda g: _emit_bucket_pairs(g, _verify), batch_format="pandas"
-    )
-    return _dedupe_pairs(pairs)
+    return _bucketed_pairs(ds.map_batches(_featurize, batch_format="pyarrow"), _verify)
 
 
 __all__ = [
