@@ -455,6 +455,17 @@ def _q_c360_segments(sf_dir: str):
     return item_based_segments(inter, targets, n=20)
 
 
+def _q_curated_corpus(sf_dir: str):
+    """Composite training-data pipeline: quality/lang filter → exact +
+    MinHash near-dedup → token counts (streaming end-to-end)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.pipelines.curation import (
+        curate_corpus,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return curate_corpus(docs, min_quality=0.2).drop_columns(["text"])
+
+
 def _q_langid_docs(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return textops.langid_stage(docs)
@@ -500,6 +511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_top10": _q_knn_ivf_top10,
         "langid_docs": _q_langid_docs,
         "doc_quality": _q_doc_quality,
+        "curated_corpus": _q_curated_corpus,
     }
 
 

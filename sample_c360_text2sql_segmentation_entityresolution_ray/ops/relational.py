@@ -129,8 +129,12 @@ def broadcast_join(
 
 
 def _broadcast_key_set(right: "ray.data.Dataset", key: str):
-    """Distinct key values of ``right`` as an object-store broadcast ref."""
+    """Distinct key values of ``right`` as an object-store broadcast ref,
+    or ``None`` for an empty right side (``Dataset.unique`` on an empty
+    dataset returns None, and ``pc.is_in(value_set=None)`` crashes)."""
     vals = right.unique(key)
+    if not vals:
+        return None
     return ray.put(pa.array(vals))
 
 
@@ -141,6 +145,8 @@ def semi_join(
     `lambda/create_personalize_segment/index.py:44-77`).  Right side's
     distinct keys are broadcast once; the left side never shuffles."""
     ref = _broadcast_key_set(right, right_on or on)
+    if ref is None:  # empty right side: nothing matches
+        return left.limit(0)
 
     class Filter:
         def __init__(self):
@@ -161,6 +167,8 @@ def anti_join(
     and the new-items subtraction
     (`lambda/create_personalize_segment/index.py:141`)."""
     ref = _broadcast_key_set(right, right_on or on)
+    if ref is None:  # empty right side: nothing excluded
+        return left
 
     class Filter:
         def __init__(self):

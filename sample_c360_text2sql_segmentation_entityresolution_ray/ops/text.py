@@ -111,46 +111,44 @@ def char_stats_stage(
     return ds.map_batches(_fn, batch_format="pyarrow")
 
 
+def quality_of(text: str) -> tuple[float, int, float]:
+    """(quality, n_tokens, stopword_ratio) for one document — public
+    web-corpus heuristics (Gopher/C4-style): length band, stopword
+    presence, sentence terminators, alphabetic ratio, line repetition."""
+    toks = TOKEN_RE.findall(text.lower())
+    sw = _STOPWORDS["en"]
+    stop_ratio = sum(1 for x in toks if x in sw) / len(toks) if toks else 0.0
+    len_ok = 1.0 if 50 <= len(toks) <= 100_000 else 0.3
+    alpha = sum(c.isalpha() or c.isspace() for c in text) / max(1, len(text))
+    term = min(1.0, len(_TERMINATOR_RE.findall(text)) / max(1.0, len(toks) / 25))
+    lines = [ln for ln in text.split("\n") if ln.strip()]
+    rep = 1.0 - ((len(lines) - len(set(lines))) / len(lines) if lines else 0.0)
+    quality = (
+        0.3 * len_ok
+        + 0.2 * min(1.0, stop_ratio * 10)
+        + 0.2 * alpha
+        + 0.15 * term
+        + 0.15 * rep
+    )
+    return quality, len(toks), stop_ratio
+
+
 def quality_stage(
     ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
 ) -> "ray.data.Dataset":
-    """Composite document quality in [0, 1] from public web-corpus
-    filtering heuristics (Gopher/C4-style): length band, stopword
-    presence, sentence terminators, alphabetic ratio, max line
-    repetition."""
+    """(id, quality, n_tokens, stopword_ratio) via :func:`quality_of`."""
 
     def _fn(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
-        scores = np.empty(len(texts))
-        n_tok = np.empty(len(texts), np.int64)
-        stop_ratio = np.empty(len(texts))
-        for i, t in enumerate(texts):
-            toks = TOKEN_RE.findall(t.lower())
-            n_tok[i] = len(toks)
-            sw = _STOPWORDS["en"]
-            stop_ratio[i] = (
-                sum(1 for x in toks if x in sw) / len(toks) if toks else 0.0
-            )
-            len_ok = 1.0 if 50 <= len(toks) <= 100_000 else 0.3
-            alpha = sum(c.isalpha() or c.isspace() for c in t) / max(1, len(t))
-            term = min(1.0, len(_TERMINATOR_RE.findall(t)) / max(1.0, len(toks) / 25))
-            lines = [ln for ln in t.split("\n") if ln.strip()]
-            rep = 1.0 - (
-                (len(lines) - len(set(lines))) / len(lines) if lines else 0.0
-            )
-            scores[i] = (
-                0.3 * len_ok
-                + 0.2 * min(1.0, stop_ratio[i] * 10)
-                + 0.2 * alpha
-                + 0.15 * term
-                + 0.15 * rep
-            )
+        triples = [quality_of(t) for t in texts]
         return pa.table(
             {
                 id_col: batch[id_col],
-                "quality": pa.array(scores, pa.float64()),
-                "n_tokens": pa.array(n_tok, pa.int64()),
-                "stopword_ratio": pa.array(stop_ratio, pa.float64()),
+                "quality": pa.array([q for q, _, _ in triples], pa.float64()),
+                "n_tokens": pa.array([n for _, n, _ in triples], pa.int64()),
+                "stopword_ratio": pa.array(
+                    [s for _, _, s in triples], pa.float64()
+                ),
             }
         )
 
