@@ -353,6 +353,15 @@ def _q_doc_fingerprints(sf_dir: str):
     return textops.fingerprint_stage(docs).select_columns(["doc_id", "fp_md5"])
 
 
+def _q_doc_split(sf_dir: str):
+    """Deterministic train/valid/test assignment (modulo variant — the
+    SQL-expressible twin of the hash split)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import sampling
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    return sampling.assign_split(docs, by_modulo=True)
+
+
 def _q_knn_top10(sf_dir: str):
     """Exact cosine top-10 to the vec_id=0 embedding (brute force,
     broadcast query matrix)."""
@@ -499,6 +508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": _q_doc_token_counts,
         "doc_char_stats": _q_doc_char_stats,
         "doc_fingerprints": _q_doc_fingerprints,
+        "doc_split": _q_doc_split,
         "knn_top10": _q_knn_top10,
         # rows-only (sketch/model-based; no exact SQL equivalent)
         "er_assignment": _q_er_assignment,
@@ -625,6 +635,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprints": """
             SELECT doc_id, md5(text) AS fp_md5 FROM documents
+        """,
+        "doc_split": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 100 < 90 THEN 'train'
+                        WHEN doc_id % 100 < 95 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
         "knn_top10": """
             SELECT vec_id FROM embeddings

@@ -8,5 +8,6 @@ from . import (  # noqa: F401
     multimodal,
     profile,
     relational,
+    sampling,
     text,
 )

@@ -1,0 +1,114 @@
+"""Sampling / splitting for training-data pipelines.
+
+Not in the reference (no sampling surface beyond head/tail previews,
+SURVEY §2.6 O4); standard requirements for corpus preparation:
+
+- :func:`assign_split` — deterministic train/valid/test assignment.
+  Content-defined (a hash of the id column, never partition order or
+  RNG state), so the split is identical across runs, workers and
+  cluster sizes, and a document keeps its split when the corpus is
+  re-processed.  ``by_modulo=True`` uses ``id % 100`` instead of the
+  hash — coarser but expressible in plain SQL for oracle checking.
+- :func:`hash_sample` — deterministic p-fraction sample by id hash
+  (the repeatable alternative to ``Dataset.random_sample``).
+- :func:`stratified_sample` — per-group deterministic cap (equal-ish
+  representation across a key, e.g. language).
+- :func:`shuffle_for_training` — thin wrapper over
+  ``Dataset.random_shuffle(seed=…)`` documenting the cost: a full
+  all-to-all exchange; prefer per-window local shuffles downstream of
+  a hash split when global order doesn't matter.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.texthash import hash_str_array
+
+DEFAULT_FRACTIONS = {"train": 0.9, "valid": 0.05, "test": 0.05}
+
+
+def _id_hash(ids: np.ndarray) -> np.ndarray:
+    return hash_str_array(ids.astype(str).astype(object))
+
+
+def assign_split(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    fractions: dict[str, float] = None,
+    by_modulo: bool = False,
+) -> "ray.data.Dataset":
+    """Add a ``split`` column.  Buckets are cumulative over a 0-99
+    value: hash(id)%100 (default) or id%100 (``by_modulo``, SQL-easy)."""
+    fractions = fractions or DEFAULT_FRACTIONS
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1")
+    names = list(fractions)
+    bounds = np.cumsum([int(round(fractions[n] * 100)) for n in names])
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist())
+        bucket = (
+            ids.astype(np.int64) % 100
+            if by_modulo
+            else (_id_hash(ids) % np.uint64(100)).astype(np.int64)
+        )
+        idx = np.searchsorted(bounds, bucket, side="right")
+        idx = np.minimum(idx, len(names) - 1)
+        split = np.asarray(names, dtype=object)[idx]
+        return batch.append_column("split", pa.array(split, pa.string()))
+
+    return ds.map_batches(_fn, batch_format="pyarrow")
+
+
+def hash_sample(
+    ds: "ray.data.Dataset", p: float, id_col: str = "doc_id", salt: str = ""
+) -> "ray.data.Dataset":
+    """Deterministic ~p-fraction sample: keep rows whose salted id hash
+    falls below p·2^64.  Different ``salt`` values give independent
+    samples; re-runs are identical."""
+    threshold = np.uint64(int(p * float(2**64 - 1)))
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist())
+        h = hash_str_array((salt + pd.Series(ids).astype(str)).to_numpy(object))
+        return batch.filter(pa.array(h <= threshold))
+
+    return ds.map_batches(_fn, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds: "ray.data.Dataset",
+    key: str,
+    per_group: int,
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """At most ``per_group`` rows per key value, chosen by smallest id
+    hash (content-defined, not first-seen).  One groupby shuffle."""
+
+    def _cap(g: pd.DataFrame) -> pd.DataFrame:
+        h = _id_hash(g[id_col].to_numpy())
+        order = np.argsort(h, kind="stable")[:per_group]
+        return g.iloc[np.sort(order)]
+
+    return ds.groupby(key).map_groups(_cap, batch_format="pandas")
+
+
+def shuffle_for_training(
+    ds: "ray.data.Dataset", seed: int = 42
+) -> "ray.data.Dataset":
+    """Global shuffle (FULL all-to-all exchange — every block moves).
+    Use once, at the end, on the already-filtered corpus."""
+    return ds.random_shuffle(seed=seed)
+
+
+__all__ = [
+    "assign_split",
+    "hash_sample",
+    "stratified_sample",
+    "shuffle_for_training",
+]

@@ -1,0 +1,55 @@
+"""Deterministic splits / samples / stratified caps / shuffle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from sample_c360_text2sql_segmentation_entityresolution_ray.ops import sampling
+
+
+def _docs(n=1000):
+    return ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(n), "lang": [["en", "de", "fr"][i % 3] for i in range(n)]})
+    )
+
+
+def test_assign_split_deterministic_and_proportional():
+    out1 = sampling.assign_split(_docs()).to_pandas()
+    out2 = sampling.assign_split(_docs()).to_pandas()
+    pd.testing.assert_frame_equal(
+        out1.sort_values("doc_id").reset_index(drop=True),
+        out2.sort_values("doc_id").reset_index(drop=True),
+    )
+    counts = out1["split"].value_counts(normalize=True)
+    assert abs(counts["train"] - 0.9) < 0.05
+    assert set(out1["split"]) == {"train", "valid", "test"}
+
+
+def test_assign_split_modulo_matches_sql_semantics():
+    out = sampling.assign_split(_docs(200), by_modulo=True).to_pandas()
+    expect = out["doc_id"] % 100
+    assert ((expect < 90) == (out["split"] == "train")).all()
+
+
+def test_hash_sample_fraction_and_independence():
+    a = sampling.hash_sample(_docs(), 0.3, salt="a").to_pandas()
+    b = sampling.hash_sample(_docs(), 0.3, salt="b").to_pandas()
+    assert abs(len(a) / 1000 - 0.3) < 0.06
+    # different salts → different (mostly independent) subsets
+    overlap = len(set(a["doc_id"]) & set(b["doc_id"])) / max(1, len(a))
+    assert 0.1 < overlap < 0.6  # ~0.3 expected
+
+
+def test_stratified_sample_caps_per_group():
+    out = sampling.stratified_sample(_docs(), "lang", per_group=10).to_pandas()
+    assert (out.groupby("lang").size() == 10).all()
+    out2 = sampling.stratified_sample(_docs(), "lang", per_group=10).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])  # content-defined
+
+
+def test_shuffle_preserves_rows():
+    out = sampling.shuffle_for_training(_docs(100), seed=7).to_pandas()
+    assert sorted(out["doc_id"]) == list(range(100))
