@@ -380,8 +380,26 @@ def _q_er_assignment(sf_dir: str):
 
 
 def _q_minhash_dup_docs(sf_dir: str):
+    """MinHash-LSH near-dup pairs with exact shingle-Jaccard verify —
+    oracle-checked against DuckDB's exact all-pairs 3-shingle Jaccard
+    (at 32×2 LSH bands, P(miss | J ≥ 0.6) < 1e-6, so the LSH result
+    equals the exact result on this corpus)."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return dedup.minhash_dup_pairs(docs, threshold=0.6)
+    pairs = dedup.minhash_dup_pairs(docs, threshold=0.6)
+    return _round_cols(pairs, ["sim"], 6)
+
+
+def _q_ngram_dup_docs(sf_dir: str):
+    """Exact all-pairs character-5-gram Jaccard near-dup baseline."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dedup.ngram_dup_all_pairs(docs, n=5, threshold=0.5)
+    return _round_cols(pairs, ["ngram_jaccard"], 6)
+
+
+def _q_embedding_dup_exact(sf_dir: str):
+    """Exact all-pairs cosine near-dup baseline (threshold 0.4)."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return dedup.embedding_dup_pairs_exact(emb, threshold=0.4, round_nd=4)
 
 
 def _q_simhash_dup_docs(sf_dir: str):
@@ -510,12 +528,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "doc_split": _q_doc_split,
         "knn_top10": _q_knn_top10,
+        "minhash_dup_docs": _q_minhash_dup_docs,
+        "ngram_dup_docs": _q_ngram_dup_docs,
+        "embedding_dup_exact": _q_embedding_dup_exact,
         # rows-only (sketch/model-based; no exact SQL equivalent)
         "er_assignment": _q_er_assignment,
         "customer_er_assignment": _q_customer_er,
         "c360_interactions": _q_c360_interactions,
         "c360_segments": _q_c360_segments,
-        "minhash_dup_docs": _q_minhash_dup_docs,
         "simhash_dup_docs": _q_simhash_dup_docs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "knn_ivf_top10": _q_knn_ivf_top10,
@@ -650,5 +670,42 @@ def oracle_sql() -> dict[str, str]:
                 embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)
             ) DESC, vec_id
             LIMIT 10
+        """,
+        "minhash_dup_docs": """
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                    FOR i IN range(1, len(t) - 1)]) AS s
+              FROM tok WHERE len(t) >= 3
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.s, b.s))::DOUBLE /
+                         len(list_distinct(list_concat(a.s, b.s))), 6) AS sim
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+                  len(list_distinct(list_concat(a.s, b.s))) >= 0.6
+        """,
+        "ngram_dup_docs": """
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct([substr(text, i, 5)
+                                    FOR i IN range(1, len(text) - 3)]) AS s
+              FROM documents WHERE len(text) >= 5
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.s, b.s))::DOUBLE /
+                         len(list_distinct(list_concat(a.s, b.s))), 6) AS ngram_jaccard
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+                  len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        """,
+        "embedding_dup_exact": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding)::DOUBLE, 4) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding, b.embedding)::DOUBLE, 4) >= 0.4
         """,
     }

@@ -312,6 +312,93 @@ def simhash_dup_pairs(
 # character-n-gram Jaccard verification
 # ---------------------------------------------------------------------------
 
+def ngram_dup_all_pairs(
+    docs: "ray.data.Dataset",
+    n: int = 5,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Exact all-pairs character-``n``-gram Jaccard — the correctness
+    BASELINE (O(N²); at scale generate candidates with LSH and verify
+    with :func:`ngram_jaccard_pairs`).  The id list is driver-collected
+    (bounded baseline use); pair generation fans out as a Dataset."""
+    import pyarrow as _pa
+
+    ids = sorted(
+        r[id_col] for r in docs.select_columns([id_col]).iter_rows()
+    )
+    arr = np.asarray(ids, dtype=np.int64)
+    ii, jj = np.triu_indices(len(arr), k=1)
+    pairs = ray.data.from_arrow(
+        _pa.table(
+            {"id_a": _pa.array(arr[ii]), "id_b": _pa.array(arr[jj])}
+        )
+    )
+    return ngram_jaccard_pairs(
+        pairs, docs, n=n, threshold=threshold, text_col=text_col, id_col=id_col
+    )
+
+
+def embedding_dup_pairs_exact(
+    ds: "ray.data.Dataset",
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    round_nd: int = 4,
+) -> "ray.data.Dataset":
+    """Exact all-pairs cosine near-dup (id_a < id_b, cos rounded to
+    ``round_nd``) — the brute-force baseline for
+    :func:`embedding_dup_pairs` (which trades recall for one LSH-bucket
+    pass).  The unit-vector matrix is broadcast once; each batch does
+    one matmul against it.  O(N²/batch) flops — baseline use only."""
+    rows = sorted(
+        (
+            (r[id_col], r[emb_col])
+            for r in ds.select_columns([id_col, emb_col]).iter_rows()
+        ),
+        key=lambda x: x[0],
+    )
+    all_ids = np.asarray([i for i, _ in rows], dtype=np.int64)
+    m = np.asarray([e for _, e in rows], dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    unit = m / np.where(norms == 0, 1.0, norms)
+    ref = ray.put((all_ids, unit))
+    scale = 10.0**round_nd
+
+    class Exact:
+        def __init__(self):
+            self.ids, self.unit = ray.get(ref)
+            self.pos = {int(i): p for p, i in enumerate(self.ids)}
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            rows_idx = np.asarray(
+                [self.pos[int(i)] for i in batch[id_col]], dtype=np.int64
+            )
+            sims = self.unit[rows_idx] @ self.unit.T  # (b, N)
+            # DuckDB-compatible rounding (half away from zero) so the
+            # oracle comparison is exact despite float32-ish kernels
+            r = np.trunc(sims * scale + np.copysign(0.5, sims)) / scale
+            out_a, out_b, out_c = [], [], []
+            for k, p in enumerate(rows_idx):
+                mask = (self.ids > self.ids[p]) & (r[k] >= threshold)
+                js = np.flatnonzero(mask)
+                out_a.extend([int(self.ids[p])] * len(js))
+                out_b.extend(int(self.ids[j]) for j in js)
+                out_c.extend(float(r[k, j]) for j in js)
+            return pd.DataFrame(
+                {
+                    "id_a": np.asarray(out_a, np.int64),
+                    "id_b": np.asarray(out_b, np.int64),
+                    "cos": np.asarray(out_c, np.float64),
+                }
+            )
+
+    return ds.select_columns([id_col]).map_batches(
+        Exact, batch_format="pandas", concurrency=(1, 8)
+    )
+
+
 def ngram_jaccard_pairs(
     pairs: "ray.data.Dataset",
     docs: "ray.data.Dataset",
@@ -337,11 +424,19 @@ def ngram_jaccard_pairs(
     class Verify:
         def __init__(self):
             self.texts = ray.get(ref)
+            self._grams: dict = {}  # per-actor memo: each doc's grams once
+
+        def _g(self, i) -> set:
+            s = self._grams.get(i)
+            if s is None:
+                s = grams(self.texts[i])
+                self._grams[i] = s
+            return s
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             sims = np.empty(len(batch))
             for x, (a, b) in enumerate(zip(batch["id_a"], batch["id_b"])):
-                ga, gb = grams(self.texts[a]), grams(self.texts[b])
+                ga, gb = self._g(a), self._g(b)
                 u = len(ga | gb)
                 sims[x] = len(ga & gb) / u if u else 0.0
             out = batch.copy()
@@ -401,5 +496,7 @@ __all__ = [
     "dup_assignment",
     "simhash_dup_pairs",
     "ngram_jaccard_pairs",
+    "ngram_dup_all_pairs",
     "embedding_dup_pairs",
+    "embedding_dup_pairs_exact",
 ]
