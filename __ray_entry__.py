@@ -304,6 +304,23 @@ def _q_asof_last_order(sf_dir: str):
     return joined.map_batches(_proj, batch_format="pandas")
 
 
+PRICE_BANDS = [
+    ("low", 0.0, 100_000.0),
+    ("mid", 100_000.0, 300_000.0),
+    ("high", 300_000.0, 1e18),
+]
+
+
+def _q_orders_price_bands(sf_dir: str):
+    """Range (interval) join: classify orders into price bands."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    bands = ray.data.from_items(
+        [{"band": b, "lo": lo, "hi": hi} for b, lo, hi in PRICE_BANDS]
+    )
+    joined = rel.range_join(orders, bands, "o_totalprice", "lo", "hi")
+    return joined.select_columns(["o_orderkey", "band"])
+
+
 SESSION_GAP_S = 1800
 
 
@@ -521,6 +538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily": _q_events_daily,
         "sessionize_events": _q_sessionize_events,
         "asof_last_order": _q_asof_last_order,
+        "orders_price_bands": _q_orders_price_bands,
         # training-data ops — oracle-checked where SQL-expressible
         "exact_dedup_docs": _q_exact_dedup_docs,
         "doc_token_counts": _q_doc_token_counts,
@@ -640,6 +658,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             ASOF JOIN orders o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "orders_price_bands": """
+            WITH bands(band, lo, hi) AS (VALUES
+                ('low', 0.0, 100000.0),
+                ('mid', 100000.0, 300000.0),
+                ('high', 300000.0, 1e18))
+            SELECT o_orderkey, band
+            FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
         """,
         "exact_dedup_docs": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text

@@ -230,6 +230,63 @@ def asof_join(
     return left.map_batches(AsOf, batch_format="pandas", concurrency=(1, 8))
 
 
+def range_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    how: str = "inner",
+) -> "ray.data.Dataset":
+    """Range (interval) join: left rows matched to right rows where
+    ``lo <= value < hi`` — another operator Ray Data lacks.  The right
+    side (the interval table — bands, buckets, calendars) is broadcast
+    once; each batch evaluates one vectorized mask per interval row, so
+    the cost is O(|right| × batch) numpy ops with no shuffle.
+    Overlapping intervals produce one output row per match.
+
+    Scale path for a LARGE interval table: sort intervals, bucket both
+    sides by a coarse value range, join per bucket."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"range_join supports inner/left_outer, got {how}")
+    right_df = right.to_pandas()
+    if len(right_df) > BROADCAST_ROW_LIMIT:
+        raise ValueError("interval table too large to broadcast; bucket by range")
+    ref = ray.put(right_df)
+
+    class Ranger:
+        def __init__(self):
+            self.right = ray.get(ref)
+            self.lo = self.right[lo_col].to_numpy()
+            self.hi = self.right[hi_col].to_numpy()
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            v = batch[value_col].to_numpy()
+            pieces = []
+            matched = np.zeros(len(batch), dtype=bool)
+            for r in range(len(self.right)):
+                mask = (v >= self.lo[r]) & (v < self.hi[r])
+                if mask.any():
+                    matched |= mask
+                    sub = batch[mask].reset_index(drop=True)
+                    for c in self.right.columns:
+                        sub[c] = self.right.iloc[r][c]
+                    pieces.append(sub)
+            if how == "left_outer" and (~matched).any():
+                sub = batch[~matched].reset_index(drop=True)
+                for c in self.right.columns:
+                    sub[c] = None
+                pieces.append(sub)
+            if not pieces:
+                out = batch.iloc[:0].copy()
+                for c in self.right.columns:
+                    out[c] = pd.Series(dtype=self.right[c].dtype)
+                return out
+            return pd.concat(pieces, ignore_index=True)
+
+    return left.map_batches(Ranger, batch_format="pandas", concurrency=(1, 8))
+
+
 # ---------------------------------------------------------------------------
 # set ops
 # ---------------------------------------------------------------------------
@@ -395,6 +452,7 @@ __all__ = [
     "hash_join",
     "broadcast_join",
     "asof_join",
+    "range_join",
     "dedupe_by_key",
     "semi_join",
     "anti_join",
