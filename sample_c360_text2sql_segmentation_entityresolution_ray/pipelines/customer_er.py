@@ -35,7 +35,7 @@ import ray.data
 from ..functions.strings import jaro_winkler_batch
 from ..functions.texthash import hash_str_array
 from ..stages.blocking import emit_partition_pairs_generic
-from ..stages.clustering import confidence_stage, resolve_labels
+from ..stages.clustering import resolve_labels
 from ..stages.config import DEFAULT_CONFIG, ERConfig
 
 MATCH_THRESHOLD = 0.75
@@ -194,15 +194,17 @@ def resolve_customers(
     FIXTURES.md §4.1): source, ConfidenceLevel, RecordId, MatchID +
     payload (email, firstname is folded into name, gender, age,
     created_at)."""
+    from .entity_resolution import _conf_map_from_edges
+
     records = normalize_customers(main_factory(), sub_factory())
     edges = customer_matched_edges(records, cfg).materialize()
     labels = resolve_labels(edges, cfg)
-    conf = confidence_stage(edges)
 
     lab_df = labels.to_pandas()
-    conf_df = conf.to_pandas()
     label_map = dict(zip(lab_df["node"], lab_df["label"]))
-    conf_map = dict(zip(conf_df["node"], conf_df["ConfidenceLevel"]))
+    # conf map driver-side from the small edge table (saves a Ray
+    # aggregate stage + barrier; see entity_resolution)
+    conf_map = _conf_map_from_edges(edges)
     ref = ray.put((label_map, conf_map))
 
     class Attach:

@@ -50,7 +50,24 @@ def matched_edges(pages, cfg: ERConfig = DEFAULT_CONFIG):
     return dedupe_by_key(edges, ["url_a", "url_b"])
 
 
-def attach_labels(slim, labels, conf, cfg: ERConfig = DEFAULT_CONFIG):
+def _conf_map_from_edges(edges) -> dict:
+    """Per-node max incident matched-edge score, computed driver-side
+    from the (materialized, matched-pairs-only) edge table — edges are
+    already bounded by the same budget as the union-find path, and this
+    replaces a full Ray groupby stage (+ its barrier) in the broadcast
+    attach path."""
+    edf = edges.select_columns(["url_a", "url_b", "score"]).to_pandas()
+    both = pd.concat(
+        [
+            edf[["url_a", "score"]].rename(columns={"url_a": "node"}),
+            edf[["url_b", "score"]].rename(columns={"url_b": "node"}),
+        ],
+        ignore_index=True,
+    )
+    return both.groupby("node")["score"].max().to_dict()
+
+
+def attach_labels(slim, labels, conf, cfg: ERConfig = DEFAULT_CONFIG, edges=None):
     """Left-attach (MatchID, ConfidenceLevel) onto the full record table.
 
     Plan choice by measured size: a small label table is broadcast once
@@ -62,9 +79,12 @@ def attach_labels(slim, labels, conf, cfg: ERConfig = DEFAULT_CONFIG):
     n_labels = labels.count()
     if n_labels <= cfg.broadcast_label_limit:
         lab_df = labels.to_pandas()
-        conf_df = conf.to_pandas()
         label_map = dict(zip(lab_df["node"], lab_df["label"]))
-        conf_map = dict(zip(conf_df["node"], conf_df["ConfidenceLevel"]))
+        if edges is not None:
+            conf_map = _conf_map_from_edges(edges)
+        else:
+            conf_df = conf.to_pandas()
+            conf_map = dict(zip(conf_df["node"], conf_df["ConfidenceLevel"]))
         ref = ray.put((label_map, conf_map))
 
         class Attach:
@@ -91,16 +111,23 @@ def attach_labels(slim, labels, conf, cfg: ERConfig = DEFAULT_CONFIG):
             Attach, batch_format="pandas", concurrency=(1, max(1, ncpu - 1))
         )
 
-    # large-label path: two hash-partitioned left joins
+    # large-label path: two hash-partitioned left joins.  Partition
+    # count scales with the label table — two chained joins at a fixed
+    # count reserve 2×P×0.25 CPUs of aggregator actors, which on a
+    # small cluster starves the map stages feeding them (measured
+    # deadlock at P=16 on 8 CPUs).
+    if conf is None:
+        conf = confidence_stage(edges)
     from ..ops.relational import hash_join
 
+    P = max(2, min(cfg.cc_num_partitions, n_labels // 10_000 + 2))
     joined = hash_join(
         slim, labels, on=("url",), right_on=("node",),
-        how="left_outer", num_partitions=cfg.cc_num_partitions,
+        how="left_outer", num_partitions=P,
     )
     joined = hash_join(
         joined, conf, on=("url",), right_on=("node",),
-        how="left_outer", num_partitions=cfg.cc_num_partitions,
+        how="left_outer", num_partitions=P,
     )
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:
@@ -180,7 +207,14 @@ def resolve_entities(
     else:
         edges = matched_edges(pages_factory(), cfg).materialize()
     labels = resolve_labels(edges, cfg)
-    conf = confidence_stage(edges)
+    # the distributed (join) attach path still needs the Ray aggregate;
+    # the broadcast path computes the confidence map from edges directly
+    n_edges = edges.count()
+    conf = (
+        confidence_stage(edges)
+        if n_edges > cfg.broadcast_label_limit
+        else None
+    )
     slim = pages_factory().select_columns(["url", "source", "lang"])
-    assignment = attach_labels(slim, labels, conf, cfg)
+    assignment = attach_labels(slim, labels, conf, cfg, edges=edges)
     return assignment, edges

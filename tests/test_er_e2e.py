@@ -30,3 +30,21 @@ def test_er_pairwise_f1(sf_dir):
 
     m = pairwise_f1(adf, rel)
     assert m["f1"] >= 0.99, m
+
+
+def test_er_join_attach_path(sf_dir):
+    """Force the large-label JOIN attach path (broadcast_label_limit=0):
+    must produce the same clustering as the broadcast path and not
+    deadlock on a small cluster (regression: chained fixed-partition
+    joins starved a 4-8 CPU cluster)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.stages.config import (
+        ERConfig,
+    )
+
+    cfg = ERConfig(broadcast_label_limit=0)
+    assignment, _ = resolve_entities(lambda: pages_dataset(sf_dir), cfg)
+    adf = assignment.to_pandas()
+    rel = relations_dataset(sf_dir).to_pandas()
+    assert adf["RecordId"].is_unique
+    m = pairwise_f1(adf, rel)
+    assert m["f1"] >= 0.99, m
