@@ -77,13 +77,25 @@ def fit_centroids(
     ds: "ray.data.Dataset",
     n_centroids: int = 16,
     emb_col: str = "embedding",
+    id_col: str = "vec_id",
     sample_limit: int = 20_000,
     iters: int = 10,
     seed: int = 11,
 ) -> np.ndarray:
     """Driver-side k-means on a bounded sample (the IVF coarse
-    quantizer).  The sample, not the corpus, bounds driver memory."""
-    sample = ds.limit(sample_limit).to_pandas()
+    quantizer).  The sample, not the corpus, bounds driver memory.
+    Sampled by id hash (content-defined): ``limit()`` would take the
+    first N rows, which on sorted/clustered input biases the centroids
+    toward one region of the space."""
+    from .sampling import hash_sample
+
+    n = ds.count()
+    if n > sample_limit:
+        p = min(1.0, 1.2 * sample_limit / n)  # slight over-draw, then cap
+        sampled = hash_sample(ds, p, id_col=id_col, salt="ivf")
+    else:
+        sampled = ds
+    sample = sampled.limit(sample_limit).to_pandas()
     x = _unit(np.asarray(sample[emb_col].to_list(), dtype=np.float64))
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]

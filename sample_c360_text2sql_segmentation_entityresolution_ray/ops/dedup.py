@@ -33,8 +33,6 @@ import ray.data
 from ..functions import texthash
 from ..functions.minhash import band_keys, minhash_signatures_concat
 from ..functions.simhash import hamming64, simhash_band_keys, simhash_batch
-from ..stages.clustering import connected_components_local
-from ..stages.config import ERConfig
 
 ALLPAIRS_CAP = 64  # max bucket size for all-pairs emission
 
@@ -240,15 +238,22 @@ def dup_assignment(
     pairs: "ray.data.Dataset", sim_col: str = "sim"
 ) -> "ray.data.Dataset":
     """pairs(id_a, id_b) → (doc_id, rep_id): connected components with
-    rep = min id (content-defined).  Pairs are small relative to the
-    corpus (matched near-dups only) so the driver union-find path is
-    used; at larger edge counts route through
-    :func:`..stages.clustering.connected_components`."""
-    df = pairs.to_pandas()
-    edges = df.rename(columns={"id_a": "url_a", "id_b": "url_b"})
-    lab = connected_components_local(ray.data.from_pandas(edges))
-    out = lab.rename(columns={"node": "doc_id", "label": "rep_id"})
-    return ray.data.from_pandas(out)
+    rep = min id (content-defined).  Routed through
+    :func:`..stages.clustering.resolve_labels`, which picks driver
+    union-find below ``local_cc_max_edges`` and distributed
+    min-label-propagation above — a pathological near-dup rate on a
+    large corpus must not become a driver OOM."""
+    from ..stages.clustering import resolve_labels
+
+    edges = pairs.map_batches(
+        lambda df: pd.DataFrame({"url_a": df["id_a"], "url_b": df["id_b"]}),
+        batch_format="pandas",
+    ).materialize()  # resolve_labels counts edges to pick its path
+    labels = resolve_labels(edges)
+    return labels.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["node"], "rep_id": df["label"]}),
+        batch_format="pandas",
+    )
 
 
 def minhash_dedup(

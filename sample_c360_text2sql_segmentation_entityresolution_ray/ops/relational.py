@@ -133,7 +133,7 @@ def _broadcast_key_set(right: "ray.data.Dataset", key: str):
     or ``None`` for an empty right side (``Dataset.unique`` on an empty
     dataset returns None, and ``pc.is_in(value_set=None)`` crashes)."""
     vals = right.unique(key)
-    if not vals:
+    if vals is None or len(vals) == 0:
         return None
     return ray.put(pa.array(vals))
 
