@@ -418,19 +418,39 @@ def topn_per_group(
     n: int,
     descending: bool = True,
     tiebreak: Sequence[str] = (),
+    partitions: int = DEDUP_PARTITIONS,
 ) -> "ray.data.Dataset":
     """Per-group top-N rows — the Personalize batch-segment semantics
     (top `numResults` users per item,
     `lambda/create_personalize_segment/index.py:14,194-205`; SURVEY O3).
-    One groupby shuffle; each group sorted locally (vectorized pandas),
-    deterministic via explicit tiebreak columns."""
-    by = [order_col, *tiebreak]
-    asc = [not descending] + [True] * len(tiebreak)
 
-    def _topn(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(by, ascending=asc, kind="mergesort").head(n)
+    Scale shape: ``groupby(group_key).map_groups`` pays ~ms of Python
+    per group — ruinous at one-group-per-row cardinality (e.g. top-N
+    per USER).  Instead: local per-batch top-N (pre-shuffle shrink —
+    the global winners are a subset of the per-batch winners) → hash
+    the key into ``partitions`` buckets → ONE groupby with
+    ``partitions`` groups, vectorized ``sort_values + groupby.head``
+    inside each.  Deterministic via explicit tiebreak columns."""
+    by = [group_key, order_col, *tiebreak]
+    asc = [True, not descending] + [True] * len(tiebreak)
 
-    return ds.groupby(group_key).map_groups(_topn, batch_format="pandas")
+    def _local(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.sort_values(by, ascending=asc, kind="mergesort")
+        batch = batch.groupby(group_key, sort=False).head(n).copy()
+        batch["_part"] = (
+            pd.util.hash_array(batch[group_key].to_numpy()) % partitions
+        ).astype("int32")
+        return batch
+
+    def _finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(by, ascending=asc, kind="mergesort")
+        return g.groupby(group_key, sort=False).head(n).drop(columns="_part")
+
+    return (
+        ds.map_batches(_local, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(_finish, batch_format="pandas")
+    )
 
 
 def sort_limit(

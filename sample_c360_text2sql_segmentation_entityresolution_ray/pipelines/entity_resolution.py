@@ -31,7 +31,20 @@ from ..stages.normalize import extract_stage, normalize_stage
 from ..stages.scoring import matched_edges_stage, score_pairs_stage
 
 
-def matched_edges(pages, cfg: ERConfig = DEFAULT_CONFIG):
+def build_idf_ref(pages, cfg: ERConfig = DEFAULT_CONFIG):
+    """Bigram IDF table from a content-hash sample of the corpus (the
+    short-doc gate's boilerplate discount, `stages/scoring.py`).  Only
+    the ``idf_sample_p`` fraction pays extract+normalize; the resulting
+    broadcast table is O(boilerplate vocabulary) at any corpus size."""
+    from ..functions.idf import bigram_idf_ref
+    from ..ops.sampling import hash_sample
+
+    sample = hash_sample(pages, cfg.idf_sample_p, id_col="url", salt="idf")
+    recs = normalize_stage(extract_stage(sample), cfg)
+    return bigram_idf_ref(recs, min_df_frac=cfg.idf_min_df_frac)
+
+
+def matched_edges(pages, cfg: ERConfig = DEFAULT_CONFIG, idf_ref=None):
     """pages → scored matched edges (url_a, url_b, …, score), streaming.
 
     Candidate pairs are scored WITH cross-block duplicates (dup factor
@@ -43,7 +56,7 @@ def matched_edges(pages, cfg: ERConfig = DEFAULT_CONFIG):
     records = normalize_stage(extracted, cfg)
     exploded = band_emit_stage(records, cfg)
     pairs = pair_gen_stage(exploded, cfg)
-    scored = score_pairs_stage(pairs, cfg)
+    scored = score_pairs_stage(pairs, cfg, idf_ref)
     edges = matched_edges_stage(scored, cfg)
     from ..ops.relational import dedupe_by_key
 
@@ -194,6 +207,7 @@ def resolve_entities(
     Returns ``(assignment, edges)`` — ``edges`` is materialized (it is
     the natural checkpoint and is small: matched pairs only).
     """
+    idf_ref = build_idf_ref(pages_factory(), cfg)
     if checkpoint_dir:
         from ..state import run_stage
 
@@ -201,11 +215,11 @@ def resolve_entities(
             "matched_edges",
             checkpoint_dir,
             input_fingerprint,
-            lambda: matched_edges(pages_factory(), cfg),
+            lambda: matched_edges(pages_factory(), cfg, idf_ref),
             metrics_fn=_edge_metrics(cfg),
         )
     else:
-        edges = matched_edges(pages_factory(), cfg).materialize()
+        edges = matched_edges(pages_factory(), cfg, idf_ref).materialize()
     labels = resolve_labels(edges, cfg)
     # the distributed (join) attach path still needs the Ray aggregate;
     # the broadcast path computes the confidence map from edges directly

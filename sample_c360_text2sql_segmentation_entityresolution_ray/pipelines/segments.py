@@ -9,17 +9,35 @@ The reference hands these to managed services; the semantics rebuilt:
    (M2), subbrand item ids prefixed ``sub_`` (M3), UNION ALL (U1).
    The cluster map is the broadcast-small side (it is one row per
    customer; the purchase stream is the big side).
-2. :func:`item_cooccurrence` — item-item co-purchase counts: per-user
-   item pairs (bounded per user) → grouped count.  The stand-in for
-   the ``aws-item-affinity`` recipe's learned similarities
-   (`lib/personalize.ts:91`) — same pipeline shape, transparent model.
+2. :func:`item_cooccurrence` — item-item distinct-user co-purchase
+   counts.  The stand-in for the ``aws-item-affinity`` recipe's learned
+   similarities (`lib/personalize.ts:91`) — same pipeline shape,
+   transparent model.  Pair emission is the partition-hash vectorized
+   diagonal sweep (same kernel family as ``ops.dedup``), never a
+   per-user ``map_groups``.
 3. :func:`item_based_segments` — the batch segment job
    (`lambda/create_personalize_segment/index.py:174-205`): for each
    requested item, score every user by summed co-occurrence of their
-   purchased items with the target, EXCLUDE users who already bought
-   it (the anti-join the NL workload demands, README.md:14), keep the
-   top ``n`` users (``USER_PER_SEGMENT`` = 100 default, `:14`).
-   Output schema = ``item_based_segment`` (`lib/data-storage.ts:360-386`).
+   (distinct, capped) purchased items with the target, EXCLUDE users
+   who already bought it (the anti-join the NL workload demands,
+   README.md:14), keep the top ``n`` users (``USER_PER_SEGMENT`` = 100
+   default, `:14`).  Output = ``item_based_segment``
+   (`lib/data-storage.ts:360-386`).
+
+Scale posture: the only data ever collected to the driver is the
+TARGET-restricted co-occurrence table (≤ |items| × |targets| rows —
+the restriction is pushed INSIDE the pair sweep, so the full
+O(|items|²) co-occurrence table is never materialized anywhere), and
+every per-batch kernel is vectorized pandas/numpy.
+
+Exact semantics (shared with the DuckDB oracle in `__ray_entry__`):
+    ui        = DISTINCT (USER_ID, ITEM_ID), capped at
+                ``max_items_per_user`` smallest ITEM_IDs per user
+                (row_number() OVER (PARTITION BY user ORDER BY item))
+    cooc(x,y) = |{u : (u,x) ∈ ui ∧ (u,y) ∈ ui}|  for x < y
+    aff(u,t)  = Σ_{i ∈ ui(u)} cooc(min(i,t), max(i,t))   [i ≠ t]
+    segment(t) = top-n users by aff(u,t) DESC, user_id ASC,
+                 excluding users with (u,t) ∈ ui
 """
 
 from __future__ import annotations
@@ -27,11 +45,18 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
 
-from ..ops.relational import broadcast_join, topn_per_group, union_with_prefix
+from ..ops.relational import (
+    DEDUP_PARTITIONS,
+    broadcast_join,
+    distinct,
+    topn_per_group,
+    union_with_prefix,
+)
 
 USER_PER_SEGMENT = 100
 MAX_ITEMS_PER_USER = 50  # cap on per-user pair fan-out (quadratic guard)
@@ -66,99 +91,212 @@ def build_interactions(
     )
 
 
-def item_cooccurrence(interactions) -> "ray.data.Dataset":
-    """(item_x, item_y, cnt): co-purchase counts, x < y."""
+def user_items(
+    interactions, max_items_per_user: int | None = MAX_ITEMS_PER_USER
+) -> "ray.data.Dataset":
+    """DISTINCT (USER_ID, ITEM_ID), capped per user at the
+    ``max_items_per_user`` lexicographically-smallest items (the
+    deterministic, SQL-expressible cap: row_number() over item order)."""
+    ui = distinct(
+        interactions.select_columns(["USER_ID", "ITEM_ID"]),
+        ["USER_ID", "ITEM_ID"],
+    )
+    if max_items_per_user:
+        ui = topn_per_group(
+            ui, "USER_ID", "ITEM_ID", max_items_per_user, descending=False
+        )
+    return ui
+
+
+def _pair_sweep(ui, targets: frozenset | None) -> "ray.data.Dataset":
+    """(item_x, item_y, cnt) with x < y: per-user pair emission via the
+    partition-hash vectorized diagonal sweep + per-partition partial
+    counts (the pre-aggregation that keeps the final groupby small).
+    ``targets``: if set, only pairs touching a target are emitted —
+    the restriction runs INSIDE the sweep, before anything is counted."""
+
+    def _part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_part"] = (
+            pd.util.hash_array(batch["USER_ID"].to_numpy()) % DEDUP_PARTITIONS
+        ).astype("int32")
+        return batch
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        items = np.unique(g["ITEM_ID"].to_numpy())[:MAX_ITEMS_PER_USER]
-        n = len(items)
+        empty = pd.DataFrame(
+            {
+                "item_x": pd.Series(dtype=object),
+                "item_y": pd.Series(dtype=object),
+                "cnt": pd.Series(dtype=np.int64),
+            }
+        )
+        g = g.sort_values(["USER_ID", "ITEM_ID"], kind="mergesort")
+        users = g["USER_ID"].to_numpy()
+        items = g["ITEM_ID"].to_numpy()
+        n = len(g)
         if n < 2:
-            return pd.DataFrame(
-                {"item_x": pd.Series(dtype=object), "item_y": pd.Series(dtype=object)}
-            )
-        ii, jj = np.triu_indices(n, k=1)
-        return pd.DataFrame({"item_x": items[ii], "item_y": items[jj]})
+            return empty
+        # runs of equal USER_ID (sorted) → diagonal sweep d = 1..D emits
+        # every within-run pair in O(D) vectorized passes; rows are
+        # item-sorted inside each run so item_x < item_y for free
+        _, counts = np.unique(users, return_counts=True)
+        gid = np.repeat(np.arange(len(counts)), counts)
+        D = int(counts.max() - 1)
+        ii_l, jj_l = [], []
+        for d in range(1, D + 1):
+            same = gid[:-d] == gid[d:]
+            i = np.flatnonzero(same)
+            if len(i):
+                ii_l.append(i)
+                jj_l.append(i + d)
+        if not ii_l:
+            return empty
+        ii = np.concatenate(ii_l)
+        jj = np.concatenate(jj_l)
+        x, y = items[ii], items[jj]
+        if targets is not None:
+            keep = (
+                pd.Series(x).isin(targets) | pd.Series(y).isin(targets)
+            ).to_numpy()
+            x, y = x[keep], y[keep]
+        if len(x) == 0:
+            return empty
+        # partial aggregation inside the partition (pre-shuffle shrink)
+        part = (
+            pd.DataFrame({"item_x": x, "item_y": y})
+            .groupby(["item_x", "item_y"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        part["cnt"] = part["cnt"].astype(np.int64)
+        return part
 
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
 
     return (
-        interactions.groupby("USER_ID")
+        ui.map_batches(_part, batch_format="pandas")
+        .groupby("_part")
         .map_groups(_pairs, batch_format="pandas")
         .groupby(["item_x", "item_y"])
-        .aggregate(Count(alias_name="cnt"))
+        .aggregate(Sum("cnt", alias_name="cnt"))
     )
 
 
+def item_cooccurrence(
+    interactions, max_items_per_user: int | None = MAX_ITEMS_PER_USER
+) -> "ray.data.Dataset":
+    """Full (item_x, item_y, cnt) distinct-user co-purchase counts."""
+    return _pair_sweep(user_items(interactions, max_items_per_user), None)
+
+
 def item_based_segments(
-    interactions, target_items: list[str], n: int = USER_PER_SEGMENT
+    interactions,
+    target_items: list[str],
+    n: int = USER_PER_SEGMENT,
+    max_items_per_user: int | None = MAX_ITEMS_PER_USER,
 ) -> "ray.data.Dataset":
     """Top-``n`` users per target item by co-occurrence affinity,
     excluding prior purchasers.  Returns (item_id, user_id, affinity).
 
-    The co-occurrence table restricted to the targets is small →
-    broadcast; user scoring is one streaming pass over interactions
-    (partial per-batch aggregation) + one grouped sum."""
-    targets = set(target_items)
-    cooc = item_cooccurrence(interactions).to_pandas()
-    rel = cooc[(cooc["item_x"].isin(targets)) | (cooc["item_y"].isin(targets))]
-    # affinity[other_item][target] = cnt
-    aff: dict[str, dict[str, int]] = {}
-    for x, y, c in zip(rel["item_x"], rel["item_y"], rel["cnt"]):
-        if y in targets:
-            aff.setdefault(x, {})[y] = aff.setdefault(x, {}).get(y, 0) + int(c)
-        if x in targets:
-            aff.setdefault(y, {})[x] = aff.setdefault(y, {}).get(x, 0) + int(c)
-    aff_ref = ray.put(aff)
-    targets_ref = ray.put(sorted(targets))
+    The co-occurrence table is TARGET-restricted inside the pair sweep,
+    so the only driver-collected table is ≤ |items| × |targets| rows;
+    scoring is one vectorized merge + one grouped sum over the
+    distinct user-item stream."""
+    targets = frozenset(target_items)
+    ui = user_items(interactions, max_items_per_user).materialize()
 
-    class PartialScore:
-        """Per-batch partial (user, target) affinity sums + bought flags."""
+    cooc = _pair_sweep(ui, targets).to_pandas()  # bounded: pairs touch a target
+    # flatten to (other item → target, cnt); a pair of two targets
+    # contributes in both directions
+    parts = []
+    if len(cooc):
+        m_y = cooc[cooc["item_y"].isin(targets)]
+        parts.append(
+            pd.DataFrame(
+                {"item": m_y["item_x"], "target": m_y["item_y"], "cnt": m_y["cnt"]}
+            )
+        )
+        m_x = cooc[cooc["item_x"].isin(targets)]
+        parts.append(
+            pd.DataFrame(
+                {"item": m_x["item_y"], "target": m_x["item_x"], "cnt": m_x["cnt"]}
+            )
+        )
+    aff = (
+        pd.concat(parts, ignore_index=True)
+        if parts
+        else pd.DataFrame(
+            {
+                "item": pd.Series(dtype=object),
+                "target": pd.Series(dtype=object),
+                "cnt": pd.Series(dtype=np.int64),
+            }
+        )
+    )
+    aff_ref = ray.put(aff)
+    targets_arr = pa.array(sorted(targets), pa.string())
+
+    class Score:
+        """Vectorized per-batch partial: merge the batch's (user, item)
+        rows against the flat affinity table → (user, target, cnt)."""
 
         def __init__(self):
             self.aff = ray.get(aff_ref)
-            self.targets = ray.get(targets_ref)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            users, titems, scores, boughts = [], [], [], []
-            for u, it in zip(df["USER_ID"], df["ITEM_ID"]):
-                if it in self.aff:
-                    for t, c in self.aff[it].items():
-                        users.append(u)
-                        titems.append(t)
-                        scores.append(c)
-                        boughts.append(0)
-                if it in self.targets:
-                    users.append(u)
-                    titems.append(it)
-                    scores.append(0)
-                    boughts.append(1)
+            m = df.merge(self.aff, left_on="ITEM_ID", right_on="item", how="inner")
             return pd.DataFrame(
                 {
-                    "user_id": users,
-                    "item_id": titems,
-                    "affinity": np.array(scores, dtype=np.int64),
-                    "bought": np.array(boughts, dtype=np.int64),
+                    "user_id": m["USER_ID"],
+                    "item_id": m["target"],
+                    "affinity": m["cnt"].astype(np.int64),
                 }
             )
 
-    from ray.data.aggregate import Max, Sum
+    from ray.data.aggregate import Sum
 
     scored = (
-        interactions.map_batches(PartialScore, batch_format="pandas",
-                                 concurrency=(1, 8))
+        ui.map_batches(Score, batch_format="pandas", concurrency=(1, 8))
         .groupby(["user_id", "item_id"])
-        .aggregate(
-            Sum("affinity", alias_name="affinity"),
-            Max("bought", alias_name="bought"),
-        )
+        .aggregate(Sum("affinity", alias_name="affinity"))
     )
-    def _keep(df: pd.DataFrame) -> pd.DataFrame:
-        return df[(df["bought"] == 0) & (df["affinity"] > 0)].drop(columns="bought")
 
-    not_bought = scored.map_batches(_keep, batch_format="pandas")
+    # exclude prior purchasers: composite-key anti-membership filter
+    # against the (user, target) ownership slice of ui
+    def _own_keys(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["ITEM_ID"], value_set=targets_arr)
+        sub = batch.filter(mask)
+        key = pc.binary_join_element_wise(
+            pc.cast(sub["USER_ID"], pa.string()),
+            pc.cast(sub["ITEM_ID"], pa.string()),
+            "\x1f",
+        )
+        return pa.table({"_k": key})
+
+    owned = ui.map_batches(_own_keys, batch_format="pyarrow")
+
+    def _scored_key(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(batch["user_id"], pa.string()),
+            pc.cast(batch["item_id"], pa.string()),
+            "\x1f",
+        )
+        return batch.append_column("_k", key)
+
+    from ..ops.relational import anti_join
+
+    not_bought = anti_join(
+        scored.map_batches(_scored_key, batch_format="pyarrow"), owned, on="_k"
+    ).drop_columns(["_k"])
+
     return topn_per_group(
         not_bought, "item_id", "affinity", n, descending=True, tiebreak=["user_id"]
     )
 
 
-__all__ = ["build_interactions", "item_cooccurrence", "item_based_segments"]
+__all__ = [
+    "build_interactions",
+    "user_items",
+    "item_cooccurrence",
+    "item_based_segments",
+]

@@ -94,78 +94,83 @@ def _custkeys(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def expand_customer_master(batch: pa.Table) -> pa.Table:
+    """Pure batch expander (c_custkey → main master rows) — shared by
+    the Ray source below and the oracle fixture-parquet export."""
+    rows = []
+    for k in batch["c_custkey"].to_pylist():
+        p = _person(k)
+        rows.append({"customer_id": _main_id(k), "created_at": EPOCH + k, **p})
+    return _rows_to_table(rows)
+
+
 def customer_master(sf_dir: str) -> "ray.data.Dataset":
-    def _expand(batch: pa.Table) -> pa.Table:
-        rows = []
-        for k in batch["c_custkey"].to_pylist():
+    return _custkeys(sf_dir).map_batches(
+        expand_customer_master, batch_format="pyarrow"
+    )
+
+
+def expand_subbrand_master(batch: pa.Table) -> pa.Table:
+    """50% duplicates of main, ~2% confounders, rest distinct persons."""
+    rows = []
+    for k in batch["c_custkey"].to_pylist():
+        if k % 2 == 0:  # planted duplicate: same identity fields
             p = _person(k)
             rows.append(
-                {"customer_id": _main_id(k), "created_at": EPOCH + k, **p}
+                {
+                    "customer_id": _sub_id(k, "dup"),
+                    "created_at": EPOCH + 500_000 + k,
+                    **p,
+                }
             )
-        return _rows_to_table(rows)
-
-    return _custkeys(sf_dir).map_batches(_expand, batch_format="pyarrow")
+        elif k % 50 == 1:  # confounder: same name, different person
+            p = _person(k)
+            rng = np.random.default_rng([13, k])
+            p["age"] = int((p["age"] - 18 + 7 + rng.integers(5, 40)) % 63 + 18)
+            p["email"] = f"{p['firstname']}.{p['lastname']}_{k}.sub@example.com"
+            rows.append(
+                {
+                    "customer_id": _sub_id(k, "conf"),
+                    "created_at": EPOCH + 600_000 + k,
+                    **p,
+                }
+            )
+        else:  # true non-match: a distinct person
+            p = _person(10_000_000 + k)
+            p["email"] = f"{p['firstname']}.{p['lastname']}_{k}.sub@example.com"
+            rows.append(
+                {
+                    "customer_id": _sub_id(k, "new"),
+                    "created_at": EPOCH + 700_000 + k,
+                    **p,
+                }
+            )
+    return _rows_to_table(rows)
 
 
 def subbrand_customer_master(sf_dir: str) -> "ray.data.Dataset":
-    """50% duplicates of main, ~2% confounders, rest distinct persons."""
+    return _custkeys(sf_dir).map_batches(
+        expand_subbrand_master, batch_format="pyarrow"
+    )
 
-    def _expand(batch: pa.Table) -> pa.Table:
-        rows = []
-        for k in batch["c_custkey"].to_pylist():
-            if k % 2 == 0:  # planted duplicate: same identity fields
-                p = _person(k)
-                rows.append(
-                    {
-                        "customer_id": _sub_id(k, "dup"),
-                        "created_at": EPOCH + 500_000 + k,
-                        **p,
-                    }
-                )
-            elif k % 50 == 1:  # confounder: same name, different person
-                p = _person(k)
-                rng = np.random.default_rng([13, k])
-                p["age"] = int((p["age"] - 18 + 7 + rng.integers(5, 40)) % 63 + 18)
-                p["email"] = f"{p['firstname']}.{p['lastname']}_{k}.sub@example.com"
-                rows.append(
-                    {
-                        "customer_id": _sub_id(k, "conf"),
-                        "created_at": EPOCH + 600_000 + k,
-                        **p,
-                    }
-                )
-            else:  # true non-match: a distinct person
-                p = _person(10_000_000 + k)
-                p["email"] = f"{p['firstname']}.{p['lastname']}_{k}.sub@example.com"
-                rows.append(
-                    {
-                        "customer_id": _sub_id(k, "new"),
-                        "created_at": EPOCH + 700_000 + k,
-                        **p,
-                    }
-                )
-        return _rows_to_table(rows)
 
-    return _custkeys(sf_dir).map_batches(_expand, batch_format="pyarrow")
+def expand_relations(batch: pa.Table) -> pa.Table:
+    """Ground truth: one row per planted duplicate."""
+    subs, mains = [], []
+    for k in batch["c_custkey"].to_pylist():
+        if k % 2 == 0:
+            subs.append(_sub_id(k, "dup"))
+            mains.append(_main_id(k))
+    return pa.table(
+        {
+            "subbrand_customer_id": pa.array(subs, pa.string()),
+            "main_customer_id": pa.array(mains, pa.string()),
+        }
+    )
 
 
 def customer_relations(sf_dir: str) -> "ray.data.Dataset":
-    """Ground truth: one row per planted duplicate."""
-
-    def _expand(batch: pa.Table) -> pa.Table:
-        subs, mains = [], []
-        for k in batch["c_custkey"].to_pylist():
-            if k % 2 == 0:
-                subs.append(_sub_id(k, "dup"))
-                mains.append(_main_id(k))
-        return pa.table(
-            {
-                "subbrand_customer_id": pa.array(subs, pa.string()),
-                "main_customer_id": pa.array(mains, pa.string()),
-            }
-        )
-
-    return _custkeys(sf_dir).map_batches(_expand, batch_format="pyarrow")
+    return _custkeys(sf_dir).map_batches(expand_relations, batch_format="pyarrow")
 
 
 def _purchases(batch: pa.Table, sub: bool) -> pa.Table:

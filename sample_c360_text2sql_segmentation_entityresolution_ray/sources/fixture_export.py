@@ -1,0 +1,120 @@
+"""Oracle fixture export: deterministic parquet for DuckDB side-checks.
+
+The c360 fixture tables (customer masters / purchases / ground-truth
+relations, `sources/c360.py`) and the pages fixture (records +
+relations, `sources/pages.py`) are pure functions of the driver's
+testdata.  The DuckDB oracle harness can only read SQL-visible tables,
+so this module materializes those fixtures once per scale factor under
+``/tmp`` and the oracle SQL reads them via ``read_parquet('…')`` —
+both sides of every comparison then derive from the same deterministic
+generator (the reference's `dbloader/gen_testdata.py` analog).
+
+Also exports per-doc FEATURE tables (e.g. 64-bit simhash) so sketch
+operators whose *banding/sweep* is the distributed part can be
+oracle-verified: the feature is computed once by the same pure
+function the pipeline uses, and the SQL re-derives the exact all-pairs
+answer from it (`bit_count(xor(...))`), catching any recall loss in
+the LSH bucketing.
+
+Everything here is driver-side plain pyarrow (no Ray): the fixtures
+are sandbox-scale test artifacts, not pipeline stages.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# bump when any generator / feature function changes shape or values
+FIXTURE_ROOT = "/tmp/graft_oracle_fixtures/v1"
+
+
+def fixture_dir(sf_dir: str) -> str:
+    return os.path.join(FIXTURE_ROOT, os.path.basename(sf_dir.rstrip("/")))
+
+
+def ensure_fixtures(sf_dir: str) -> str:
+    """Idempotently write the fixture parquet for one sf dir; returns
+    the fixture directory.  Marker-guarded: ~1 s once, then free."""
+    out = fixture_dir(sf_dir)
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    if not os.path.isdir(sf_dir):
+        raise FileNotFoundError(sf_dir)
+    os.makedirs(out, exist_ok=True)
+
+    from . import c360, pages
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    pq.write_table(
+        c360.expand_customer_master(cust), f"{out}/customer_master.parquet"
+    )
+    pq.write_table(
+        c360.expand_subbrand_master(cust), f"{out}/subbrand_customer_master.parquet"
+    )
+    pq.write_table(
+        c360.expand_relations(cust), f"{out}/customer_relations.parquet"
+    )
+    pq.write_table(
+        c360._purchases(cust, sub=False), f"{out}/purchase_history.parquet"
+    )
+    pq.write_table(
+        c360._purchases(cust, sub=True), f"{out}/subbrand_purchase_history.parquet"
+    )
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    pg = pages._expand_pages(docs)
+    pq.write_table(
+        pg.select(["url", "source", "lang"]), f"{out}/pages_records.parquet"
+    )
+    pq.write_table(
+        pages._expand_relations(docs.select(["doc_id", "source"])),
+        f"{out}/page_relations.parquet",
+    )
+
+    _export_doc_simhash(docs, out)
+
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def _export_doc_simhash(docs: pa.Table, out: str) -> None:
+    """(doc_id, simhash BIGINT): the same per-doc fingerprint the
+    simhash pipeline computes (`ops/dedup.py simhash_dup_pairs`),
+    int64-viewed so DuckDB's bit_count(xor(a, b)) reproduces the
+    exact 64-bit Hamming distance."""
+    from ..functions import texthash
+    from ..functions.simhash import simhash_batch
+
+    texts = docs["text"].to_pylist()
+    tok_sets = [texthash.token_hashes(t, cap=512) for t in texts]
+    sh = simhash_batch(tok_sets)  # uint64
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": docs["doc_id"],
+                "simhash": pa.array(sh.view(np.int64), pa.int64()),
+            }
+        ),
+        f"{out}/doc_simhash.parquet",
+    )
+
+
+def ensure_all(sf_dirs: tuple[str, ...] = ()) -> None:
+    """Ensure fixtures for every given (existing) sf dir.  Default: the
+    two dirs the oracle harness uses — sf0.001 (pytest mirror) and
+    sf0.01 (the external driver's correctness scale)."""
+    dirs = sf_dirs or ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+    for d in dirs:
+        if os.path.isdir(d):
+            ensure_fixtures(d)
+
+
+__all__ = ["fixture_dir", "ensure_fixtures", "ensure_all", "FIXTURE_ROOT"]

@@ -39,6 +39,7 @@ BOILER_PRE = "cookie notice accept privacy terms"
 BOILER_POST = "copyright example site contact careers"
 
 SALT_EVERY = 4  # a doc-unique marker token every 4th token
+SHORT_DOC_RAW_TOKENS = 64  # below this, salt every 2nd token (see below)
 
 
 def _salt(text: str, doc_id: int) -> str:
@@ -47,12 +48,21 @@ def _salt(text: str, doc_id: int) -> str:
     near-duplicate texts; without salting those would be extra true
     matches outside the relations table and the planted truth would be
     incomplete).  Pages of the SAME entity share the same salt, so
-    within-cluster similarity is preserved."""
+    within-cluster similarity is preserved.
+
+    Short docs are salted every 2nd token instead of every 4th: at
+    stride 4 a planted identical-text doc pair still shares the
+    salt-free BIGRAMS between salts (measured J₂ up to 0.43), which
+    would break the dissimilarity guarantee for the engine's short-doc
+    bigram recall path; at stride 2 every bigram touches a doc-unique
+    salt, so cross-entity J₂ ≈ 0 while within-entity similarity (same
+    salts both sides) is untouched."""
     toks = text.split()
+    stride = 2 if len(toks) < SHORT_DOC_RAW_TOKENS else SALT_EVERY
     out = []
     for i, t in enumerate(toks):
-        if i % SALT_EVERY == 0:
-            out.append(f"x{doc_id:05d}m{i // SALT_EVERY}")
+        if i % stride == 0:
+            out.append(f"x{doc_id:05d}m{i // stride}")
         out.append(t)
     return " ".join(out)
 

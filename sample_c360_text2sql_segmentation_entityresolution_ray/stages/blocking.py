@@ -45,7 +45,7 @@ from ..functions.minhash import band_keys
 from ..functions.texthash import hash_str_array
 from .config import DEFAULT_CONFIG, ERConfig
 
-PAIR_FEATURES = ["slug", "shingles"]
+PAIR_FEATURES = ["slug", "shingles", "shingles2"]
 
 
 def band_emit_stage(records, cfg: ERConfig = DEFAULT_CONFIG):
@@ -61,6 +61,7 @@ def band_emit_stage(records, cfg: ERConfig = DEFAULT_CONFIG):
                     "url": pa.array([], pa.string()),
                     "slug": pa.array([], pa.string()),
                     "shingles": pa.array([], pa.list_(pa.uint32())),
+                    "shingles2": pa.array([], pa.list_(pa.uint32())),
                     "mh8": pa.array([], pa.list_(pa.uint8())),
                 }
             )
@@ -94,7 +95,7 @@ def band_emit_stage(records, cfg: ERConfig = DEFAULT_CONFIG):
         keys = np.concatenate([lsh, dom_keys[:, None], tok_cols], axis=1)
         n_keys = keys.shape[1]
         idx = np.repeat(np.arange(n), n_keys)
-        sub = batch.select(["url", "slug", "shingles", "mh8"]).take(idx)
+        sub = batch.select(["url", "slug", "shingles", "shingles2", "mh8"]).take(idx)
         return sub.add_column(
             0, "block_key", pa.array(keys.reshape(-1), pa.uint64())
         )
@@ -109,6 +110,8 @@ _PAIR_COLUMNS = {
     "slug_b": object,
     "shingles_a": object,
     "shingles_b": object,
+    "shingles2_a": object,
+    "shingles2_b": object,
     "mh8_a": object,
     "mh8_b": object,
     "block_n": np.int32,
@@ -196,7 +199,7 @@ def _emit_partition_pairs(df: pd.DataFrame, cfg: ERConfig) -> pd.DataFrame:
         df,
         id_col="url",
         order_col="slug",
-        payload_cols=["slug", "shingles", "mh8"],
+        payload_cols=["slug", "shingles", "shingles2", "mh8"],
         cap=cfg.allpairs_cap,
         window=cfg.snm_window,
     )

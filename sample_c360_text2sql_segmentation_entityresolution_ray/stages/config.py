@@ -35,6 +35,25 @@ class ERConfig:
     pair_partitions: int = 64   # hash partitions for vectorized pair-gen
                                 # (≈ 2× target cluster cores; each is one task)
 
+    # --- short-doc recall path ---
+    short_doc_tokens: int = 80  # records below this token count also carry
+                                # a bigram (k=2) shingle set; a short doc's
+                                # 3-shingle Jaccard collapses under the same
+                                # perturbation rate (3% drops kill 3 shingles
+                                # each of ~20), so the k=3 floor alone loses
+                                # the short tail (measured: 21 FN @ sf0.1)
+    min_jaccard2: float = 0.2   # (IDF-weighted) bigram-Jaccard floor for
+                                # that path — order-destroyed confounders
+                                # measure ≤ 0.09 and boilerplate-only
+                                # overlap is IDF-discounted to ~0; true
+                                # short pairs ≥ 0.25
+    idf_sample_p: float = 0.05  # corpus fraction sampled (content-hash,
+                                # deterministic) to estimate bigram DF
+    idf_min_df_frac: float = 0.01  # grams below this df fraction are not
+                                   # tabled (take the max-idf default) —
+                                   # keeps the broadcast table at
+                                   # O(boilerplate vocab) any corpus size
+
     # --- scoring ---
     score_threshold: float = 0.4
     min_jaccard: float = 0.32   # hard floor: cosine/JW alone can never match

@@ -33,6 +33,7 @@ MATCH_RECORD_COLUMNS = [
     "slug",
     "n_tokens",
     "shingles",
+    "shingles2",
     "tok_hashes",
     "minhash",
     "mh8",
@@ -70,8 +71,10 @@ def _batch_shingle_features(texts: list[str], cfg: ERConfig):
     k, cap, tok_cap = cfg.shingle_k, cfg.shingle_cap, cfg.token_cap
     all_shingles: list[str] = []
     all_tokens: list[str] = []
+    all_sh2: list[str] = []  # bigram shingles, short docs only
     sh_offsets = [0]
     tok_offsets = [0]
+    sh2_offsets = [0]
     tok_lists = []
     for text in texts:
         toks = texthash.tokens_of(text)
@@ -82,8 +85,16 @@ def _batch_shingle_features(texts: list[str], cfg: ERConfig):
             shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
         all_shingles.extend(shingles)
         all_tokens.extend(toks[:tok_cap])
+        # short-doc recall path: k=3 Jaccard collapses for short docs
+        # under a fixed perturbation rate; bigrams degrade gracefully.
+        # Only short records pay the extra (tiny) payload.
+        if len(toks) < cfg.short_doc_tokens and len(toks) >= 2:
+            all_sh2.extend(
+                " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+            )
         sh_offsets.append(len(all_shingles))
         tok_offsets.append(len(all_tokens))
+        sh2_offsets.append(len(all_sh2))
 
     sh_hashes = (
         texthash.hash_str_array(all_shingles)
@@ -93,6 +104,13 @@ def _batch_shingle_features(texts: list[str], cfg: ERConfig):
     tok_hashes = (
         texthash.hash_str_array(all_tokens) if all_tokens else np.empty(0, np.uint64)
     )
+    sh2_hashes = (
+        texthash.hash_str_array(all_sh2) if all_sh2 else np.empty(0, np.uint64)
+    )
+    shingle2_sets = [
+        np.unique(sh2_hashes[sh2_offsets[i] : sh2_offsets[i + 1]].astype(np.uint32))
+        for i in range(len(texts))
+    ]
 
     shingle_sets = []
     capped_concat = []
@@ -128,7 +146,7 @@ def _batch_shingle_features(texts: list[str], cfg: ERConfig):
         tok_hashes[tok_offsets[i] : tok_offsets[i + 1]] for i in range(len(texts))
     ]
     n_tokens = np.array([len(t) for t in tok_lists], dtype=np.int64)
-    return shingle_sets, tok_sets, sigs, n_tokens, slugs
+    return shingle_sets, shingle2_sets, tok_sets, sigs, n_tokens, slugs
 
 
 def normalize_stage(extracted, cfg: ERConfig = DEFAULT_CONFIG):
@@ -138,8 +156,8 @@ def normalize_stage(extracted, cfg: ERConfig = DEFAULT_CONFIG):
         urls = batch["url"].to_pylist()
         texts = batch["text"].to_pylist()
         domains = [urlparse(u).netloc for u in urls]
-        shingle_sets, tok_sets, sigs, n_tokens, slugs = _batch_shingle_features(
-            texts, cfg
+        shingle_sets, shingle2_sets, tok_sets, sigs, n_tokens, slugs = (
+            _batch_shingle_features(texts, cfg)
         )
         return pa.table(
             {
@@ -150,6 +168,7 @@ def normalize_stage(extracted, cfg: ERConfig = DEFAULT_CONFIG):
                 "slug": pa.array(slugs, pa.string()),
                 "n_tokens": pa.array(n_tokens, pa.int64()),
                 "shingles": pa.array(list(shingle_sets), pa.list_(pa.uint32())),
+                "shingles2": pa.array(list(shingle2_sets), pa.list_(pa.uint32())),
                 "tok_hashes": pa.array(list(tok_sets), pa.list_(pa.uint64())),
                 "minhash": pa.array(list(sigs), pa.list_(pa.uint64())),
                 # b-bit (8-bit) signature for the pair payload: the

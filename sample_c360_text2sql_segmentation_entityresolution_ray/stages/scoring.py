@@ -30,30 +30,18 @@ EDGE_COLUMNS = ["url_a", "url_b", "jaccard", "cosine", "jw", "score", "block_n"]
 class PairScorer:
     """Callable actor class for ``map_batches``.
 
-    ``idf_ref``: optional ``ray.put`` handle to a ``{token_hash: idf}``
-    dict — fetched once per actor in ``__init__`` (broadcast, never
-    re-shipped per batch)."""
+    ``idf_ref``: optional ``ray.put`` handle to a
+    :class:`..functions.idf.IdfTable` (bigram-hash → idf weight) —
+    fetched once per actor in ``__init__`` (broadcast, never re-shipped
+    per batch).  Used by the short-doc gate: IDF-weighted bigram
+    Jaccard/cosine discounts shared boilerplate framing, which
+    otherwise gives DIFFERENT short docs bigram-J up to ~0.3 (measured)
+    — the precision-preserving weighting, fed from a corpus sample by
+    ``pipelines.entity_resolution``."""
 
     def __init__(self, cfg: ERConfig = DEFAULT_CONFIG, idf_ref=None):
         self.cfg = cfg
         self.idf = ray.get(idf_ref) if idf_ref is not None else None
-
-    def _cosine(self, ta: np.ndarray, tb: np.ndarray) -> float:
-        if len(ta) == 0 or len(tb) == 0:
-            return 0.0
-        va, ca = np.unique(ta, return_counts=True)
-        vb, cb = np.unique(tb, return_counts=True)
-        if self.idf is not None:
-            wa = np.array([self.idf.get(int(v), 1.0) for v in va])
-            wb = np.array([self.idf.get(int(v), 1.0) for v in vb])
-            ca = ca * wa
-            cb = cb * wb
-        common, ia, ib = np.intersect1d(va, vb, assume_unique=True, return_indices=True)
-        if len(common) == 0:
-            return 0.0
-        num = float((ca[ia] * cb[ib]).sum())
-        den = float(np.sqrt((ca * ca).sum()) * np.sqrt((cb * cb).sum()))
-        return num / den if den > 0 else 0.0
 
     @staticmethod
     def _jaccard(sa: np.ndarray, sb: np.ndarray) -> float:
@@ -99,14 +87,45 @@ class PairScorer:
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - inter
             jac[i] = inter / union if union else 0.0
-            if self.idf is None:
-                cos[i] = inter / np.sqrt(len(sa) * len(sb))
+            cos[i] = inter / np.sqrt(len(sa) * len(sb))
+        # short-doc recall path: a short doc's 3-shingle Jaccard
+        # collapses under the same perturbation rate (one dropped token
+        # kills 3 of ~20 shingles), so pairs failing the k=3 floor where
+        # BOTH sides carry a bigram set (records under
+        # cfg.short_doc_tokens) get one exact bigram-Jaccard check.
+        # Order-destroyed confounders stay ≤ 0.09 bigram-J (bigrams die
+        # with token order) while true short pairs measure ≥ 0.25 —
+        # min_jaccard2 sits between with 2× margin each way.
+        gate3 = jac >= cfg.min_jaccard
+        sh2_a = batch["shingles2_a"].to_numpy()
+        sh2_b = batch["shingles2_b"].to_numpy()
+        gate2 = np.zeros(n, dtype=bool)
+        for i in np.flatnonzero(~gate3):
+            sa = np.asarray(sh2_a[i], dtype=np.uint32)
+            sb = np.asarray(sh2_b[i], dtype=np.uint32)
+            if len(sa) == 0 or len(sb) == 0:
+                continue
+            if self.idf is not None:
+                wa = self.idf.weights(sa)
+                wb = self.idf.weights(sb)
             else:
-                cos[i] = self._cosine(sa, sb)
+                wa = np.ones(len(sa))
+                wb = np.ones(len(sb))
+            _, ia, _ib = np.intersect1d(
+                sa, sb, assume_unique=True, return_indices=True
+            )
+            wi = float(wa[ia].sum())
+            swa, swb = float(wa.sum()), float(wb.sum())
+            union_w = swa + swb - wi
+            j2 = wi / union_w if union_w > 0 else 0.0
+            if j2 >= cfg.min_jaccard2:
+                gate2[i] = True
+                jac[i] = j2
+                cos[i] = wi / np.sqrt(swa * swb) if swa and swb else 0.0
         # string metrics only where coarse overlap exists, batched:
         # the Levenshtein DP runs once over the gated subset (numpy
         # kernels across pairs), not per pair.
-        gate = jac >= cfg.min_jaccard
+        gate = gate3 | gate2
         if gate.any():
             sl_a = batch["slug_a"].to_numpy()[gate]
             sl_b = batch["slug_b"].to_numpy()[gate]
@@ -115,10 +134,11 @@ class PairScorer:
             )
         cos = np.where(gate, cos, 0.0)
         score = cfg.w_jaccard * jac + cfg.w_cosine * cos + cfg.w_jw * jw
-        # hard floor: a pair below min_jaccard can never match, however
-        # high its cosine/JW (defends against boilerplate-similar and
-        # shared-template non-matches, the 2% confounder class)
-        score = np.where(jac >= cfg.min_jaccard, score, 0.0)
+        # hard floor: a pair below min_jaccard (k=3, or k=2 on the
+        # short-doc path) can never match, however high its cosine/JW
+        # (defends against boilerplate-similar and shared-template
+        # non-matches, the 2% confounder class)
+        score = np.where(gate, score, 0.0)
         return pd.DataFrame(
             {
                 "url_a": batch["url_a"].to_numpy(),
