@@ -72,8 +72,18 @@ def entry() -> Any:
     """Entity resolution over the synthesized pages table (sf0.001):
     extract → normalize → MinHash-LSH/domain blocking → scorer actor
     pool → label-propagation clustering → integrated_customer analog."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.pipelines.entity_resolution import (
+        build_idf_ref_local,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sources.pages import (
+        pages_sample_table,
+        pages_slim_dataset,
+    )
+
     assignment, _edges = resolve_entities(
-        lambda: pages_dataset("/root/testdata/sf0.001")
+        lambda: pages_dataset("/root/testdata/sf0.001"),
+        idf_ref=build_idf_ref_local(pages_sample_table("/root/testdata/sf0.001", 0.05)),
+        slim_factory=lambda: pages_slim_dataset("/root/testdata/sf0.001"),
     )
     return assignment
 
@@ -389,11 +399,29 @@ def _q_knn_top10(sf_dir: str):
     return out.select_columns(["vec_id"])
 
 
-# --- rows-only (non-SQL-expressible) ---------------------------------------
-
 def _q_er_assignment(sf_dir: str):
-    assignment, _ = resolve_entities(lambda: pages_dataset(sf_dir))
-    return assignment
+    """Flagship ER partition (source, RecordId, MatchID, lang).
+
+    ConfidenceLevel is intentionally not part of the oracle-checked
+    projection: it is the scorer's continuous output (no SQL
+    equivalent); its presence/semantics are covered by ``entry()`` and
+    the F1 gates.  The MatchID partition is oracle-checked against the
+    pages fixture's planted ground truth (`sources/pages.py`): the
+    pipeline measures F1 = 1.0 at sf0.001/sf0.01/sf0.1."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.pipelines.entity_resolution import (
+        build_idf_ref_local,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sources.pages import (
+        pages_sample_table,
+        pages_slim_dataset,
+    )
+
+    assignment, _ = resolve_entities(
+        lambda: pages_dataset(sf_dir),
+        idf_ref=build_idf_ref_local(pages_sample_table(sf_dir, 0.05)),
+        slim_factory=lambda: pages_slim_dataset(sf_dir),
+    )
+    return assignment.select_columns(["source", "RecordId", "MatchID", "lang"])
 
 
 def _q_minhash_dup_docs(sf_dir: str):
@@ -420,21 +448,35 @@ def _q_embedding_dup_exact(sf_dir: str):
 
 
 def _q_simhash_dup_docs(sf_dir: str):
+    """SimHash near-dup pairs — oracle-checked against the exact
+    all-pairs 64-bit Hamming answer recomputed in SQL from the exported
+    per-doc fingerprint (bit_count(xor(...))), so any recall loss in
+    the banded-bucket sweep is caught."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return dedup.simhash_dup_pairs(docs, max_hamming=3)
 
 
 def _q_embedding_dup_pairs(sf_dir: str):
+    """Multi-band hyperplane-LSH cosine near-dup at the demo threshold
+    0.4 (testdata max pairwise cosine ≈ 0.48, so the LSH path is
+    actually exercised) — oracle-checked against the exact all-pairs
+    SQL; 4-bit × 80-band parameters put P(miss) < 1e-6 at 0.4."""
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return dedup.embedding_dup_pairs(emb, threshold=0.9)
+    return dedup.embedding_dup_pairs(emb, threshold=0.4)
 
 
 def _q_knn_ivf_top10(sf_dir: str):
+    """IVF machinery (centroid fit → bucket stage → probe scan) at full
+    probe: the testdata embeddings are unclustered, so partial probing
+    trades recall linearly (measured recall = n_probe/n_centroids —
+    asserted in tests/test_ann.py); the oracle-checked demo probes all
+    buckets, which must reproduce the exact top-10."""
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     q = emb.filter(expr="vec_id == 0").take(1)[0]["embedding"]
     cents = ann.fit_centroids(emb, n_centroids=8)
     bucketed = ann.ivf_bucket_stage(emb.filter(expr="vec_id != 0"), cents)
-    return ann.knn_ivf(bucketed, np.asarray([q]), cents, k=10, n_probe=4)
+    out = ann.knn_ivf(bucketed, np.asarray([q]), cents, k=10, n_probe=8)
+    return out.select_columns(["vec_id"])
 
 
 def _q_customer_er(sf_dir: str):
@@ -501,13 +543,21 @@ def _q_c360_segments(sf_dir: str):
 
 def _q_curated_corpus(sf_dir: str):
     """Composite training-data pipeline: quality/lang filter → exact +
-    MinHash near-dedup → token counts (streaming end-to-end)."""
+    MinHash near-dedup → token counts (streaming end-to-end).  The
+    oracle re-derives the full composition in SQL (quality filter →
+    min-id-per-text → shingle-Jaccard pairs → recursive-CTE connected
+    components → keep component minima); the projection keeps the
+    SQL-checkable columns (n_bpe_tokens needs a lookahead regex RE2
+    can't express and stays covered by doc_token_counts/unit tests)."""
     from sample_c360_text2sql_segmentation_entityresolution_ray.pipelines.curation import (
         curate_corpus,
     )
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return curate_corpus(docs, min_quality=0.2).drop_columns(["text"])
+    out = curate_corpus(docs, min_quality=0.2).select_columns(
+        ["doc_id", "lang_pred", "quality", "n_tokens"]
+    )
+    return _round_cols(out, ["quality"], 6)
 
 
 def _q_langid_docs(sf_dir: str):
@@ -517,10 +567,370 @@ def _q_langid_docs(sf_dir: str):
 
 def _q_doc_quality(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return textops.quality_stage(docs)
+    return _round_cols(
+        textops.quality_stage(docs), ["quality", "stopword_ratio"], 6
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL façade demos (SURVEY "What's missing" #1: the text2sql execution
+# half — parse with DuckDB's json_serialize_sql, compile onto the Ray
+# operators; `sql/engine.py`).  The oracle is the SAME SQL string run by
+# DuckDB, so the façade's semantics are checked end-to-end.
+# ---------------------------------------------------------------------------
+
+SQL_DEMO_AGG = """
+    SELECT c.c_name AS name, count(*) AS order_count,
+           round(sum(o.o_totalprice), 2) AS total_spend
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY c.c_name
+    HAVING count(*) >= 2
+    ORDER BY total_spend DESC, name
+    LIMIT 10
+"""
+
+SQL_DEMO_UNION = """
+    SELECT 'c_' || CAST(c_custkey AS VARCHAR) AS pid, lower(c_name) AS nm
+    FROM customer WHERE c_custkey IN (1, 2, 3)
+    UNION ALL
+    SELECT 's_' || CAST(s_suppkey AS VARCHAR), lower(s_name) FROM supplier
+"""
+
+
+def _sql_catalog(sf_dir: str):
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sql import Catalog
+
+    cat = Catalog()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        cat.register_parquet(t, f"{sf_dir}/{t}.parquet")
+    return cat
+
+
+def _q_sql_demo_agg(sf_dir: str):
+    """NL-workload shape (README.md:13: repeat buyers, top spend):
+    JOIN + WHERE + GROUP BY + HAVING + ORDER BY + LIMIT through the
+    SQL façade."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sql import execute_sql
+
+    return execute_sql(SQL_DEMO_AGG, _sql_catalog(sf_dir))
+
+
+def _q_sql_demo_union(sf_dir: str):
+    """Scalar surface (concat, CAST, lower, IN) + UNION ALL through the
+    SQL façade."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sql import execute_sql
+
+    return execute_sql(SQL_DEMO_UNION, _sql_catalog(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# fixture-backed oracle SQL (c360 / pages / sketch features)
+# ---------------------------------------------------------------------------
+# The c360 and pages fixtures are pure functions of the driver's testdata
+# (sources/c360.py, sources/pages.py); ensure_all() materializes them as
+# parquet under /tmp once so DuckDB can read the SAME deterministic
+# generator output the Ray pipelines consume.  The driver checks at
+# sf0.01, so the fixture path for that scale is baked into the SQL;
+# tests/test_queries_oracle.py rewrites the path for its sf.
+
+_FIX01 = "/tmp/graft_oracle_fixtures/v1/sf0.01"
+
+
+def _sql_lab_cte(fix: str) -> str:
+    """Ground-truth (sub → main) label map.  Planted clusters are
+    size-2 stars with the main id lexicographically smallest, so
+    MatchID = coalesce(label, own id) — no recursion needed."""
+    return f"""lab AS (
+        SELECT subbrand_customer_id AS id, main_customer_id AS lab
+        FROM read_parquet('{fix}/customer_relations.parquet')
+    )"""
+
+
+def _sql_customer_er(fix: str) -> str:
+    """Truth oracle for the full integrated_customer table.  Planted
+    duplicates copy every identity field, so each matched edge scores
+    exactly 1.0 and every record's ConfidenceLevel is 1.0 (matched max
+    = 1.0, unmatched default = 1.0) — SQL-expressible as a constant."""
+    return f"""
+        WITH {_sql_lab_cte(fix)},
+        rec AS (
+            SELECT customer_id, 'main' AS source, lower(trim(email)) AS email,
+                   lower(trim(firstname)) || ' ' || lower(trim(lastname)) AS name,
+                   gender, age, created_at
+            FROM read_parquet('{fix}/customer_master.parquet')
+            UNION ALL
+            SELECT customer_id, 'subbrand', lower(trim(email)),
+                   lower(trim(firstname)) || ' ' || lower(trim(lastname)),
+                   gender, age, created_at
+            FROM read_parquet('{fix}/subbrand_customer_master.parquet')
+        )
+        SELECT r.source, 1.0 AS ConfidenceLevel, r.customer_id AS RecordId,
+               coalesce(l.lab, r.customer_id) AS MatchID,
+               r.email, r.name, r.gender, r.age, r.created_at
+        FROM rec r LEFT JOIN lab l ON r.customer_id = l.id
+    """
+
+
+def _sql_interactions_body(fix: str) -> str:
+    """The Personalize import build (purchases ⋈ truth labels, sub items
+    prefixed) — mirrors pipelines/segments.build_interactions."""
+    return f"""
+        SELECT coalesce(l.lab, p.customer_id) AS USER_ID,
+               p.item_id AS ITEM_ID, p.purchase_date AS "TIMESTAMP"
+        FROM read_parquet('{fix}/purchase_history.parquet') p
+        LEFT JOIN lab l ON p.customer_id = l.id
+        UNION ALL
+        SELECT coalesce(l.lab, p.customer_id),
+               'sub_' || p.item_id, p.purchase_date
+        FROM read_parquet('{fix}/subbrand_purchase_history.parquet') p
+        LEFT JOIN lab l ON p.customer_id = l.id
+    """
+
+
+def _sql_c360_interactions(fix: str) -> str:
+    return f"WITH {_sql_lab_cte(fix)} {_sql_interactions_body(fix)}"
+
+
+def _sql_c360_segments(fix: str, cap: int = 50, n: int = 20) -> str:
+    """Shares exact semantics with pipelines/segments.item_based_segments
+    (distinct capped user-items → target-restricted co-occurrence →
+    summed affinity → prior-purchaser exclusion → top-n per target)."""
+    return f"""
+        WITH {_sql_lab_cte(fix)},
+        inter AS ({_sql_interactions_body(fix)}),
+        targets(t) AS (VALUES ('1'), ('2'), ('3'), ('4'), ('5')),
+        ui0 AS (SELECT DISTINCT USER_ID AS u, ITEM_ID AS i FROM inter),
+        ui AS (
+            SELECT u, i FROM (
+                SELECT u, i, row_number() OVER (PARTITION BY u ORDER BY i) AS rn
+                FROM ui0
+            ) WHERE rn <= {cap}
+        ),
+        pairs AS (
+            SELECT a.i AS x, b.i AS y, count(*) AS c
+            FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+            WHERE a.i IN (SELECT t FROM targets) OR b.i IN (SELECT t FROM targets)
+            GROUP BY a.i, b.i
+        ),
+        aff AS (
+            SELECT x AS item, y AS target, c FROM pairs
+            WHERE y IN (SELECT t FROM targets)
+            UNION ALL
+            SELECT y, x, c FROM pairs WHERE x IN (SELECT t FROM targets)
+        ),
+        scored AS (
+            SELECT ui.u AS user_id, aff.target AS item_id,
+                   CAST(sum(aff.c) AS BIGINT) AS affinity
+            FROM ui JOIN aff ON ui.i = aff.item
+            GROUP BY ui.u, aff.target
+        ),
+        excl AS (
+            SELECT s.* FROM scored s
+            WHERE NOT EXISTS (
+                SELECT 1 FROM ui WHERE ui.u = s.user_id AND ui.i = s.item_id
+            )
+        )
+        SELECT item_id, user_id, affinity FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY item_id ORDER BY affinity DESC, user_id
+            ) AS rn FROM excl
+        ) WHERE rn <= {n}
+    """
+
+
+def _sql_er_assignment(fix: str) -> str:
+    """Pages-truth oracle: planted clusters are stars around the
+    canonical 'a' url; MatchID = min url of the cluster."""
+    return f"""
+        WITH e AS (
+            SELECT url_a, url_b FROM read_parquet('{fix}/page_relations.parquet')
+        ),
+        members AS (
+            SELECT url_a AS hub, url_a AS node FROM e GROUP BY url_a
+            UNION ALL SELECT url_a, url_b FROM e
+        ),
+        labmin AS (SELECT hub, min(node) AS lab FROM members GROUP BY hub),
+        lab AS (SELECT m.node, l.lab FROM members m JOIN labmin l USING (hub))
+        SELECT r.source, r.url AS RecordId,
+               coalesce(lab.lab, r.url) AS MatchID, r.lang
+        FROM read_parquet('{fix}/pages_records.parquet') r
+        LEFT JOIN lab ON r.url = lab.node
+    """
+
+
+def _sql_simhash(fix: str, max_hamming: int = 3) -> str:
+    return f"""
+        WITH s AS (
+            SELECT doc_id, simhash FROM read_parquet('{fix}/doc_simhash.parquet')
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               (64 - bit_count(xor(a.simhash, b.simhash))) / 64.0 AS sim
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+def _sql_sw_list(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in sorted(textops._STOPWORDS[lang]))
+
+
+def _sql_rate(lang: str) -> str:
+    return (
+        f"CASE WHEN len(toks) = 0 THEN 0.0 ELSE "
+        f"len(list_filter(toks, x -> list_contains([{_sql_sw_list(lang)}], x)))::DOUBLE"
+        f" / len(toks) END"
+    )
+
+
+_SQL_CJK = "[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}]"
+
+
+def _sql_langid() -> str:
+    """predict_lang (ops/text.py) re-derived: CJK script check, then
+    stopword hit-rate argmax (first language in order wins ties)."""
+    best = "greatest(r_en, r_de, r_fr, r_es)"
+    return f"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   regexp_extract_all(lower(text), '\\w+') AS toks
+            FROM documents
+        ), r AS (
+            SELECT doc_id, text, toks,
+                   {_sql_rate('en')} AS r_en, {_sql_rate('de')} AS r_de,
+                   {_sql_rate('fr')} AS r_fr, {_sql_rate('es')} AS r_es
+            FROM t
+        )
+        SELECT doc_id,
+               CASE WHEN regexp_matches(text, '{_SQL_CJK}') THEN 'zh'
+                    WHEN len(toks) = 0 THEN 'unknown'
+                    WHEN {best} <= 0.02 THEN 'unknown'
+                    WHEN r_en = {best} THEN 'en'
+                    WHEN r_de = {best} THEN 'de'
+                    WHEN r_fr = {best} THEN 'fr'
+                    ELSE 'es' END AS lang_pred
+        FROM r
+    """
+
+
+# quality_of (ops/text.py) re-derived term by term; rounded to 6 on both
+# sides to absorb association-order float noise.
+_SQL_QUALITY_FIELDS = f"""
+            SELECT doc_id, text, toks, len(toks) AS n_toks,
+                   {_sql_rate('en')} AS sr,
+                   CASE WHEN len(toks) BETWEEN 50 AND 100000
+                        THEN 1.0 ELSE 0.3 END AS len_ok,
+                   length(regexp_replace(text, '[^a-zA-Z \\t\\n\\r\\f\\v]', '', 'g'))::DOUBLE
+                       / greatest(1, length(text)) AS alpha,
+                   least(1.0, len(regexp_extract_all(text, '[.!?。！？]'))::DOUBLE
+                       / greatest(1.0, len(toks) / 25.0)) AS term,
+                   CASE WHEN len(list_filter(string_split(text, chr(10)),
+                                             x -> trim(x) <> '')) = 0 THEN 1.0
+                        ELSE 1.0 - (
+                            len(list_filter(string_split(text, chr(10)),
+                                            x -> trim(x) <> ''))
+                            - len(list_distinct(list_filter(
+                                  string_split(text, chr(10)),
+                                  x -> trim(x) <> '')))
+                        )::DOUBLE / len(list_filter(string_split(text, chr(10)),
+                                                    x -> trim(x) <> ''))
+                   END AS rep
+"""
+
+_SQL_QUALITY_EXPR = (
+    "0.3 * len_ok + 0.2 * least(1.0, sr * 10) + 0.2 * alpha"
+    " + 0.15 * term + 0.15 * rep"
+)
+
+
+def _sql_doc_quality() -> str:
+    return f"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   regexp_extract_all(lower(text), '\\w+') AS toks
+            FROM documents
+        ), f AS ({_SQL_QUALITY_FIELDS} FROM t)
+        SELECT doc_id, round({_SQL_QUALITY_EXPR}, 6) AS quality,
+               n_toks AS n_tokens, round(sr, 6) AS stopword_ratio
+        FROM f
+    """
+
+
+def _sql_curated_corpus(min_quality: float = 0.2, near_thr: float = 0.85) -> str:
+    """The full curation composition in SQL: quality filter → exact
+    dedup (min id per text) → 3-shingle Jaccard pairs at ``near_thr`` →
+    recursive-CTE connected components → keep component minima."""
+    return f"""
+        WITH RECURSIVE t AS (
+            SELECT doc_id, text,
+                   regexp_extract_all(lower(text), '\\w+') AS toks
+            FROM documents
+        ), f0 AS ({_SQL_QUALITY_FIELDS} FROM t),
+        f AS (
+            SELECT *, {_SQL_QUALITY_EXPR} AS quality_raw,
+                   CASE WHEN regexp_matches(text, '{_SQL_CJK}') THEN 'zh'
+                        WHEN len(toks) = 0 THEN 'unknown'
+                        ELSE 'xx' END AS cjk_or_empty
+            FROM f0 WHERE {_SQL_QUALITY_EXPR} >= {min_quality}
+        ),
+        kept0 AS (
+            SELECT f.* FROM f
+            WHERE f.doc_id IN (SELECT min(doc_id) FROM f GROUP BY text)
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                  FOR i IN range(1, len(toks) - 1)]) AS s
+            FROM kept0 WHERE len(toks) >= 3
+        ),
+        dup_pairs AS (
+            SELECT a.doc_id AS ida, b.doc_id AS idb
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+                  len(list_distinct(list_concat(a.s, b.s))) >= {near_thr}
+        ),
+        edges AS (
+            SELECT ida AS a, idb AS b FROM dup_pairs
+            UNION SELECT idb, ida FROM dup_pairs
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        rep AS (SELECT a AS node, least(a, min(b)) AS rep_id FROM reach GROUP BY a),
+        dropped AS (SELECT node FROM rep WHERE rep_id <> node)
+        SELECT k.doc_id,
+               CASE WHEN regexp_matches(k.text, '{_SQL_CJK}') THEN 'zh'
+                    WHEN len(k.toks) = 0 THEN 'unknown'
+                    WHEN greatest(r_en, r_de, r_fr, r_es) <= 0.02 THEN 'unknown'
+                    WHEN r_en = greatest(r_en, r_de, r_fr, r_es) THEN 'en'
+                    WHEN r_de = greatest(r_en, r_de, r_fr, r_es) THEN 'de'
+                    WHEN r_fr = greatest(r_en, r_de, r_fr, r_es) THEN 'fr'
+                    ELSE 'es' END AS lang_pred,
+               round(k.quality_raw, 6) AS quality,
+               CASE WHEN trim(k.text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(k.text), '\\s+')) END AS n_tokens
+        FROM (
+            SELECT k0.*, {_sql_rate('en').replace('toks', 'k0.toks')} AS r_en,
+                   {_sql_rate('de').replace('toks', 'k0.toks')} AS r_de,
+                   {_sql_rate('fr').replace('toks', 'k0.toks')} AS r_fr,
+                   {_sql_rate('es').replace('toks', 'k0.toks')} AS r_es
+            FROM kept0 k0
+        ) k
+        WHERE k.doc_id NOT IN (SELECT node FROM dropped)
+    """
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sources.fixture_export import (
+        ensure_all,
+    )
+
+    ensure_all()
     return {
         # relational layer (SURVEY §2.4-2.8) — all oracle-checked
         "pricing_summary": _q_pricing_summary,
@@ -549,7 +959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dup_docs": _q_minhash_dup_docs,
         "ngram_dup_docs": _q_ngram_dup_docs,
         "embedding_dup_exact": _q_embedding_dup_exact,
-        # rows-only (sketch/model-based; no exact SQL equivalent)
+        # fixture-truth / feature-export oracle checked (see oracle_sql)
         "er_assignment": _q_er_assignment,
         "customer_er_assignment": _q_customer_er,
         "c360_interactions": _q_c360_interactions,
@@ -560,11 +970,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_docs": _q_langid_docs,
         "doc_quality": _q_doc_quality,
         "curated_corpus": _q_curated_corpus,
+        # SQL façade (text2sql execution half)
+        "sql_demo_agg": _q_sql_demo_agg,
+        "sql_demo_union": _q_sql_demo_union,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sources.fixture_export import (
+        ensure_all,
+    )
+
+    ensure_all()
     return {
+        # fixture-backed truth / feature oracles (driver checks at
+        # sf0.01; tests rewrite the fixture path for their sf)
+        "er_assignment": _sql_er_assignment(_FIX01),
+        "customer_er_assignment": _sql_customer_er(_FIX01),
+        "c360_interactions": _sql_c360_interactions(_FIX01),
+        "c360_segments": _sql_c360_segments(_FIX01),
+        "simhash_dup_docs": _sql_simhash(_FIX01),
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding)::DOUBLE, 4) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding, b.embedding)::DOUBLE, 4) >= 0.4
+        """,
+        "knn_ivf_top10": """
+            SELECT vec_id FROM embeddings
+            WHERE vec_id <> 0
+            ORDER BY list_cosine_similarity(
+                embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)
+            ) DESC, vec_id
+            LIMIT 10
+        """,
+        "langid_docs": _sql_langid(),
+        "doc_quality": _sql_doc_quality(),
+        "curated_corpus": _sql_curated_corpus(),
+        "sql_demo_agg": SQL_DEMO_AGG,
+        "sql_demo_union": SQL_DEMO_UNION,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

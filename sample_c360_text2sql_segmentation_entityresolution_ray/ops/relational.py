@@ -130,12 +130,18 @@ def broadcast_join(
 
 def _broadcast_key_set(right: "ray.data.Dataset", key: str):
     """Distinct key values of ``right`` as an object-store broadcast ref,
-    or ``None`` for an empty right side (``Dataset.unique`` on an empty
-    dataset returns None, and ``pc.is_in(value_set=None)`` crashes)."""
-    vals = right.unique(key)
-    if vals is None or len(vals) == 0:
+    or ``None`` for an empty right side.  Streamed + per-batch uniqued
+    driver-side: the key set is small by the broadcast-join contract,
+    and ``Dataset.unique``'s set-aggregate chokes on some block shapes
+    (numpy-array accumulators at higher parallelism, Ray 2.49)."""
+    vals: set = set()
+    for b in right.select_columns([key]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        vals.update(pc.unique(b[key]).to_pylist())
+    if not vals:
         return None
-    return ray.put(pa.array(vals))
+    return ray.put(pa.array(sorted(vals)))
 
 
 def semi_join(

@@ -165,24 +165,20 @@ class CustomerPairScorer:
 
 
 def customer_matched_edges(records, cfg: ERConfig = DEFAULT_CONFIG):
+    """Thresholded match edges, streaming.  May contain cross-block
+    duplicate pairs — every consumer (union-find, max-confidence) is
+    idempotent, and :func:`resolve_customers` dedupes them in its
+    single driver pass instead of paying a shuffle for a tiny table.
+    The scorer is fully vectorized and stateless → a task stage (an
+    actor pool would pay per-run process spawn for no state)."""
     exploded = customer_band_emit(records)
     pairs = customer_pair_gen(exploded)
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    scored = pairs.map_batches(
-        CustomerPairScorer,
-        batch_format="pandas",
-        batch_size=4096,
-        concurrency=(1, max(1, min(cfg.scorer_concurrency, ncpu - 1))),
-        num_cpus=1,
-    )
+    scored = pairs.map_batches(CustomerPairScorer(), batch_format="pandas")
 
     def _thr(df: pd.DataFrame) -> pd.DataFrame:
         return df[df["score"] >= MATCH_THRESHOLD]
 
-    edges = scored.map_batches(_thr, batch_format="pandas")
-    from ..ops.relational import dedupe_by_key
-
-    return dedupe_by_key(edges, ["url_a", "url_b"])
+    return scored.map_batches(_thr, batch_format="pandas")
 
 
 def resolve_customers(
@@ -194,44 +190,51 @@ def resolve_customers(
     FIXTURES.md §4.1): source, ConfidenceLevel, RecordId, MatchID +
     payload (email, firstname is folded into name, gender, age,
     created_at)."""
-    from .entity_resolution import _conf_map_from_edges
+    from ..stages.clustering import collect_edges_local, resolve_labels
 
-    records = normalize_customers(main_factory(), sub_factory())
-    edges = customer_matched_edges(records, cfg).materialize()
-    labels = resolve_labels(edges, cfg)
+    records = normalize_customers(main_factory(), sub_factory()).materialize()
+    plan = customer_matched_edges(records, cfg)
+    # ONE driver pass: dedupe + union-find + per-node max score while
+    # the edge stream runs (see stages.clustering.collect_edges_local);
+    # the distributed fallback only triggers past local_cc_max_edges
+    out = collect_edges_local(plan, cfg.local_cc_max_edges)
+    if out is not None:
+        edges_df, label_map, conf_map = out
+        edges_df = edges_df.drop_duplicates(["url_a", "url_b"])
+        edges = ray.data.from_pandas(edges_df)
+    else:
+        from ..ops.relational import dedupe_by_key
+        from .entity_resolution import _conf_map_from_edges
 
-    lab_df = labels.to_pandas()
-    label_map = dict(zip(lab_df["node"], lab_df["label"]))
-    # conf map driver-side from the small edge table (saves a Ray
-    # aggregate stage + barrier; see entity_resolution)
-    conf_map = _conf_map_from_edges(edges)
+        edges = dedupe_by_key(plan, ["url_a", "url_b"]).materialize()
+        labels = resolve_labels(edges, cfg)
+        lab_df = labels.to_pandas()
+        label_map = dict(zip(lab_df["node"], lab_df["label"]))
+        conf_map = _conf_map_from_edges(edges)
     ref = ray.put((label_map, conf_map))
 
-    class Attach:
-        def __init__(self):
-            self.label_map, self.conf_map = ray.get(ref)
+    def _attach(df: pd.DataFrame) -> pd.DataFrame:
+        # task stage: the broadcast maps are plasma-resident, so the
+        # per-task ray.get is ~free after the first touch per worker
+        lm, cm = ray.get(ref)
+        ids = df["customer_id"]
+        return pd.DataFrame(
+            {
+                "source": df["source"],
+                "ConfidenceLevel": [cm.get(i, 1.0) for i in ids],
+                "RecordId": ids,
+                "MatchID": [lm.get(i, i) for i in ids],
+                "email": df["email"],
+                "name": df["name"],
+                "gender": df["gender"],
+                "age": df["age"],
+                "created_at": df["created_at"],
+            }
+        )
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            ids = df["customer_id"]
-            return pd.DataFrame(
-                {
-                    "source": df["source"],
-                    "ConfidenceLevel": [self.conf_map.get(i, 1.0) for i in ids],
-                    "RecordId": ids,
-                    "MatchID": [self.label_map.get(i, i) for i in ids],
-                    "email": df["email"],
-                    "name": df["name"],
-                    "gender": df["gender"],
-                    "age": df["age"],
-                    "created_at": df["created_at"],
-                }
-            )
-
-    records2 = normalize_customers(main_factory(), sub_factory())
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    assignment = records2.map_batches(
-        Attach, batch_format="pandas", concurrency=(1, max(1, ncpu - 1))
-    )
+    # records were materialized above — the attach pass re-reads the
+    # cached blocks instead of re-generating every row
+    assignment = records.map_batches(_attach, batch_format="pandas")
     return assignment, edges
 
 

@@ -28,39 +28,78 @@ from ..stages.blocking import band_emit_stage, pair_gen_stage
 from ..stages.clustering import confidence_stage, resolve_labels
 from ..stages.config import DEFAULT_CONFIG, ERConfig
 from ..stages.normalize import extract_stage, normalize_stage
-from ..stages.scoring import matched_edges_stage, score_pairs_stage
+from ..stages.scoring import (
+    matched_edges_stage,
+    score_pairs_stage,
+    string_score_stage,
+)
 
 
-def build_idf_ref(pages, cfg: ERConfig = DEFAULT_CONFIG):
+def build_idf_ref(pages, cfg: ERConfig = DEFAULT_CONFIG, presampled: bool = False):
     """Bigram IDF table from a content-hash sample of the corpus (the
     short-doc gate's boilerplate discount, `stages/scoring.py`).  Only
     the ``idf_sample_p`` fraction pays extract+normalize; the resulting
-    broadcast table is O(boilerplate vocabulary) at any corpus size."""
-    from ..functions.idf import bigram_idf_ref
-    from ..ops.sampling import hash_sample
+    broadcast table is O(boilerplate vocabulary) at any corpus size.
 
-    sample = hash_sample(pages, cfg.idf_sample_p, id_col="url", salt="idf")
-    recs = normalize_stage(extract_stage(sample), cfg)
+    ``presampled``: the caller already pushed the sample below the
+    source (e.g. ``pages_dataset(sample_p=...)`` samples before page
+    synthesis) — skip the secondary url-hash sample here."""
+    from ..functions.idf import bigram_idf_ref
+
+    if not presampled:
+        from ..ops.sampling import hash_sample
+
+        pages = hash_sample(pages, cfg.idf_sample_p, id_col="url", salt="idf")
+    recs = normalize_stage(extract_stage(pages), cfg)
     return bigram_idf_ref(recs, min_df_frac=cfg.idf_min_df_frac)
 
 
-def matched_edges(pages, cfg: ERConfig = DEFAULT_CONFIG, idf_ref=None):
-    """pages → scored matched edges (url_a, url_b, …, score), streaming.
+def build_idf_ref_local(pages_table, cfg: ERConfig = DEFAULT_CONFIG):
+    """Driver-side IDF build from an in-memory sampled pages table
+    (see ``sources.pages.pages_sample_table``) — the few-hundred-row
+    sample runs through the SAME extract/normalize feature functions
+    in-process, skipping a Ray pipeline's fixed overhead."""
+    import numpy as np
 
-    Candidate pairs are scored WITH cross-block duplicates (dup factor
-    ≈ 2.1× measured): a duplicate costs one extra vectorized score,
-    while deduping candidates costs a second full shuffle of the pair
-    feature payload.  Dedup happens here instead, on the matched-edge
-    table — orders of magnitude smaller than the candidate stream."""
+    from ..functions.extract import extract_text
+    from ..functions.idf import IdfTable
+    from ..stages.normalize import _batch_shingle_features
+
+    texts = [extract_text(h) for h in pages_table["html"].to_pylist()]
+    _, shingle2_sets, *_rest = _batch_shingle_features(texts, cfg)
+    sets = [s for s in shingle2_sets if len(s)]
+    n_total = len(sets)
+    if n_total == 0:
+        return ray.put(IdfTable(np.empty(0, np.uint32), np.empty(0), 1.0))
+    grams, counts = np.unique(np.concatenate(sets), return_counts=True)
+    min_df = max(2, int(np.ceil(cfg.idf_min_df_frac * n_total)))
+    keep = counts >= min_df
+    table = IdfTable(
+        grams[keep],
+        np.log(n_total / counts[keep].astype(np.float64)),
+        default=float(np.log(n_total)),
+    )
+    return ray.put(table)
+
+
+def matched_edges(pages, cfg: ERConfig = DEFAULT_CONFIG, idf_ref=None):
+    """pages → scored matched edges (url_a, url_b, …, score), streaming,
+    exactly one row per pair.
+
+    Candidate pairs flow through the set-metric gate WITH cross-block
+    duplicates (dup factor ≈ 2.4× overall, ×17 among true pairs): a
+    duplicate costs one extra vectorized set check, while deduping
+    candidates would shuffle the full ~45 KB/pair feature payload.
+    Dedup happens on the SLIM gated stream instead (stage 1 → 150 B/row
+    survivors → one light shuffle), so the expensive string DP kernels
+    in stage 2 run once per unique pair (see `stages/scoring.py`)."""
     extracted = extract_stage(pages)
     records = normalize_stage(extracted, cfg)
     exploded = band_emit_stage(records, cfg)
     pairs = pair_gen_stage(exploded, cfg)
-    scored = score_pairs_stage(pairs, cfg, idf_ref)
-    edges = matched_edges_stage(scored, cfg)
-    from ..ops.relational import dedupe_by_key
-
-    return dedupe_by_key(edges, ["url_a", "url_b"])
+    slim = score_pairs_stage(pairs, cfg, idf_ref)  # gated + deduped
+    scored = string_score_stage(slim, cfg)
+    return matched_edges_stage(scored, cfg)
 
 
 def _conf_map_from_edges(edges) -> dict:
@@ -78,6 +117,31 @@ def _conf_map_from_edges(edges) -> dict:
         ignore_index=True,
     )
     return both.groupby("node")["score"].max().to_dict()
+
+
+def _attach_broadcast(slim, label_map: dict, conf_map: dict):
+    """Broadcast-map attach: the (small) label/conf maps ship once via
+    ``ray.put`` and are probed per batch — no shuffle of the records."""
+    ref = ray.put((label_map, conf_map))
+
+    def _attach(df: pd.DataFrame) -> pd.DataFrame:
+        # task stage: the broadcast maps are plasma-resident, so the
+        # per-task ray.get is ~free after the first touch per worker —
+        # an actor pool would pay a fresh process spawn per run for a
+        # lookup table's worth of state
+        lm, cm = ray.get(ref)
+        urls = df["url"]
+        return pd.DataFrame(
+            {
+                "source": df["source"],
+                "ConfidenceLevel": [cm.get(u, 1.0) for u in urls],
+                "RecordId": urls,
+                "MatchID": [lm.get(u, u) for u in urls],
+                "lang": df["lang"],
+            }
+        )
+
+    return slim.map_batches(_attach, batch_format="pandas")
 
 
 def attach_labels(slim, labels, conf, cfg: ERConfig = DEFAULT_CONFIG, edges=None):
@@ -98,31 +162,7 @@ def attach_labels(slim, labels, conf, cfg: ERConfig = DEFAULT_CONFIG, edges=None
         else:
             conf_df = conf.to_pandas()
             conf_map = dict(zip(conf_df["node"], conf_df["ConfidenceLevel"]))
-        ref = ray.put((label_map, conf_map))
-
-        class Attach:
-            def __init__(self):
-                self.label_map, self.conf_map = ray.get(ref)
-
-            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-                urls = df["url"]
-                lm, cm = self.label_map, self.conf_map
-                return pd.DataFrame(
-                    {
-                        "source": df["source"],
-                        "ConfidenceLevel": [cm.get(u, 1.0) for u in urls],
-                        "RecordId": urls,
-                        "MatchID": [lm.get(u, u) for u in urls],
-                        "lang": df["lang"],
-                    }
-                )
-
-        # autoscaling pool (min 1): a fixed pool can reserve every CPU
-        # of a small cluster and deadlock the stages feeding it
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        return slim.map_batches(
-            Attach, batch_format="pandas", concurrency=(1, max(1, ncpu - 1))
-        )
+        return _attach_broadcast(slim, label_map, conf_map)
 
     # large-label path: two hash-partitioned left joins.  Partition
     # count scales with the label table — two chained joins at a fixed
@@ -187,6 +227,9 @@ def resolve_entities(
     cfg: ERConfig = DEFAULT_CONFIG,
     checkpoint_dir: str | None = None,
     input_fingerprint: str = "",
+    idf_sample_factory=None,
+    idf_ref=None,
+    slim_factory=None,
 ):
     """Run the full ER pipeline.
 
@@ -207,7 +250,24 @@ def resolve_entities(
     Returns ``(assignment, edges)`` — ``edges`` is materialized (it is
     the natural checkpoint and is small: matched pairs only).
     """
-    idf_ref = build_idf_ref(pages_factory(), cfg)
+    # ``idf_sample_factory``: a zero-arg callable returning an ALREADY
+    # sampled pages Dataset (sampling pushed below the source — for a
+    # synthesized/derived source this avoids paying full synthesis to
+    # keep idf_sample_p of it)
+    if idf_ref is None:
+        if idf_sample_factory is not None:
+            idf_ref = build_idf_ref(idf_sample_factory(), cfg, presampled=True)
+        else:
+            idf_ref = build_idf_ref(pages_factory(), cfg)
+    # ``slim_factory``: an optional cheaper source of the (url, source,
+    # lang) projection for the attach pass — a Parquet source gets this
+    # from column pruning automatically; a derived/synthesized source
+    # can skip its payload generation entirely
+    slim = (
+        slim_factory()
+        if slim_factory is not None
+        else pages_factory().select_columns(["url", "source", "lang"])
+    )
     if checkpoint_dir:
         from ..state import run_stage
 
@@ -219,7 +279,20 @@ def resolve_entities(
             metrics_fn=_edge_metrics(cfg),
         )
     else:
-        edges = matched_edges(pages_factory(), cfg, idf_ref).materialize()
+        # fast path: ONE driver pass over the edge stream computes
+        # union-find labels + per-node max score WHILE the stream runs
+        # (no materialize barrier, no re-reads); falls back to the
+        # distributed path if the stream exceeds local_cc_max_edges
+        from ..stages.clustering import collect_edges_local
+
+        plan = matched_edges(pages_factory(), cfg, idf_ref)
+        out = collect_edges_local(plan, cfg.local_cc_max_edges)
+        if out is not None:
+            edges_df, label_map, conf_map = out
+            edges = ray.data.from_pandas(edges_df)
+            assignment = _attach_broadcast(slim, label_map, conf_map)
+            return assignment, edges
+        edges = plan.materialize()  # big-edge fallback: recompute-free
     labels = resolve_labels(edges, cfg)
     # the distributed (join) attach path still needs the Ray aggregate;
     # the broadcast path computes the confidence map from edges directly
@@ -229,6 +302,5 @@ def resolve_entities(
         if n_edges > cfg.broadcast_label_limit
         else None
     )
-    slim = pages_factory().select_columns(["url", "source", "lang"])
     assignment = attach_labels(slim, labels, conf, cfg, edges=edges)
     return assignment, edges

@@ -200,18 +200,29 @@ def documents_path(sf_dir: str) -> str:
     return f"{sf_dir}/documents.parquet"
 
 
-def _read_blocks(replicate: int = 1) -> int:
-    """Per-read block count for the documents read: a single small
-    parquet file would otherwise become 1-16 blocks and cap every
-    downstream map_batches at that parallelism (measured: flat 8→32-CPU
-    scaling).  Target ≈ 4 blocks per core TOTAL across replicas — block
-    counts in the thousands make the sort-based shuffles slower than
-    the compute they carry (measured: 32 cpus slower than 8)."""
+MIN_DOCS_PER_BLOCK = 150  # below this, per-block task + shuffle
+                          # bookkeeping dominates useful work (measured
+                          # sf0.1: 128 blocks -> 28 s, 32 blocks -> 19 s)
+
+
+def _read_blocks(sf_dir: str, replicate: int = 1) -> int:
+    """Per-read block count for the documents read, sized to the DATA:
+    a single small parquet file would otherwise become 1-16 blocks and
+    cap every downstream map_batches at that parallelism (measured:
+    flat 8->32-CPU scaling), while block counts far above what the row
+    count supports make the sort shuffles slower than the compute they
+    carry (measured both directions).  Target: >= MIN_DOCS_PER_BLOCK
+    docs per block, capped at 4 blocks per core TOTAL across
+    replicas."""
     import ray
+    import pyarrow.parquet as pq
 
     ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    total = max(64, 4 * ncpu)
-    return max(8, total // max(1, replicate))
+    n_docs = pq.read_metadata(documents_path(sf_dir)).num_rows
+    by_data = max(1, n_docs // MIN_DOCS_PER_BLOCK)
+    total_cap = max(16, 4 * ncpu)
+    per_read = min(by_data, max(4, total_cap // max(1, replicate)))
+    return max(4, per_read)
 
 
 REPLICA_STRIDE = 100_000  # doc_id offset between replicas (>> any sf's max id)
@@ -221,7 +232,7 @@ def _docs_dataset(sf_dir: str, replicate: int) -> "ray.data.Dataset":
     base = ray.data.read_parquet(
         documents_path(sf_dir),
         columns=["doc_id", "text", "lang", "source"],
-        override_num_blocks=_read_blocks(replicate),
+        override_num_blocks=_read_blocks(sf_dir, replicate),
     )
     if replicate <= 1:
         return base
@@ -243,17 +254,91 @@ def _docs_dataset(sf_dir: str, replicate: int) -> "ray.data.Dataset":
     return parts[0].union(*parts[1:])
 
 
-def pages_dataset(sf_dir: str, replicate: int = 1) -> "ray.data.Dataset":
+def pages_dataset(
+    sf_dir: str, replicate: int = 1, sample_p: float | None = None
+) -> "ray.data.Dataset":
     """The synthesized pages table as a streaming Dataset.
 
     ``replicate``: deterministic corpus scale-up for benchmarking — R
     shifted copies of the documents table (disjoint doc_id ranges, so
     per-doc salting keeps replicas mutually dissimilar: no cross-replica
     matches, R× the entities).  Hot-domain skew is preserved (the hot
-    domain takes ~10% of every replica)."""
-    return _docs_dataset(sf_dir, replicate).map_batches(
-        _expand_pages, batch_format="pyarrow"
+    domain takes ~10% of every replica).
+
+    ``sample_p``: content-hash doc sample taken BEFORE page expansion
+    (the IDF pre-pass consumer: sampling after expansion would pay the
+    full corpus synthesis/render to keep 5%).  Samples whole entities
+    (all pages of a doc), which is what DF estimation wants."""
+    docs = _docs_dataset(sf_dir, replicate)
+    if sample_p is not None and sample_p < 1.0:
+        from ..ops.sampling import hash_sample
+
+        docs = hash_sample(docs, sample_p, id_col="doc_id", salt="idf")
+    return docs.map_batches(_expand_pages, batch_format="pyarrow")
+
+
+def _expand_slim(batch: pa.Table) -> pa.Table:
+    """(url, source, lang) only — the attach pass needs no text/html,
+    and for this derived source skipping the render halves its cost
+    (a real Parquet pages source gets the same effect from column
+    pruning at the read)."""
+    urls, langs, sources = [], [], []
+
+    for doc_id, lang, source in zip(
+        batch["doc_id"].to_pylist(),
+        batch["lang"].to_pylist(),
+        batch["source"].to_pylist(),
+    ):
+        dom = _domain(doc_id, source)
+        urls.append(_url(dom, "a", doc_id))
+        langs.append(lang)
+        sources.append(source)
+        for j in range(_n_dups(doc_id)):
+            ddom = dom if doc_id % 6 == 0 else f"m-{source}.alt.example.com"
+            urls.append(_url(ddom, "b", doc_id, j))
+            langs.append(lang)
+            sources.append("alt-" + source)
+        if doc_id % 50 == 1:
+            urls.append(_url(dom, "c", doc_id))
+            langs.append(lang)
+            sources.append(source)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
     )
+
+
+def pages_slim_dataset(sf_dir: str, replicate: int = 1) -> "ray.data.Dataset":
+    """The pages table projected to (url, source, lang) without paying
+    text salting / html rendering (see :func:`_expand_slim`)."""
+    return _docs_dataset(sf_dir, replicate).map_batches(
+        _expand_slim, batch_format="pyarrow"
+    )
+
+
+def pages_sample_table(
+    sf_dir: str, p: float, replicate: int = 1
+) -> pa.Table:
+    """Driver-side content-hash sample of the pages fixture as ONE
+    pyarrow Table — the IDF pre-pass input.  A p ≈ 5% sample is a few
+    hundred rows; computing it in-process skips a whole Ray pipeline's
+    fixed overhead (measured 4-11 s for ~250 docs).  Replicas share the
+    same underlying docs, so sampling the base once suffices — DF
+    fractions are replica-invariant by construction."""
+    import pyarrow.parquet as pq
+
+    from ..functions.texthash import hash_str_array
+
+    docs = pq.read_table(
+        documents_path(sf_dir), columns=["doc_id", "text", "lang", "source"]
+    )
+    ids = docs.column("doc_id").to_pandas().astype(str)
+    h = hash_str_array(("idf" + ids).to_numpy(object))  # == ops.sampling.hash_sample
+    keep = h <= np.uint64(int(p * float(2**64 - 1)))
+    return _expand_pages(docs.filter(pa.array(keep)))
 
 
 def relations_dataset(sf_dir: str, replicate: int = 1) -> "ray.data.Dataset":

@@ -1,0 +1,612 @@
+"""Minimal SQL façade: execute a SQL string on Ray Data.
+
+The reference's headline UX is NL→SQL over the catalog — the agent
+builds a SQL string from Glue schemas and runs it on Athena
+(`lambda/webbackend/agent_processor.py:613-753` system prompt,
+`:836-860` agent loop + execute-query tool).  This engine supplies the
+missing execution half natively: the SQL string is parsed with
+DuckDB's public ``json_serialize_sql`` (parser only — DuckDB executes
+nothing here) and the AST is compiled onto this repo's Ray Data
+operators:
+
+    FROM / JOIN        → pruned ``read_parquet`` + ``ops.relational.hash_join``
+    WHERE              → vectorized ``map_batches`` mask
+    GROUP BY / agg     → ``Dataset.groupby().aggregate`` (partial-agg shuffle)
+    HAVING             → post-aggregate vectorized filter
+    SELECT             → vectorized projection (scalar fns below)
+    ORDER BY / LIMIT   → ``Dataset.sort`` + ``limit``
+    UNION ALL          → ``Dataset.union`` (right side renamed to left names)
+
+Supported scalar surface: arithmetic, comparisons, AND/OR/NOT, IN,
+``||``/concat, lower/upper/trim, length, CAST, CASE, round (DuckDB
+half-away-from-zero), abs, strftime, epoch, to_timestamp, and
+``from_unixtime`` (the reference's Athena epoch-seconds idiom,
+`lambda/webbackend/agent_processor.py:118-128`).  Aggregates: count(*),
+count, sum, avg, min, max.
+
+Column pruning happens at the read: the compiler collects every column
+reference per base table and passes exactly those to the catalog
+loader.  Unsupported constructs raise ``SqlUnsupported`` with the node
+type — a façade that silently mis-executes would be worse than none.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable, Sequence
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+class SqlUnsupported(Exception):
+    pass
+
+
+def parse_sql(sql: str) -> dict:
+    """Parse (only) via DuckDB's json_serialize_sql; returns the single
+    statement's AST node."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        out = json.loads(
+            con.execute("SELECT json_serialize_sql($ast$" + sql + "$ast$)").fetchone()[0]
+        )
+    finally:
+        con.close()
+    if out.get("error"):
+        raise SqlUnsupported(f"parse error: {out.get('error_message')}")
+    stmts = out["statements"]
+    if len(stmts) != 1:
+        raise SqlUnsupported("exactly one statement expected")
+    return stmts[0]["node"]
+
+
+# ---------------------------------------------------------------------------
+# catalog
+# ---------------------------------------------------------------------------
+
+class Catalog:
+    """name → (loader(columns) → Dataset, full column list)."""
+
+    def __init__(self):
+        self._loaders: dict[str, Callable] = {}
+        self._columns: dict[str, list[str]] = {}
+
+    def register_parquet(self, name: str, path: str) -> None:
+        import pyarrow.parquet as pq
+
+        cols = pq.read_schema(path).names
+
+        def _load(columns: Sequence[str] | None):
+            return ray.data.read_parquet(
+                path, columns=list(columns) if columns else None
+            )
+
+        self._loaders[name] = _load
+        self._columns[name] = list(cols)
+
+    def register_dataset(self, name: str, ds: "ray.data.Dataset") -> None:
+        cols = ds.schema().names
+
+        def _load(columns):
+            return ds.select_columns(list(columns)) if columns else ds
+
+        self._loaders[name] = _load
+        self._columns[name] = list(cols)
+
+    def columns(self, name: str) -> list[str]:
+        if name not in self._columns:
+            raise SqlUnsupported(f"unknown table {name!r}")
+        return self._columns[name]
+
+    def load(self, name: str, columns: Sequence[str] | None):
+        return self._loaders[name](columns)
+
+
+# ---------------------------------------------------------------------------
+# expression evaluation (vectorized, over a pandas batch)
+# ---------------------------------------------------------------------------
+
+def _sql_round_vec(x, nd):
+    scale = 10.0**nd
+    arr = np.asarray(x, dtype=np.float64)
+    return np.trunc(arr * scale + np.copysign(0.5, arr)) / scale
+
+
+_SCALARS: dict[str, Callable] = {
+    "+": lambda a, b: a + b,
+    "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b,
+    "/": lambda a, b: a / b,
+    "%": lambda a, b: a % b,
+    "||": lambda a, b: _as_str(a) + _as_str(b),
+    "concat": lambda *xs: _concat_all(xs),
+    "lower": lambda a: a.str.lower(),
+    "upper": lambda a: a.str.upper(),
+    "trim": lambda a: a.str.strip(),
+    "length": lambda a: a.str.len().astype("int64"),
+    "len": lambda a: a.str.len().astype("int64"),
+    "abs": lambda a: a.abs(),
+    "round": lambda a, nd=0: pd.Series(
+        _sql_round_vec(a, int(nd) if np.isscalar(nd) else int(nd.iloc[0])),
+        index=a.index,
+    ),
+    "strftime": lambda ts, fmt: ts.dt.strftime(fmt),
+    # normalize to ns first: pandas 2.x keeps the parquet unit (µs/s)
+    "epoch": lambda ts: (ts.astype("datetime64[ns]").astype("int64") // 1_000_000_000),
+    "to_timestamp": lambda s: pd.to_datetime(s, unit="s"),
+    # the reference's Athena guidance for epoch-seconds columns
+    "from_unixtime": lambda s: pd.to_datetime(s, unit="s"),
+    "~~": lambda a, pat: a.str.fullmatch(_like_regex(pat)).fillna(False),
+    "!~~": lambda a, pat: ~a.str.fullmatch(_like_regex(pat)).fillna(False),
+}
+
+
+def _like_regex(pattern: str) -> str:
+    """SQL LIKE → anchored regex (% → .*, _ → .)."""
+    import re as _re
+
+    out = []
+    for ch in pattern:
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "".join(out)
+
+_COMPARES = {
+    "COMPARE_EQUAL": lambda a, b: a == b,
+    "COMPARE_NOTEQUAL": lambda a, b: a != b,
+    "COMPARE_LESSTHAN": lambda a, b: a < b,
+    "COMPARE_LESSTHANOREQUALTO": lambda a, b: a <= b,
+    "COMPARE_GREATERTHAN": lambda a, b: a > b,
+    "COMPARE_GREATERTHANOREQUALTO": lambda a, b: a >= b,
+}
+
+_AGG_FNS = {"sum", "avg", "mean", "min", "max", "count", "count_star"}
+
+
+def _as_str(x):
+    if isinstance(x, pd.Series):
+        return x.astype(str)
+    return str(x)
+
+
+def _concat_all(xs):
+    out = _as_str(xs[0])
+    for x in xs[1:]:
+        out = out + _as_str(x)
+    return out
+
+
+def _const_value(node: dict):
+    v = node["value"]
+    if v.get("is_null"):
+        return None
+    tid = v["type"]["id"]
+    if tid == "DECIMAL":
+        scale = v["type"]["type_info"]["scale"]
+        return v["value"] / (10**scale)
+    return v["value"]
+
+
+def _struct_key(node: dict) -> str:
+    """Structural identity for expressions (aggregate matching between
+    select list / HAVING / ORDER BY), location fields stripped."""
+
+    def clean(o):
+        if isinstance(o, dict):
+            return {
+                k: clean(v)
+                for k, v in o.items()
+                if k not in ("location", "query_location", "alias")
+            }
+        if isinstance(o, list):
+            return [clean(x) for x in o]
+        return o
+
+    return json.dumps(clean(node), sort_keys=True)
+
+
+def _is_aggregate(node: dict) -> bool:
+    return (
+        node.get("class") == "FUNCTION"
+        and node.get("function_name", "").lower() in _AGG_FNS
+    )
+
+
+def _contains_aggregate(node) -> bool:
+    if isinstance(node, dict):
+        if _is_aggregate(node):
+            return True
+        return any(_contains_aggregate(v) for v in node.values())
+    if isinstance(node, list):
+        return any(_contains_aggregate(x) for x in node)
+    return False
+
+
+def eval_expr(node: dict, df: pd.DataFrame, agg_cols: dict[str, str] | None = None):
+    """node → Series/scalar over ``df``.  ``agg_cols`` maps a structural
+    aggregate key to its materialized column (post-GROUP BY frames)."""
+    cls = node.get("class")
+    typ = node.get("type")
+    if agg_cols is not None and _is_aggregate(node):
+        return df[agg_cols[_struct_key(node)]]
+    if cls == "COLUMN_REF":
+        return df[node["column_names"][-1]]
+    if cls == "CONSTANT":
+        return _const_value(node)
+    if cls == "COMPARISON":
+        a = eval_expr(node["left"], df, agg_cols)
+        b = eval_expr(node["right"], df, agg_cols)
+        return _COMPARES[typ](a, b)
+    if cls == "CONJUNCTION":
+        kids = [eval_expr(c, df, agg_cols) for c in node["children"]]
+        out = kids[0]
+        for k in kids[1:]:
+            out = (out & k) if typ == "CONJUNCTION_AND" else (out | k)
+        return out
+    if cls == "OPERATOR" and typ in ("COMPARE_IN", "COMPARE_NOT_IN"):
+        target = eval_expr(node["children"][0], df, agg_cols)
+        vals = [eval_expr(c, df, agg_cols) for c in node["children"][1:]]
+        mask = target.isin(vals)
+        return ~mask if typ == "COMPARE_NOT_IN" else mask
+    if cls == "OPERATOR" and typ == "OPERATOR_NOT":
+        return ~eval_expr(node["children"][0], df, agg_cols)
+    if cls == "OPERATOR" and typ in ("OPERATOR_IS_NULL", "OPERATOR_IS_NOT_NULL"):
+        v = eval_expr(node["children"][0], df, agg_cols)
+        return v.isna() if typ == "OPERATOR_IS_NULL" else v.notna()
+    if cls == "CAST":
+        v = eval_expr(node["child"], df, agg_cols)
+        tid = node["cast_type"]["id"]
+        if tid == "VARCHAR":
+            return _as_str(v)
+        if tid in ("INTEGER", "BIGINT", "SMALLINT", "TINYINT"):
+            return v.astype("int64") if isinstance(v, pd.Series) else int(v)
+        if tid in ("DOUBLE", "FLOAT", "DECIMAL"):
+            return v.astype("float64") if isinstance(v, pd.Series) else float(v)
+        raise SqlUnsupported(f"CAST to {tid}")
+    if cls == "CASE":
+        n = len(df)
+        conds, vals = [], []
+        for chk in node["case_checks"]:
+            c = eval_expr(chk["when_expr"], df, agg_cols)
+            v = eval_expr(chk["then_expr"], df, agg_cols)
+            conds.append(np.asarray(c, dtype=bool))
+            vals.append(np.broadcast_to(np.asarray(v, dtype=object), (n,)))
+        default = eval_expr(node["else_expr"], df, agg_cols)
+        default = np.broadcast_to(np.asarray(default, dtype=object), (n,))
+        out = np.select(conds, vals, default)
+        return pd.Series(out, index=df.index)
+    if cls == "FUNCTION":
+        fn = node["function_name"].lower()
+        if fn in _AGG_FNS:
+            raise SqlUnsupported(f"aggregate {fn} outside GROUP BY context")
+        if fn not in _SCALARS:
+            raise SqlUnsupported(f"scalar function {fn}")
+        args = [eval_expr(c, df, agg_cols) for c in node.get("children", [])]
+        return _SCALARS[fn](*args)
+    raise SqlUnsupported(f"expression {cls}/{typ}")
+
+
+# ---------------------------------------------------------------------------
+# compiler
+# ---------------------------------------------------------------------------
+
+_SUPPORTED_EXPR = {
+    ("COLUMN_REF", None), ("CONSTANT", None), ("COMPARISON", None),
+    ("CONJUNCTION", None), ("CAST", None), ("CASE", None), ("STAR", None),
+    ("OPERATOR", "COMPARE_IN"), ("OPERATOR", "COMPARE_NOT_IN"),
+    ("OPERATOR", "OPERATOR_NOT"), ("OPERATOR", "OPERATOR_IS_NULL"),
+    ("OPERATOR", "OPERATOR_IS_NOT_NULL"),
+}
+
+
+def _validate_expr(node) -> None:
+    """Compile-time check so unsupported SQL fails at ``execute_sql``,
+    not lazily mid-stream (a façade must reject, never mis-execute)."""
+    if isinstance(node, list):
+        for x in node:
+            _validate_expr(x)
+        return
+    if not isinstance(node, dict):
+        return
+    cls, typ = node.get("class"), node.get("type")
+    if cls == "FUNCTION":
+        fn = node.get("function_name", "").lower()
+        if fn not in _SCALARS and fn not in _AGG_FNS:
+            raise SqlUnsupported(f"scalar function {fn}")
+        if node.get("distinct"):
+            raise SqlUnsupported(f"{fn}(DISTINCT ...)")
+    elif cls is not None and (cls, None) not in _SUPPORTED_EXPR and (
+        cls, typ
+    ) not in _SUPPORTED_EXPR:
+        raise SqlUnsupported(f"expression {cls}/{typ}")
+    for k, v in node.items():
+        if k not in ("location", "query_location"):
+            _validate_expr(v)
+
+
+def _collect_colrefs(node, out: list):
+    if isinstance(node, dict):
+        if node.get("class") == "COLUMN_REF":
+            names = node["column_names"]
+            out.append((names[0] if len(names) > 1 else None, names[-1]))
+        for v in node.values():
+            _collect_colrefs(v, out)
+    elif isinstance(node, list):
+        for x in node:
+            _collect_colrefs(x, out)
+
+
+def _base_tables(from_node, out: list):
+    t = from_node.get("type")
+    if t == "BASE_TABLE":
+        out.append(from_node)
+    elif t == "JOIN":
+        _base_tables(from_node["left"], out)
+        _base_tables(from_node["right"], out)
+    else:
+        raise SqlUnsupported(f"FROM {t}")
+
+
+def _equality_pairs(cond) -> list[tuple[dict, dict]]:
+    if cond.get("class") == "COMPARISON" and cond["type"] == "COMPARE_EQUAL":
+        return [(cond["left"], cond["right"])]
+    if cond.get("class") == "CONJUNCTION" and cond["type"] == "CONJUNCTION_AND":
+        out = []
+        for c in cond["children"]:
+            out.extend(_equality_pairs(c))
+        return out
+    raise SqlUnsupported("join condition must be AND of equalities")
+
+
+class _FromPlan:
+    def __init__(self, ds, columns: set[str]):
+        self.ds = ds
+        self.columns = columns
+
+
+def _compile_from(from_node, catalog: Catalog, needed: dict) -> _FromPlan:
+    """needed: {qualifier-or-table: set(cols)} + {None: set(cols)}."""
+    t = from_node["type"]
+    if t == "BASE_TABLE":
+        name = from_node["table_name"]
+        alias = from_node.get("alias") or name
+        avail = catalog.columns(name)
+        want = set()
+        for qual in (alias, name):
+            want |= needed.get(qual, set())
+        want |= {c for c in needed.get(None, set()) if c in avail}
+        missing = want - set(avail)
+        if missing:
+            raise SqlUnsupported(f"columns {missing} not in table {name}")
+        cols = [c for c in avail if c in want] or avail[:1]
+        return _FromPlan(catalog.load(name, cols), set(cols))
+    if t == "JOIN":
+        left = _compile_from(from_node["left"], catalog, needed)
+        right = _compile_from(from_node["right"], catalog, needed)
+        jt = from_node.get("join_type", "INNER")
+        how = {"INNER": "inner", "LEFT": "left_outer"}.get(jt)
+        if how is None:
+            raise SqlUnsupported(f"join type {jt}")
+        lk, rk = [], []
+        for a, b in _equality_pairs(from_node["condition"]):
+            ca, cb = a["column_names"][-1], b["column_names"][-1]
+            if ca in left.columns and cb in right.columns:
+                lk.append(ca)
+                rk.append(cb)
+            elif cb in left.columns and ca in right.columns:
+                lk.append(cb)
+                rk.append(ca)
+            else:
+                raise SqlUnsupported(f"cannot route join key {ca}={cb}")
+        from ..ops.relational import hash_join
+
+        ds = hash_join(left.ds, right.ds, on=tuple(lk), right_on=tuple(rk), how=how)
+        return _FromPlan(ds, left.columns | right.columns)
+    raise SqlUnsupported(f"FROM {t}")
+
+
+def _output_name(item: dict, i: int, auto: bool = False) -> str:
+    if item.get("alias"):
+        return item["alias"]
+    if item.get("class") == "COLUMN_REF":
+        return item["column_names"][-1]
+    if auto:  # e.g. the right side of UNION ALL: renamed positionally anyway
+        return f"_c{i}"
+    raise SqlUnsupported(f"select item #{i} needs an alias")
+
+
+_AGG_BUILDERS = {
+    "sum": lambda col, name: Sum(col, alias_name=name),
+    "avg": lambda col, name: Mean(col, alias_name=name),
+    "mean": lambda col, name: Mean(col, alias_name=name),
+    "min": lambda col, name: Min(col, alias_name=name),
+    "max": lambda col, name: Max(col, alias_name=name),
+}
+
+
+def _compile_select_node(node: dict, catalog: Catalog, auto_names: bool = False):
+    if node["type"] == "SET_OPERATION_NODE":
+        if node["setop_type"] != "UNION" or not node.get("setop_all"):
+            raise SqlUnsupported("only UNION ALL supported")
+        left = _compile_select_node(node["left"], catalog)
+        right = _compile_select_node(node["right"], catalog, auto_names=True)
+        lcols = left.schema().names
+        rcols = right.schema().names
+        if len(lcols) != len(rcols):
+            raise SqlUnsupported("UNION ALL arity mismatch")
+        rename = dict(zip(rcols, lcols))
+
+        def _rn(df: pd.DataFrame) -> pd.DataFrame:
+            return df.rename(columns=rename)
+
+        return left.union(right.map_batches(_rn, batch_format="pandas"))
+    if node["type"] != "SELECT_NODE":
+        raise SqlUnsupported(f"statement {node['type']}")
+
+    for part in ("select_list", "where_clause", "having", "group_expressions"):
+        if node.get(part):
+            _validate_expr(node[part])
+    for mod in node.get("modifiers", []):
+        if mod.get("type") == "ORDER_MODIFIER":
+            _validate_expr([o["expression"] for o in mod["orders"]])
+
+    refs: list = []
+    _collect_colrefs(node, refs)
+    needed: dict = {}
+    for qual, col in refs:
+        needed.setdefault(qual, set()).add(col)
+    plan = _compile_from(node["from_table"], catalog, needed)
+    ds = plan.ds
+
+    where = node.get("where_clause")
+    if where:
+        def _filt(df: pd.DataFrame) -> pd.DataFrame:
+            return df[np.asarray(eval_expr(where, df), dtype=bool)]
+
+        ds = ds.map_batches(_filt, batch_format="pandas")
+
+    select_list = node["select_list"]
+    group_exprs = node.get("group_expressions", [])
+    has_agg = any(_contains_aggregate(x) for x in select_list) or bool(
+        node.get("having")
+    )
+
+    if group_exprs or has_agg:
+        ds = _compile_aggregate(node, ds, select_list, group_exprs, auto_names)
+    else:
+        if len(select_list) == 1 and select_list[0].get("class") == "STAR":
+            pass  # SELECT *
+        else:
+            names = [_output_name(it, i, auto_names) for i, it in enumerate(select_list)]
+
+            def _proj(df: pd.DataFrame) -> pd.DataFrame:
+                out = {}
+                for name, it in zip(names, select_list):
+                    v = eval_expr(it, df)
+                    if not isinstance(v, pd.Series):
+                        v = pd.Series([v] * len(df), index=df.index)
+                    out[name] = v
+                return pd.DataFrame(out)
+
+            ds = ds.map_batches(_proj, batch_format="pandas")
+
+    for mod in node.get("modifiers", []):
+        if mod["type"] == "ORDER_MODIFIER":
+            keys, desc = [], []
+            for o in mod["orders"]:
+                e = o["expression"]
+                if e.get("class") != "COLUMN_REF":
+                    raise SqlUnsupported("ORDER BY must reference output columns")
+                keys.append(e["column_names"][-1])
+                desc.append(o["type"] == "DESCENDING")
+            ds = ds.sort(keys, descending=desc)
+        elif mod["type"] == "LIMIT_MODIFIER":
+            ds = ds.limit(int(_const_value(mod["limit"])))
+        else:
+            raise SqlUnsupported(f"modifier {mod['type']}")
+    return ds
+
+
+def _compile_aggregate(node, ds, select_list, group_exprs, auto_names=False):
+    """GROUP BY path: one pre-stage computes key + aggregate-input
+    columns vectorized, one partial-aggregating groupby shuffle, then
+    HAVING + the final projection over the aggregated frame."""
+    key_names = [f"_g{i}" for i in range(len(group_exprs))]
+    key_structs = {_struct_key(g): kn for g, kn in zip(group_exprs, key_names)}
+
+    # collect every distinct aggregate in select list + having
+    agg_nodes: dict[str, dict] = {}
+
+    def walk(n):
+        if isinstance(n, dict):
+            if _is_aggregate(n):
+                agg_nodes.setdefault(_struct_key(n), n)
+                return
+            for v in n.values():
+                walk(v)
+        elif isinstance(n, list):
+            for x in n:
+                walk(x)
+
+    walk(select_list)
+    if node.get("having"):
+        walk(node["having"])
+
+    agg_cols = {k: f"_a{i}" for i, k in enumerate(agg_nodes)}
+    aggs = []
+    input_exprs: dict[str, dict] = {}  # input column name -> child expr
+    for k, n in agg_nodes.items():
+        fn = n["function_name"].lower()
+        if n.get("distinct"):
+            raise SqlUnsupported(f"{fn}(DISTINCT ...)")
+        out_col = agg_cols[k]
+        if fn == "count_star":
+            aggs.append(Count(alias_name=out_col))
+            continue
+        children = n.get("children", [])
+        if len(children) != 1:
+            raise SqlUnsupported(f"aggregate {fn} arity")
+        in_col = f"_in{len(input_exprs)}"
+        input_exprs[in_col] = children[0]
+        if fn == "count":
+            aggs.append(Count(in_col, alias_name=out_col, ignore_nulls=True))
+        else:
+            aggs.append(_AGG_BUILDERS[fn](in_col, out_col))
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        out = {}
+        for g, kn in zip(group_exprs, key_names):
+            v = eval_expr(g, df)
+            out[kn] = v if isinstance(v, pd.Series) else pd.Series([v] * len(df))
+        for cn, e in input_exprs.items():
+            v = eval_expr(e, df)
+            out[cn] = v if isinstance(v, pd.Series) else pd.Series([v] * len(df))
+        return pd.DataFrame(out)
+
+    ds = ds.map_batches(_prep, batch_format="pandas")
+    if key_names:
+        agged = ds.groupby(key_names).aggregate(*aggs)
+    else:
+        # global aggregate: Dataset.aggregate returns one dict row
+        row = ds.aggregate(*aggs)
+        agged = ray.data.from_items([row])
+
+    having = node.get("having")
+    names = [_output_name(it, i, auto_names) for i, it in enumerate(select_list)]
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        if having is not None:
+            mask = eval_expr(having, df, agg_cols)
+            df = df[np.asarray(mask, dtype=bool)]
+        out = {}
+        for name, it in zip(names, select_list):
+            sk = _struct_key(it)
+            if sk in key_structs:  # select item IS a group expression
+                out[name] = df[key_structs[sk]]
+                continue
+            v = eval_expr(it, df, agg_cols)
+            if not isinstance(v, pd.Series):
+                v = pd.Series([v] * len(df), index=df.index)
+            out[name] = v
+        return pd.DataFrame(out)
+
+    return agged.map_batches(_final, batch_format="pandas")
+
+
+def execute_sql(sql: str, catalog: Catalog):
+    """SQL string → Ray Dataset (lazy until consumed)."""
+    node = parse_sql(sql)
+    return _compile_select_node(node, catalog)
+
+
+__all__ = ["Catalog", "execute_sql", "parse_sql", "SqlUnsupported", "eval_expr"]

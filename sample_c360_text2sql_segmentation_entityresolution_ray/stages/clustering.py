@@ -110,11 +110,16 @@ def connected_components(
     return labels
 
 
-def connected_components_local(edges) -> pd.DataFrame:
-    """Driver union-find over a provably-small edge set (streamed)."""
-    parent: dict[str, str] = {}
+class LocalUnionFind:
+    """Driver union-find with min-label convergence (content-defined:
+    the component label is its minimum node, never partition order).
+    Feed edge batches as they stream; read labels at the end."""
 
-    def find(x: str) -> str:
+    def __init__(self):
+        self.parent: dict = {}
+
+    def _find(self, x):
+        parent = self.parent
         root = x
         while parent.get(root, root) != root:
             root = parent[root]
@@ -122,24 +127,79 @@ def connected_components_local(edges) -> pd.DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    def union(a: str, b: str) -> None:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # union by min keeps the label content-defined
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-            parent.setdefault(lo, lo)
+    def add_edges(self, a_arr, b_arr) -> None:
+        parent = self.parent
+        for a, b in zip(a_arr, b_arr):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = self._find(a), self._find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+                parent.setdefault(lo, lo)
 
+    def label_map(self) -> dict:
+        return {n: self._find(n) for n in self.parent}
+
+    def labels_frame(self) -> pd.DataFrame:
+        m = self.label_map()
+        return pd.DataFrame({"node": list(m.keys()), "label": list(m.values())})
+
+
+def connected_components_local(edges) -> pd.DataFrame:
+    """Driver union-find over a provably-small edge set (streamed)."""
+    uf = LocalUnionFind()
     for batch in edges.select_columns(["url_a", "url_b"]).iter_batches(
         batch_size=65536, batch_format="pandas"
     ):
-        for a, b in zip(batch["url_a"].to_numpy(), batch["url_b"].to_numpy()):
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            union(a, b)
+        uf.add_edges(batch["url_a"].to_numpy(), batch["url_b"].to_numpy())
+    return uf.labels_frame()
 
-    nodes = list(parent.keys())
-    return pd.DataFrame({"node": nodes, "label": [find(n) for n in nodes]})
+
+def collect_edges_local(edges_plan, max_edges: int):
+    """Consume the matched-edge plan in ONE driver pass, overlapping
+    union-find and per-node max-score (ConfidenceLevel) with the
+    stream — removes the materialize barrier + two re-reads the
+    split-stage version paid.
+
+    Returns ``(edges_df, label_map, conf_map)`` or ``None`` if the
+    stream exceeds ``max_edges`` (caller falls back to the distributed
+    materialize + min-label-propagation path; at web scale set the
+    config so the fallback is chosen up front rather than after a
+    partial stream)."""
+    pieces: list[pd.DataFrame] = []
+    uf = LocalUnionFind()
+    conf: dict = {}
+    n = 0
+    for batch in edges_plan.iter_batches(batch_size=65536, batch_format="pandas"):
+        n += len(batch)
+        if n > max_edges:
+            return None
+        pieces.append(batch)
+        a = batch["url_a"].to_numpy()
+        b = batch["url_b"].to_numpy()
+        s = batch["score"].to_numpy()
+        uf.add_edges(a, b)
+        for nodes in (a, b):
+            for node, sc in zip(nodes, s):
+                prev = conf.get(node)
+                if prev is None or sc > prev:
+                    conf[node] = sc
+    if pieces:
+        edges_df = pd.concat(pieces, ignore_index=True)
+    else:
+        edges_df = pd.DataFrame(
+            {
+                "url_a": pd.Series(dtype=object),
+                "url_b": pd.Series(dtype=object),
+                "jaccard": pd.Series(dtype=float),
+                "cosine": pd.Series(dtype=float),
+                "jw": pd.Series(dtype=float),
+                "score": pd.Series(dtype=float),
+                "block_n": pd.Series(dtype=np.int32),
+            }
+        )
+    return edges_df, uf.label_map(), conf
 
 
 def resolve_labels(edges, cfg: ERConfig = DEFAULT_CONFIG) -> "ray.data.Dataset":

@@ -32,8 +32,11 @@ class ERConfig:
     domain_salt_chars: int = 2  # slug-prefix chars used to salt domain blocks
     allpairs_cap: int = 40      # blocks <= cap: all pairs; else sorted-neighborhood
     snm_window: int = 5         # sorted-neighborhood window width
-    pair_partitions: int = 64   # hash partitions for vectorized pair-gen
-                                # (≈ 2× target cluster cores; each is one task)
+    pair_partitions: int = 256  # hash partitions for vectorized pair-gen
+                                # (small multiple of target cluster cores;
+                                # 256 keeps the hot-domain partition's pair
+                                # emission task under ~4x the mean —
+                                # measured 10x skew at 64)
 
     # --- short-doc recall path ---
     short_doc_tokens: int = 80  # records below this token count also carry
@@ -49,10 +52,13 @@ class ERConfig:
                                 # short pairs ≥ 0.25
     idf_sample_p: float = 0.05  # corpus fraction sampled (content-hash,
                                 # deterministic) to estimate bigram DF
-    idf_min_df_frac: float = 0.01  # grams below this df fraction are not
+    idf_min_df_frac: float = 0.05  # grams below this df fraction are not
                                    # tabled (take the max-idf default) —
                                    # keeps the broadcast table at
-                                   # O(boilerplate vocab) any corpus size
+                                   # O(boilerplate vocab) at any corpus
+                                   # size, and above the df a sampled
+                                   # entity's OWN grams reach through its
+                                   # duplicate pages (≤4 of ~100+ sampled)
 
     # --- scoring ---
     score_threshold: float = 0.4
@@ -66,7 +72,11 @@ class ERConfig:
     # --- execution ---
     scorer_concurrency: int = 32    # actor-pool MAX for PairScorer
                                     # (autoscaling (1, min(this, cpus-1)))
-    scorer_batch_size: int = 2048
+    scorer_batch_size: int | None = None  # None = whole upstream blocks:
+                                # re-slicing object-payload pandas blocks
+                                # copies them (measured: 52 s -> 32 s UDF
+                                # at sf0.1); block size is already bounded
+                                # by the docs-per-block read sizing
     pair_dedup_partitions: int = 32
     cc_num_partitions: int = 16
     cc_max_rounds: int = 30

@@ -1,17 +1,32 @@
-"""Pairwise scoring: a stateful actor pool over candidate-pair batches.
+"""Pairwise scoring: a two-stage streaming scorer over candidate pairs.
 
 Reference analog: the scoring half of AWS ER ``ML_MATCHING``
 (`lib/entity-resolution-service.ts:179-181`), rebuilt as the north rule
 specifies — batched Jaro-Winkler / Levenshtein on content-defined
-signature slugs plus shingle-set Jaccard and (optionally IDF-weighted)
-cosine over shingle TF vectors, run by
-``map_batches(PairScorer, concurrency=N)`` so per-actor setup (weight
-vector, optional IDF table fetched from the object store) happens once,
-not per batch.
+signature slugs plus shingle-set Jaccard and IDF-weighted bigram
+metrics.
+
+Why two stages: a candidate pair surfaces from up to ~25 blocking keys
+(measured ×2.4 overall, ×17 among TRUE pairs, which collide in nearly
+every band).  The set metrics are cheap enough to pay per duplicate,
+but the string DP kernels are the scorer's dominant cost — so:
+
+1. :class:`PairFeatureGate` (actor pool) — MinHash pre-gate, exact
+   shingle Jaccard, IDF-weighted bigram gate for short docs.  Emits a
+   SLIM row (urls, slugs, jaccard, cosine, block_n ≈ 150 B) for pairs
+   passing a floor; junk pairs (the vast majority) die here without
+   ever being shuffled.
+2. ``dedupe_by_key(url_a, url_b)`` on that slim gated stream — the
+   shuffle moves ~150 B/row for the few survivors, not the ~45 KB
+   feature payload of the full candidate stream (the r1 design note
+   about not shuffling candidates still holds; this shuffles the
+   gated 2-4%).
+3. :func:`string_score_stage` — Jaro-Winkler + Levenshtein ONCE per
+   unique pair, final weighted score + threshold.
 
 Candidate pairs are self-contained (both sides' capped feature arrays
-ride along from blocking), so scoring needs **no join back to the
-corpus** — the stage is a pure streaming map.
+ride along from blocking), so stage 1 needs **no join back to the
+corpus** — a pure streaming map.
 """
 
 from __future__ import annotations
@@ -24,11 +39,23 @@ import ray
 from ..functions.strings import jaro_winkler_batch, levenshtein_sim_batch
 from .config import DEFAULT_CONFIG, ERConfig
 
+SLIM_COLUMNS = ["url_a", "url_b", "slug_a", "slug_b", "jaccard", "cosine", "block_n"]
 EDGE_COLUMNS = ["url_a", "url_b", "jaccard", "cosine", "jw", "score", "block_n"]
 
 
-class PairScorer:
-    """Callable actor class for ``map_batches``.
+def _empty_slim() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            c: pd.Series(dtype=t)
+            for c, t in zip(
+                SLIM_COLUMNS, [object, object, object, object, float, float, np.int32]
+            )
+        }
+    )
+
+
+class PairFeatureGate:
+    """Stage-1 callable actor class for ``map_batches``.
 
     ``idf_ref``: optional ``ray.put`` handle to a
     :class:`..functions.idf.IdfTable` (bigram-hash → idf weight) —
@@ -43,24 +70,13 @@ class PairScorer:
         self.cfg = cfg
         self.idf = ray.get(idf_ref) if idf_ref is not None else None
 
-    @staticmethod
-    def _jaccard(sa: np.ndarray, sb: np.ndarray) -> float:
-        if len(sa) == 0 and len(sb) == 0:
-            return 0.0
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        union = len(sa) + len(sb) - inter
-        return inter / union if union else 0.0
-
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         cfg = self.cfg
         n = len(batch)
         if n == 0:
-            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in zip(
-                EDGE_COLUMNS, [object, object, float, float, float, float, np.int32]
-            )})
+            return _empty_slim()
         jac = np.zeros(n)
         cos = np.zeros(n)
-        jw = np.zeros(n)
         sh_a = batch["shingles_a"].to_numpy()
         sh_b = batch["shingles_b"].to_numpy()
         # MinHash pre-gate: one vectorized (n, num_perm) signature
@@ -77,8 +93,7 @@ class PairScorer:
         for i in np.flatnonzero(exact):
             # ONE sorted-set intersection per pair feeds both metrics:
             # shingle sets are unique, so TF-cosine = |∩| / sqrt(|a||b|)
-            # (identical value to the general formula at 1/3 the cost);
-            # the IDF-weighted variant takes the slower path.
+            # (identical value to the general formula at 1/3 the cost)
             sa = np.asarray(sh_a[i], dtype=np.uint32)
             sb = np.asarray(sh_b[i], dtype=np.uint32)
             if len(sa) == 0 or len(sb) == 0:
@@ -92,10 +107,10 @@ class PairScorer:
         # collapses under the same perturbation rate (one dropped token
         # kills 3 of ~20 shingles), so pairs failing the k=3 floor where
         # BOTH sides carry a bigram set (records under
-        # cfg.short_doc_tokens) get one exact bigram-Jaccard check.
-        # Order-destroyed confounders stay ≤ 0.09 bigram-J (bigrams die
-        # with token order) while true short pairs measure ≥ 0.25 —
-        # min_jaccard2 sits between with 2× margin each way.
+        # cfg.short_doc_tokens) get one exact IDF-weighted
+        # bigram-Jaccard check.  Order-destroyed confounders stay
+        # ≤ 0.09 bigram-J and boilerplate-only overlap is discounted to
+        # ~0 by the idf weights; true short pairs measure ≥ 0.25.
         gate3 = jac >= cfg.min_jaccard
         sh2_a = batch["shingles2_a"].to_numpy()
         sh2_b = batch["shingles2_b"].to_numpy()
@@ -122,53 +137,82 @@ class PairScorer:
                 gate2[i] = True
                 jac[i] = j2
                 cos[i] = wi / np.sqrt(swa * swb) if swa and swb else 0.0
-        # string metrics only where coarse overlap exists, batched:
-        # the Levenshtein DP runs once over the gated subset (numpy
-        # kernels across pairs), not per pair.
         gate = gate3 | gate2
-        if gate.any():
-            sl_a = batch["slug_a"].to_numpy()[gate]
-            sl_b = batch["slug_b"].to_numpy()[gate]
-            jw[gate] = 0.5 * jaro_winkler_batch(sl_a, sl_b) + 0.5 * levenshtein_sim_batch(
-                sl_a, sl_b
-            )
-        cos = np.where(gate, cos, 0.0)
-        score = cfg.w_jaccard * jac + cfg.w_cosine * cos + cfg.w_jw * jw
-        # hard floor: a pair below min_jaccard (k=3, or k=2 on the
-        # short-doc path) can never match, however high its cosine/JW
-        # (defends against boilerplate-similar and shared-template
-        # non-matches, the 2% confounder class)
-        score = np.where(gate, score, 0.0)
+        sub = batch[gate]
         return pd.DataFrame(
             {
-                "url_a": batch["url_a"].to_numpy(),
-                "url_b": batch["url_b"].to_numpy(),
-                "jaccard": jac,
-                "cosine": cos,
-                "jw": jw,
-                "score": score,
-                "block_n": batch["block_n"].to_numpy(),
+                "url_a": sub["url_a"].to_numpy(),
+                "url_b": sub["url_b"].to_numpy(),
+                "slug_a": sub["slug_a"].to_numpy(),
+                "slug_b": sub["slug_b"].to_numpy(),
+                "jaccard": jac[gate],
+                "cosine": cos[gate],
+                "block_n": sub["block_n"].to_numpy(),
             }
         )
 
 
 def score_pairs_stage(pairs, cfg: ERConfig = DEFAULT_CONFIG, idf_ref=None):
-    # Autoscaling pool (1, N): a FIXED pool of N actors each reserving a
-    # CPU can consume every core of a small cluster and deadlock the
-    # upstream stages feeding it; with min=1 the pipeline always
-    # progresses and Ray grows the pool only while CPUs are free.
-    import ray
+    """Stage 1 + dedupe: gated slim pairs, exactly once each.
 
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    pool_max = max(1, min(cfg.scorer_concurrency, ncpu - 1))
-    return pairs.map_batches(
-        PairScorer,
-        fn_constructor_kwargs={"cfg": cfg, "idf_ref": idf_ref},
-        batch_format="pandas",
-        batch_size=cfg.scorer_batch_size,
-        concurrency=(1, pool_max),
-        num_cpus=1,
-    )
+    Runs as a TASK stage, not an actor pool: the gate's only state is
+    the broadcast IdfTable, and ``ray.get`` of a plasma-resident object
+    is ~free after the first touch per worker — while an actor pool
+    pays a fresh process spawn + import per pipeline run (measured
+    seconds of ramp-up on every execution).  Actor pools stay the right
+    shape for HEAVY per-worker state (model weights, big indexes);
+    a broadcast lookup table is not that."""
+    kw = {}
+    if cfg.scorer_batch_size is not None:
+        kw["batch_size"] = cfg.scorer_batch_size
+
+    def _gate(batch: pd.DataFrame) -> pd.DataFrame:
+        return PairFeatureGate(cfg, idf_ref)(batch)
+
+    gated = pairs.map_batches(_gate, batch_format="pandas", **kw)
+    from ..ops.relational import dedupe_by_key
+
+    return dedupe_by_key(gated, ["url_a", "url_b"], partitions=cfg.pair_dedup_partitions)
+
+
+def string_score_stage(slim_pairs, cfg: ERConfig = DEFAULT_CONFIG):
+    """Stage 2: batched string metrics on the (unique) gated pairs +
+    the final weighted score.  Plain task stage — stateless and cheap
+    relative to stage 1."""
+
+    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    c: pd.Series(dtype=t)
+                    for c, t in zip(
+                        EDGE_COLUMNS,
+                        [object, object, float, float, float, float, np.int32],
+                    )
+                }
+            )
+        sl_a = df["slug_a"].to_numpy()
+        sl_b = df["slug_b"].to_numpy()
+        jw = 0.5 * jaro_winkler_batch(sl_a, sl_b) + 0.5 * levenshtein_sim_batch(
+            sl_a, sl_b
+        )
+        jac = df["jaccard"].to_numpy()
+        cos = df["cosine"].to_numpy()
+        score = cfg.w_jaccard * jac + cfg.w_cosine * cos + cfg.w_jw * jw
+        return pd.DataFrame(
+            {
+                "url_a": df["url_a"].to_numpy(),
+                "url_b": df["url_b"].to_numpy(),
+                "jaccard": jac,
+                "cosine": cos,
+                "jw": jw,
+                "score": score,
+                "block_n": df["block_n"].to_numpy(),
+            }
+        )
+
+    return slim_pairs.map_batches(_fn, batch_format="pandas")
 
 
 def matched_edges_stage(scored, cfg: ERConfig = DEFAULT_CONFIG):

@@ -78,7 +78,19 @@ def main():
         resolve_entities)
 
     t0 = time.time()
-    assignment, edges = resolve_entities(lambda: pages_dataset(sf))
+    from sample_c360_text2sql_segmentation_entityresolution_ray.pipelines.entity_resolution import (
+        build_idf_ref_local)
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sources.pages import (
+        pages_sample_table)
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sources.pages import (
+        pages_slim_dataset)
+
+    assignment, edges = resolve_entities(
+        lambda: pages_dataset(sf),
+        idf_ref=build_idf_ref_local(pages_sample_table(sf, 0.05)),
+        slim_factory=lambda: pages_slim_dataset(sf),
+    )
     adf = assignment.to_pandas()
     elapsed = time.time() - t0
     rel = relations_dataset(sf).to_pandas()

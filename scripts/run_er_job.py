@@ -72,10 +72,17 @@ def main() -> None:
     )
 
     if args.sf_dir:
+        from sample_c360_text2sql_segmentation_entityresolution_ray.pipelines.entity_resolution import (
+            build_idf_ref_local)
+        from sample_c360_text2sql_segmentation_entityresolution_ray.sources.pages import (
+            pages_sample_table)
+
         factory = lambda: pages_dataset(args.sf_dir, args.replicate)  # noqa: E731
+        idf_ref = build_idf_ref_local(pages_sample_table(args.sf_dir, 0.05))
         fingerprint = f"fixture|{args.sf_dir}|r{args.replicate}"
     else:
         factory = lambda: ray.data.read_parquet(args.pages_parquet)  # noqa: E731
+        idf_ref = None
         fingerprint = f"parquet|{args.pages_parquet}"
 
     status = JobStatusRegistry(os.path.join(args.checkpoint_dir, "job_status.json"))
@@ -88,6 +95,7 @@ def main() -> None:
             factory,
             checkpoint_dir=args.checkpoint_dir,
             input_fingerprint=fingerprint,
+            idf_ref=idf_ref,
         )
         n_rows = overwrite_dir(assignment, args.out)
         wall = time.time() - t0

@@ -39,8 +39,15 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(name, sf_dir, duck):
+    import os
+
+    # fixture-backed oracles bake in the driver's sf0.01 fixture path;
+    # point them at this test run's scale factor instead
+    sql = ORACLES[name].replace(
+        "/v1/sf0.01/", f"/v1/{os.path.basename(sf_dir.rstrip('/'))}/"
+    )
     ray_df = _canon(_to_pandas(QUERIES[name](sf_dir)))
-    sql_df = _canon(duck.sql(ORACLES[name]).df())
+    sql_df = _canon(duck.sql(sql).df())
     assert len(ray_df) == len(sql_df), (
         f"{name}: row count {len(ray_df)} != oracle {len(sql_df)}"
     )

@@ -1,0 +1,133 @@
+"""SQL façade: every supported construct compared against DuckDB
+executing the SAME string (the strongest possible oracle for a SQL
+engine), plus explicit unsupported-construct errors."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from sample_c360_text2sql_segmentation_entityresolution_ray.sql import (
+    Catalog,
+    SqlUnsupported,
+    execute_sql,
+)
+
+TABLES = ["customer", "orders", "supplier", "events", "lineitem"]
+
+
+@pytest.fixture(scope="module")
+def catalog(sf_dir):
+    cat = Catalog()
+    for t in TABLES:
+        cat.register_parquet(t, f"{sf_dir}/{t}.parquet")
+    return cat
+
+
+def _check(sql, catalog, duck):
+    got = execute_sql(sql, catalog).to_pandas()
+    exp = duck.sql(sql).df()
+    cols = sorted(got.columns)
+    assert sorted(exp.columns) == cols
+    g = got[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    e = exp[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, e)
+    return got
+
+
+CASES = {
+    "project_where": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > 100000 AND o_orderstatus = 'O'
+    """,
+    "join_group_having_order_limit": """
+        SELECT c.c_name AS name, count(*) AS order_count,
+               round(sum(o.o_totalprice), 2) AS total_spend
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderstatus = 'O'
+        GROUP BY c.c_name HAVING count(*) >= 2
+        ORDER BY total_spend DESC, name LIMIT 10
+    """,
+    "union_all_scalars": """
+        SELECT 'c_' || CAST(c_custkey AS VARCHAR) AS pid, lower(c_name) AS nm
+        FROM customer WHERE c_custkey IN (1, 2, 3)
+        UNION ALL
+        SELECT 's_' || CAST(s_suppkey AS VARCHAR), lower(s_name) FROM supplier
+    """,
+    "case_strftime": """
+        SELECT event_id, CASE WHEN value >= 50 THEN 'hi' ELSE 'lo' END AS band,
+               strftime(ts, '%Y-%m-%d') AS day
+        FROM events WHERE value > 95
+    """,
+    "global_aggregate": """
+        SELECT count(*) AS n, round(avg(o_totalprice), 2) AS avg_price FROM orders
+    """,
+    "left_join": """
+        SELECT c.c_custkey AS ck, o.o_orderkey AS ok
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        WHERE c.c_custkey <= 20
+    """,
+    "group_multi_agg": """
+        SELECT l_returnflag AS flag, min(l_quantity) AS min_q,
+               max(l_quantity) AS max_q, round(avg(l_discount), 4) AS avg_disc
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "epoch_roundtrip": """
+        SELECT event_id, strftime(to_timestamp(epoch(ts)), '%Y-%m-%d %H:%M:%S') AS t
+        FROM events WHERE value > 99
+    """,
+    "like": """
+        SELECT c_custkey AS k FROM customer
+        WHERE c_name LIKE '%001%' AND c_name NOT LIKE '%9__'
+    """,
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_sql_matches_duckdb(name, catalog, duck):
+    _check(CASES[name], catalog, duck)
+
+
+def test_prunes_columns_at_read(catalog):
+    ds = execute_sql("SELECT o_orderkey AS k FROM orders", catalog)
+    # the physical read must only carry the referenced column
+    assert ds.to_pandas().columns.tolist() == ["k"]
+
+
+def test_unsupported_raises(catalog):
+    with pytest.raises(SqlUnsupported):
+        execute_sql(
+            "SELECT median(o_totalprice) AS m FROM orders", catalog
+        )
+    with pytest.raises(SqlUnsupported):
+        execute_sql(
+            "SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn"
+            " FROM orders",
+            catalog,
+        )
+    with pytest.raises(SqlUnsupported):
+        execute_sql(
+            "SELECT * FROM orders o JOIN customer c ON o.o_custkey < c.c_custkey",
+            catalog,
+        )
+    with pytest.raises(SqlUnsupported):
+        execute_sql("SELECT count(DISTINCT o_custkey) + 1 FROM orders", catalog)
+
+
+def test_from_unixtime_helper(catalog, duck):
+    # the reference's Athena epoch-seconds idiom: from_unixtime on our
+    # side, to_timestamp (the DuckDB spelling) on the oracle side
+    got = execute_sql(
+        "SELECT event_id, strftime(from_unixtime(epoch(ts)), '%Y-%m-%d') AS d "
+        "FROM events WHERE value > 99",
+        catalog,
+    ).to_pandas()
+    exp = duck.sql(
+        "SELECT event_id, strftime(to_timestamp(epoch(ts)), '%Y-%m-%d') AS d "
+        "FROM events WHERE value > 99"
+    ).df()
+    cols = ["event_id", "d"]
+    pd.testing.assert_frame_equal(
+        got[cols].astype(str).sort_values(cols).reset_index(drop=True),
+        exp[cols].astype(str).sort_values(cols).reset_index(drop=True),
+    )
