@@ -1,0 +1,137 @@
+"""Zero-copy broadcast feature table for the slim-shuffle match plan.
+
+A plain ``{url: (arrays...)}`` dict in the object store must be
+re-PICKLED/unpickled on every task's ``ray.get`` — ~90 MB of Python
+object graph per task at 66k records (measured as the dominant gate
+cost).  This store keeps everything in a handful of flat numpy arrays:
+Ray's serializer ships those out-of-band, so ``ray.get`` is a
+zero-copy view and per-task overhead is microseconds.
+
+Lookup is by 64-bit url hash (searchsorted on the sorted hash array).
+A hash collision would read another record's features — probability
+~n²/2⁶⁴ (≈1e-9 at 1M records), noise against the match threshold, and
+the broadcast path is size-capped anyway.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .texthash import hash_str_array
+
+
+class FeatureStore:
+    def __init__(
+        self,
+        key_hashes: np.ndarray,   # sorted uint64
+        sh_off: np.ndarray,       # int64, len n+1
+        sh_val: np.ndarray,       # uint32
+        sh2_off: np.ndarray,
+        sh2_val: np.ndarray,
+        mh8: np.ndarray,          # (n, num_perm) uint8
+    ):
+        self.key_hashes = key_hashes
+        self.sh_off = sh_off
+        self.sh_val = sh_val
+        self.sh2_off = sh2_off
+        self.sh2_val = sh2_val
+        self.mh8 = mh8
+
+    @staticmethod
+    def build(urls, sh_list, sh2_list, mh8_list) -> "FeatureStore":
+        """From per-record feature sequences (any iterables of numpy
+        arrays, same order as ``urls``)."""
+        if len(urls) == 0:
+            return FeatureStore(
+                np.empty(0, np.uint64),
+                np.zeros(1, np.int64), np.empty(0, np.uint32),
+                np.zeros(1, np.int64), np.empty(0, np.uint32),
+                np.empty((0, 0), np.uint8),
+            )
+        kh = hash_str_array(np.asarray(urls, dtype=object))
+        order = np.argsort(kh)
+        kh = kh[order]
+        sh_list = [np.asarray(sh_list[i], np.uint32) for i in order]
+        sh2_list = [np.asarray(sh2_list[i], np.uint32) for i in order]
+        mh8 = np.stack([np.asarray(mh8_list[i], np.uint8) for i in order])
+        sh_off = np.zeros(len(order) + 1, np.int64)
+        np.cumsum([len(s) for s in sh_list], out=sh_off[1:])
+        sh2_off = np.zeros(len(order) + 1, np.int64)
+        np.cumsum([len(s) for s in sh2_list], out=sh2_off[1:])
+        sh_val = (
+            np.concatenate(sh_list) if sh_off[-1] else np.empty(0, np.uint32)
+        )
+        sh2_val = (
+            np.concatenate(sh2_list) if sh2_off[-1] else np.empty(0, np.uint32)
+        )
+        return FeatureStore(kh, sh_off, sh_val, sh2_off, sh2_val, mh8)
+
+    @staticmethod
+    def from_arrow(batches) -> "FeatureStore":
+        """Vectorized build from pyarrow record batches (columns url,
+        shingles, shingles2, mh8): list-column VALUES and offsets are
+        taken as flat numpy arrays (zero-copy), and the sort-by-hash
+        reorder is one vectorized gather — no per-record Python, unlike
+        :meth:`build` (measured ~10 s → <1 s at 200k records)."""
+        if not batches:
+            return FeatureStore.build([], [], [], [])
+        url_parts, sh_v, sh_l, sh2_v, sh2_l, mh_parts = [], [], [], [], [], []
+        for b in batches:
+            url_parts.append(b["url"].to_pandas().to_numpy(object))
+            for col, vs, ls in (("shingles", sh_v, sh_l), ("shingles2", sh2_v, sh2_l)):
+                la = b[col].combine_chunks()
+                off = np.asarray(la.offsets)
+                vs.append(np.asarray(la.values, dtype=np.uint32))
+                ls.append(np.diff(off))
+            mh = b["mh8"].combine_chunks()
+            mlen = np.diff(np.asarray(mh.offsets))
+            width = int(mlen[0]) if len(mlen) else 0
+            mh_parts.append(
+                np.asarray(mh.values, dtype=np.uint8).reshape(-1, width)
+            )
+        urls = np.concatenate(url_parts)
+        kh = hash_str_array(urls)
+        order = np.argsort(kh)
+
+        def gather(values_parts, len_parts):
+            values = (
+                np.concatenate(values_parts)
+                if values_parts
+                else np.empty(0, np.uint32)
+            )
+            lens = np.concatenate(len_parts).astype(np.int64)
+            starts = np.zeros(len(lens), np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            s_lens = lens[order]
+            s_starts = starts[order]
+            out_off = np.zeros(len(lens) + 1, np.int64)
+            np.cumsum(s_lens, out=out_off[1:])
+            total = int(out_off[-1])
+            # one gather: for each output slot, its source index
+            gidx = (
+                np.repeat(s_starts, s_lens)
+                + np.arange(total)
+                - np.repeat(out_off[:-1], s_lens)
+            )
+            return out_off, values[gidx]
+
+        sh_off, sh_val = gather(sh_v, sh_l)
+        sh2_off, sh2_val = gather(sh2_v, sh2_l)
+        mh8 = np.concatenate(mh_parts)[order]
+        return FeatureStore(kh[order], sh_off, sh_val, sh2_off, sh2_val, mh8)
+
+    def rows(self, urls: np.ndarray) -> np.ndarray:
+        """Row indices for an array of url strings."""
+        h = hash_str_array(np.asarray(urls, dtype=object))
+        pos = np.searchsorted(self.key_hashes, h)
+        pos = np.minimum(pos, len(self.key_hashes) - 1)
+        return pos
+
+    def shingles(self, i: int) -> np.ndarray:
+        return self.sh_val[self.sh_off[i] : self.sh_off[i + 1]]
+
+    def shingles2(self, i: int) -> np.ndarray:
+        return self.sh2_val[self.sh2_off[i] : self.sh2_off[i + 1]]
+
+
+__all__ = ["FeatureStore"]

@@ -404,6 +404,9 @@ def embedding_dup_pairs_exact(
     )
 
 
+NGRAM_BROADCAST_DOC_LIMIT = 200_000
+
+
 def ngram_jaccard_pairs(
     pairs: "ray.data.Dataset",
     docs: "ray.data.Dataset",
@@ -411,44 +414,111 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_doc_limit: int = NGRAM_BROADCAST_DOC_LIMIT,
 ) -> "ray.data.Dataset":
     """Re-verify candidate pairs with exact character-``n``-gram Jaccard.
 
-    The doc texts are broadcast once (`ray.put`) — the candidate stream
-    is the big side.  For corpora whose text doesn't fit in one heap,
-    join the texts on instead (two hash joins on id_a / id_b)."""
-    texts = {
-        r[id_col]: r[text_col]
-        for r in docs.select_columns([id_col, text_col]).iter_rows()
-    }
-    ref = ray.put(texts)
+    Plan choice by measured corpus size:
 
-    def grams(s: str) -> set:
-        return {s[i : i + n] for i in range(max(1, len(s) - n + 1))}
+    - small corpus (≤ ``broadcast_doc_limit`` docs): texts broadcast
+      once (`ray.put`), candidate stream maps against them — the fast
+      path when every worker heap can hold the text table;
+    - large corpus: texts are JOINED onto the pair stream instead (two
+      hash-partitioned joins on id_a / id_b), so no single heap ever
+      holds all text — the 100-TB-safe path.
+    """
+    n_docs = docs.count()
+    if n_docs <= broadcast_doc_limit:
+        texts = {
+            r[id_col]: r[text_col]
+            for r in docs.select_columns([id_col, text_col]).iter_rows()
+        }
+        ref = ray.put(texts)
 
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(ref)
-            self._grams: dict = {}  # per-actor memo: each doc's grams once
+        class Verify:
+            def __init__(self):
+                self.texts = ray.get(ref)
+                self._grams: dict = {}  # per-actor memo: each doc's grams once
 
-        def _g(self, i) -> set:
-            s = self._grams.get(i)
+            def _g(self, i) -> set:
+                s = self._grams.get(i)
+                if s is None:
+                    t = self.texts[i]
+                    s = {t[k : k + n] for k in range(max(1, len(t) - n + 1))}
+                    self._grams[i] = s
+                return s
+
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                sims = np.empty(len(batch))
+                for x, (a, b) in enumerate(zip(batch["id_a"], batch["id_b"])):
+                    ga, gb = self._g(a), self._g(b)
+                    u = len(ga | gb)
+                    sims[x] = len(ga & gb) / u if u else 0.0
+                out = batch.copy()
+                out["ngram_jaccard"] = sims
+                return out[out["ngram_jaccard"] >= threshold]
+
+        return pairs.map_batches(Verify, batch_format="pandas", concurrency=(1, 8))
+
+    # join path: ship each pair's two texts through the shuffle, never
+    # the whole corpus to one heap.  TWO joins run concurrently in this
+    # plan, so each gets half the usual aggregator budget — at the
+    # default sizing their combined actor reservation can cover a small
+    # cluster's every CPU and starve the map stages feeding them
+    # (observed livelock at 4 CPUs).
+    from .relational import hash_join
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    P = max(2, ncpu // 2)
+
+    def _side(suffix: str):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {f"_id{suffix}": batch[id_col], f"_text{suffix}": batch[text_col]}
+            )
+
+        return fn
+
+    d = docs.select_columns([id_col, text_col])
+    j = hash_join(
+        pairs,
+        d.map_batches(_side("_a"), batch_format="pandas"),
+        on=("id_a",),
+        right_on=("_id_a",),
+        num_partitions=P,
+    )
+    j = hash_join(
+        j,
+        d.map_batches(_side("_b"), batch_format="pandas"),
+        on=("id_b",),
+        right_on=("_id_b",),
+        num_partitions=P,
+    )
+
+    def _verify(batch: pd.DataFrame) -> pd.DataFrame:
+        sims = np.empty(len(batch))
+        memo: dict = {}  # per-batch memo (a doc repeats across its pairs)
+
+        def g(i, t):
+            s = memo.get(i)
             if s is None:
-                s = grams(self.texts[i])
-                self._grams[i] = s
+                s = {t[k : k + n] for k in range(max(1, len(t) - n + 1))}
+                memo[i] = s
             return s
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            sims = np.empty(len(batch))
-            for x, (a, b) in enumerate(zip(batch["id_a"], batch["id_b"])):
-                ga, gb = self._g(a), self._g(b)
-                u = len(ga | gb)
-                sims[x] = len(ga & gb) / u if u else 0.0
-            out = batch.copy()
-            out["ngram_jaccard"] = sims
-            return out[out["ngram_jaccard"] >= threshold]
+        for x, (a, ta, b, tb) in enumerate(
+            zip(batch["id_a"], batch["_text_a"], batch["id_b"], batch["_text_b"])
+        ):
+            ga, gb = g(a, ta), g(b, tb)
+            u = len(ga | gb)
+            sims[x] = len(ga & gb) / u if u else 0.0
+        # Ray's join already consumed the right-side key columns
+        drop = [c for c in ("_id_a", "_text_a", "_id_b", "_text_b") if c in batch]
+        out = batch.drop(columns=drop).copy()
+        out["ngram_jaccard"] = sims
+        return out[out["ngram_jaccard"] >= threshold]
 
-    return pairs.map_batches(Verify, batch_format="pandas", concurrency=(1, 8))
+    return j.map_batches(_verify, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

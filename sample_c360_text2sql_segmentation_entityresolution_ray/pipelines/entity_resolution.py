@@ -5,9 +5,13 @@ ER leg (`lib/data-integration-workflow.ts:345-369` → AWS ER black box →
 `integrated_customer` table, `lib/data-storage.ts:154-218`):
 
     read pages ─ extract (drop html) ─ normalize ─ LSH/domain banding
-      ─ groupby(block_key) pair-gen ─ dedupe ─ PairScorer actor pool
-      ─ threshold ─ [matched edges, materialized = checkpointable]
-      ─ min-label-propagation clustering ─ attach labels to all records
+      ─ groupby(block_key) pair-gen (slim rows + broadcast FeatureStore
+        below broadcast_features_limit; feature payload above it)
+      ─ set-metric gate ─ slim dedupe ─ string metrics ─ threshold
+      ─ ONE driver pass (edge dedupe + union-find + confidence,
+        overlapped with the stream; distributed fallback above
+        local_cc_max_edges; checkpointable via run_stage)
+      ─ broadcast attach onto all records
 
 Output schema (the `integrated_customer` analog, FIXTURES.md §4.1):
     source:str, ConfidenceLevel:float64, RecordId:str, MatchID:str, lang:str
@@ -19,6 +23,7 @@ cluster — content-defined, deterministic under any parallelism.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 import ray
@@ -95,10 +100,71 @@ def matched_edges(pages, cfg: ERConfig = DEFAULT_CONFIG, idf_ref=None):
     in stage 2 run once per unique pair (see `stages/scoring.py`)."""
     extracted = extract_stage(pages)
     records = normalize_stage(extracted, cfg)
+    if cfg.feature_attach in ("auto", "broadcast"):
+        plan = _broadcast_feature_plan(records, cfg, idf_ref)
+        if plan is not None:
+            return plan
+        if cfg.feature_attach == "broadcast":
+            raise ValueError(
+                "feature_attach='broadcast' but the corpus exceeds "
+                "broadcast_features_limit; use 'payload' or 'auto'"
+            )
+        records = normalize_stage(extract_stage(pages), cfg)  # fresh plan
     exploded = band_emit_stage(records, cfg)
     pairs = pair_gen_stage(exploded, cfg)
     slim = score_pairs_stage(pairs, cfg, idf_ref)  # gated + deduped
     scored = string_score_stage(slim, cfg)
+    return matched_edges_stage(scored, cfg)
+
+
+def _broadcast_feature_plan(records, cfg: ERConfig, idf_ref):
+    """Broadcast-feature variant of the match plan (see
+    ``ERConfig.feature_attach``): ONE driver pass over the records
+    stream splits each record into (a) its feature arrays, kept in a
+    single broadcast table, and (b) a slim (url, slug, keys-input) row
+    — so the blocking shuffle moves ~100 B/key-row instead of ~1.3 KB
+    (measured 2× wall at 8 cpus from payload volume alone).  Returns
+    ``None`` if the stream exceeds ``broadcast_features_limit`` rows —
+    the abort costs only that many rows of normalize work, and the
+    caller falls back to the scale-safe payload plan."""
+    feat_batches: list = []
+    slim_tables: list = []
+    n = 0
+    # whole blocks + prefetch: re-slicing arrow blocks through the
+    # driver measured 17 s at 200k records; block passthrough is ~2 s
+    for b in records.iter_batches(
+        batch_size=None, prefetch_batches=8, batch_format="pyarrow"
+    ):
+        n += b.num_rows
+        if n > cfg.broadcast_features_limit:
+            return None
+        feat_batches.append(b.select(["url", "shingles", "shingles2", "mh8"]))
+        slim_tables.append(
+            b.select(["url", "slug", "domain", "minhash", "tok_hashes"])
+        )
+    from ..functions.feature_store import FeatureStore
+
+    # flat numpy columns: Ray ships these out-of-band, so each task's
+    # ray.get is a zero-copy view instead of unpickling a ~90 MB dict;
+    # the arrow-side build is itself zero-copy + vectorized
+    feats_ref = ray.put(FeatureStore.from_arrow(feat_batches))
+    if slim_tables:
+        slim_records = ray.data.from_arrow(slim_tables)
+    else:
+        slim_records = ray.data.from_pandas(
+            pd.DataFrame(
+                {c: pd.Series(dtype=object)
+                 for c in ("url", "slug", "domain", "minhash", "tok_hashes")}
+            )
+        )
+    exploded = band_emit_stage(slim_records, cfg, slim=True)
+    pairs = pair_gen_stage(exploded, cfg, slim=True)
+    # gate first, dedupe after: a pre-gate dedupe of the raw candidate
+    # stream looks cheaper (×17 duplicate true pairs) but its extra
+    # shuffle BARRIER costs more wall than the duplicated vectorized
+    # set checks save (measured 55 s vs 31 s at 32 cpus, 66k pages)
+    gated = score_pairs_stage(pairs, cfg, idf_ref, feats_ref, dedupe=True)
+    scored = string_score_stage(gated, cfg)
     return matched_edges_stage(scored, cfg)
 
 

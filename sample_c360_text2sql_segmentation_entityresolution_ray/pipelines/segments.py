@@ -53,7 +53,6 @@ import ray.data
 from ..ops.relational import (
     DEDUP_PARTITIONS,
     broadcast_join,
-    distinct,
     topn_per_group,
     union_with_prefix,
 )
@@ -96,16 +95,37 @@ def user_items(
 ) -> "ray.data.Dataset":
     """DISTINCT (USER_ID, ITEM_ID), capped per user at the
     ``max_items_per_user`` lexicographically-smallest items (the
-    deterministic, SQL-expressible cap: row_number() over item order)."""
-    ui = distinct(
-        interactions.select_columns(["USER_ID", "ITEM_ID"]),
-        ["USER_ID", "ITEM_ID"],
-    )
-    if max_items_per_user:
-        ui = topn_per_group(
-            ui, "USER_ID", "ITEM_ID", max_items_per_user, descending=False
+    deterministic, SQL-expressible cap: row_number() over item order).
+
+    ONE user-hash groupby does both (distinct + cap): the local
+    pre-pass shrinks each batch the same way, and the global winners
+    per user are a subset of the union of per-batch winners."""
+
+    def _local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["USER_ID", "ITEM_ID"]].drop_duplicates()
+        df = df.sort_values(["USER_ID", "ITEM_ID"], kind="mergesort")
+        if max_items_per_user:
+            df = df.groupby("USER_ID", sort=False).head(max_items_per_user)
+        df = df.copy()
+        df["_part"] = (
+            pd.util.hash_array(df["USER_ID"].to_numpy()) % DEDUP_PARTITIONS
+        ).astype("int32")
+        return df
+
+    def _finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["USER_ID", "ITEM_ID"]).sort_values(
+            ["USER_ID", "ITEM_ID"], kind="mergesort"
         )
-    return ui
+        if max_items_per_user:
+            g = g.groupby("USER_ID", sort=False).head(max_items_per_user)
+        return g.drop(columns="_part")
+
+    return (
+        interactions.select_columns(["USER_ID", "ITEM_ID"])
+        .map_batches(_local, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(_finish, batch_format="pandas")
+    )
 
 
 def _pair_sweep(ui, targets: frozenset | None) -> "ray.data.Dataset":

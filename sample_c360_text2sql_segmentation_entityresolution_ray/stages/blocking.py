@@ -48,23 +48,30 @@ from .config import DEFAULT_CONFIG, ERConfig
 PAIR_FEATURES = ["slug", "shingles", "shingles2"]
 
 
-def band_emit_stage(records, cfg: ERConfig = DEFAULT_CONFIG):
-    """Explode each record into (block_key, url, slug, shingles,
-    tok_hashes) rows — one per LSH band plus one per domain block."""
+def band_emit_stage(records, cfg: ERConfig = DEFAULT_CONFIG, slim: bool = False):
+    """Explode each record into one row per blocking key (LSH bands +
+    salted domain + rare-token keys).
+
+    ``slim=False`` (payload mode): rows carry the record's feature
+    arrays so scoring needs no join back to the corpus.
+    ``slim=True`` (broadcast mode): rows carry only (block_key, url,
+    slug) — ~10× less shuffle volume; the gate fetches features from a
+    broadcast table instead (`pipelines/entity_resolution.py`)."""
+    payload_cols = ["slug"] if slim else ["slug", "shingles", "shingles2", "mh8"]
 
     def _emit(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
-            return pa.table(
-                {
-                    "block_key": pa.array([], pa.uint64()),
-                    "url": pa.array([], pa.string()),
-                    "slug": pa.array([], pa.string()),
-                    "shingles": pa.array([], pa.list_(pa.uint32())),
-                    "shingles2": pa.array([], pa.list_(pa.uint32())),
-                    "mh8": pa.array([], pa.list_(pa.uint8())),
-                }
-            )
+            cols = {
+                "block_key": pa.array([], pa.uint64()),
+                "url": pa.array([], pa.string()),
+                "slug": pa.array([], pa.string()),
+            }
+            if not slim:
+                cols["shingles"] = pa.array([], pa.list_(pa.uint32()))
+                cols["shingles2"] = pa.array([], pa.list_(pa.uint32()))
+                cols["mh8"] = pa.array([], pa.list_(pa.uint8()))
+            return pa.table(cols)
         sigs = np.stack(
             [np.asarray(s, dtype=np.uint64) for s in batch["minhash"].to_pylist()]
         )
@@ -95,7 +102,7 @@ def band_emit_stage(records, cfg: ERConfig = DEFAULT_CONFIG):
         keys = np.concatenate([lsh, dom_keys[:, None], tok_cols], axis=1)
         n_keys = keys.shape[1]
         idx = np.repeat(np.arange(n), n_keys)
-        sub = batch.select(["url", "slug", "shingles", "shingles2", "mh8"]).take(idx)
+        sub = batch.select(["url", *payload_cols]).take(idx)
         return sub.add_column(
             0, "block_key", pa.array(keys.reshape(-1), pa.uint64())
         )
@@ -180,7 +187,9 @@ def emit_partition_pairs_generic(
     return pd.DataFrame(data).drop_duplicates([f"{id_col}_a", f"{id_col}_b"])
 
 
-def _emit_partition_pairs(df: pd.DataFrame, cfg: ERConfig) -> pd.DataFrame:
+def _emit_partition_pairs(
+    df: pd.DataFrame, cfg: ERConfig, slim: bool = False
+) -> pd.DataFrame:
     """Vectorized pair emission for ONE hash partition of block keys.
 
     All blocks of the partition are processed in a handful of numpy
@@ -199,13 +208,13 @@ def _emit_partition_pairs(df: pd.DataFrame, cfg: ERConfig) -> pd.DataFrame:
         df,
         id_col="url",
         order_col="slug",
-        payload_cols=["slug", "shingles", "shingles2", "mh8"],
+        payload_cols=["slug"] if slim else ["slug", "shingles", "shingles2", "mh8"],
         cap=cfg.allpairs_cap,
         window=cfg.snm_window,
     )
 
 
-def pair_gen_stage(exploded, cfg: ERConfig = DEFAULT_CONFIG):
+def pair_gen_stage(exploded, cfg: ERConfig = DEFAULT_CONFIG, slim: bool = False):
     """Shuffle #1: hash block keys into ``cfg.pair_partitions``
     partitions (the groupby key — a handful of groups, so zero
     per-group Python overhead), emit bounded candidate pairs with the
@@ -221,7 +230,9 @@ def pair_gen_stage(exploded, cfg: ERConfig = DEFAULT_CONFIG):
     return (
         exploded.map_batches(_part, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(lambda g: _emit_partition_pairs(g, cfg), batch_format="pandas")
+        .map_groups(
+            lambda g: _emit_partition_pairs(g, cfg, slim), batch_format="pandas"
+        )
     )
 
 

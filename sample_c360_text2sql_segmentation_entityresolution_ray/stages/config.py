@@ -60,6 +60,23 @@ class ERConfig:
                                    # entity's OWN grams reach through its
                                    # duplicate pages (≤4 of ~100+ sampled)
 
+    # --- feature transport for candidate pairs ---
+    feature_attach: str = "auto"  # "payload": each exploded key row
+                                  # carries the record's feature arrays
+                                  # (~1.3 KB × keys — scale-safe, no
+                                  # driver state, the 10^12-doc default);
+                                  # "broadcast": shuffle only
+                                  # (key, url, slug) (~100 B) and ship
+                                  # ONE feature table via ray.put —
+                                  # ~10× less shuffle volume (measured
+                                  # 2× wall at 8 cpus), bounded by
+                                  # broadcast_features_limit;
+                                  # "auto": try broadcast with a
+                                  # streaming row cap (abort costs only
+                                  # ≤ limit rows of normalize), fall
+                                  # back to payload
+    broadcast_features_limit: int = 1_000_000  # records (~1.4 GB heap)
+
     # --- scoring ---
     score_threshold: float = 0.4
     min_jaccard: float = 0.32   # hard floor: cosine/JW alone can never match

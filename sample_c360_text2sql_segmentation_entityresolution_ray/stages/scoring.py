@@ -66,9 +66,38 @@ class PairFeatureGate:
     — the precision-preserving weighting, fed from a corpus sample by
     ``pipelines.entity_resolution``."""
 
-    def __init__(self, cfg: ERConfig = DEFAULT_CONFIG, idf_ref=None):
+    def __init__(self, cfg: ERConfig = DEFAULT_CONFIG, idf_ref=None, feats_ref=None):
         self.cfg = cfg
         self.idf = ray.get(idf_ref) if idf_ref is not None else None
+        # broadcast-feature mode: {url: (shingles, shingles2, mh8)} —
+        # present when the pair stream is slim (no feature columns)
+        self.feats = ray.get(feats_ref) if feats_ref is not None else None
+
+    def _features(self, batch: pd.DataFrame):
+        """(sh_a, sh_b, sh2_a, sh2_b, sig_a, sig_b) from the batch's
+        payload columns or from the broadcast feature table."""
+        n = len(batch)
+        if self.feats is None:
+            sh_a = batch["shingles_a"].to_numpy()
+            sh_b = batch["shingles_b"].to_numpy()
+            sh2_a = batch["shingles2_a"].to_numpy()
+            sh2_b = batch["shingles2_b"].to_numpy()
+            sig_a = np.stack([np.asarray(s, np.uint8) for s in batch["mh8_a"]])
+            sig_b = np.stack([np.asarray(s, np.uint8) for s in batch["mh8_b"]])
+            return sh_a, sh_b, sh2_a, sh2_b, sig_a, sig_b
+        f = self.feats  # FeatureStore: zero-copy views, vectorized rows()
+        cols = []
+        for side in ("url_a", "url_b"):
+            idx = f.rows(batch[side].to_numpy())
+            sig = f.mh8[idx]
+            sh = np.empty(n, object)
+            sh2 = np.empty(n, object)
+            for k, i in enumerate(idx):
+                sh[k] = f.shingles(i)
+                sh2[k] = f.shingles2(i)
+            cols.append((sh, sh2, sig))
+        (sh_a, sh2_a, sig_a), (sh_b, sh2_b, sig_b) = cols
+        return sh_a, sh_b, sh2_a, sh2_b, sig_a, sig_b
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         cfg = self.cfg
@@ -77,16 +106,13 @@ class PairFeatureGate:
             return _empty_slim()
         jac = np.zeros(n)
         cos = np.zeros(n)
-        sh_a = batch["shingles_a"].to_numpy()
-        sh_b = batch["shingles_b"].to_numpy()
+        sh_a, sh_b, sh2_a, sh2_b, sig_a, sig_b = self._features(batch)
         # MinHash pre-gate: one vectorized (n, num_perm) signature
         # comparison estimates Jaccard for the WHOLE batch; only pairs
         # whose estimate clears (min_jaccard - est_gate_margin) pay the
         # exact per-pair set intersection.  σ(est) = sqrt(j(1-j)/64) ≈
         # 0.06, so the margin makes a false drop of a true borderline
         # pair < 0.5%; junk pairs (the vast majority) skip the loop.
-        sig_a = np.stack([np.asarray(s, np.uint8) for s in batch["mh8_a"]])
-        sig_b = np.stack([np.asarray(s, np.uint8) for s in batch["mh8_b"]])
         est = (sig_a == sig_b).mean(axis=1)
         exact = est >= (cfg.min_jaccard - cfg.est_gate_margin)
         jac[:] = est  # below-gate pairs keep the estimate (floored later)
@@ -112,8 +138,6 @@ class PairFeatureGate:
         # ≤ 0.09 bigram-J and boilerplate-only overlap is discounted to
         # ~0 by the idf weights; true short pairs measure ≥ 0.25.
         gate3 = jac >= cfg.min_jaccard
-        sh2_a = batch["shingles2_a"].to_numpy()
-        sh2_b = batch["shingles2_b"].to_numpy()
         gate2 = np.zeros(n, dtype=bool)
         for i in np.flatnonzero(~gate3):
             sa = np.asarray(sh2_a[i], dtype=np.uint32)
@@ -152,8 +176,14 @@ class PairFeatureGate:
         )
 
 
-def score_pairs_stage(pairs, cfg: ERConfig = DEFAULT_CONFIG, idf_ref=None):
-    """Stage 1 + dedupe: gated slim pairs, exactly once each.
+def score_pairs_stage(
+    pairs,
+    cfg: ERConfig = DEFAULT_CONFIG,
+    idf_ref=None,
+    feats_ref=None,
+    dedupe: bool = True,
+):
+    """Stage 1 (+ dedupe): gated slim pairs, exactly once each.
 
     Runs as a TASK stage, not an actor pool: the gate's only state is
     the broadcast IdfTable, and ``ray.get`` of a plasma-resident object
@@ -161,15 +191,22 @@ def score_pairs_stage(pairs, cfg: ERConfig = DEFAULT_CONFIG, idf_ref=None):
     pays a fresh process spawn + import per pipeline run (measured
     seconds of ramp-up on every execution).  Actor pools stay the right
     shape for HEAVY per-worker state (model weights, big indexes);
-    a broadcast lookup table is not that."""
+    a broadcast lookup table is not that.
+
+    ``dedupe=False``: the caller already deduplicated the pair stream
+    (the broadcast-feature plan dedupes slim candidates BEFORE gating —
+    cheap there, and it cuts the gate's work by the ×17 true-pair dup
+    factor)."""
     kw = {}
     if cfg.scorer_batch_size is not None:
         kw["batch_size"] = cfg.scorer_batch_size
 
     def _gate(batch: pd.DataFrame) -> pd.DataFrame:
-        return PairFeatureGate(cfg, idf_ref)(batch)
+        return PairFeatureGate(cfg, idf_ref, feats_ref)(batch)
 
     gated = pairs.map_batches(_gate, batch_format="pandas", **kw)
+    if not dedupe:
+        return gated
     from ..ops.relational import dedupe_by_key
 
     return dedupe_by_key(gated, ["url_a", "url_b"], partitions=cfg.pair_dedup_partitions)

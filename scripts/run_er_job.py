@@ -38,6 +38,10 @@ def main() -> None:
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="only for standalone runs; under `ray job submit` the cluster is attached")
     ap.add_argument("--replicate", type=int, default=1)
+    ap.add_argument("--keep-runs", type=int, default=2,
+                    help="run-history retention (the reference keeps the 2 "
+                         "newest Personalize solutions, "
+                         "create_personalize_solution/index.py:97-106)")
     args = ap.parse_args()
 
     import ray
@@ -109,6 +113,17 @@ def main() -> None:
             "edge_metrics": (manifest or {}).get("metrics", {}),
         }
         status.write("COMPLETED", **result)
+        # run-history record + keep-N retention (keep-2-solutions analog)
+        from sample_c360_text2sql_segmentation_entityresolution_ray.state import (
+            gc_checkpoints,
+        )
+
+        runs_dir = os.path.join(args.checkpoint_dir, "runs")
+        run_dir = os.path.join(runs_dir, f"run-{int(time.time() * 1000)}")
+        os.makedirs(run_dir, exist_ok=True)
+        with open(os.path.join(run_dir, "manifest.json"), "w") as f:
+            json.dump({"written_at": time.time(), **result}, f, indent=1)
+        result["gc_removed"] = gc_checkpoints(runs_dir, keep=args.keep_runs)
         print(json.dumps(result))
     except Exception as e:
         status.write("FAILED", error=str(e)[:500])

@@ -71,6 +71,24 @@ def test_ngram_jaccard_verify():
     assert out["ngram_jaccard"].iloc[0] == 1.0
 
 
+def test_ngram_jaccard_join_path_matches_broadcast():
+    """The large-corpus join path must produce exactly the broadcast
+    path's output (forced via broadcast_doc_limit=0)."""
+    cand = ray.data.from_pandas(
+        pd.DataFrame({"id_a": [0, 0, 0, 2], "id_b": [1, 2, 3, 4], "sim": [1.0] * 4})
+    )
+    kw = dict(threshold=0.1)
+    bc = dedup.ngram_jaccard_pairs(cand, _corpus(), **kw).to_pandas()
+    jn = dedup.ngram_jaccard_pairs(
+        cand, _corpus(), broadcast_doc_limit=0, **kw
+    ).to_pandas()
+    cols = ["id_a", "id_b", "ngram_jaccard"]
+    pd.testing.assert_frame_equal(
+        bc[cols].sort_values(cols).reset_index(drop=True),
+        jn[cols].sort_values(cols).reset_index(drop=True),
+    )
+
+
 def test_embedding_dup_pairs():
     rng = np.random.default_rng(5)
     base = rng.standard_normal(32)
