@@ -45,29 +45,26 @@ def knn_brute_force(
     qm = _unit(np.asarray(queries, dtype=np.float64))
     ref = ray.put(qm)
 
-    class PartialTopK:
-        def __init__(self):
-            self.q = ray.get(ref)  # (Q, dim), fetched once per actor
+    def _partial_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(ref)  # plasma-resident, ~free per task
+        embs = _unit(np.asarray(batch[emb_col].to_pylist(), dtype=np.float64))
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        sims = embs @ q.T  # (n, Q)
+        n, Q = sims.shape
+        kk = min(k, n)
+        # per-query partial top-k within this batch
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, Q)
+        qids = np.repeat(np.arange(Q), kk)
+        rows = part.T.reshape(-1)
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.int64()),
+                id_col: pa.array(ids[rows], pa.int64()),
+                "cos": pa.array(sims[rows, qids], pa.float64()),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            embs = _unit(np.asarray(batch[emb_col].to_pylist(), dtype=np.float64))
-            ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-            sims = embs @ self.q.T  # (n, Q)
-            n, Q = sims.shape
-            kk = min(k, n)
-            # per-query partial top-k within this batch
-            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, Q)
-            qids = np.repeat(np.arange(Q), kk)
-            rows = part.T.reshape(-1)
-            return pa.table(
-                {
-                    "query_id": pa.array(qids, pa.int64()),
-                    id_col: pa.array(ids[rows], pa.int64()),
-                    "cos": pa.array(sims[rows, qids], pa.float64()),
-                }
-            )
-
-    partials = ds.map_batches(PartialTopK, batch_format="pyarrow", concurrency=(1, 8))
+    partials = ds.map_batches(_partial_topk, batch_format="pyarrow")
     return topn_per_group(
         partials, "query_id", "cos", k, descending=True, tiebreak=[id_col]
     )
@@ -117,16 +114,13 @@ def ivf_bucket_stage(
     gives prune-at-read for probes."""
     ref = ray.put(_unit(np.asarray(centroids, dtype=np.float64)))
 
-    class Assign:
-        def __init__(self):
-            self.c = ray.get(ref)
+    def _assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        embs = _unit(np.asarray(batch[emb_col].to_pylist(), dtype=np.float64))
+        b = np.argmax(embs @ c.T, axis=1).astype(np.int32)
+        return batch.append_column("ivf_bucket", pa.array(b, pa.int32()))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            embs = _unit(np.asarray(batch[emb_col].to_pylist(), dtype=np.float64))
-            b = np.argmax(embs @ self.c.T, axis=1).astype(np.int32)
-            return batch.append_column("ivf_bucket", pa.array(b, pa.int32()))
-
-    return ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(_assign, batch_format="pyarrow")
 
 
 def knn_ivf(

@@ -371,37 +371,30 @@ def embedding_dup_pairs_exact(
     ref = ray.put((all_ids, unit))
     scale = 10.0**round_nd
 
-    class Exact:
-        def __init__(self):
-            self.ids, self.unit = ray.get(ref)
-            self.pos = {int(i): p for p, i in enumerate(self.ids)}
+    def _exact(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, unit_m = ray.get(ref)
+        pos = {int(i): p for p, i in enumerate(ids)}
+        rows_idx = np.asarray([pos[int(i)] for i in batch[id_col]], dtype=np.int64)
+        sims = unit_m[rows_idx] @ unit_m.T  # (b, N)
+        # DuckDB-compatible rounding (half away from zero) so the
+        # oracle comparison is exact despite float32-ish kernels
+        r = np.trunc(sims * scale + np.copysign(0.5, sims)) / scale
+        out_a, out_b, out_c = [], [], []
+        for k, p in enumerate(rows_idx):
+            mask = (ids > ids[p]) & (r[k] >= threshold)
+            js = np.flatnonzero(mask)
+            out_a.extend([int(ids[p])] * len(js))
+            out_b.extend(int(ids[j]) for j in js)
+            out_c.extend(float(r[k, j]) for j in js)
+        return pd.DataFrame(
+            {
+                "id_a": np.asarray(out_a, np.int64),
+                "id_b": np.asarray(out_b, np.int64),
+                "cos": np.asarray(out_c, np.float64),
+            }
+        )
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            rows_idx = np.asarray(
-                [self.pos[int(i)] for i in batch[id_col]], dtype=np.int64
-            )
-            sims = self.unit[rows_idx] @ self.unit.T  # (b, N)
-            # DuckDB-compatible rounding (half away from zero) so the
-            # oracle comparison is exact despite float32-ish kernels
-            r = np.trunc(sims * scale + np.copysign(0.5, sims)) / scale
-            out_a, out_b, out_c = [], [], []
-            for k, p in enumerate(rows_idx):
-                mask = (self.ids > self.ids[p]) & (r[k] >= threshold)
-                js = np.flatnonzero(mask)
-                out_a.extend([int(self.ids[p])] * len(js))
-                out_b.extend(int(self.ids[j]) for j in js)
-                out_c.extend(float(r[k, j]) for j in js)
-            return pd.DataFrame(
-                {
-                    "id_a": np.asarray(out_a, np.int64),
-                    "id_b": np.asarray(out_b, np.int64),
-                    "cos": np.asarray(out_c, np.float64),
-                }
-            )
-
-    return ds.select_columns([id_col]).map_batches(
-        Exact, batch_format="pandas", concurrency=(1, 8)
-    )
+    return ds.select_columns([id_col]).map_batches(_exact, batch_format="pandas")
 
 
 NGRAM_BROADCAST_DOC_LIMIT = 200_000
@@ -435,30 +428,28 @@ def ngram_jaccard_pairs(
         }
         ref = ray.put(texts)
 
-        class Verify:
-            def __init__(self):
-                self.texts = ray.get(ref)
-                self._grams: dict = {}  # per-actor memo: each doc's grams once
+        def _verify_bc(batch: pd.DataFrame) -> pd.DataFrame:
+            all_texts = ray.get(ref)
+            memo: dict = {}  # per-batch memo: each doc's grams once
 
-            def _g(self, i) -> set:
-                s = self._grams.get(i)
+            def g(i) -> set:
+                s = memo.get(i)
                 if s is None:
-                    t = self.texts[i]
+                    t = all_texts[i]
                     s = {t[k : k + n] for k in range(max(1, len(t) - n + 1))}
-                    self._grams[i] = s
+                    memo[i] = s
                 return s
 
-            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-                sims = np.empty(len(batch))
-                for x, (a, b) in enumerate(zip(batch["id_a"], batch["id_b"])):
-                    ga, gb = self._g(a), self._g(b)
-                    u = len(ga | gb)
-                    sims[x] = len(ga & gb) / u if u else 0.0
-                out = batch.copy()
-                out["ngram_jaccard"] = sims
-                return out[out["ngram_jaccard"] >= threshold]
+            sims = np.empty(len(batch))
+            for x, (a, b) in enumerate(zip(batch["id_a"], batch["id_b"])):
+                ga, gb = g(a), g(b)
+                u = len(ga | gb)
+                sims[x] = len(ga & gb) / u if u else 0.0
+            out = batch.copy()
+            out["ngram_jaccard"] = sims
+            return out[out["ngram_jaccard"] >= threshold]
 
-        return pairs.map_batches(Verify, batch_format="pandas", concurrency=(1, 8))
+        return pairs.map_batches(_verify_bc, batch_format="pandas")
 
     # join path: ship each pair's two texts through the shuffle, never
     # the whole corpus to one heap.  TWO joins run concurrently in this

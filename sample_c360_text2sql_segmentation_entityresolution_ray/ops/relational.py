@@ -116,16 +116,13 @@ def broadcast_join(
     on = list(on)
     pd_how = {"inner": "inner", "left_outer": "left"}[how]
 
-    class Probe:
-        def __init__(self):
-            self.small = ray.get(ref)  # once per actor, zero-copy reads
+    def _probe(batch: pd.DataFrame) -> pd.DataFrame:
+        # task stage: the build side is plasma-resident, ray.get is
+        # ~free per task — an actor pool would respawn processes per run
+        small = ray.get(ref)
+        return batch.merge(small, how=pd_how, left_on=on, right_on=right_on)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(
-                self.small, how=pd_how, left_on=on, right_on=right_on
-            )
-
-    return large.map_batches(Probe, batch_format="pandas", concurrency=(1, 8))
+    return large.map_batches(_probe, batch_format="pandas")
 
 
 def _broadcast_key_set(right: "ray.data.Dataset", key: str):
@@ -154,15 +151,11 @@ def semi_join(
     if ref is None:  # empty right side: nothing matches
         return left.limit(0)
 
-    class Filter:
-        def __init__(self):
-            self.keys = ray.get(ref)
+    def _filter(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch[on], value_set=ray.get(ref))
+        return batch.filter(mask)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pc.is_in(batch[on], value_set=self.keys)
-            return batch.filter(mask)
-
-    return left.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 8))
+    return left.map_batches(_filter, batch_format="pyarrow")
 
 
 def anti_join(
@@ -176,15 +169,11 @@ def anti_join(
     if ref is None:  # empty right side: nothing excluded
         return left
 
-    class Filter:
-        def __init__(self):
-            self.keys = ray.get(ref)
+    def _filter(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch[on], value_set=ray.get(ref))
+        return batch.filter(pc.invert(mask))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pc.is_in(batch[on], value_set=self.keys)
-            return batch.filter(pc.invert(mask))
-
-    return left.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 8))
+    return left.map_batches(_filter, batch_format="pyarrow")
 
 
 def asof_join(
@@ -214,26 +203,22 @@ def asof_join(
         raise ValueError("right side too large to broadcast; bucket both sides")
     ref = ray.put(right_df)
 
-    class AsOf:
-        def __init__(self):
-            self.right = ray.get(ref)
+    def _asof(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.sort_values(left_ts, kind="mergesort")
+        out = pd.merge_asof(
+            batch,
+            ray.get(ref),
+            left_on=left_ts,
+            right_on=right_ts,
+            left_by=left_key,
+            right_by=right_key,
+            direction="backward",
+        )
+        if how == "inner":
+            out = out[out[right_ts].notna()]
+        return out
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            batch = batch.sort_values(left_ts, kind="mergesort")
-            out = pd.merge_asof(
-                batch,
-                self.right,
-                left_on=left_ts,
-                right_on=right_ts,
-                left_by=left_key,
-                right_by=right_key,
-                direction="backward",
-            )
-            if how == "inner":
-                out = out[out[right_ts].notna()]
-            return out
-
-    return left.map_batches(AsOf, batch_format="pandas", concurrency=(1, 8))
+    return left.map_batches(_asof, batch_format="pandas")
 
 
 def range_join(
@@ -260,37 +245,34 @@ def range_join(
         raise ValueError("interval table too large to broadcast; bucket by range")
     ref = ray.put(right_df)
 
-    class Ranger:
-        def __init__(self):
-            self.right = ray.get(ref)
-            self.lo = self.right[lo_col].to_numpy()
-            self.hi = self.right[hi_col].to_numpy()
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            v = batch[value_col].to_numpy()
-            pieces = []
-            matched = np.zeros(len(batch), dtype=bool)
-            for r in range(len(self.right)):
-                mask = (v >= self.lo[r]) & (v < self.hi[r])
-                if mask.any():
-                    matched |= mask
-                    sub = batch[mask].reset_index(drop=True)
-                    for c in self.right.columns:
-                        sub[c] = self.right.iloc[r][c]
-                    pieces.append(sub)
-            if how == "left_outer" and (~matched).any():
-                sub = batch[~matched].reset_index(drop=True)
-                for c in self.right.columns:
-                    sub[c] = None
+    def _ranger(batch: pd.DataFrame) -> pd.DataFrame:
+        right = ray.get(ref)
+        lo = right[lo_col].to_numpy()
+        hi = right[hi_col].to_numpy()
+        v = batch[value_col].to_numpy()
+        pieces = []
+        matched = np.zeros(len(batch), dtype=bool)
+        for r in range(len(right)):
+            mask = (v >= lo[r]) & (v < hi[r])
+            if mask.any():
+                matched |= mask
+                sub = batch[mask].reset_index(drop=True)
+                for c in right.columns:
+                    sub[c] = right.iloc[r][c]
                 pieces.append(sub)
-            if not pieces:
-                out = batch.iloc[:0].copy()
-                for c in self.right.columns:
-                    out[c] = pd.Series(dtype=self.right[c].dtype)
-                return out
-            return pd.concat(pieces, ignore_index=True)
+        if how == "left_outer" and (~matched).any():
+            sub = batch[~matched].reset_index(drop=True)
+            for c in right.columns:
+                sub[c] = None
+            pieces.append(sub)
+        if not pieces:
+            out = batch.iloc[:0].copy()
+            for c in right.columns:
+                out[c] = pd.Series(dtype=right[c].dtype)
+            return out
+        return pd.concat(pieces, ignore_index=True)
 
-    return left.map_batches(Ranger, batch_format="pandas", concurrency=(1, 8))
+    return left.map_batches(_ranger, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

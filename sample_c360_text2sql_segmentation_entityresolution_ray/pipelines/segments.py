@@ -128,12 +128,20 @@ def user_items(
     )
 
 
-def _pair_sweep(ui, targets: frozenset | None) -> "ray.data.Dataset":
+def _pair_sweep(
+    ui, targets: frozenset | None, final_agg: str = "dataset"
+) -> "ray.data.Dataset | pd.DataFrame":
     """(item_x, item_y, cnt) with x < y: per-user pair emission via the
     partition-hash vectorized diagonal sweep + per-partition partial
-    counts (the pre-aggregation that keeps the final groupby small).
+    counts (the pre-aggregation that keeps the final combine small).
     ``targets``: if set, only pairs touching a target are emitted —
-    the restriction runs INSIDE the sweep, before anything is counted."""
+    the restriction runs INSIDE the sweep, before anything is counted.
+
+    ``final_agg``: "dataset" runs the global combine as a Ray groupby
+    (the general path); "driver" streams the per-partition partials to
+    the driver and combines in pandas — correct whenever the caller
+    would collect the result anyway (target-restricted tables are
+    ≤ |items| × |targets| rows), and saves one shuffle barrier."""
 
     def _part(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
@@ -191,14 +199,34 @@ def _pair_sweep(ui, targets: frozenset | None) -> "ray.data.Dataset":
         part["cnt"] = part["cnt"].astype(np.int64)
         return part
 
-    from ray.data.aggregate import Sum
-
-    return (
+    partials = (
         ui.map_batches(_part, batch_format="pandas")
         .groupby("_part")
         .map_groups(_pairs, batch_format="pandas")
-        .groupby(["item_x", "item_y"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    if final_agg == "driver":
+        pieces = [
+            b
+            for b in partials.iter_batches(batch_size=None, batch_format="pandas")
+        ]
+        df = (
+            pd.concat(pieces, ignore_index=True)
+            if pieces
+            else pd.DataFrame(
+                {
+                    "item_x": pd.Series(dtype=object),
+                    "item_y": pd.Series(dtype=object),
+                    "cnt": pd.Series(dtype=np.int64),
+                }
+            )
+        )
+        out = df.groupby(["item_x", "item_y"], sort=False)["cnt"].sum().reset_index()
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+    from ray.data.aggregate import Sum
+
+    return partials.groupby(["item_x", "item_y"]).aggregate(
+        Sum("cnt", alias_name="cnt")
     )
 
 
@@ -225,7 +253,9 @@ def item_based_segments(
     targets = frozenset(target_items)
     ui = user_items(interactions, max_items_per_user).materialize()
 
-    cooc = _pair_sweep(ui, targets).to_pandas()  # bounded: pairs touch a target
+    # bounded: only pairs touching a target; driver combine (the table
+    # is collected here anyway — a Ray groupby would add a barrier)
+    cooc = _pair_sweep(ui, targets, final_agg="driver")
     # flatten to (other item → target, cnt); a pair of two targets
     # contributes in both directions
     parts = []
@@ -256,27 +286,23 @@ def item_based_segments(
     aff_ref = ray.put(aff)
     targets_arr = pa.array(sorted(targets), pa.string())
 
-    class Score:
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
         """Vectorized per-batch partial: merge the batch's (user, item)
-        rows against the flat affinity table → (user, target, cnt)."""
-
-        def __init__(self):
-            self.aff = ray.get(aff_ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            m = df.merge(self.aff, left_on="ITEM_ID", right_on="item", how="inner")
-            return pd.DataFrame(
-                {
-                    "user_id": m["USER_ID"],
-                    "item_id": m["target"],
-                    "affinity": m["cnt"].astype(np.int64),
-                }
-            )
+        rows against the flat affinity table → (user, target, cnt).
+        Task stage — the affinity table is plasma-resident."""
+        m = df.merge(ray.get(aff_ref), left_on="ITEM_ID", right_on="item", how="inner")
+        return pd.DataFrame(
+            {
+                "user_id": m["USER_ID"],
+                "item_id": m["target"],
+                "affinity": m["cnt"].astype(np.int64),
+            }
+        )
 
     from ray.data.aggregate import Sum
 
     scored = (
-        ui.map_batches(Score, batch_format="pandas", concurrency=(1, 8))
+        ui.map_batches(_score, batch_format="pandas")
         .groupby(["user_id", "item_id"])
         .aggregate(Sum("affinity", alias_name="affinity"))
     )
