@@ -541,6 +541,38 @@ def _q_c360_segments(sf_dir: str):
     return item_based_segments(inter, targets, n=20)
 
 
+def _q_c360_segments_als(sf_dir: str):
+    """Item-based segments on the LEARNED affinity model (implicit
+    ALS — the `aws-item-affinity` recipe analog, pipelines/affinity.py)
+    instead of the transparent co-occurrence stand-in.  Iterative ML:
+    no SQL oracle (driver records a rows-only check); quality + schema
+    are gated by tests/test_affinity.py."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.pipelines.affinity import (
+        als_item_based_segments,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.pipelines.customer_er import (
+        resolve_customers,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.pipelines.segments import (
+        build_interactions,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sources import c360
+
+    assignment, _ = resolve_customers(
+        lambda: c360.customer_master(sf_dir),
+        lambda: c360.subbrand_customer_master(sf_dir),
+    )
+    inter = build_interactions(
+        c360.purchase_history(sf_dir),
+        c360.subbrand_purchase_history(sf_dir),
+        assignment,
+    ).materialize()
+    targets = [str(i) for i in range(1, 6)]
+    return als_item_based_segments(
+        inter, targets, n=20, factors=16, iterations=4
+    )
+
+
 def _q_curated_corpus(sf_dir: str):
     """Composite training-data pipeline: quality/lang filter → exact +
     MinHash near-dedup → token counts (streaming end-to-end).  The
@@ -964,6 +996,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_er_assignment": _q_customer_er,
         "c360_interactions": _q_c360_interactions,
         "c360_segments": _q_c360_segments,
+        # learned-model scoring (iterative ALS) — rows-only check
+        "c360_segments_als": _q_c360_segments_als,
         "simhash_dup_docs": _q_simhash_dup_docs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "knn_ivf_top10": _q_knn_ivf_top10,

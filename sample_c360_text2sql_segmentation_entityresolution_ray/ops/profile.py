@@ -14,6 +14,14 @@
   Glue-Catalog-comments analog that feeds the text2sql prompt
   (`lambda/webbackend/agent_processor.py:613-753`); renders the same
   schema-block text the agent splices into its system prompt.
+- :func:`annotate_table` / :func:`summarize_columns` /
+  :func:`humanize_column` — the naming/description half of M9: the
+  reference has an LLM write table+column descriptions into Glue
+  comments (`csvtool/csv_to_glue_catalog.py:159-237`); here the same
+  artifact is generated deterministically from one streaming profile
+  pass (name expansion, type, null%, bounded distinct, range,
+  examples) and registered so :meth:`SchemaRegistry.prompt_block`
+  carries it.
 """
 
 from __future__ import annotations
@@ -72,6 +80,188 @@ def infer_type(profile: dict) -> str:
     return "STRING"
 
 
+# --- deterministic naming/description layer (M9's second half) -------
+#
+# The reference feeds CSV samples to an LLM to produce table/column
+# descriptions that land as Glue catalog comments and then feed the
+# text2sql prompt (`csvtool/csv_to_glue_catalog.py:159-237`).  No LLM
+# here: the same artifact (a one-line human-readable comment per
+# column + a table description) is derived deterministically from a
+# single streaming profile pass — name expansion + type + null% +
+# bounded distinct count + value range + examples.
+
+_ABBREV = {
+    "id": "identifier",
+    "ts": "timestamp",
+    "qty": "quantity",
+    "amt": "amount",
+    "num": "number",
+    "nbr": "number",
+    "cnt": "count",
+    "desc": "description",
+    "addr": "address",
+    "dob": "date of birth",
+    "url": "URL",
+    "lang": "language",
+    "pct": "percent",
+    "avg": "average",
+    "min": "minimum",
+    "max": "maximum",
+}
+
+_CAMEL_RE = re.compile(r"(?<=[a-z0-9])(?=[A-Z])")
+
+
+def humanize_column(col: str) -> str:
+    """``o_orderkey`` → "order key"; ``createdAt`` → "created at";
+    ``cust_id`` → "customer identifier".  Deterministic stand-in for
+    the LLM's column-naming step."""
+    s = _CAMEL_RE.sub("_", col).lower()
+    words: list[str] = []
+    for w in re.split(r"[_\W]+", s):
+        if not w:
+            continue
+        # TPC-H style single-letter table prefixes (o_, l_, c_...) drop
+        if len(w) == 1 and not words and "_" in col:
+            continue
+        words.append(_ABBREV.get(w, w))
+    # common fused prefixes: orderkey → order key, custkey → cust key
+    out = []
+    for w in words:
+        m = re.fullmatch(r"([a-z]+?)(key|date|name|status|type|code)", w)
+        if m and len(m.group(1)) >= 3:
+            out.extend([m.group(1), m.group(2)])
+        else:
+            out.append(w)
+    return " ".join(out) if out else col
+
+
+def summarize_columns(
+    ds: "ray.data.Dataset",
+    cols: list[str] | None = None,
+    distinct_cap: int = 10_000,
+    n_examples: int = 3,
+) -> dict[str, dict]:
+    """One streaming pass → per-column stats for the comment generator:
+    dtype, n_null, n_rows, distinct (exact below ``distinct_cap``, else
+    reported as the cap with ``capped=True``), lo/hi, examples.  Each
+    batch emits a tiny partial; the driver merges sets bounded at the
+    cap — nothing unbounded ever reaches the driver."""
+    if cols is None:
+        cols = ds.schema().names
+    state = {
+        c: {"n_null": 0, "n_rows": 0, "distinct": set(), "capped": False,
+            "lo": None, "hi": None, "examples": [], "dtype": None}
+        for c in cols
+    }
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            s = batch[c]
+            nn = s.dropna()
+            uniq = nn.unique()
+            lo = hi = None
+            if len(nn):
+                try:
+                    lo, hi = nn.min(), nn.max()
+                except TypeError:
+                    pass
+            rows.append(
+                {
+                    "col": c,
+                    "dtype": str(s.dtype),
+                    "n_null": int(s.isna().sum()),
+                    "n_rows": int(len(s)),
+                    "uniq": [str(v) for v in uniq[: distinct_cap]],
+                    "capped": bool(len(uniq) > distinct_cap),
+                    # raw values, NOT str: bound merging must compare in
+                    # the column's own order (lex max("10.5","9.0")="9.0")
+                    "lo": lo,
+                    "hi": hi,
+                    "examples": [str(v) for v in nn.iloc[:n_examples]],
+                }
+            )
+        return pd.DataFrame(rows)
+
+    for part in ds.map_batches(_partial, batch_format="pandas").iter_rows():
+        st = state[part["col"]]
+        st["dtype"] = part["dtype"]
+        st["n_null"] += part["n_null"]
+        st["n_rows"] += part["n_rows"]
+        st["capped"] |= bool(part["capped"])
+        if len(st["distinct"]) < distinct_cap:
+            st["distinct"].update(part["uniq"][: distinct_cap - len(st["distinct"])])
+        else:
+            st["capped"] = True
+        for bound, fn in (("lo", min), ("hi", max)):
+            v = part[bound]
+            if v is not None and not (isinstance(v, float) and v != v):
+                st[bound] = v if st[bound] is None else fn(st[bound], v)
+        if len(st["examples"]) < n_examples:
+            st["examples"].extend(
+                part["examples"][: n_examples - len(st["examples"])]
+            )
+    for st in state.values():
+        st["n_distinct"] = len(st["distinct"])
+        del st["distinct"]
+        for bound in ("lo", "hi"):
+            if st[bound] is not None:
+                st[bound] = str(st[bound])
+    return state
+
+
+def _column_comment(col: str, st: dict) -> str:
+    bits = [humanize_column(col)]
+    if st["n_rows"]:
+        null_pct = 100.0 * st["n_null"] / st["n_rows"]
+        if null_pct:
+            bits.append(f"{null_pct:.1f}% null")
+    nd = st["n_distinct"]
+    bits.append(f"{'>' if st['capped'] else ''}{nd} distinct")
+    if st["lo"] is not None and not st["capped"] and nd > 1:
+        lo, hi = st["lo"], st["hi"]
+        if len(lo) + len(hi) <= 40:
+            bits.append(f"range {lo}..{hi}")
+    if st["examples"]:
+        ex = ", ".join(e[:24] for e in st["examples"][:2])
+        bits.append(f"e.g. {ex}")
+    return "; ".join(bits)
+
+
+def annotate_table(
+    ds: "ray.data.Dataset",
+    name: str,
+    registry: "SchemaRegistry",
+    description: str | None = None,
+    distinct_cap: int = 10_000,
+) -> "TableMeta":
+    """Profile ``ds`` and register it with generated column comments +
+    a table description — the deterministic analog of the reference's
+    LLM cataloging step; output feeds :meth:`SchemaRegistry.prompt_block`
+    exactly like Glue comments feed the agent prompt."""
+    stats = summarize_columns(ds, distinct_cap=distinct_cap)
+    sch = ds.schema()
+    arrow_types = {n: str(t) for n, t in zip(sch.names, sch.types)}
+    columns = {}
+    n_rows = 0
+    keyish = []
+    for col, st in stats.items():
+        typ = arrow_types.get(col, st["dtype"] or "string")
+        columns[col] = (typ, _column_comment(col, st))
+        n_rows = max(n_rows, st["n_rows"])
+        if not st["capped"] and st["n_rows"] and st["n_distinct"] == st[
+            "n_rows"
+        ] - st["n_null"] and st["n_distinct"] > 1:
+            keyish.append(col)
+    if description is None:
+        description = f"{n_rows} rows, {len(columns)} columns"
+        if keyish:
+            description += f"; unique per row: {', '.join(sorted(keyish)[:4])}"
+    registry.register(name, description, columns)
+    return registry._tables[name]
+
+
 @dataclass
 class TableMeta:
     name: str
@@ -111,4 +301,12 @@ class SchemaRegistry:
         return "\n".join(out).rstrip()
 
 
-__all__ = ["profile_columns", "infer_type", "SchemaRegistry", "TableMeta"]
+__all__ = [
+    "profile_columns",
+    "infer_type",
+    "humanize_column",
+    "summarize_columns",
+    "annotate_table",
+    "SchemaRegistry",
+    "TableMeta",
+]

@@ -111,3 +111,59 @@ def test_schema_registry_prompt_block():
     block = reg.prompt_block()
     assert "Table: integrated_customer" in block
     assert "MatchID STRING  -- cluster label" in block
+
+
+def test_humanize_column():
+    assert prof.humanize_column("o_orderkey") == "order key"
+    assert prof.humanize_column("cust_id") == "cust identifier"
+    assert prof.humanize_column("createdAt") == "created at"
+    assert prof.humanize_column("l_shipdate") == "ship date"
+    assert prof.humanize_column("purchase_amt") == "purchase amount"
+
+
+def test_summarize_and_annotate_table(ray_session):
+    import ray.data
+
+    df = pd.DataFrame(
+        {
+            "order_id": [1, 2, 3, 4, 5, 6],
+            "status": ["open", "open", None, "closed", "open", "closed"],
+            "amt": [10.5, 3.25, 8.0, None, 2.5, 9.0],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+    stats = prof.summarize_columns(ds)
+    assert stats["order_id"]["n_distinct"] == 6
+    assert stats["order_id"]["n_null"] == 0
+    assert stats["status"]["n_null"] == 1
+    assert stats["status"]["n_distinct"] == 2
+    assert stats["amt"]["lo"] == "2.5" and stats["amt"]["hi"] == "10.5"
+
+    reg = prof.SchemaRegistry()
+    meta = prof.annotate_table(ds, "orders_small", reg)
+    # unique-per-row column detected for the table description
+    assert "order_id" in meta.description
+    block = reg.prompt_block()
+    assert "Table: orders_small" in block
+    # generated comments carry the humanized name and the stats clause
+    assert "order identifier" in block
+    assert "2 distinct" in block  # status
+    # distinct-cap path: capped column reports '>' and drops the range
+    stats_capped = prof.summarize_columns(ds, distinct_cap=3)
+    assert stats_capped["order_id"]["capped"]
+
+
+def test_annotate_table_feeds_sql_prompt(ray_session):
+    """The generated block is the text2sql prompt artifact: annotate a
+    real fixture table and check shape, not exact wording."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    reg = prof.SchemaRegistry()
+    prof.annotate_table(ds, "orders", reg, distinct_cap=100)
+    block = reg.prompt_block()
+    assert "Table: orders" in block
+    assert "o_orderstatus" in block and "distinct" in block
