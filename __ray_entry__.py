@@ -292,6 +292,65 @@ def _q_events_daily(sf_dir: str):
     return _round_cols(agg, ["sum_value"])
 
 
+def _q_customer_order_seq(sf_dir: str):
+    """Windowed aggregates (custom operator, `ops/window.py`): per
+    customer, orders sequenced by (date, key) — row_number, lag,
+    cumulative sum, rolling mean.  The order-by includes the unique
+    o_orderkey tiebreak so order-dependent functions are deterministic
+    (the synthetic lineitem has tied line numbers; orders does not)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.window import window
+
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+    seq = window(
+        orders,
+        partition_by=["o_custkey"],
+        order_by=[("o_orderdate", False), ("o_orderkey", False)],
+        specs={
+            "seq": ("row_number",),
+            "prev_price": ("lag", "o_totalprice", 1, 0.0),
+            "cum_spend": ("cum_sum", "o_totalprice"),
+            "roll3_avg_price": ("rolling_mean", "o_totalprice", 3),
+        },
+    ).drop_columns(["o_orderdate"])
+    return _round_cols(seq, ["cum_spend", "roll3_avg_price"], 4)
+
+
+def _q_lineitem_qty_ranks(sf_dir: str):
+    """rank / dense_rank over quantity descending within each order —
+    tie-dense input (duplicate quantities per order are common), and
+    both functions are tie-safe, so the result is deterministic."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.window import window
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    return window(
+        li,
+        partition_by=["l_orderkey"],
+        order_by=[("l_quantity", True)],
+        specs={"qty_rank": ("rank",), "qty_dense_rank": ("dense_rank",)},
+    )
+
+
+def _q_events_hourly_windows(sf_dir: str):
+    """Tumbling event-time windows (streaming-window shape,
+    `ops/window.py::tumbling_window`): per-user hourly event count +
+    value sum; window_start = epoch seconds of the hour."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.window import (
+        tumbling_window,
+    )
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    agg = tumbling_window(
+        ev,
+        ts_col="ts",
+        width_s=3600,
+        keys=["user_id"],
+        aggs={"n_events": ("count", None), "sum_value": ("sum", "value")},
+    )
+    return _round_cols(agg, ["sum_value"])
+
+
 def _q_asof_last_order(sf_dir: str):
     """As-of join (custom operator): each event matched to the user's
     latest order at or before the event time."""
@@ -981,6 +1040,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": _q_sessionize_events,
         "asof_last_order": _q_asof_last_order,
         "orders_price_bands": _q_orders_price_bands,
+        "customer_order_seq": _q_customer_order_seq,
+        "lineitem_qty_ranks": _q_lineitem_qty_ranks,
+        "events_hourly_windows": _q_events_hourly_windows,
         # training-data ops — oracle-checked where SQL-expressible
         "exact_dedup_docs": _q_exact_dedup_docs,
         "doc_token_counts": _q_doc_token_counts,
@@ -1144,6 +1206,33 @@ def oracle_sql() -> dict[str, str]:
                 ('high', 300000.0, 1e18))
             SELECT o_orderkey, band
             FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        """,
+        "customer_order_seq": """
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER w AS seq,
+                   coalesce(lag(o_totalprice, 1) OVER w, 0.0) AS prev_price,
+                   round(sum(o_totalprice) OVER w, 4) AS cum_spend,
+                   round(avg(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING
+                                                 AND CURRENT ROW), 4)
+                       AS roll3_avg_price
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        """,
+        "lineitem_qty_ranks": """
+            SELECT l_orderkey, l_linenumber, l_quantity,
+                   rank() OVER w AS qty_rank,
+                   dense_rank() OVER w AS qty_dense_rank
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_quantity DESC)
+        """,
+        "events_hourly_windows": """
+            SELECT user_id,
+                   CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY user_id, date_trunc('hour', ts)
         """,
         "exact_dedup_docs": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text

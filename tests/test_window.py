@@ -1,0 +1,95 @@
+"""ops/window.py — specs not exercised by the oracle queries
+(lead, rolling_min/max) plus dense-rank tie handling on a hand frame.
+customer_order_seq / lineitem_qty_ranks / events_hourly_windows in
+test_queries_oracle.py cover the rest against DuckDB."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from sample_c360_text2sql_segmentation_entityresolution_ray.ops.window import (
+    tumbling_window,
+    window,
+)
+
+
+def _frame():
+    return pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "a", "b", "b"],
+            "o": [1, 2, 3, 4, 1, 2],
+            "v": [10.0, 20.0, 20.0, 5.0, 7.0, 7.0],
+        }
+    )
+
+
+def test_lead_rolling_and_ranks(ray_session):
+    ds = ray.data.from_pandas(_frame()).repartition(3)
+    out = (
+        window(
+            ds,
+            ["k"],
+            [("o", False)],
+            {
+                "nxt": ("lead", "v", 1, -1.0),
+                "rmin": ("rolling_min", "v", 2),
+                "rmax": ("rolling_max", "v", 2),
+            },
+        )
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    assert out["nxt"].tolist() == [20.0, 20.0, 5.0, -1.0, 7.0, -1.0]
+    assert out["rmin"].tolist() == [10.0, 10.0, 20.0, 5.0, 7.0, 7.0]
+    assert out["rmax"].tolist() == [10.0, 20.0, 20.0, 20.0, 7.0, 7.0]
+
+
+def test_rank_vs_dense_rank_ties(ray_session):
+    ds = ray.data.from_pandas(_frame()).repartition(2)
+    out = (
+        window(
+            ds,
+            ["k"],
+            [("v", True)],  # desc: a → 20,20,10,5 ; b → 7,7
+            {"r": ("rank",), "d": ("dense_rank",)},
+        )
+        .to_pandas()
+        .sort_values(["k", "v", "o"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    a = out[out["k"] == "a"]
+    assert a["r"].tolist() == [1, 1, 3, 4]
+    assert a["d"].tolist() == [1, 1, 2, 3]
+    b = out[out["k"] == "b"]
+    assert b["r"].tolist() == [1, 1] and b["d"].tolist() == [1, 1]
+
+
+def test_tumbling_window_buckets(ray_session):
+    df = pd.DataFrame(
+        {
+            "u": [1, 1, 1, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:10:00", "2024-01-01 00:59:59",
+                 "2024-01-01 01:00:00", "2024-01-01 00:30:00"]
+            ),
+            "v": [1.0, 2.0, 4.0, 8.0],
+        }
+    )
+    out = (
+        tumbling_window(
+            ray.data.from_pandas(df).repartition(2),
+            "ts", 3600, ["u"],
+            {"n": ("count", None), "s": ("sum", "v")},
+        )
+        .to_pandas()
+        .sort_values(["u", "window_start"])
+        .reset_index(drop=True)
+    )
+    base = int(pd.Timestamp("2024-01-01 00:00:00").timestamp())
+    assert out.to_dict("records") == [
+        {"u": 1, "window_start": base, "n": 2, "s": 3.0},
+        {"u": 1, "window_start": base + 3600, "n": 1, "s": 4.0},
+        {"u": 2, "window_start": base, "n": 1, "s": 8.0},
+    ]
