@@ -332,6 +332,22 @@ def _q_lineitem_qty_ranks(sf_dir: str):
     )
 
 
+def _q_lineitem_distinct_parts_kmv(sf_dir: str):
+    """KMV distinct-count sketch (custom sketch operator,
+    `ops/sketch.py`): approximate distinct parts per return flag.  At
+    most k=128 md5-60bit hashes per group per block cross the shuffle
+    (vs every distinct value for exact COUNT DISTINCT); the estimator
+    is deterministic, so the oracle checks it bit-for-bit."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.sketch import (
+        kmv_distinct,
+    )
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_partkey"])
+    return _round_cols(kmv_distinct(li, "l_partkey", "l_returnflag", k=128), [
+        "est_distinct"
+    ], 4)
+
+
 def _q_events_hourly_windows(sf_dir: str):
     """Tumbling event-time windows (streaming-window shape,
     `ops/window.py::tumbling_window`): per-user hourly event count +
@@ -1043,6 +1059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_seq": _q_customer_order_seq,
         "lineitem_qty_ranks": _q_lineitem_qty_ranks,
         "events_hourly_windows": _q_events_hourly_windows,
+        "lineitem_distinct_parts_kmv": _q_lineitem_distinct_parts_kmv,
         # training-data ops — oracle-checked where SQL-expressible
         "exact_dedup_docs": _q_exact_dedup_docs,
         "doc_token_counts": _q_doc_token_counts,
@@ -1070,6 +1087,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_demo_agg": _q_sql_demo_agg,
         "sql_demo_union": _q_sql_demo_union,
     }
+
+
+def _kmv_oracle() -> str:
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.sketch import (
+        kmv_oracle_sql,
+    )
+
+    return kmv_oracle_sql("lineitem", "l_partkey", "l_returnflag", 128)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1226,6 +1251,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_quantity DESC)
         """,
+        "lineitem_distinct_parts_kmv": _kmv_oracle(),
         "events_hourly_windows": """
             SELECT user_id,
                    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
