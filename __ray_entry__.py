@@ -704,6 +704,19 @@ SQL_DEMO_UNION = """
     SELECT 's_' || CAST(s_suppkey AS VARCHAR), lower(s_name) FROM supplier
 """
 
+SQL_DEMO_WINDOW = """
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS rn,
+           round(sum(o_totalprice)
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey), 2) AS cum_spend,
+           lag(o_totalprice, 1, 0.0)
+               OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey) AS prev_price
+    FROM orders WHERE o_custkey <= 750
+"""
+
 
 def _sql_catalog(sf_dir: str):
     from sample_c360_text2sql_segmentation_entityresolution_ray.sql import Catalog
@@ -732,6 +745,15 @@ def _q_sql_demo_union(sf_dir: str):
     from sample_c360_text2sql_segmentation_entityresolution_ray.sql import execute_sql
 
     return execute_sql(SQL_DEMO_UNION, _sql_catalog(sf_dir))
+
+
+def _q_sql_demo_window(sf_dir: str):
+    """Window functions through the SQL façade: two distinct OVER
+    expressions sharing one signature → ONE partition-hash shuffle
+    (ops/window.window) computing row_number, running sum and lag."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sql import execute_sql
+
+    return execute_sql(SQL_DEMO_WINDOW, _sql_catalog(sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -1086,6 +1108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL façade (text2sql execution half)
         "sql_demo_agg": _q_sql_demo_agg,
         "sql_demo_union": _q_sql_demo_union,
+        "sql_demo_window": _q_sql_demo_window,
     }
 
 
@@ -1130,6 +1153,7 @@ def oracle_sql() -> dict[str, str]:
         "curated_corpus": _sql_curated_corpus(),
         "sql_demo_agg": SQL_DEMO_AGG,
         "sql_demo_union": SQL_DEMO_UNION,
+        "sql_demo_window": SQL_DEMO_WINDOW,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -16,6 +16,12 @@ operators:
     SELECT             → vectorized projection (scalar fns below)
     ORDER BY / LIMIT   → ``Dataset.sort`` + ``limit``
     UNION ALL          → ``Dataset.union`` (right side renamed to left names)
+    fn() OVER (...)    → ``ops.window.window`` (one partition-hash
+                         shuffle per distinct OVER signature):
+                         row_number/rank/dense_rank/lag/lead,
+                         sum/avg/min/max ROWS N PRECEDING frames, and
+                         cumulative sum (ROWS semantics — include a
+                         unique tiebreak in ORDER BY)
 
 Supported scalar surface: arithmetic, comparisons, AND/OR/NOT, IN,
 ``||``/concat, lower/upper/trim, length, CAST, CASE, round (DuckDB
@@ -232,11 +238,45 @@ def _contains_aggregate(node) -> bool:
     return False
 
 
-def eval_expr(node: dict, df: pd.DataFrame, agg_cols: dict[str, str] | None = None):
+def _contains_window(node) -> bool:
+    if isinstance(node, dict):
+        if node.get("class") == "WINDOW":
+            return True
+        return any(_contains_window(v) for v in node.values())
+    if isinstance(node, list):
+        return any(_contains_window(x) for x in node)
+    return False
+
+
+def _collect_windows(node, out: list) -> None:
+    """Every WINDOW node (by identity, any nesting depth)."""
+    if isinstance(node, dict):
+        if node.get("class") == "WINDOW":
+            out.append(node)
+            return  # nested windows inside a window are not supported anyway
+        for v in node.values():
+            _collect_windows(v, out)
+    elif isinstance(node, list):
+        for x in node:
+            _collect_windows(x, out)
+
+
+def eval_expr(
+    node: dict,
+    df: pd.DataFrame,
+    agg_cols: dict[str, str] | None = None,
+    win_cols: dict[str, str] | None = None,
+):
     """node → Series/scalar over ``df``.  ``agg_cols`` maps a structural
-    aggregate key to its materialized column (post-GROUP BY frames)."""
+    aggregate key to its materialized column (post-GROUP BY frames);
+    ``win_cols`` maps a WINDOW node's STRUCTURAL key to the column the
+    window operator already computed for it (structural, not id():
+    the AST is re-pickled into Ray workers, so object identity does
+    not survive)."""
     cls = node.get("class")
     typ = node.get("type")
+    if win_cols is not None and cls == "WINDOW":
+        return df[win_cols[_struct_key(node)]]
     if agg_cols is not None and _is_aggregate(node):
         return df[agg_cols[_struct_key(node)]]
     if cls == "COLUMN_REF":
@@ -244,27 +284,27 @@ def eval_expr(node: dict, df: pd.DataFrame, agg_cols: dict[str, str] | None = No
     if cls == "CONSTANT":
         return _const_value(node)
     if cls == "COMPARISON":
-        a = eval_expr(node["left"], df, agg_cols)
-        b = eval_expr(node["right"], df, agg_cols)
+        a = eval_expr(node["left"], df, agg_cols, win_cols)
+        b = eval_expr(node["right"], df, agg_cols, win_cols)
         return _COMPARES[typ](a, b)
     if cls == "CONJUNCTION":
-        kids = [eval_expr(c, df, agg_cols) for c in node["children"]]
+        kids = [eval_expr(c, df, agg_cols, win_cols) for c in node["children"]]
         out = kids[0]
         for k in kids[1:]:
             out = (out & k) if typ == "CONJUNCTION_AND" else (out | k)
         return out
     if cls == "OPERATOR" and typ in ("COMPARE_IN", "COMPARE_NOT_IN"):
-        target = eval_expr(node["children"][0], df, agg_cols)
-        vals = [eval_expr(c, df, agg_cols) for c in node["children"][1:]]
+        target = eval_expr(node["children"][0], df, agg_cols, win_cols)
+        vals = [eval_expr(c, df, agg_cols, win_cols) for c in node["children"][1:]]
         mask = target.isin(vals)
         return ~mask if typ == "COMPARE_NOT_IN" else mask
     if cls == "OPERATOR" and typ == "OPERATOR_NOT":
-        return ~eval_expr(node["children"][0], df, agg_cols)
+        return ~eval_expr(node["children"][0], df, agg_cols, win_cols)
     if cls == "OPERATOR" and typ in ("OPERATOR_IS_NULL", "OPERATOR_IS_NOT_NULL"):
-        v = eval_expr(node["children"][0], df, agg_cols)
+        v = eval_expr(node["children"][0], df, agg_cols, win_cols)
         return v.isna() if typ == "OPERATOR_IS_NULL" else v.notna()
     if cls == "CAST":
-        v = eval_expr(node["child"], df, agg_cols)
+        v = eval_expr(node["child"], df, agg_cols, win_cols)
         tid = node["cast_type"]["id"]
         if tid == "VARCHAR":
             return _as_str(v)
@@ -277,11 +317,11 @@ def eval_expr(node: dict, df: pd.DataFrame, agg_cols: dict[str, str] | None = No
         n = len(df)
         conds, vals = [], []
         for chk in node["case_checks"]:
-            c = eval_expr(chk["when_expr"], df, agg_cols)
-            v = eval_expr(chk["then_expr"], df, agg_cols)
+            c = eval_expr(chk["when_expr"], df, agg_cols, win_cols)
+            v = eval_expr(chk["then_expr"], df, agg_cols, win_cols)
             conds.append(np.asarray(c, dtype=bool))
             vals.append(np.broadcast_to(np.asarray(v, dtype=object), (n,)))
-        default = eval_expr(node["else_expr"], df, agg_cols)
+        default = eval_expr(node["else_expr"], df, agg_cols, win_cols)
         default = np.broadcast_to(np.asarray(default, dtype=object), (n,))
         out = np.select(conds, vals, default)
         return pd.Series(out, index=df.index)
@@ -291,7 +331,7 @@ def eval_expr(node: dict, df: pd.DataFrame, agg_cols: dict[str, str] | None = No
             raise SqlUnsupported(f"aggregate {fn} outside GROUP BY context")
         if fn not in _SCALARS:
             raise SqlUnsupported(f"scalar function {fn}")
-        args = [eval_expr(c, df, agg_cols) for c in node.get("children", [])]
+        args = [eval_expr(c, df, agg_cols, win_cols) for c in node.get("children", [])]
         return _SCALARS[fn](*args)
     raise SqlUnsupported(f"expression {cls}/{typ}")
 
@@ -309,6 +349,78 @@ _SUPPORTED_EXPR = {
 }
 
 
+_WINDOW_RANKING = {
+    "WINDOW_ROW_NUMBER": ("row_number",),
+    "WINDOW_RANK": ("rank",),
+    "WINDOW_DENSE_RANK": ("dense_rank",),
+}
+_WINDOW_ROLLING = {"sum": "rolling_sum", "avg": "rolling_mean",
+                   "min": "rolling_min", "max": "rolling_max"}
+
+
+def _window_spec(node: dict) -> tuple[tuple, tuple, tuple]:
+    """WINDOW AST node → (partition_cols, ((order_col, desc), ...),
+    ops.window spec).  Raises SqlUnsupported for anything
+    ``ops.window.window`` can't express (a façade must reject, never
+    mis-execute)."""
+    typ = node["type"]
+    if not node.get("partitions"):
+        raise SqlUnsupported("window without PARTITION BY (global window)")
+    if not node.get("orders"):
+        raise SqlUnsupported("window without ORDER BY")
+    if node.get("ignore_nulls") or node.get("filter_expr") or node.get(
+        "distinct"
+    ) or node.get("exclude_clause", "NO_OTHER") != "NO_OTHER":
+        raise SqlUnsupported("window IGNORE NULLS / FILTER / DISTINCT / EXCLUDE")
+    parts = []
+    for p in node["partitions"]:
+        if p.get("class") != "COLUMN_REF":
+            raise SqlUnsupported("window PARTITION BY must be column refs")
+        parts.append(p["column_names"][-1])
+    orders = []
+    for o in node["orders"]:
+        e = o["expression"]
+        if e.get("class") != "COLUMN_REF":
+            raise SqlUnsupported("window ORDER BY must be column refs")
+        orders.append((e["column_names"][-1], o["type"] == "DESCENDING"))
+
+    def _child_col(i=0) -> str:
+        ch = node.get("children") or []
+        if len(ch) <= i or ch[i].get("class") != "COLUMN_REF":
+            raise SqlUnsupported(f"{typ} argument must be a column ref")
+        return ch[i]["column_names"][-1]
+
+    if typ in _WINDOW_RANKING:
+        return tuple(parts), tuple(orders), _WINDOW_RANKING[typ]
+    if typ in ("WINDOW_LAG", "WINDOW_LEAD"):
+        off = node.get("offset_expr")
+        offset = int(_const_value(off)) if off else 1
+        dflt = node.get("default_expr")
+        default = _const_value(dflt) if dflt else None
+        kind = "lag" if typ == "WINDOW_LAG" else "lead"
+        return tuple(parts), tuple(orders), (kind, _child_col(), offset, default)
+    if typ == "WINDOW_AGGREGATE":
+        fn = node.get("function_name", "").lower()
+        start, end = node.get("start"), node.get("end")
+        if (
+            fn in _WINDOW_ROLLING
+            and start == "EXPR_PRECEDING_ROWS"
+            and end == "CURRENT_ROW_ROWS"
+        ):
+            n = int(_const_value(node["start_expr"])) + 1
+            return tuple(parts), tuple(orders), (
+                _WINDOW_ROLLING[fn], _child_col(), n,
+            )
+        if fn == "sum" and start == "UNBOUNDED_PRECEDING" and end in (
+            "CURRENT_ROW_RANGE", "CURRENT_ROW_ROWS",
+        ):
+            # ROWS semantics; diverges from SQL's RANGE default only on
+            # tied order keys — pass a unique tiebreak in ORDER BY
+            return tuple(parts), tuple(orders), ("cum_sum", _child_col())
+        raise SqlUnsupported(f"window aggregate {fn} frame {start}..{end}")
+    raise SqlUnsupported(f"window function {typ}")
+
+
 def _validate_expr(node) -> None:
     """Compile-time check so unsupported SQL fails at ``execute_sql``,
     not lazily mid-stream (a façade must reject, never mis-execute)."""
@@ -319,6 +431,9 @@ def _validate_expr(node) -> None:
     if not isinstance(node, dict):
         return
     cls, typ = node.get("class"), node.get("type")
+    if cls == "WINDOW":
+        _window_spec(node)  # raises if unsupported
+        return  # children/partitions/orders validated inside
     if cls == "FUNCTION":
         fn = node.get("function_name", "").lower()
         if fn not in _SCALARS and fn not in _AGG_FNS:
@@ -481,6 +596,33 @@ def _compile_select_node(node: dict, catalog: Catalog, auto_names: bool = False)
         node.get("having")
     )
 
+    # window functions: anywhere in a select expression (the computed
+    # column is spliced back in via ``win_cols``); never in
+    # WHERE/HAVING or mixed with GROUP BY — compile-time rejection
+    win_nodes: list = []
+    _collect_windows(select_list, win_nodes)
+    if _contains_window(node.get("where_clause")) or _contains_window(
+        node.get("having")
+    ):
+        raise SqlUnsupported("window function in WHERE/HAVING")
+    win_cols: dict[str, str] = {}
+    if win_nodes:
+        if group_exprs or has_agg:
+            raise SqlUnsupported("window functions mixed with GROUP BY/aggregates")
+        from ..ops.window import window as _window_op
+
+        sig_groups: dict[tuple, dict] = {}
+        for i, w in enumerate(win_nodes):
+            parts, orders, spec = _window_spec(w)
+            wk = _struct_key(w)
+            if wk in win_cols:
+                continue  # structurally identical window: reuse its column
+            win_cols[wk] = f"_w{i}"
+            sig_groups.setdefault((parts, orders), {})[f"_w{i}"] = spec
+        # one partition-hash shuffle per distinct OVER signature
+        for (parts, orders), specs in sig_groups.items():
+            ds = _window_op(ds, list(parts), list(orders), specs)
+
     if group_exprs or has_agg:
         ds = _compile_aggregate(node, ds, select_list, group_exprs, auto_names)
     else:
@@ -492,7 +634,7 @@ def _compile_select_node(node: dict, catalog: Catalog, auto_names: bool = False)
             def _proj(df: pd.DataFrame) -> pd.DataFrame:
                 out = {}
                 for name, it in zip(names, select_list):
-                    v = eval_expr(it, df)
+                    v = eval_expr(it, df, win_cols=win_cols or None)
                     if not isinstance(v, pd.Series):
                         v = pd.Series([v] * len(df), index=df.index)
                     out[name] = v

@@ -80,6 +80,31 @@ CASES = {
         SELECT c_custkey AS k FROM customer
         WHERE c_name LIKE '%001%' AND c_name NOT LIKE '%9__'
     """,
+    # window functions: two distinct OVER signatures in one select →
+    # two partition-hash shuffles; lag with explicit default; tie-safe
+    # rank on a low-cardinality order key
+    "window_funcs": """
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn,
+               lag(o_totalprice, 1, 0.0)
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS prev_price,
+               rank() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderstatus) AS status_rank
+        FROM orders WHERE o_custkey <= 200
+    """,
+    "window_rolling_cum": """
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice)
+                     OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey), 4) AS cum_spend,
+               round(avg(o_totalprice)
+                     OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS r3
+        FROM orders WHERE o_custkey <= 200
+    """,
 }
 
 
