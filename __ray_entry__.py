@@ -704,6 +704,17 @@ SQL_DEMO_UNION = """
     SELECT 's_' || CAST(s_suppkey AS VARCHAR), lower(s_name) FROM supplier
 """
 
+SQL_DEMO_SUBQUERY = """
+    WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 3000)
+    SELECT o_orderstatus AS st, count(DISTINCT o_custkey) AS buyers,
+           count(*) AS n, round(sum(o_totalprice), 2) AS vol
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM rich)
+      AND o_totalprice BETWEEN 50000 AND 300000
+      AND o_totalprice > (SELECT round(avg(o_totalprice), 2) FROM orders)
+    GROUP BY o_orderstatus
+"""
+
 SQL_DEMO_WINDOW = """
     SELECT o_custkey, o_orderkey,
            row_number() OVER (PARTITION BY o_custkey
@@ -745,6 +756,15 @@ def _q_sql_demo_union(sf_dir: str):
     from sample_c360_text2sql_segmentation_entityresolution_ray.sql import execute_sql
 
     return execute_sql(SQL_DEMO_UNION, _sql_catalog(sf_dir))
+
+
+def _q_sql_demo_subquery(sf_dir: str):
+    """Subquery surface through the SQL façade: CTE overlay, IN (SELECT)
+    → semi-join, scalar subquery spliced as a constant, BETWEEN, and
+    count(DISTINCT) via the pair-dedup + grouped-count plan."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sql import execute_sql
+
+    return execute_sql(SQL_DEMO_SUBQUERY, _sql_catalog(sf_dir))
 
 
 def _q_sql_demo_window(sf_dir: str):
@@ -1109,6 +1129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_demo_agg": _q_sql_demo_agg,
         "sql_demo_union": _q_sql_demo_union,
         "sql_demo_window": _q_sql_demo_window,
+        "sql_demo_subquery": _q_sql_demo_subquery,
     }
 
 
@@ -1154,6 +1175,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_demo_agg": SQL_DEMO_AGG,
         "sql_demo_union": SQL_DEMO_UNION,
         "sql_demo_window": SQL_DEMO_WINDOW,
+        "sql_demo_subquery": SQL_DEMO_SUBQUERY,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

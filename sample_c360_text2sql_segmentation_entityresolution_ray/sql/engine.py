@@ -16,6 +16,16 @@ operators:
     SELECT             → vectorized projection (scalar fns below)
     ORDER BY / LIMIT   → ``Dataset.sort`` + ``limit``
     UNION ALL          → ``Dataset.union`` (right side renamed to left names)
+    SELECT DISTINCT    → ``ops.relational.distinct`` (hash-partition dedup)
+    count(DISTINCT x)  → per-batch pair dedup (combiner) → hash-partition
+                         dedup → grouped count, re-joined on the group key
+    FROM (SELECT ...)  → recursive compile (derived tables); WITH ctes
+                         compile into a scoped catalog overlay
+    [NOT] IN (SELECT)  → ``ops.relational`` semi/anti join (subquery keys
+                         broadcast once); scalar subqueries and
+                         uncorrelated EXISTS execute once and splice in
+                         as constants; correlated subqueries are
+                         rejected at compile time
     fn() OVER (...)    → ``ops.window.window`` (one partition-hash
                          shuffle per distinct OVER signature):
                          row_number/rank/dense_rank/lag/lead,
@@ -283,6 +293,13 @@ def eval_expr(
         return df[node["column_names"][-1]]
     if cls == "CONSTANT":
         return _const_value(node)
+    if cls == "_PYCONST":  # spliced-in scalar-subquery / EXISTS result
+        return node["py_value"]
+    if cls == "BETWEEN" and typ == "COMPARE_BETWEEN":
+        v = eval_expr(node["input"], df, agg_cols, win_cols)
+        lo = eval_expr(node["lower"], df, agg_cols, win_cols)
+        hi = eval_expr(node["upper"], df, agg_cols, win_cols)
+        return (v >= lo) & (v <= hi)
     if cls == "COMPARISON":
         a = eval_expr(node["left"], df, agg_cols, win_cols)
         b = eval_expr(node["right"], df, agg_cols, win_cols)
@@ -346,6 +363,7 @@ _SUPPORTED_EXPR = {
     ("OPERATOR", "COMPARE_IN"), ("OPERATOR", "COMPARE_NOT_IN"),
     ("OPERATOR", "OPERATOR_NOT"), ("OPERATOR", "OPERATOR_IS_NULL"),
     ("OPERATOR", "OPERATOR_IS_NOT_NULL"),
+    ("BETWEEN", "COMPARE_BETWEEN"), ("_PYCONST", None),
 }
 
 
@@ -438,7 +456,7 @@ def _validate_expr(node) -> None:
         fn = node.get("function_name", "").lower()
         if fn not in _SCALARS and fn not in _AGG_FNS:
             raise SqlUnsupported(f"scalar function {fn}")
-        if node.get("distinct"):
+        if node.get("distinct") and fn != "count":
             raise SqlUnsupported(f"{fn}(DISTINCT ...)")
     elif cls is not None and (cls, None) not in _SUPPORTED_EXPR and (
         cls, typ
@@ -454,22 +472,13 @@ def _collect_colrefs(node, out: list):
         if node.get("class") == "COLUMN_REF":
             names = node["column_names"]
             out.append((names[0] if len(names) > 1 else None, names[-1]))
-        for v in node.values():
+        for k, v in node.items():
+            if k in ("subquery", "cte_map"):
+                continue  # inner scopes bind their own names
             _collect_colrefs(v, out)
     elif isinstance(node, list):
         for x in node:
             _collect_colrefs(x, out)
-
-
-def _base_tables(from_node, out: list):
-    t = from_node.get("type")
-    if t == "BASE_TABLE":
-        out.append(from_node)
-    elif t == "JOIN":
-        _base_tables(from_node["left"], out)
-        _base_tables(from_node["right"], out)
-    else:
-        raise SqlUnsupported(f"FROM {t}")
 
 
 def _equality_pairs(cond) -> list[tuple[dict, dict]]:
@@ -484,9 +493,13 @@ def _equality_pairs(cond) -> list[tuple[dict, dict]]:
 
 
 class _FromPlan:
-    def __init__(self, ds, columns: set[str]):
+    def __init__(self, ds, columns: set[str], quals: set[str] | None = None):
         self.ds = ds
         self.columns = columns
+        # table names/aliases this FROM tree binds — any qualified column
+        # reference outside this set is a correlated (outer) reference,
+        # which the façade rejects at compile time
+        self.quals = quals or set()
 
 
 def _compile_from(from_node, catalog: Catalog, needed: dict) -> _FromPlan:
@@ -504,7 +517,21 @@ def _compile_from(from_node, catalog: Catalog, needed: dict) -> _FromPlan:
         if missing:
             raise SqlUnsupported(f"columns {missing} not in table {name}")
         cols = [c for c in avail if c in want] or avail[:1]
-        return _FromPlan(catalog.load(name, cols), set(cols))
+        return _FromPlan(catalog.load(name, cols), set(cols), {alias, name})
+    if t == "SUBQUERY":  # derived table: FROM (SELECT ...) alias
+        sub = _compile_select_node(from_node["subquery"]["node"], catalog)
+        cols = list(sub.schema().names)
+        aliases = from_node.get("column_name_alias") or []
+        if aliases:
+            if len(aliases) != len(cols):
+                raise SqlUnsupported("derived-table column alias arity")
+            rename = dict(zip(cols, aliases))
+            sub = sub.map_batches(
+                lambda df, rename=rename: df.rename(columns=rename),
+                batch_format="pandas",
+            )
+            cols = aliases
+        return _FromPlan(sub, set(cols), {from_node.get("alias") or ""})
     if t == "JOIN":
         left = _compile_from(from_node["left"], catalog, needed)
         right = _compile_from(from_node["right"], catalog, needed)
@@ -526,8 +553,128 @@ def _compile_from(from_node, catalog: Catalog, needed: dict) -> _FromPlan:
         from ..ops.relational import hash_join
 
         ds = hash_join(left.ds, right.ds, on=tuple(lk), right_on=tuple(rk), how=how)
-        return _FromPlan(ds, left.columns | right.columns)
+        return _FromPlan(ds, left.columns | right.columns, left.quals | right.quals)
     raise SqlUnsupported(f"FROM {t}")
+
+
+# ---------------------------------------------------------------------------
+# subqueries
+# ---------------------------------------------------------------------------
+# Uncorrelated only (a correlated subquery references an outer column,
+# which compiles to "unknown table/column" → SqlUnsupported — the façade
+# rejects rather than mis-executes).  Three forms, three plans:
+#   scalar  (x > (SELECT avg(..)))  → execute once, splice the value in
+#   EXISTS                          → execute LIMIT 1, splice a boolean
+#   IN / NOT IN (SELECT col ..)     → ops.relational semi/anti join
+#     (right side's DISTINCT keys broadcast once via ray.put — the
+#     membership list is the small side by construction)
+
+
+def _rewrite_subquery_constants(node: dict, catalog: "Catalog") -> None:
+    """Replace SCALAR/EXISTS subquery nodes (in select/where/having)
+    with ``_PYCONST`` nodes, executing each subquery once (tiny result
+    by definition: 1×1 or a boolean)."""
+
+    def walk(o):
+        if isinstance(o, dict):
+            if o.get("class") == "SUBQUERY" and o.get("subquery_type") in (
+                "SCALAR", "EXISTS",
+            ):
+                sub = _compile_select_node(
+                    o["subquery"]["node"], catalog, auto_names=True
+                )
+                if o["subquery_type"] == "SCALAR":
+                    rows = sub.take(2)
+                    if len(rows) != 1 or len(rows[0]) != 1:
+                        raise SqlUnsupported(
+                            "scalar subquery must return exactly 1 row x 1 col"
+                        )
+                    val = next(iter(rows[0].values()))
+                else:
+                    val = len(sub.limit(1).take(1)) > 0
+                o.clear()
+                o.update({"class": "_PYCONST", "type": "_PYCONST", "py_value": val})
+                return
+            for v in o.values():
+                walk(v)
+        elif isinstance(o, list):
+            for x in o:
+                walk(x)
+
+    for part in ("select_list", "where_clause", "having"):
+        if node.get(part):
+            walk(node[part])
+
+
+def _split_conjuncts(w: dict) -> list[dict]:
+    if w.get("class") == "CONJUNCTION" and w.get("type") == "CONJUNCTION_AND":
+        out: list[dict] = []
+        for c in w["children"]:
+            out.extend(_split_conjuncts(c))
+        return out
+    return [w]
+
+
+def _contains_class(node, cls: str) -> bool:
+    if isinstance(node, dict):
+        if node.get("class") == cls:
+            return True
+        return any(_contains_class(v, cls) for v in node.values())
+    if isinstance(node, list):
+        return any(_contains_class(x, cls) for x in node)
+    return False
+
+
+def _membership_spec(term: dict):
+    """``col IN (SELECT ...)`` / ``col NOT IN (SELECT ...)`` conjunct →
+    (negated, left_col, subquery_node), else None."""
+    neg, t = False, term
+    if (
+        t.get("class") == "OPERATOR"
+        and t.get("type") == "OPERATOR_NOT"
+        and len(t.get("children", [])) == 1
+        and t["children"][0].get("class") == "SUBQUERY"
+    ):
+        neg, t = True, t["children"][0]
+    if (
+        t.get("class") == "SUBQUERY"
+        and t.get("subquery_type") == "ANY"
+        and t.get("comparison_type") == "COMPARE_EQUAL"
+        and t.get("child", {}).get("class") == "COLUMN_REF"
+    ):
+        return neg, t["child"]["column_names"][-1], t["subquery"]["node"]
+    if _contains_class(t, "SUBQUERY"):
+        raise SqlUnsupported(
+            "subquery form (supported: scalar, EXISTS, [NOT] IN (SELECT col ...) "
+            "as a top-level AND conjunct)"
+        )
+    return None
+
+
+def _extract_memberships(node: dict) -> list[tuple[bool, str, dict]]:
+    """Pull [NOT] IN (SELECT ...) conjuncts out of the WHERE clause,
+    leaving the residual predicate in place."""
+    where = node.get("where_clause")
+    if where is None or not _contains_class(where, "SUBQUERY"):
+        return []
+    specs, residual = [], []
+    for term in _split_conjuncts(where):
+        m = _membership_spec(term)
+        if m is not None:
+            specs.append(m)
+        else:
+            residual.append(term)
+    if not residual:
+        node["where_clause"] = None
+    elif len(residual) == 1:
+        node["where_clause"] = residual[0]
+    else:
+        node["where_clause"] = {
+            "class": "CONJUNCTION",
+            "type": "CONJUNCTION_AND",
+            "children": residual,
+        }
+    return specs
 
 
 def _output_name(item: dict, i: int, auto: bool = False) -> str:
@@ -568,6 +715,33 @@ def _compile_select_node(node: dict, catalog: Catalog, auto_names: bool = False)
     if node["type"] != "SELECT_NODE":
         raise SqlUnsupported(f"statement {node['type']}")
 
+    # WITH ctes: compile each into a scoped catalog overlay (in
+    # definition order, so a CTE can reference an earlier one)
+    ctes = (node.get("cte_map") or {}).get("map") or []
+    if ctes:
+        scoped = Catalog()
+        scoped._loaders = dict(catalog._loaders)
+        scoped._columns = dict(catalog._columns)
+        for entry in ctes:
+            cds = _compile_select_node(entry["value"]["query"]["node"], scoped)
+            aliases = entry["value"].get("aliases") or []
+            if aliases:
+                cols = list(cds.schema().names)
+                if len(aliases) != len(cols):
+                    raise SqlUnsupported("CTE column alias arity")
+                rename = dict(zip(cols, aliases))
+                cds = cds.map_batches(
+                    lambda df, rename=rename: df.rename(columns=rename),
+                    batch_format="pandas",
+                )
+            scoped.register_dataset(entry["key"], cds)
+        catalog = scoped
+
+    # subqueries: scalar/EXISTS execute once and splice in as constants;
+    # [NOT] IN (SELECT ...) conjuncts become semi/anti-join stages
+    _rewrite_subquery_constants(node, catalog)
+    memberships = _extract_memberships(node)
+
     for part in ("select_list", "where_clause", "having", "group_expressions"):
         if node.get(part):
             _validate_expr(node[part])
@@ -580,7 +754,13 @@ def _compile_select_node(node: dict, catalog: Catalog, auto_names: bool = False)
     needed: dict = {}
     for qual, col in refs:
         needed.setdefault(qual, set()).add(col)
+    for _neg, mcol, _sub in memberships:  # join key survives pruning
+        needed.setdefault(None, set()).add(mcol)
     plan = _compile_from(node["from_table"], catalog, needed)
+    unknown_quals = {q for q in needed if q is not None} - plan.quals
+    if unknown_quals:
+        # a qualified ref outside this FROM tree = correlated outer ref
+        raise SqlUnsupported(f"unknown table alias(es) {sorted(unknown_quals)}")
     ds = plan.ds
 
     where = node.get("where_clause")
@@ -589,6 +769,19 @@ def _compile_select_node(node: dict, catalog: Catalog, auto_names: bool = False)
             return df[np.asarray(eval_expr(where, df), dtype=bool)]
 
         ds = ds.map_batches(_filt, batch_format="pandas")
+
+    if memberships:
+        from ..ops.relational import anti_join, semi_join
+
+        for neg, mcol, subnode in memberships:
+            sub_ds = _compile_select_node(subnode, catalog, auto_names=True)
+            sub_cols = sub_ds.schema().names
+            if len(sub_cols) != 1:
+                raise SqlUnsupported("IN (SELECT ...) must select a single column")
+            # NOT IN compiled as anti-join: two-valued logic (a NULL in
+            # the subquery result would make SQL's NOT IN return no rows)
+            op = anti_join if neg else semi_join
+            ds = op(ds, sub_ds, on=mcol, right_on=sub_cols[0])
 
     select_list = node["select_list"]
     group_exprs = node.get("group_expressions", [])
@@ -654,6 +847,14 @@ def _compile_select_node(node: dict, catalog: Catalog, auto_names: bool = False)
             ds = ds.sort(keys, descending=desc)
         elif mod["type"] == "LIMIT_MODIFIER":
             ds = ds.limit(int(_const_value(mod["limit"])))
+        elif mod["type"] == "DISTINCT_MODIFIER":
+            # DuckDB emits DISTINCT before ORDER/LIMIT in the modifier
+            # list, so in-order processing preserves SQL semantics
+            if mod.get("distinct_on_targets"):
+                raise SqlUnsupported("DISTINCT ON (...)")
+            from ..ops.relational import distinct as _distinct
+
+            ds = _distinct(ds, list(ds.schema().names))
         else:
             raise SqlUnsupported(f"modifier {mod['type']}")
     return ds
@@ -686,16 +887,22 @@ def _compile_aggregate(node, ds, select_list, group_exprs, auto_names=False):
 
     agg_cols = {k: f"_a{i}" for i, k in enumerate(agg_nodes)}
     aggs = []
+    distinct_counts: list[tuple[str, str]] = []  # (out_col, in_col)
     input_exprs: dict[str, dict] = {}  # input column name -> child expr
     for k, n in agg_nodes.items():
         fn = n["function_name"].lower()
-        if n.get("distinct"):
-            raise SqlUnsupported(f"{fn}(DISTINCT ...)")
         out_col = agg_cols[k]
+        children = n.get("children", [])
+        if n.get("distinct"):
+            if fn != "count" or len(children) != 1:
+                raise SqlUnsupported(f"{fn}(DISTINCT ...)")
+            in_col = f"_in{len(input_exprs)}"
+            input_exprs[in_col] = children[0]
+            distinct_counts.append((out_col, in_col))
+            continue
         if fn == "count_star":
             aggs.append(Count(alias_name=out_col))
             continue
-        children = n.get("children", [])
         if len(children) != 1:
             raise SqlUnsupported(f"aggregate {fn} arity")
         in_col = f"_in{len(input_exprs)}"
@@ -713,14 +920,73 @@ def _compile_aggregate(node, ds, select_list, group_exprs, auto_names=False):
         for cn, e in input_exprs.items():
             v = eval_expr(e, df)
             out[cn] = v if isinstance(v, pd.Series) else pd.Series([v] * len(df))
+        if not out:  # bare count(*): a 0-column frame would drop the rows
+            out["_one"] = pd.Series(np.ones(len(df), dtype=np.int8), index=df.index)
         return pd.DataFrame(out)
 
     ds = ds.map_batches(_prep, batch_format="pandas")
+
+    # count(DISTINCT x): per-batch (key, x) dedup (combiner — shrinks the
+    # shuffle to unique pairs), hash-partition dedup, then a grouped
+    # count.  Multiple aggregate frames re-join on the group key; a group
+    # whose x is all-NULL gets 0 via the left-outer fill (it can only
+    # vanish entirely if EVERY aggregate is a distinct count — documented
+    # two-valued-logic edge).
+    def _pair_frames():
+        from ..ops.relational import dedupe_by_key
+
+        out = []
+        for out_col, in_col in distinct_counts:
+            cols = key_names + [in_col]
+
+            def _pairs(df: pd.DataFrame, cols=cols, c=in_col) -> pd.DataFrame:
+                return df[cols].dropna(subset=[c]).drop_duplicates()
+
+            uniq = dedupe_by_key(
+                ds.map_batches(_pairs, batch_format="pandas"), cols
+            )
+            out.append((out_col, in_col, uniq))
+        return out
+
     if key_names:
-        agged = ds.groupby(key_names).aggregate(*aggs)
+        frames = []
+        if aggs:
+            frames.append(ds.groupby(key_names).aggregate(*aggs))
+        for out_col, _in_col, uniq in _pair_frames():
+            frames.append(
+                uniq.groupby(key_names).aggregate(Count(alias_name=out_col))
+            )
+        agged = frames[0]
+        if len(frames) > 1:
+            from ..ops.relational import hash_join, join_partitions_for_cluster
+
+            # each frame is post-aggregation (one row per group) — small
+            # by construction, so materializing to size the re-join is
+            # the repo's measured-count pattern (empty Acero join
+            # partitions crash; see stages/clustering.py)
+            frames = [f.materialize() for f in frames]
+            agged = frames[0]
+            n = frames[0].count()
+            P = max(2, min(join_partitions_for_cluster(None), n // 1000 + 2))
+            for f in frames[1:]:
+                agged = hash_join(
+                    agged, f, on=tuple(key_names), how="left_outer",
+                    num_partitions=P,
+                )
+            dcols = [oc for oc, _ in distinct_counts]
+
+            def _fill(df: pd.DataFrame) -> pd.DataFrame:
+                for c in dcols:
+                    if c in df.columns:
+                        df[c] = df[c].fillna(0).astype("int64")
+                return df
+
+            agged = agged.map_batches(_fill, batch_format="pandas")
     else:
         # global aggregate: Dataset.aggregate returns one dict row
-        row = ds.aggregate(*aggs)
+        row = dict(ds.aggregate(*aggs)) if aggs else {}
+        for out_col, _in_col, uniq in _pair_frames():
+            row[out_col] = uniq.count()
         agged = ray.data.from_items([row])
 
     having = node.get("having")

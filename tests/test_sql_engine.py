@@ -94,6 +94,59 @@ CASES = {
                             ORDER BY o_orderstatus) AS status_rank
         FROM orders WHERE o_custkey <= 200
     """,
+    "between_distinct": """
+        SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        WHERE o_totalprice BETWEEN 100000 AND 200000
+    """,
+    "derived_table": """
+        SELECT flag, round(avg(q), 2) AS aq
+        FROM (SELECT l_returnflag AS flag, l_quantity AS q
+              FROM lineitem WHERE l_discount > 0.05) t
+        GROUP BY flag
+    """,
+    "cte": """
+        WITH big AS (SELECT o_custkey, o_totalprice FROM orders
+                     WHERE o_totalprice > 150000)
+        SELECT c.c_name AS nm, count(*) AS n
+        FROM big b JOIN customer c ON b.o_custkey = c.c_custkey
+        GROUP BY c.c_name
+    """,
+    "in_subquery": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_acctbal > 5000)
+          AND o_orderstatus = 'F'
+    """,
+    # threshold chosen so the result is non-empty at sf0.001 (an empty
+    # Dataset loses its schema at to_pandas — known Ray 2.49 limitation)
+    "not_in_subquery": """
+        SELECT c_custkey AS k FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_totalprice > 300000)
+    """,
+    "scalar_subquery": """
+        SELECT o_orderkey FROM orders
+        WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+    "exists_subquery": """
+        SELECT count(*) AS n FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_totalprice > 400000)
+          AND c_acctbal < 0
+    """,
+    "count_distinct_group": """
+        SELECT c_mktsegment AS seg, count(DISTINCT c_nationkey) AS nations,
+               count(*) AS cnt, round(sum(c_acctbal), 2) AS bal
+        FROM customer GROUP BY c_mktsegment
+    """,
+    "count_distinct_global": """
+        SELECT count(DISTINCT o_custkey) AS buyers, count(*) AS orders
+        FROM orders
+    """,
+    "count_distinct_expr": """
+        SELECT o_orderstatus AS st,
+               count(DISTINCT o_custkey) * 10 AS buyers_x10
+        FROM orders GROUP BY o_orderstatus
+    """,
     "window_rolling_cum": """
         SELECT o_custkey, o_orderkey,
                round(sum(o_totalprice)
@@ -136,7 +189,17 @@ def test_unsupported_raises(catalog):
             catalog,
         )
     with pytest.raises(SqlUnsupported):
-        execute_sql("SELECT count(DISTINCT o_custkey) + 1 FROM orders", catalog)
+        execute_sql(
+            "SELECT sum(DISTINCT o_totalprice) AS s FROM orders", catalog
+        )
+    with pytest.raises(SqlUnsupported):
+        # correlated subqueries compile to unknown-column → rejected
+        execute_sql(
+            "SELECT c_custkey AS k FROM customer c WHERE c_acctbal > "
+            "(SELECT avg(o_totalprice) FROM orders o "
+            " WHERE o.o_custkey = c.c_custkey)",
+            catalog,
+        )
 
 
 def test_from_unixtime_helper(catalog, duck):
