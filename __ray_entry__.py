@@ -767,6 +767,20 @@ def _q_sql_demo_subquery(sf_dir: str):
     return execute_sql(SQL_DEMO_SUBQUERY, _sql_catalog(sf_dir))
 
 
+def _q_text2sql_agent(sf_dir: str):
+    """Full NL→SQL agent loop (reference's headline UX,
+    `agent_processor.py:836-860`): rule-based generator proposes SQL,
+    the façade executes it.  The oracle is the exact SQL the generator
+    emits for this question — checked end-to-end."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sql import (
+        RuleBasedSqlGenerator,
+        Text2SqlAgent,
+    )
+
+    agent = Text2SqlAgent(_sql_catalog(sf_dir), RuleBasedSqlGenerator())
+    return agent.run("who are our repeat buyers?").dataset
+
+
 def _q_sql_demo_window(sf_dir: str):
     """Window functions through the SQL façade: two distinct OVER
     expressions sharing one signature → ONE partition-hash shuffle
@@ -1130,6 +1144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_demo_union": _q_sql_demo_union,
         "sql_demo_window": _q_sql_demo_window,
         "sql_demo_subquery": _q_sql_demo_subquery,
+        "text2sql_agent": _q_text2sql_agent,
     }
 
 
@@ -1176,6 +1191,13 @@ def oracle_sql() -> dict[str, str]:
         "sql_demo_union": SQL_DEMO_UNION,
         "sql_demo_window": SQL_DEMO_WINDOW,
         "sql_demo_subquery": SQL_DEMO_SUBQUERY,
+        # the exact SQL RuleBasedSqlGenerator emits for "repeat buyers"
+        "text2sql_agent": """
+            SELECT c.c_name AS name, count(*) AS order_count
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_name HAVING count(*) >= 2
+            ORDER BY order_count DESC, name LIMIT 300
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
