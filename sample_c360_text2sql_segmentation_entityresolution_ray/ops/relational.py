@@ -131,31 +131,77 @@ def broadcast_join(
     return large.map_batches(_probe, batch_format="pandas")
 
 
-def _broadcast_key_set(right: "ray.data.Dataset", key: str):
+# broadcast membership sets above this many distinct keys switch to the
+# shuffle path: ~4M int64 keys ≈ 32 MB re-shipped to every worker is the
+# break-even vs one hash-partition exchange of the (deduped) key column
+SEMI_BROADCAST_LIMIT = 4_000_000
+
+_OVERFLOW = object()
+
+
+def _broadcast_key_set(right: "ray.data.Dataset", key: str,
+                       limit: int | None = None):
     """Distinct key values of ``right`` as an object-store broadcast ref,
-    or ``None`` for an empty right side.  Streamed + per-batch uniqued
-    driver-side: the key set is small by the broadcast-join contract,
-    and ``Dataset.unique``'s set-aggregate chokes on some block shapes
-    (numpy-array accumulators at higher parallelism, Ray 2.49)."""
+    ``None`` for an empty right side, or the ``_OVERFLOW`` sentinel once
+    more than ``limit`` distinct keys have streamed (caller falls back
+    to the shuffle path — the stream stops early, so an oversized right
+    side costs only ``limit`` keys of driver memory).  Per-batch uniqued
+    driver-side: ``Dataset.unique``'s set-aggregate chokes on some block
+    shapes (numpy-array accumulators at higher parallelism, Ray 2.49)."""
     vals: set = set()
     for b in right.select_columns([key]).iter_batches(
         batch_size=65536, batch_format="pyarrow"
     ):
         vals.update(pc.unique(b[key]).to_pylist())
+        if limit is not None and len(vals) > limit:
+            return _OVERFLOW
     if not vals:
         return None
     return ray.put(pa.array(sorted(vals)))
 
 
+def _shuffle_membership(
+    left: "ray.data.Dataset", right: "ray.data.Dataset",
+    on: str, right_on: str, keep_matches: bool,
+) -> "ray.data.Dataset":
+    """Semi/anti join as a hash-partition exchange: dedupe the right key
+    column (combiner inside the dedup), mark it, left-outer join, filter
+    on the marker.  Both sides shuffle once; nothing broadcasts."""
+    marker = "__membership__"
+    keys = dedupe_by_key(
+        right.select_columns([right_on]), [right_on]
+    ).map_batches(
+        lambda df: df.assign(**{marker: np.int8(1)}), batch_format="pandas"
+    )
+    joined = hash_join(left, keys, on=(on,), right_on=(right_on,),
+                       how="left_outer")
+
+    def _filter(df: pd.DataFrame) -> pd.DataFrame:
+        mask = df[marker].notna()
+        out = df[mask if keep_matches else ~mask]
+        return out.drop(columns=[marker] + (
+            [right_on] if right_on != on and right_on in out.columns else []
+        ))
+
+    return joined.map_batches(_filter, batch_format="pandas")
+
+
 def semi_join(
-    left: "ray.data.Dataset", right: "ray.data.Dataset", on: str, right_on: str | None = None
+    left: "ray.data.Dataset", right: "ray.data.Dataset", on: str,
+    right_on: str | None = None,
+    broadcast_limit: int | None = SEMI_BROADCAST_LIMIT,
 ) -> "ray.data.Dataset":
     """Keep left rows whose key appears in ``right`` (membership filter,
     `lambda/create_personalize_segment/index.py:44-77`).  Right side's
-    distinct keys are broadcast once; the left side never shuffles."""
-    ref = _broadcast_key_set(right, right_on or on)
+    distinct keys are broadcast once and the left side never shuffles —
+    until the measured key count exceeds ``broadcast_limit``, when it
+    switches to the hash-partition exchange (both sides shuffle once)."""
+    rkey = right_on or on
+    ref = _broadcast_key_set(right, rkey, broadcast_limit)
     if ref is None:  # empty right side: nothing matches
         return left.limit(0)
+    if ref is _OVERFLOW:
+        return _shuffle_membership(left, right, on, rkey, keep_matches=True)
 
     def _filter(batch: pa.Table) -> pa.Table:
         mask = pc.is_in(batch[on], value_set=ray.get(ref))
@@ -165,15 +211,21 @@ def semi_join(
 
 
 def anti_join(
-    left: "ray.data.Dataset", right: "ray.data.Dataset", on: str, right_on: str | None = None
+    left: "ray.data.Dataset", right: "ray.data.Dataset", on: str,
+    right_on: str | None = None,
+    broadcast_limit: int | None = SEMI_BROADCAST_LIMIT,
 ) -> "ray.data.Dataset":
     """Keep left rows whose key does NOT appear in ``right`` — the
     "excluding those who already bought it" NL workload (README.md:14)
     and the new-items subtraction
-    (`lambda/create_personalize_segment/index.py:141`)."""
-    ref = _broadcast_key_set(right, right_on or on)
+    (`lambda/create_personalize_segment/index.py:141`).  Same
+    broadcast-vs-shuffle switch as :func:`semi_join`."""
+    rkey = right_on or on
+    ref = _broadcast_key_set(right, rkey, broadcast_limit)
     if ref is None:  # empty right side: nothing excluded
         return left
+    if ref is _OVERFLOW:
+        return _shuffle_membership(left, right, on, rkey, keep_matches=False)
 
     def _filter(batch: pa.Table) -> pa.Table:
         mask = pc.is_in(batch[on], value_set=ray.get(ref))
