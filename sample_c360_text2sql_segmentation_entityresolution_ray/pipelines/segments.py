@@ -284,60 +284,75 @@ def item_based_segments(
         )
     )
     aff_ref = ray.put(aff)
-    targets_arr = pa.array(sorted(targets), pa.string())
 
-    def _score(df: pd.DataFrame) -> pd.DataFrame:
-        """Vectorized per-batch partial: merge the batch's (user, item)
-        rows against the flat affinity table → (user, target, cnt).
-        Task stage — the affinity table is plasma-resident."""
-        m = df.merge(ray.get(aff_ref), left_on="ITEM_ID", right_on="item", how="inner")
+    # scoring + prior-purchaser exclusion + top-n, fused into ONE
+    # user-hash partitioned pass (replaces a scored-aggregate shuffle,
+    # an anti-join and a top-n shuffle — three barriers of fixed cost):
+    # every user's rows live entirely inside one partition group, so the
+    # grouped affinity sum and the ownership exclusion are globally
+    # exact there, and the global top-n per target is a subset of the
+    # union of per-partition top-n's (each user is in exactly one
+    # partition).  Driver combine is bounded: ≤ n × |targets| ×
+    # DEDUP_PARTITIONS rows regardless of corpus size.
+
+    def _part2(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_part"] = (
+            pd.util.hash_array(batch["USER_ID"].to_numpy()) % DEDUP_PARTITIONS
+        ).astype("int32")
+        return batch
+
+    _empty = pd.DataFrame(
+        {
+            "item_id": pd.Series(dtype=object),
+            "user_id": pd.Series(dtype=object),
+            "affinity": pd.Series(dtype=np.int64),
+        }
+    )
+
+    def _score_part(g: pd.DataFrame) -> pd.DataFrame:
+        aff_t = ray.get(aff_ref)
+        if not len(g) or not len(aff_t):
+            return _empty
+        m = g.merge(aff_t, left_on="ITEM_ID", right_on="item", how="inner")
+        if not len(m):
+            return _empty
+        s = m.groupby(["USER_ID", "target"], sort=False)["cnt"].sum().reset_index()
+        own = g.loc[g["ITEM_ID"].isin(targets), ["USER_ID", "ITEM_ID"]].rename(
+            columns={"ITEM_ID": "target"}
+        )
+        s = s.merge(own.assign(_own=1), on=["USER_ID", "target"], how="left")
+        s = s[s["_own"].isna()]
+        s = s.sort_values(
+            ["target", "cnt", "USER_ID"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        s = s.groupby("target", sort=False).head(n)
         return pd.DataFrame(
             {
-                "user_id": m["USER_ID"],
-                "item_id": m["target"],
-                "affinity": m["cnt"].astype(np.int64),
+                "item_id": s["target"].to_numpy(),
+                "user_id": s["USER_ID"].to_numpy(),
+                "affinity": s["cnt"].astype(np.int64).to_numpy(),
             }
         )
 
-    from ray.data.aggregate import Sum
-
-    scored = (
-        ui.map_batches(_score, batch_format="pandas")
-        .groupby(["user_id", "item_id"])
-        .aggregate(Sum("affinity", alias_name="affinity"))
+    partials = (
+        ui.map_batches(_part2, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(_score_part, batch_format="pandas")
     )
-
-    # exclude prior purchasers: composite-key anti-membership filter
-    # against the (user, target) ownership slice of ui
-    def _own_keys(batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch["ITEM_ID"], value_set=targets_arr)
-        sub = batch.filter(mask)
-        key = pc.binary_join_element_wise(
-            pc.cast(sub["USER_ID"], pa.string()),
-            pc.cast(sub["ITEM_ID"], pa.string()),
-            "\x1f",
-        )
-        return pa.table({"_k": key})
-
-    owned = ui.map_batches(_own_keys, batch_format="pyarrow")
-
-    def _scored_key(batch: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(
-            pc.cast(batch["user_id"], pa.string()),
-            pc.cast(batch["item_id"], pa.string()),
-            "\x1f",
-        )
-        return batch.append_column("_k", key)
-
-    from ..ops.relational import anti_join
-
-    not_bought = anti_join(
-        scored.map_batches(_scored_key, batch_format="pyarrow"), owned, on="_k"
-    ).drop_columns(["_k"])
-
-    return topn_per_group(
-        not_bought, "item_id", "affinity", n, descending=True, tiebreak=["user_id"]
+    pieces = [
+        b for b in partials.iter_batches(batch_size=None, batch_format="pandas")
+    ]
+    out = pd.concat(pieces, ignore_index=True) if pieces else _empty
+    out = out.sort_values(
+        ["item_id", "affinity", "user_id"],
+        ascending=[True, False, True],
+        kind="mergesort",
     )
+    out = out.groupby("item_id", sort=False).head(n).reset_index(drop=True)
+    return ray.data.from_pandas(out)
 
 
 __all__ = [
