@@ -131,6 +131,130 @@ def broadcast_join(
     return large.map_batches(_probe, batch_format="pandas")
 
 
+# Auto-join: a side whose row count is KNOWN (parquet metadata) and at
+# most this many rows becomes a broadcast build side; unknown or larger
+# sides take the hash-partition shuffle.  Conservative vs
+# BROADCAST_ROW_LIMIT because the SQL façade may feed wide projections.
+AUTO_BROADCAST_ROWS = 1_000_000
+
+
+def auto_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: Sequence[str],
+    right_on: Sequence[str] | None = None,
+    how: str = "inner",
+    left_rows: int | None = None,
+    right_rows: int | None = None,
+    broadcast_limit: int = AUTO_BROADCAST_ROWS,
+) -> "ray.data.Dataset":
+    """Equi-join with measured plan choice, hash_join-compatible output
+    (left columns then right columns; right key columns consumed).
+
+    ``left_rows`` / ``right_rows`` are cheap row-count bounds (parquet
+    footer metadata) or ``None`` when the side is a derived plan whose
+    size is unknown without executing it.  A known-small side is
+    broadcast (``ray.put`` once, pandas-merge probe per batch — zero
+    shuffle of the big side); otherwise both sides take the
+    hash-partition exchange.  Reference analog: every Athena join the
+    text2sql agent emits is fact⋈dim (`README.md:13-15`)."""
+    rk = list(right_on) if right_on else list(on)
+    lk = list(on)
+    small_right = right_rows is not None and right_rows <= broadcast_limit
+    small_left = left_rows is not None and left_rows <= broadcast_limit
+    if small_right and small_left:
+        # both known-small: build on the smaller side
+        small_left = left_rows < right_rows
+        small_right = not small_left
+    if small_right:
+        return _bc_join(left, right, lk, rk, how, build="right")
+    if small_left and how == "inner":
+        return _bc_join(left, right, lk, rk, how, build="left")
+    return hash_join(left, right, on=tuple(lk), right_on=tuple(rk), how=how)
+
+
+def _bc_join(
+    left, right, lk: list, rk: list, how: str, build: str
+) -> "ray.data.Dataset":
+    """Broadcast one side, probe the other inside ``map_batches``.
+    Output matches ``hash_join``: left columns (probe or build order
+    normalized left-first), right key columns dropped when their names
+    differ from the left keys."""
+    pd_how = {"inner": "inner", "left_outer": "left"}[how]
+    drop = [c for c in rk if c not in lk]
+    if build == "right":
+        build_df = right.to_pandas()
+        if len(build_df) > BROADCAST_ROW_LIMIT:
+            return hash_join(left, right, on=tuple(lk), right_on=tuple(rk), how=how)
+        ref = ray.put(build_df)
+
+        def _probe(batch: pd.DataFrame) -> pd.DataFrame:
+            m = batch.merge(
+                ray.get(ref), how=pd_how, left_on=lk, right_on=rk
+            )
+            return m.drop(columns=[c for c in drop if c in m.columns])
+
+        return left.map_batches(_probe, batch_format="pandas")
+
+    build_df = left.to_pandas()
+    if len(build_df) > BROADCAST_ROW_LIMIT:
+        return hash_join(left, right, on=tuple(lk), right_on=tuple(rk), how=how)
+    ref = ray.put(build_df)
+
+    def _probe_l(batch: pd.DataFrame) -> pd.DataFrame:
+        small = ray.get(ref)
+        m = small.merge(batch, how="inner", left_on=lk, right_on=rk)
+        # merge put build (left) columns first already; drop right keys
+        return m.drop(columns=[c for c in drop if c in m.columns])
+
+    return right.map_batches(_probe_l, batch_format="pandas")
+
+
+# ORDER BY + LIMIT n: per-block partial top-k (each block contributes at
+# most n rows) + bounded driver combine.  Above this n the collect is no
+# longer provably small → full distributed sort instead.
+TOPK_DRIVER_LIMIT = 100_000
+
+
+def topk(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    descending: Sequence[bool],
+    n: int,
+) -> "ray.data.Dataset":
+    """Global top-``n`` by sort keys without a full sort shuffle: every
+    block keeps its local top-``n`` (the global winners are a subset of
+    the union), the survivors (≤ blocks × n rows, and ≤ n per block)
+    are combined once on the driver.  The SQL façade compiles
+    ``ORDER BY … LIMIT n`` here when ``n`` ≤ ``TOPK_DRIVER_LIMIT``;
+    semantics match ``ds.sort(keys).limit(n)`` (NULLs last)."""
+    keys = list(keys)
+    asc = [not d for d in descending]
+
+    def _local(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) <= n:
+            return batch
+        return batch.sort_values(
+            keys, ascending=asc, kind="mergesort", na_position="last"
+        ).head(n)
+
+    pieces = [
+        b
+        for b in ds.map_batches(_local, batch_format="pandas").iter_batches(
+            batch_size=None, batch_format="pandas"
+        )
+    ]
+    if not pieces:
+        return ds.limit(0)
+    out = (
+        pd.concat(pieces, ignore_index=True)
+        .sort_values(keys, ascending=asc, kind="mergesort", na_position="last")
+        .head(n)
+        .reset_index(drop=True)
+    )
+    return ray.data.from_pandas(out)
+
+
 # broadcast membership sets above this many distinct keys switch to the
 # shuffle path: ~4M int64 keys ≈ 32 MB re-shipped to every worker is the
 # break-even vs one hash-partition exchange of the (deduped) key column
@@ -517,6 +641,8 @@ def sort_limit(
 __all__ = [
     "hash_join",
     "broadcast_join",
+    "auto_join",
+    "topk",
     "asof_join",
     "range_join",
     "dedupe_by_key",

@@ -92,11 +92,15 @@ class Catalog:
     def __init__(self):
         self._loaders: dict[str, Callable] = {}
         self._columns: dict[str, list[str]] = {}
+        self._rows: dict[str, int | None] = {}
 
     def register_parquet(self, name: str, path: str) -> None:
         import pyarrow.parquet as pq
 
         cols = pq.read_schema(path).names
+        # footer metadata only — feeds the join planner's broadcast
+        # decision without touching row data
+        self._rows[name] = pq.ParquetFile(path).metadata.num_rows
 
         def _load(columns: Sequence[str] | None):
             return ray.data.read_parquet(
@@ -122,6 +126,11 @@ class Catalog:
 
     def load(self, name: str, columns: Sequence[str] | None):
         return self._loaders[name](columns)
+
+    def approx_rows(self, name: str) -> int | None:
+        """Known row count (parquet footer) or None for datasets whose
+        size would require execution to learn."""
+        return self._rows.get(name)
 
 
 # ---------------------------------------------------------------------------
@@ -493,13 +502,22 @@ def _equality_pairs(cond) -> list[tuple[dict, dict]]:
 
 
 class _FromPlan:
-    def __init__(self, ds, columns: set[str], quals: set[str] | None = None):
+    def __init__(
+        self,
+        ds,
+        columns: set[str],
+        quals: set[str] | None = None,
+        approx_rows: int | None = None,
+    ):
         self.ds = ds
         self.columns = columns
         # table names/aliases this FROM tree binds — any qualified column
         # reference outside this set is a correlated (outer) reference,
         # which the façade rejects at compile time
         self.quals = quals or set()
+        # known row-count bound (parquet footer) — None for derived
+        # plans; drives the auto_join broadcast decision
+        self.approx_rows = approx_rows
 
 
 def _compile_from(from_node, catalog: Catalog, needed: dict) -> _FromPlan:
@@ -517,7 +535,12 @@ def _compile_from(from_node, catalog: Catalog, needed: dict) -> _FromPlan:
         if missing:
             raise SqlUnsupported(f"columns {missing} not in table {name}")
         cols = [c for c in avail if c in want] or avail[:1]
-        return _FromPlan(catalog.load(name, cols), set(cols), {alias, name})
+        return _FromPlan(
+            catalog.load(name, cols),
+            set(cols),
+            {alias, name},
+            approx_rows=catalog.approx_rows(name),
+        )
     if t == "SUBQUERY":  # derived table: FROM (SELECT ...) alias
         sub = _compile_select_node(from_node["subquery"]["node"], catalog)
         cols = list(sub.schema().names)
@@ -550,9 +573,17 @@ def _compile_from(from_node, catalog: Catalog, needed: dict) -> _FromPlan:
                 rk.append(ca)
             else:
                 raise SqlUnsupported(f"cannot route join key {ca}={cb}")
-        from ..ops.relational import hash_join
+        from ..ops.relational import auto_join
 
-        ds = hash_join(left.ds, right.ds, on=tuple(lk), right_on=tuple(rk), how=how)
+        ds = auto_join(
+            left.ds,
+            right.ds,
+            on=tuple(lk),
+            right_on=tuple(rk),
+            how=how,
+            left_rows=left.approx_rows,
+            right_rows=right.approx_rows,
+        )
         return _FromPlan(ds, left.columns | right.columns, left.quals | right.quals)
     raise SqlUnsupported(f"FROM {t}")
 
@@ -835,7 +866,9 @@ def _compile_select_node(node: dict, catalog: Catalog, auto_names: bool = False)
 
             ds = ds.map_batches(_proj, batch_format="pandas")
 
-    for mod in node.get("modifiers", []):
+    mods = node.get("modifiers", [])
+    skip_next_limit = False
+    for mi, mod in enumerate(mods):
         if mod["type"] == "ORDER_MODIFIER":
             keys, desc = [], []
             for o in mod["orders"]:
@@ -844,8 +877,27 @@ def _compile_select_node(node: dict, catalog: Catalog, auto_names: bool = False)
                     raise SqlUnsupported("ORDER BY must reference output columns")
                 keys.append(e["column_names"][-1])
                 desc.append(o["type"] == "DESCENDING")
-            ds = ds.sort(keys, descending=desc)
+            # ORDER BY immediately followed by a small LIMIT fuses into
+            # the shuffle-free partial top-k (per-block head + bounded
+            # driver combine) instead of a full distributed sort
+            nlim = None
+            if (
+                mi + 1 < len(mods)
+                and mods[mi + 1]["type"] == "LIMIT_MODIFIER"
+                and not mods[mi + 1].get("offset")
+            ):
+                nlim = int(_const_value(mods[mi + 1]["limit"]))
+            from ..ops.relational import TOPK_DRIVER_LIMIT, topk
+
+            if nlim is not None and nlim <= TOPK_DRIVER_LIMIT:
+                ds = topk(ds, keys, desc, nlim)
+                skip_next_limit = True
+            else:
+                ds = ds.sort(keys, descending=desc)
         elif mod["type"] == "LIMIT_MODIFIER":
+            if skip_next_limit:
+                skip_next_limit = False
+                continue
             ds = ds.limit(int(_const_value(mod["limit"])))
         elif mod["type"] == "DISTINCT_MODIFIER":
             # DuckDB emits DISTINCT before ORDER/LIMIT in the modifier
@@ -887,6 +939,7 @@ def _compile_aggregate(node, ds, select_list, group_exprs, auto_names=False):
 
     agg_cols = {k: f"_a{i}" for i, k in enumerate(agg_nodes)}
     aggs = []
+    agg_specs: list[tuple[str, str | None, str]] = []  # (fn, in_col, out_col)
     distinct_counts: list[tuple[str, str]] = []  # (out_col, in_col)
     input_exprs: dict[str, dict] = {}  # input column name -> child expr
     for k, n in agg_nodes.items():
@@ -902,6 +955,7 @@ def _compile_aggregate(node, ds, select_list, group_exprs, auto_names=False):
             continue
         if fn == "count_star":
             aggs.append(Count(alias_name=out_col))
+            agg_specs.append(("count_star", None, out_col))
             continue
         if len(children) != 1:
             raise SqlUnsupported(f"aggregate {fn} arity")
@@ -911,6 +965,7 @@ def _compile_aggregate(node, ds, select_list, group_exprs, auto_names=False):
             aggs.append(Count(in_col, alias_name=out_col, ignore_nulls=True))
         else:
             aggs.append(_AGG_BUILDERS[fn](in_col, out_col))
+        agg_specs.append((fn, in_col, out_col))
 
     def _prep(df: pd.DataFrame) -> pd.DataFrame:
         out = {}
@@ -948,40 +1003,55 @@ def _compile_aggregate(node, ds, select_list, group_exprs, auto_names=False):
             out.append((out_col, in_col, uniq))
         return out
 
-    if key_names:
-        frames = []
-        if aggs:
-            frames.append(ds.groupby(key_names).aggregate(*aggs))
-        for out_col, _in_col, uniq in _pair_frames():
-            frames.append(
-                uniq.groupby(key_names).aggregate(Count(alias_name=out_col))
-            )
-        agged = frames[0]
-        if len(frames) > 1:
-            from ..ops.relational import hash_join, join_partitions_for_cluster
+    if key_names and distinct_counts:
+        # count(DISTINCT) fuses the WHOLE aggregate into one
+        # partition-hash pass: rows of a group key all land in the same
+        # partition, so every aggregate (including exact nunique) is
+        # computed exactly there — one shuffle, no aggregate-frame
+        # re-join (the previous plan paid a dedup shuffle + a fresh
+        # aggregator-actor join).  The shuffle ships (key, input) rows
+        # un-combined — the exact-distinct cost; the approximate path at
+        # corpus scale is ops.sketch's KMV distinct-count.
+        from ..ops.relational import DEDUP_PARTITIONS
 
-            # each frame is post-aggregation (one row per group) — small
-            # by construction, so materializing to size the re-join is
-            # the repo's measured-count pattern (empty Acero join
-            # partitions crash; see stages/clustering.py)
-            frames = [f.materialize() for f in frames]
-            agged = frames[0]
-            n = frames[0].count()
-            P = max(2, min(join_partitions_for_cluster(None), n // 1000 + 2))
-            for f in frames[1:]:
-                agged = hash_join(
-                    agged, f, on=tuple(key_names), how="left_outer",
-                    num_partitions=P,
+        def _part(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["_part"] = (
+                pd.util.hash_pandas_object(df[key_names], index=False).to_numpy()
+                % DEDUP_PARTITIONS
+            ).astype("int32")
+            return df
+
+        def _agg_part(g: pd.DataFrame) -> pd.DataFrame:
+            gb = g.groupby(key_names, sort=False, dropna=False)
+            out = gb.size().reset_index()[key_names]
+            for fn, in_col, out_col in agg_specs:
+                if fn == "count_star":
+                    s = gb.size()
+                elif fn == "count":
+                    s = gb[in_col].count()
+                elif fn == "sum":
+                    s = gb[in_col].sum(min_count=1)
+                elif fn in ("avg", "mean"):
+                    s = gb[in_col].mean()
+                elif fn == "min":
+                    s = gb[in_col].min()
+                else:
+                    s = gb[in_col].max()
+                out[out_col] = s.to_numpy()
+            for out_col, in_col in distinct_counts:
+                out[out_col] = (
+                    gb[in_col].nunique(dropna=True).to_numpy().astype("int64")
                 )
-            dcols = [oc for oc, _ in distinct_counts]
+            return out
 
-            def _fill(df: pd.DataFrame) -> pd.DataFrame:
-                for c in dcols:
-                    if c in df.columns:
-                        df[c] = df[c].fillna(0).astype("int64")
-                return df
-
-            agged = agged.map_batches(_fill, batch_format="pandas")
+        agged = (
+            ds.map_batches(_part, batch_format="pandas")
+            .groupby("_part")
+            .map_groups(_agg_part, batch_format="pandas")
+        )
+    elif key_names:
+        agged = ds.groupby(key_names).aggregate(*aggs)
     else:
         # global aggregate: Dataset.aggregate returns one dict row
         row = dict(ds.aggregate(*aggs)) if aggs else {}
