@@ -90,16 +90,10 @@ def build_interactions(
     )
 
 
-def user_items(
-    interactions, max_items_per_user: int | None = MAX_ITEMS_PER_USER
-) -> "ray.data.Dataset":
-    """DISTINCT (USER_ID, ITEM_ID), capped per user at the
-    ``max_items_per_user`` lexicographically-smallest items (the
-    deterministic, SQL-expressible cap: row_number() over item order).
-
-    ONE user-hash groupby does both (distinct + cap): the local
-    pre-pass shrinks each batch the same way, and the global winners
-    per user are a subset of the union of per-batch winners."""
+def _ui_local(max_items_per_user: int | None):
+    """Per-batch distinct + per-user cap + user-hash partition id — the
+    pre-shuffle shrink shared by every user-partitioned pass (the global
+    per-user winners are a subset of the union of per-batch winners)."""
 
     def _local(df: pd.DataFrame) -> pd.DataFrame:
         df = df[["USER_ID", "ITEM_ID"]].drop_duplicates()
@@ -112,20 +106,91 @@ def user_items(
         ).astype("int32")
         return df
 
-    def _finish(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["USER_ID", "ITEM_ID"]).sort_values(
-            ["USER_ID", "ITEM_ID"], kind="mergesort"
-        )
-        if max_items_per_user:
-            g = g.groupby("USER_ID", sort=False).head(max_items_per_user)
-        return g.drop(columns="_part")
+    return _local
 
+
+def _ui_finish(g: pd.DataFrame, max_items_per_user: int | None) -> pd.DataFrame:
+    """Exact per-partition distinct + cap (all of a user's rows are
+    co-located after the user-hash shuffle)."""
+    g = g.drop_duplicates(["USER_ID", "ITEM_ID"]).sort_values(
+        ["USER_ID", "ITEM_ID"], kind="mergesort"
+    )
+    if max_items_per_user:
+        g = g.groupby("USER_ID", sort=False).head(max_items_per_user)
+    return g.drop(columns="_part")
+
+
+def user_items(
+    interactions, max_items_per_user: int | None = MAX_ITEMS_PER_USER
+) -> "ray.data.Dataset":
+    """DISTINCT (USER_ID, ITEM_ID), capped per user at the
+    ``max_items_per_user`` lexicographically-smallest items (the
+    deterministic, SQL-expressible cap: row_number() over item order).
+
+    ONE user-hash groupby does both (distinct + cap)."""
     return (
         interactions.select_columns(["USER_ID", "ITEM_ID"])
-        .map_batches(_local, batch_format="pandas")
+        .map_batches(_ui_local(max_items_per_user), batch_format="pandas")
         .groupby("_part")
-        .map_groups(_finish, batch_format="pandas")
+        .map_groups(
+            lambda g: _ui_finish(g, max_items_per_user), batch_format="pandas"
+        )
     )
+
+
+_PAIRS_EMPTY = pd.DataFrame(
+    {
+        "item_x": pd.Series(dtype=object),
+        "item_y": pd.Series(dtype=object),
+        "cnt": pd.Series(dtype=np.int64),
+    }
+)
+
+
+def _pairs_partial(g: pd.DataFrame, targets: frozenset | None) -> pd.DataFrame:
+    """Per-user co-purchase pairs within one user-hash partition, as
+    partially-aggregated (item_x, item_y, cnt) with x < y.  Runs of
+    equal USER_ID (sorted) → diagonal sweep d = 1..D emits every
+    within-run pair in O(D) vectorized passes; rows are item-sorted
+    inside each run so item_x < item_y for free.  ``targets``: if set,
+    only pairs touching a target survive — the restriction runs before
+    anything is counted."""
+    g = g.sort_values(["USER_ID", "ITEM_ID"], kind="mergesort")
+    users = g["USER_ID"].to_numpy()
+    items = g["ITEM_ID"].to_numpy()
+    if len(g) < 2:
+        return _PAIRS_EMPTY
+    _, counts = np.unique(users, return_counts=True)
+    gid = np.repeat(np.arange(len(counts)), counts)
+    D = int(counts.max() - 1)
+    ii_l, jj_l = [], []
+    for d in range(1, D + 1):
+        same = gid[:-d] == gid[d:]
+        i = np.flatnonzero(same)
+        if len(i):
+            ii_l.append(i)
+            jj_l.append(i + d)
+    if not ii_l:
+        return _PAIRS_EMPTY
+    ii = np.concatenate(ii_l)
+    jj = np.concatenate(jj_l)
+    x, y = items[ii], items[jj]
+    if targets is not None:
+        keep = (
+            pd.Series(x).isin(targets) | pd.Series(y).isin(targets)
+        ).to_numpy()
+        x, y = x[keep], y[keep]
+    if len(x) == 0:
+        return _PAIRS_EMPTY
+    # partial aggregation inside the partition (pre-shuffle shrink)
+    part = (
+        pd.DataFrame({"item_x": x, "item_y": y})
+        .groupby(["item_x", "item_y"], sort=False)
+        .size()
+        .reset_index(name="cnt")
+    )
+    part["cnt"] = part["cnt"].astype(np.int64)
+    return part
 
 
 def _pair_sweep(
@@ -150,59 +215,12 @@ def _pair_sweep(
         ).astype("int32")
         return batch
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "item_x": pd.Series(dtype=object),
-                "item_y": pd.Series(dtype=object),
-                "cnt": pd.Series(dtype=np.int64),
-            }
-        )
-        g = g.sort_values(["USER_ID", "ITEM_ID"], kind="mergesort")
-        users = g["USER_ID"].to_numpy()
-        items = g["ITEM_ID"].to_numpy()
-        n = len(g)
-        if n < 2:
-            return empty
-        # runs of equal USER_ID (sorted) → diagonal sweep d = 1..D emits
-        # every within-run pair in O(D) vectorized passes; rows are
-        # item-sorted inside each run so item_x < item_y for free
-        _, counts = np.unique(users, return_counts=True)
-        gid = np.repeat(np.arange(len(counts)), counts)
-        D = int(counts.max() - 1)
-        ii_l, jj_l = [], []
-        for d in range(1, D + 1):
-            same = gid[:-d] == gid[d:]
-            i = np.flatnonzero(same)
-            if len(i):
-                ii_l.append(i)
-                jj_l.append(i + d)
-        if not ii_l:
-            return empty
-        ii = np.concatenate(ii_l)
-        jj = np.concatenate(jj_l)
-        x, y = items[ii], items[jj]
-        if targets is not None:
-            keep = (
-                pd.Series(x).isin(targets) | pd.Series(y).isin(targets)
-            ).to_numpy()
-            x, y = x[keep], y[keep]
-        if len(x) == 0:
-            return empty
-        # partial aggregation inside the partition (pre-shuffle shrink)
-        part = (
-            pd.DataFrame({"item_x": x, "item_y": y})
-            .groupby(["item_x", "item_y"], sort=False)
-            .size()
-            .reset_index(name="cnt")
-        )
-        part["cnt"] = part["cnt"].astype(np.int64)
-        return part
-
     partials = (
         ui.map_batches(_part, batch_format="pandas")
         .groupby("_part")
-        .map_groups(_pairs, batch_format="pandas")
+        .map_groups(
+            lambda g: _pairs_partial(g, targets), batch_format="pandas"
+        )
     )
     if final_agg == "driver":
         pieces = [
@@ -251,11 +269,37 @@ def item_based_segments(
     scoring is one vectorized merge + one grouped sum over the
     distinct user-item stream."""
     targets = frozenset(target_items)
-    ui = user_items(interactions, max_items_per_user).materialize()
+    cap = max_items_per_user
+    # per-batch distinct/cap shrink + user-hash partition id BEFORE
+    # materializing: the stored bytes are ≤ the deduped user-item table,
+    # and both downstream passes start from the same plasma blocks.
+    # TWO barriers total (pair sweep, scoring) — the separate user_items
+    # build is fused into each pass's group fn (exact there: all of a
+    # user's rows share a partition).
+    shrunk = (
+        interactions.select_columns(["USER_ID", "ITEM_ID"])
+        .map_batches(_ui_local(cap), batch_format="pandas")
+        .materialize()
+    )
 
-    # bounded: only pairs touching a target; driver combine (the table
-    # is collected here anyway — a Ray groupby would add a barrier)
-    cooc = _pair_sweep(ui, targets, final_agg="driver")
+    # pass A — target-restricted co-occurrence partials; driver combine
+    # (bounded: only pairs touching a target survive the sweep)
+    def _pass_a(g: pd.DataFrame) -> pd.DataFrame:
+        return _pairs_partial(_ui_finish(g, cap), targets)
+
+    pieces = [
+        b
+        for b in shrunk.groupby("_part")
+        .map_groups(_pass_a, batch_format="pandas")
+        .iter_batches(batch_size=None, batch_format="pandas")
+    ]
+    cooc_raw = pd.concat(pieces, ignore_index=True) if pieces else _PAIRS_EMPTY
+    cooc = (
+        cooc_raw.groupby(["item_x", "item_y"], sort=False)["cnt"]
+        .sum()
+        .reset_index()
+    )
+    cooc["cnt"] = cooc["cnt"].astype(np.int64)
     # flatten to (other item → target, cnt); a pair of two targets
     # contributes in both directions
     parts = []
@@ -285,22 +329,15 @@ def item_based_segments(
     )
     aff_ref = ray.put(aff)
 
-    # scoring + prior-purchaser exclusion + top-n, fused into ONE
-    # user-hash partitioned pass (replaces a scored-aggregate shuffle,
-    # an anti-join and a top-n shuffle — three barriers of fixed cost):
+    # pass B — scoring + prior-purchaser exclusion + per-target top-n,
+    # fused into ONE user-hash partitioned pass (replaces a
+    # scored-aggregate shuffle, an anti-join and a top-n shuffle):
     # every user's rows live entirely inside one partition group, so the
     # grouped affinity sum and the ownership exclusion are globally
     # exact there, and the global top-n per target is a subset of the
     # union of per-partition top-n's (each user is in exactly one
     # partition).  Driver combine is bounded: ≤ n × |targets| ×
     # DEDUP_PARTITIONS rows regardless of corpus size.
-
-    def _part2(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["_part"] = (
-            pd.util.hash_array(batch["USER_ID"].to_numpy()) % DEDUP_PARTITIONS
-        ).astype("int32")
-        return batch
 
     _empty = pd.DataFrame(
         {
@@ -311,6 +348,7 @@ def item_based_segments(
     )
 
     def _score_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = _ui_finish(g, cap)
         aff_t = ray.get(aff_ref)
         if not len(g) or not len(aff_t):
             return _empty
@@ -337,10 +375,8 @@ def item_based_segments(
             }
         )
 
-    partials = (
-        ui.map_batches(_part2, batch_format="pandas")
-        .groupby("_part")
-        .map_groups(_score_part, batch_format="pandas")
+    partials = shrunk.groupby("_part").map_groups(
+        _score_part, batch_format="pandas"
     )
     pieces = [
         b for b in partials.iter_batches(batch_size=None, batch_format="pandas")
