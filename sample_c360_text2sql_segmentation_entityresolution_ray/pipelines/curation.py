@@ -77,12 +77,24 @@ def curate_corpus(
     filtered = annotate_filter_stage(
         docs, min_quality, allowed_langs, text_col, id_col
     )
-    exact = dedup_ops.exact_dedup(filtered, text_col, id_col)
+    # materialized ONCE: the exact-deduped corpus is consumed twice
+    # (near-dup pair generation, then the final anti-join) — without
+    # this the whole filter + content-hash shuffle would re-execute for
+    # the second consumer.  Object-store blocks spill under pressure;
+    # at corpus scale this is the cheaper side of the
+    # recompute-vs-store trade (two full shuffles vs one + spill reads).
+    exact = dedup_ops.exact_dedup(filtered, text_col, id_col).materialize()
     pairs = dedup_ops.minhash_dup_pairs(
         exact, text_col, id_col, threshold=near_dup_threshold
     )
     assign = dedup_ops.dup_assignment(pairs)
-    drop = assign.filter(lambda r: r["doc_id"] != r["rep_id"])
+
+    def _drop_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.invert(pc.equal(batch["doc_id"], batch["rep_id"])))
+
+    drop = assign.map_batches(_drop_rows, batch_format="pyarrow")
     deduped = anti_join(exact, drop, on=id_col, right_on="doc_id")
 
     def _tokens(batch: pa.Table) -> pa.Table:
