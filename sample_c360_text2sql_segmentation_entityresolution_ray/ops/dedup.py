@@ -27,6 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -260,10 +261,20 @@ def minhash_dedup(
     ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id", **kw
 ) -> "ray.data.Dataset":
     """Corpus minus near-duplicates: every doc whose component rep is not
-    itself is dropped (keep the min-id representative)."""
+    itself is dropped (keep the min-id representative).
+
+    ``ds`` is consumed twice (pair generation, then the anti-join) — it
+    is materialized here once so an upstream lazy plan does not
+    re-execute; pass an already-materialized/parquet-backed dataset to
+    make this free."""
+    ds = ds.materialize()
     pairs = minhash_dup_pairs(ds, text_col, id_col, **kw)
     assign = dup_assignment(pairs)
-    drop = assign.filter(lambda r: r["doc_id"] != r["rep_id"])
+
+    def _drop_rows(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(pc.equal(batch["doc_id"], batch["rep_id"])))
+
+    drop = assign.map_batches(_drop_rows, batch_format="pyarrow")
     from .relational import anti_join
 
     return anti_join(ds, drop, on=id_col, right_on="doc_id")
