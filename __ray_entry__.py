@@ -531,6 +531,65 @@ def _q_simhash_dup_docs(sf_dir: str):
     return dedup.simhash_dup_pairs(docs, max_hamming=3)
 
 
+def _q_multimodal_features(sf_dir: str):
+    """Real multimodal decode — BMP images, WAV PCM16 audio, RVID raw
+    video (payloads synthesized deterministically in-process; the
+    container has no compressed-codec libraries, and those formats stay
+    explicitly gated).  Three actor-pool stages decode and featurize
+    natively (numpy/stdlib codecs), then the per-item summaries union
+    into one stable schema.  Iterative binary decode: no SQL oracle
+    (rows-only driver check); codec round-trips + feature kernels are
+    gated by tests/test_multimodal.py."""
+    import pyarrow.compute as _pc
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.multimodal import (
+        AudioFeatureStage,
+        ImageDecodeStage,
+        VideoFrameSampleStage,
+        decode_stage,
+        synth_multimodal_dataset,
+    )
+
+    ds = synth_multimodal_dataset(n=96).materialize()
+
+    def _only(mt):
+        return ds.map_batches(
+            lambda b, mt=mt: b.filter(_pc.equal(b["media_type"], mt)),
+            batch_format="pyarrow",
+        )
+
+    def _summary(kind, feat_col):
+        def fn(batch: pa.Table) -> pa.Table:
+            feats = batch[feat_col].to_pylist()
+            norms = [float(np.linalg.norm(np.asarray(f))) for f in feats]
+            return pa.table(
+                {
+                    "item_id": batch["item_id"],
+                    "media": pa.array([kind] * len(feats), pa.string()),
+                    "feature_dim": pa.array(
+                        [len(f) for f in feats], pa.int32()
+                    ),
+                    "feature_norm": pa.array(norms, pa.float64()),
+                }
+            )
+
+        return fn
+
+    img = decode_stage(
+        _only("image/bmp"), ImageDecodeStage, concurrency=4, batch_size=16
+    ).map_batches(_summary("image", "feature"), batch_format="pyarrow")
+    aud = decode_stage(
+        _only("audio/wav"), AudioFeatureStage, concurrency=4, batch_size=16
+    ).map_batches(_summary("audio", "mfcc"), batch_format="pyarrow")
+    vid = decode_stage(
+        _only("video/x-rvid"),
+        VideoFrameSampleStage,
+        concurrency=4,
+        batch_size=16,
+    ).map_batches(_summary("video", "frame_feature"), batch_format="pyarrow")
+    return img.union(aud).union(vid)
+
+
 def _q_embedding_dup_pairs(sf_dir: str):
     """Multi-band hyperplane-LSH cosine near-dup at the demo threshold
     0.4 (testdata max pairwise cosine ≈ 0.48, so the LSH path is
@@ -1135,6 +1194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c360_segments_als": _q_c360_segments_als,
         "simhash_dup_docs": _q_simhash_dup_docs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
+        # real uncompressed-format decode (BMP/WAV/RVID) — rows-only
+        "multimodal_features": _q_multimodal_features,
         "knn_ivf_top10": _q_knn_ivf_top10,
         "langid_docs": _q_langid_docs,
         "doc_quality": _q_doc_quality,

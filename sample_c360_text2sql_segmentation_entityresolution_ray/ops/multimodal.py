@@ -1,18 +1,22 @@
-"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
+"""Multimodal columns: opaque ``binary`` payloads + typed metadata.
 
 The reference's data model is scalar-only (SURVEY §1.2); at
-training-data scale image/audio/video ride as Arrow ``binary`` columns.
-This module makes the Ray-side plumbing real — schema, actor-pool
-signatures, small-batch sizing, output layout — while the actual codec
-calls are STUBBED (the decode libraries are not in this container):
+training-data scale image/audio/video ride as Arrow ``binary`` columns
+with decode / feature-extract / frame-sample as actor-pool
+``map_batches`` stages.
 
-- :class:`ImageDecodeStage` / :class:`AudioFeatureStage` /
-  :class:`VideoFrameSampleStage` — callable actor classes for
-  ``map_batches(cls, concurrency=N, batch_size=SMALL)``.  ``__init__``
-  is where a real build would load the codec/model once per actor.
-- ``decode_fn=None`` raises ``NotImplementedError`` per batch;
-  ``deterministic_fake=True`` substitutes a pure function of the bytes
-  so the pipeline shape is testable end-to-end.
+Decode is REAL for every format a pure-numpy/stdlib codec can handle
+(``functions.codecs``): BMP 24-bit, PPM P6, WAV PCM16, and the
+documented RVID raw-video layout.  Compressed codecs (JPEG/PNG/MP3/
+H.264) genuinely require external libraries absent from this container
+and raise ``NotImplementedError`` — unless ``deterministic_fake=True``
+substitutes a pure function of the bytes so pipeline shape stays
+testable for those types too.
+
+Features are real numpy kernels: images → 8×8 luma vectors
+(nearest-resize + Rec.601), audio → average log-mel band energies
+(hann + rFFT + mel filterbank), video → per-sampled-frame luma
+vectors.
 
 Batch sizing: binary payloads make blocks heavy — callers should pass
 ``batch_size`` ≈ (worker heap / payload size / concurrency) and keep
@@ -29,21 +33,30 @@ import pyarrow as pa
 
 import ray.data
 
+from ..functions import codecs
+
 MULTIMODAL_SCHEMA = pa.schema(
     [
         ("item_id", pa.string()),
         ("payload", pa.binary()),
-        ("media_type", pa.string()),   # image/jpeg, audio/wav, video/mp4 …
+        ("media_type", pa.string()),   # image/bmp, audio/wav, video/x-rvid …
         ("width", pa.int32()),
         ("height", pa.int32()),
         ("duration_ms", pa.int64()),
     ]
 )
 
+# media types the container can decode without external libraries
+_IMAGE_DECODERS = {
+    "image/bmp": codecs.decode_bmp,
+    "image/x-portable-pixmap": codecs.decode_ppm,
+    "image/ppm": codecs.decode_ppm,
+}
+
 
 def _fake_vec(payload: bytes, dim: int) -> np.ndarray:
     """Deterministic fake feature vector: a pure function of the bytes
-    (md5-seeded), so tests are stable without any codec library."""
+    (md5-seeded) — the stand-in for types that need absent codecs."""
     seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "little")
     return np.random.default_rng(seed).standard_normal(dim).astype(np.float32)
 
@@ -51,50 +64,80 @@ def _fake_vec(payload: bytes, dim: int) -> np.ndarray:
 class ImageDecodeStage:
     """binary → (item_id, width, height, feature:list<float>).
 
-    Real build: ``__init__`` loads PIL/torchvision + a feature model
-    once per actor; ``__call__`` decodes and embeds the batch on
-    vectorized tensors."""
+    BMP/PPM decode + the 8×8 luma feature are real; compressed types
+    raise unless ``deterministic_fake``.  A real JPEG build would load
+    PIL/torchvision once per actor in ``__init__`` — the actor-pool
+    shape is already right for that."""
 
     def __init__(self, feature_dim: int = 64, deterministic_fake: bool = False):
+        side = int(round(feature_dim ** 0.5))
+        if side * side != feature_dim:
+            raise ValueError("feature_dim must be a square (luma grid)")
+        self.side = side
         self.dim = feature_dim
         self.fake = deterministic_fake
-        # real build: self.model = load_model(...)  # once per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "image decode requires PIL/torchvision (not in this container); "
-                "construct with deterministic_fake=True for pipeline tests"
-            )
         payloads = batch["payload"].to_pylist()
-        feats = [_fake_vec(p, self.dim) for p in payloads]
+        mtypes = batch["media_type"].to_pylist()
+        feats, widths, heights = [], [], []
+        for p, mt in zip(payloads, mtypes):
+            dec = _IMAGE_DECODERS.get(mt)
+            if dec is not None:
+                img = dec(p)
+                feats.append(codecs.image_feature(img, self.side))
+                heights.append(img.shape[0])
+                widths.append(img.shape[1])
+            elif self.fake:
+                feats.append(_fake_vec(p, self.dim))
+                widths.append(None)
+                heights.append(None)
+            else:
+                raise NotImplementedError(
+                    f"decoding {mt} requires an external codec library "
+                    "(not in this container); BMP/PPM decode natively, or "
+                    "construct with deterministic_fake=True"
+                )
         return pa.table(
             {
                 "item_id": batch["item_id"],
-                "width": batch["width"],
-                "height": batch["height"],
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
                 "feature": pa.array(feats, pa.list_(pa.float32())),
             }
         )
 
 
 class AudioFeatureStage:
-    """binary → (item_id, duration_ms, mfcc:list<float>) — stub."""
+    """binary → (item_id, duration_ms, mfcc:list<float>).  WAV PCM16
+    decode + log-mel energies are real numpy DSP; compressed audio
+    raises unless ``deterministic_fake``."""
 
     def __init__(self, n_mfcc: int = 13, deterministic_fake: bool = False):
         self.n_mfcc = n_mfcc
         self.fake = deterministic_fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "audio decode requires librosa/soundfile (not in this container)"
-            )
-        feats = [_fake_vec(p, self.n_mfcc) for p in batch["payload"].to_pylist()]
+        feats, durs = [], []
+        for p, mt in zip(
+            batch["payload"].to_pylist(), batch["media_type"].to_pylist()
+        ):
+            if mt == "audio/wav":
+                samples, sr = codecs.decode_wav(p)
+                feats.append(codecs.logmel_energies(samples, sr, self.n_mfcc))
+                durs.append(int(len(samples) * 1000 / sr))
+            elif self.fake:
+                feats.append(_fake_vec(p, self.n_mfcc))
+                durs.append(None)
+            else:
+                raise NotImplementedError(
+                    f"decoding {mt} requires an external codec library; "
+                    "WAV PCM16 decodes natively"
+                )
         return pa.table(
             {
                 "item_id": batch["item_id"],
-                "duration_ms": batch["duration_ms"],
+                "duration_ms": pa.array(durs, pa.int64()),
                 "mfcc": pa.array(feats, pa.list_(pa.float32())),
             }
         )
@@ -102,25 +145,45 @@ class AudioFeatureStage:
 
 class VideoFrameSampleStage:
     """binary → one row per sampled frame (item_id, frame_idx,
-    frame_feature) — stub; real build samples every Nth frame."""
+    frame_feature).  RVID raw video decodes + samples for real (evenly
+    spaced frames, 8×8 luma per frame); container formats raise unless
+    ``deterministic_fake``."""
 
     def __init__(self, frames_per_item: int = 4, feature_dim: int = 64,
                  deterministic_fake: bool = False):
+        side = int(round(feature_dim ** 0.5))
+        if side * side != feature_dim:
+            raise ValueError("feature_dim must be a square (luma grid)")
         self.k = frames_per_item
+        self.side = side
         self.dim = feature_dim
         self.fake = deterministic_fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "video decode requires pyav/opencv (not in this container)"
-            )
         ids, idxs, feats = [], [], []
-        for item, p in zip(batch["item_id"].to_pylist(), batch["payload"].to_pylist()):
-            for f in range(self.k):
-                ids.append(item)
-                idxs.append(f)
-                feats.append(_fake_vec(p + bytes([f]), self.dim))
+        for item, p, mt in zip(
+            batch["item_id"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["media_type"].to_pylist(),
+        ):
+            if mt == "video/x-rvid":
+                frames = codecs.decode_rawvideo(p)
+                n = frames.shape[0]
+                pick = np.linspace(0, n - 1, min(self.k, n)).astype(int)
+                for f in pick:
+                    ids.append(item)
+                    idxs.append(int(f))
+                    feats.append(codecs.image_feature(frames[f], self.side))
+            elif self.fake:
+                for f in range(self.k):
+                    ids.append(item)
+                    idxs.append(f)
+                    feats.append(_fake_vec(p + bytes([f]), self.dim))
+            else:
+                raise NotImplementedError(
+                    f"decoding {mt} requires an external codec library; "
+                    "RVID raw video decodes natively"
+                )
         return pa.table(
             {
                 "item_id": pa.array(ids, pa.string()),
@@ -148,23 +211,58 @@ def decode_stage(
     )
 
 
-def synth_multimodal_dataset(n: int = 64, payload_bytes: int = 256) -> "ray.data.Dataset":
-    """Deterministic fake multimodal table for plumbing tests."""
+def synth_multimodal_dataset(
+    n: int = 64, img_side: int = 24, wav_ms: int = 80, vid_frames: int = 6
+) -> "ray.data.Dataset":
+    """Deterministic multimodal table with REAL payloads: BMP gradient
+    images, WAV sine tones, RVID clips — every row decodable by the
+    stages above with no codec library and no external data."""
     rows = []
     for i in range(n):
-        payload = hashlib.sha256(f"item-{i}".encode()).digest() * (
-            payload_bytes // 32
-        )
-        rows.append(
-            {
-                "item_id": f"item-{i:05d}",
-                "payload": payload,
-                "media_type": ["image/jpeg", "audio/wav", "video/mp4"][i % 3],
-                "width": 640,
-                "height": 480,
-                "duration_ms": 1000 + i,
-            }
-        )
+        rng = np.random.default_rng(1000 + i)
+        kind = i % 3
+        if kind == 0:
+            img = (
+                rng.integers(0, 256, (img_side, img_side, 3)).astype(np.uint8)
+            )
+            rows.append(
+                {
+                    "item_id": f"item-{i:05d}",
+                    "payload": codecs.encode_bmp(img),
+                    "media_type": "image/bmp",
+                    "width": img_side,
+                    "height": img_side,
+                    "duration_ms": 0,
+                }
+            )
+        elif kind == 1:
+            sr = 8000
+            t = np.arange(int(sr * wav_ms / 1000)) / sr
+            tone = 0.5 * np.sin(2 * np.pi * (220 + 20 * i) * t)
+            rows.append(
+                {
+                    "item_id": f"item-{i:05d}",
+                    "payload": codecs.encode_wav(tone, sr),
+                    "media_type": "audio/wav",
+                    "width": 0,
+                    "height": 0,
+                    "duration_ms": wav_ms,
+                }
+            )
+        else:
+            frames = rng.integers(
+                0, 256, (vid_frames, img_side, img_side, 3)
+            ).astype(np.uint8)
+            rows.append(
+                {
+                    "item_id": f"item-{i:05d}",
+                    "payload": codecs.encode_rawvideo(frames),
+                    "media_type": "video/x-rvid",
+                    "width": img_side,
+                    "height": img_side,
+                    "duration_ms": vid_frames * 40,
+                }
+            )
     return ray.data.from_items(rows)
 
 

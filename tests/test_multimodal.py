@@ -1,10 +1,19 @@
-"""Multimodal plumbing: schema, actor-pool signature, stub behavior."""
+"""Multimodal: real uncompressed-format decode + actor-pool plumbing.
+
+BMP/PPM/WAV/RVID decode natively (functions/codecs.py — numpy/stdlib
+only); compressed formats stay honestly gated behind
+NotImplementedError unless deterministic_fake substitutes a pure
+function of the bytes.
+"""
 
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 import pytest
+import ray.data
 
+from sample_c360_text2sql_segmentation_entityresolution_ray.functions import codecs
 from sample_c360_text2sql_segmentation_entityresolution_ray.ops.multimodal import (
     AudioFeatureStage,
     ImageDecodeStage,
@@ -14,40 +23,96 @@ from sample_c360_text2sql_segmentation_entityresolution_ray.ops.multimodal impor
 )
 
 
-def test_image_stage_fake_is_deterministic():
-    ds = synth_multimodal_dataset(n=12)
-    out1 = decode_stage(
-        ds, ImageDecodeStage, concurrency=2, batch_size=4, deterministic_fake=True
+def test_codec_round_trips():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (17, 23, 3)).astype(np.uint8)  # non-4-mult width
+    np.testing.assert_array_equal(codecs.decode_bmp(codecs.encode_bmp(img)), img)
+    np.testing.assert_array_equal(codecs.decode_ppm(codecs.encode_ppm(img)), img)
+    tone = 0.25 * np.sin(np.linspace(0, 40 * np.pi, 4000))
+    back, sr = codecs.decode_wav(codecs.encode_wav(tone, 8000))
+    assert sr == 8000
+    np.testing.assert_allclose(back, tone, atol=1e-4)
+    frames = rng.integers(0, 256, (5, 9, 11, 3)).astype(np.uint8)
+    np.testing.assert_array_equal(
+        codecs.decode_rawvideo(codecs.encode_rawvideo(frames)), frames
+    )
+
+
+def _only(ds, mt):
+    import pyarrow.compute as pc
+
+    return ds.map_batches(
+        lambda b: b.filter(pc.equal(b["media_type"], mt)), batch_format="pyarrow"
+    )
+
+
+def test_image_stage_real_decode():
+    ds = synth_multimodal_dataset(n=12, img_side=24)
+    out = decode_stage(
+        _only(ds, "image/bmp"), ImageDecodeStage, concurrency=2, batch_size=4
     ).to_pandas()
-    out2 = decode_stage(
-        ds, ImageDecodeStage, concurrency=2, batch_size=4, deterministic_fake=True
+    assert len(out) == 4  # every 3rd row is an image
+    assert (out["width"] == 24).all() and (out["height"] == 24).all()
+    # feature equals the kernel applied to the decoded payload directly
+    row = out.sort_values("item_id").iloc[0]
+    src = synth_multimodal_dataset(n=1).take(1)[0]
+    img = codecs.decode_bmp(src["payload"])
+    np.testing.assert_allclose(
+        np.asarray(row["feature"]), codecs.image_feature(img, 8), rtol=1e-6
+    )
+    assert len(row["feature"]) == 64 and np.all(np.asarray(row["feature"]) <= 1.0)
+
+
+def test_audio_stage_real_decode():
+    ds = synth_multimodal_dataset(n=12, wav_ms=80)
+    out = decode_stage(
+        _only(ds, "audio/wav"), AudioFeatureStage, concurrency=1, batch_size=4
     ).to_pandas()
-    assert len(out1) == 12
-    assert set(out1.columns) == {"item_id", "width", "height", "feature"}
-    a = np.stack(out1.sort_values("item_id")["feature"].to_numpy())
-    b = np.stack(out2.sort_values("item_id")["feature"].to_numpy())
-    np.testing.assert_array_equal(a, b)
+    assert len(out) == 4
+    assert (out["duration_ms"] == 80).all()
+    m = np.stack(out["mfcc"].to_numpy())
+    assert m.shape == (4, 13) and np.isfinite(m).all()
+    # different tones → different band energies
+    assert not np.allclose(m[0], m[1])
 
 
-def test_real_decode_is_explicitly_stubbed():
-    ds = synth_multimodal_dataset(n=2)
-    with pytest.raises(Exception, match="NotImplementedError|decode"):
-        decode_stage(ds, ImageDecodeStage, concurrency=1, batch_size=2).to_pandas()
-
-
-def test_audio_and_video_stages():
-    ds = synth_multimodal_dataset(n=6)
-    audio = decode_stage(
-        ds, AudioFeatureStage, concurrency=1, batch_size=3, deterministic_fake=True
-    ).to_pandas()
-    assert len(audio) == 6 and len(audio["mfcc"].iloc[0]) == 13
-    video = decode_stage(
-        ds,
+def test_video_stage_real_frame_sampling():
+    ds = synth_multimodal_dataset(n=12, vid_frames=6)
+    out = decode_stage(
+        _only(ds, "video/x-rvid"),
         VideoFrameSampleStage,
         concurrency=1,
-        batch_size=3,
-        deterministic_fake=True,
-        frames_per_item=4,
+        batch_size=4,
+        frames_per_item=3,
     ).to_pandas()
-    assert len(video) == 24  # 6 items × 4 frames
-    assert set(video.columns) == {"item_id", "frame_idx", "frame_feature"}
+    assert len(out) == 12  # 4 videos × 3 sampled frames
+    assert set(out.columns) == {"item_id", "frame_idx", "frame_feature"}
+    # evenly spaced over 6 frames: 0, 2 (rounded), 5
+    one = out[out["item_id"] == out["item_id"].iloc[0]]
+    assert list(one["frame_idx"]) == [0, 2, 5]
+
+
+def test_compressed_formats_stay_gated():
+    rows = [
+        {
+            "item_id": "x",
+            "payload": b"\xff\xd8\xff\xe0 not a real jpeg",
+            "media_type": "image/jpeg",
+            "width": 1,
+            "height": 1,
+            "duration_ms": 0,
+        }
+    ]
+    ds = ray.data.from_items(rows)
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decode_stage(ds, ImageDecodeStage, concurrency=1, batch_size=1).to_pandas()
+    # fake path still covers undecodable types deterministically
+    out1 = decode_stage(
+        ds, ImageDecodeStage, concurrency=1, batch_size=1, deterministic_fake=True
+    ).to_pandas()
+    out2 = decode_stage(
+        ds, ImageDecodeStage, concurrency=1, batch_size=1, deterministic_fake=True
+    ).to_pandas()
+    np.testing.assert_array_equal(
+        np.asarray(out1["feature"].iloc[0]), np.asarray(out2["feature"].iloc[0])
+    )
