@@ -774,6 +774,19 @@ SQL_DEMO_SUBQUERY = """
     GROUP BY o_orderstatus
 """
 
+SQL_DEMO_STATS = """
+    SELECT l_returnflag AS flag, l_linestatus AS status,
+           count(DISTINCT l_suppkey) AS suppliers,
+           round(median(l_extendedprice), 2) AS med_price,
+           round(stddev(l_quantity), 6) AS sd_qty,
+           round(var_samp(l_extendedprice), 2) AS var_price,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_quantity > 5
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY flag, status
+"""
+
 SQL_DEMO_WINDOW = """
     SELECT o_custkey, o_orderkey,
            row_number() OVER (PARTITION BY o_custkey
@@ -824,6 +837,15 @@ def _q_sql_demo_subquery(sf_dir: str):
     from sample_c360_text2sql_segmentation_entityresolution_ray.sql import execute_sql
 
     return execute_sql(SQL_DEMO_SUBQUERY, _sql_catalog(sf_dir))
+
+
+def _q_sql_demo_stats(sf_dir: str):
+    """Holistic-aggregate surface through the SQL façade: median /
+    stddev / var_samp alongside count(DISTINCT) — compiled onto the
+    fused partition-hash pass (exact per co-located group)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sql import execute_sql
+
+    return execute_sql(SQL_DEMO_STATS, _sql_catalog(sf_dir))
 
 
 def _q_text2sql_agent(sf_dir: str):
@@ -1205,6 +1227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_demo_union": _q_sql_demo_union,
         "sql_demo_window": _q_sql_demo_window,
         "sql_demo_subquery": _q_sql_demo_subquery,
+        "sql_demo_stats": _q_sql_demo_stats,
         "text2sql_agent": _q_text2sql_agent,
     }
 
@@ -1252,6 +1275,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_demo_union": SQL_DEMO_UNION,
         "sql_demo_window": SQL_DEMO_WINDOW,
         "sql_demo_subquery": SQL_DEMO_SUBQUERY,
+        "sql_demo_stats": SQL_DEMO_STATS,
         # the exact SQL RuleBasedSqlGenerator emits for "repeat buyers"
         "text2sql_agent": """
             SELECT c.c_name AS name, count(*) AS order_count

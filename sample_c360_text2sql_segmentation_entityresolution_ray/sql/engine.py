@@ -195,7 +195,14 @@ _COMPARES = {
     "COMPARE_GREATERTHANOREQUALTO": lambda a, b: a >= b,
 }
 
-_AGG_FNS = {"sum", "avg", "mean", "min", "max", "count", "count_star"}
+_AGG_FNS = {"sum", "avg", "mean", "min", "max", "count", "count_star",
+            "stddev", "stddev_samp", "stddev_pop", "var_samp", "variance",
+            "var_pop", "median"}
+# aggregates with no Ray builtin / no distributive partial — they force
+# the GROUP BY plan onto the fused partition-hash pass (exact pandas
+# aggregation per co-located group); a quantile sketch is the
+# approximate alternative at corpus scale (ops/sketch.py)
+_PANDAS_ONLY_AGGS = {"stddev_pop", "var_samp", "variance", "var_pop", "median"}
 
 
 def _as_str(x):
@@ -718,12 +725,20 @@ def _output_name(item: dict, i: int, auto: bool = False) -> str:
     raise SqlUnsupported(f"select item #{i} needs an alias")
 
 
+def _std_builder(col, name):
+    from ray.data.aggregate import Std
+
+    return Std(col, alias_name=name, ddof=1)
+
+
 _AGG_BUILDERS = {
     "sum": lambda col, name: Sum(col, alias_name=name),
     "avg": lambda col, name: Mean(col, alias_name=name),
     "mean": lambda col, name: Mean(col, alias_name=name),
     "min": lambda col, name: Min(col, alias_name=name),
     "max": lambda col, name: Max(col, alias_name=name),
+    "stddev": _std_builder,
+    "stddev_samp": _std_builder,
 }
 
 
@@ -963,8 +978,10 @@ def _compile_aggregate(node, ds, select_list, group_exprs, auto_names=False):
         input_exprs[in_col] = children[0]
         if fn == "count":
             aggs.append(Count(in_col, alias_name=out_col, ignore_nulls=True))
-        else:
+        elif fn in _AGG_BUILDERS:
             aggs.append(_AGG_BUILDERS[fn](in_col, out_col))
+        elif fn not in _PANDAS_ONLY_AGGS:
+            raise SqlUnsupported(f"aggregate {fn}")
         agg_specs.append((fn, in_col, out_col))
 
     def _prep(df: pd.DataFrame) -> pd.DataFrame:
@@ -1003,8 +1020,16 @@ def _compile_aggregate(node, ds, select_list, group_exprs, auto_names=False):
             out.append((out_col, in_col, uniq))
         return out
 
-    if key_names and distinct_counts:
-        # count(DISTINCT) fuses the WHOLE aggregate into one
+    pandas_only = [s for s in agg_specs if s[0] in _PANDAS_ONLY_AGGS]
+    if pandas_only and not key_names:
+        raise SqlUnsupported(
+            f"{pandas_only[0][0]} without GROUP BY (no distributive "
+            "partial; use the quantile/variance sketches for global "
+            "estimates at scale)"
+        )
+    if key_names and (distinct_counts or pandas_only):
+        # count(DISTINCT) / holistic aggregates (median, variance)
+        # fuse the WHOLE aggregate into one
         # partition-hash pass: rows of a group key all land in the same
         # partition, so every aggregate (including exact nunique) is
         # computed exactly there — one shuffle, no aggregate-frame
@@ -1036,8 +1061,18 @@ def _compile_aggregate(node, ds, select_list, group_exprs, auto_names=False):
                     s = gb[in_col].mean()
                 elif fn == "min":
                     s = gb[in_col].min()
-                else:
+                elif fn == "max":
                     s = gb[in_col].max()
+                elif fn in ("stddev", "stddev_samp"):
+                    s = gb[in_col].std(ddof=1)
+                elif fn == "stddev_pop":
+                    s = gb[in_col].std(ddof=0)
+                elif fn in ("var_samp", "variance"):
+                    s = gb[in_col].var(ddof=1)
+                elif fn == "var_pop":
+                    s = gb[in_col].var(ddof=0)
+                else:  # median
+                    s = gb[in_col].median()
                 out[out_col] = s.to_numpy()
             for out_col, in_col in distinct_counts:
                 out[out_col] = (

@@ -147,6 +147,25 @@ CASES = {
                count(DISTINCT o_custkey) * 10 AS buyers_x10
         FROM orders GROUP BY o_orderstatus
     """,
+    "holistic_aggs_group": """
+        SELECT l_returnflag AS f, round(median(l_extendedprice), 2) AS med,
+               round(stddev(l_quantity), 6) AS sd,
+               round(var_samp(l_extendedprice), 2) AS vs,
+               round(stddev_pop(l_quantity), 6) AS sp,
+               round(var_pop(l_extendedprice), 2) AS vp,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "stddev_global": """
+        SELECT round(stddev(l_quantity), 6) AS sd,
+               round(avg(l_quantity), 6) AS m
+        FROM lineitem
+    """,
+    "median_with_distinct": """
+        SELECT l_linestatus AS s, count(DISTINCT l_suppkey) AS supps,
+               round(median(l_quantity), 2) AS medq
+        FROM lineitem GROUP BY l_linestatus
+    """,
     "window_rolling_cum": """
         SELECT o_custkey, o_orderkey,
                round(sum(o_totalprice)
