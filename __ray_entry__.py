@@ -531,6 +531,27 @@ def _q_simhash_dup_docs(sf_dir: str):
     return dedup.simhash_dup_pairs(docs, max_hamming=3)
 
 
+def _q_price_quantiles(sf_dir: str):
+    """Global quantiles via the mergeable equi-depth grid summary
+    (ops/sketch.py): per-block sorted grids + weighted-rank combine.
+    grid ≥ block rows at sandbox scale ⇒ EXACT type-7 interpolation,
+    bit-matching DuckDB quantile_cont; production uses a small fixed
+    grid for bounded ~1/grid rank error."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.sketch import (
+        quantile_sketch,
+    )
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    qs = [0.25, 0.5, 0.75, 0.9]
+    vals = quantile_sketch(li, "l_extendedprice", qs, grid=1_000_000)
+    return pd.DataFrame(
+        {
+            "q": np.array(qs, dtype=np.float64),
+            "v": _sql_round(np.array(vals, dtype=np.float64), 4),
+        }
+    )
+
+
 def _q_multimodal_features(sf_dir: str):
     """Real multimodal decode — BMP images, WAV PCM16 audio, RVID raw
     video (payloads synthesized deterministically in-process; the
@@ -1218,6 +1239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         # real uncompressed-format decode (BMP/WAV/RVID) — rows-only
         "multimodal_features": _q_multimodal_features,
+        "price_quantiles": _q_price_quantiles,
         "knn_ivf_top10": _q_knn_ivf_top10,
         "langid_docs": _q_langid_docs,
         "doc_quality": _q_doc_quality,
@@ -1240,6 +1262,14 @@ def _kmv_oracle() -> str:
     return kmv_oracle_sql("lineitem", "l_partkey", "l_returnflag", 128)
 
 
+def _quantile_oracle_sql(table: str, col: str, qs: list) -> str:
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.sketch import (
+        quantile_oracle_sql,
+    )
+
+    return quantile_oracle_sql(table, col, qs)
+
+
 def oracle_sql() -> dict[str, str]:
     from sample_c360_text2sql_segmentation_entityresolution_ray.sources.fixture_export import (
         ensure_all,
@@ -1260,6 +1290,9 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.embedding, b.embedding)::DOUBLE, 4) >= 0.4
         """,
+        "price_quantiles": _quantile_oracle_sql(
+            "lineitem", "l_extendedprice", [0.25, 0.5, 0.75, 0.9]
+        ),
         "knn_ivf_top10": """
             SELECT vec_id FROM embeddings
             WHERE vec_id <> 0

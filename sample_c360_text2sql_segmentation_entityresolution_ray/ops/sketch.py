@@ -122,4 +122,99 @@ def kmv_oracle_sql(
     """
 
 
-__all__ = ["kmv_distinct", "kmv_estimate", "kmv_oracle_sql"]
+# ---------------------------------------------------------------------------
+# quantiles — mergeable equi-depth grid summary
+# ---------------------------------------------------------------------------
+#
+# The scale problem: a global quantile (median without GROUP BY) is
+# holistic — exact computation needs a full sort.  This summary keeps,
+# per block, its sorted values at ``grid`` equally-spaced ranks plus
+# each point's row weight; summaries merge by concatenation and the
+# estimate interpolates on cumulative weighted rank.  Within-block rank
+# error ≤ rows/grid, so:
+#   - grid ≥ block rows  → every value survives with weight 1 and the
+#     estimate is EXACT (numpy type-7 / DuckDB quantile_cont linear
+#     interpolation) — the oracle-checkable mode at sandbox scale;
+#   - fixed small grid   → bounded ~1/grid rank error per block at
+#     corpus scale, with driver traffic blocks × grid points.
+
+
+def quantile_sketch(
+    ds: "ray.data.Dataset",
+    col: str,
+    qs: "list[float]",
+    grid: int = 256,
+) -> "list[float]":
+    """Estimate quantiles of ``col`` (nulls skipped) at fractions
+    ``qs``.  Deterministic; one streaming pass; driver holds only
+    blocks × grid (value, weight) points."""
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df[col].dropna().to_numpy(dtype=np.float64))
+        n = len(v)
+        if n == 0:
+            return pd.DataFrame({"val": [], "w": []})
+        if n <= grid:
+            return pd.DataFrame({"val": v, "w": np.ones(n)})
+        idx = np.unique(np.round(np.linspace(0, n - 1, grid)).astype(int))
+        # each kept point represents the run up to the next kept point
+        w = np.diff(np.append(idx, n)).astype(np.float64)
+        return pd.DataFrame({"val": v[idx], "w": w})
+
+    pieces = [
+        b
+        for b in ds.map_batches(_partial, batch_format="pandas").iter_batches(
+            batch_size=None, batch_format="pandas"
+        )
+    ]
+    merged = (
+        pd.concat(pieces, ignore_index=True)
+        if pieces
+        else pd.DataFrame({"val": [], "w": []})
+    )
+    if not len(merged):
+        return [float("nan")] * len(qs)
+    merged = merged.sort_values("val", kind="mergesort")
+    vals = merged["val"].to_numpy()
+    w = merged["w"].to_numpy()
+    start_rank = np.cumsum(w) - w  # rank of each point's first row
+    total = float(w.sum())
+    out = []
+    for q in qs:
+        t = q * (total - 1.0)  # type-7 target rank
+        i = int(np.searchsorted(start_rank, t, side="right") - 1)
+        if i >= len(vals) - 1:
+            out.append(float(vals[-1]))
+            continue
+        # interpolate toward the NEXT distinct sample point across this
+        # point's weight span (exact type-7 when all weights are 1)
+        span_end = start_rank[i] + w[i]
+        if t < span_end - 1.0 or vals[i + 1] == vals[i]:
+            out.append(float(vals[i]))
+        else:
+            frac = t - (span_end - 1.0)
+            out.append(float(vals[i] + frac * (vals[i + 1] - vals[i])))
+    return out
+
+
+def quantile_oracle_sql(
+    table: str, col: str, qs: "list[float]", round_nd: int = 4
+) -> str:
+    """DuckDB query producing the same (q, value) rows as the EXACT
+    mode of :func:`quantile_sketch` (quantile_cont = type-7 linear)."""
+    selects = [
+        f"SELECT CAST({q!r} AS DOUBLE) AS q, "
+        f"round(quantile_cont({col}, {q!r}), {round_nd}) AS v"
+        f" FROM {table} WHERE {col} IS NOT NULL"
+        for q in qs
+    ]
+    return " UNION ALL ".join(selects)
+
+
+__all__ = [
+    "kmv_distinct",
+    "kmv_estimate",
+    "kmv_oracle_sql",
+    "quantile_sketch",
+    "quantile_oracle_sql",
+]

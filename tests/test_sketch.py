@@ -73,3 +73,57 @@ def test_kmv_estimate_formula():
     assert abs(est - (k - 1) * space / (space // 2)) < 1e-6
     # fewer than k → exact count
     assert kmv_estimate(np.array([5, 9], dtype=np.int64), k) == 2.0
+
+
+# ---------------------------------------------------------------------------
+# quantile sketch
+# ---------------------------------------------------------------------------
+
+from sample_c360_text2sql_segmentation_entityresolution_ray.ops.sketch import (  # noqa: E402
+    quantile_oracle_sql,
+    quantile_sketch,
+)
+
+
+def test_quantile_exact_mode_matches_numpy(ray_session):
+    rng = np.random.default_rng(42)
+    vals = rng.normal(100, 25, 5000)
+    ds = ray.data.from_pandas(pd.DataFrame({"x": vals})).repartition(8)
+    qs = [0.1, 0.25, 0.5, 0.75, 0.99]
+    got = quantile_sketch(ds, "x", qs, grid=10_000)  # grid > block rows: exact
+    want = np.quantile(vals, qs)  # type-7 linear
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_quantile_exact_mode_matches_duckdb(ray_session):
+    import duckdb
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"x": rng.uniform(0, 1000, 3000)})
+    ds = ray.data.from_pandas(df).repartition(4)
+    qs = [0.25, 0.5, 0.9]
+    got = [round(v, 6) for v in quantile_sketch(ds, "x", qs, grid=10_000)]
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(quantile_oracle_sql("t", "x", qs, round_nd=6)).df()
+    np.testing.assert_allclose(got, exp["v"].to_numpy(), rtol=1e-9)
+
+
+def test_quantile_approx_mode_bounded_error(ray_session):
+    rng = np.random.default_rng(3)
+    vals = rng.normal(0, 1, 40_000)
+    ds = ray.data.from_pandas(pd.DataFrame({"x": vals})).repartition(8)
+    got = quantile_sketch(ds, "x", [0.5, 0.9], grid=64)  # ~5000 rows/block >> grid
+    true = np.quantile(vals, [0.5, 0.9])
+    # rank error ≤ block_rows/grid per block → value error small on a
+    # smooth distribution
+    assert abs(got[0] - true[0]) < 0.05
+    assert abs(got[1] - true[1]) < 0.08
+
+
+def test_quantile_skips_nulls_and_handles_empty(ray_session):
+    df = pd.DataFrame({"x": [1.0, None, 3.0, None, 5.0]})
+    ds = ray.data.from_pandas(df)
+    assert quantile_sketch(ds, "x", [0.5], grid=100) == [3.0]
+    empty = ray.data.from_pandas(pd.DataFrame({"x": pd.Series([], dtype=float)}))
+    assert np.isnan(quantile_sketch(empty, "x", [0.5])[0])
