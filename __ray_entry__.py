@@ -109,16 +109,16 @@ def _q_pricing_summary(sf_dir: str):
             ),
         )
 
-    agg = (
-        li.map_batches(_disc, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Count(alias_name="count_order"),
-        )
+    agg = rel.grouped_aggregate(
+        li.map_batches(_disc, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("sum", "l_quantity", "sum_qty"),
+            ("sum", "l_extendedprice", "sum_base_price"),
+            ("sum", "disc_price", "sum_disc_price"),
+            ("avg", "l_quantity", "avg_qty"),
+            ("count_star", None, "count_order"),
+        ],
     )
     return _round_cols(agg, ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"])
 
@@ -282,12 +282,13 @@ def _q_events_daily(sf_dir: str):
             }
         )
 
-    agg = (
-        ev.map_batches(_day, batch_format="pandas")
-        .groupby(["user_id", "day"])
-        .aggregate(
-            Count(alias_name="event_count"), Sum("value", alias_name="sum_value")
-        )
+    agg = rel.grouped_aggregate(
+        ev.map_batches(_day, batch_format="pandas"),
+        ["user_id", "day"],
+        [
+            ("count_star", None, "event_count"),
+            ("sum", "value", "sum_value"),
+        ],
     )
     return _round_cols(agg, ["sum_value"])
 

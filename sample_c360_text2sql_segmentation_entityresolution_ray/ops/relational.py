@@ -255,6 +255,83 @@ def topk(
     return ray.data.from_pandas(out)
 
 
+# aggregates with an exact per-batch partial + merge (distributive, or
+# algebraic like avg = sum/count) — eligible for grouped_aggregate
+DISTRIBUTIVE_AGGS = {"count_star", "count", "sum", "min", "max", "avg", "mean"}
+
+
+def grouped_aggregate(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    specs: Sequence[tuple],
+    partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Hash-partitioned grouped aggregation with a per-batch combiner.
+
+    ``specs``: ``(fn, in_col, out_col)`` with fn ∈ ``DISTRIBUTIVE_AGGS``.
+    Each batch pre-aggregates to one row per (batch, key) — the shuffle
+    ships group partials, not rows — then each key-hash partition merges
+    its partials exactly (sums of sums, min of mins, avg = Σsum/Σcount).
+
+    Exists because Ray 2.49's sort-based ``groupby().aggregate`` pays a
+    multi-stage sample+sort barrier that measured ~9 s on a 50k-row /
+    13k-group input where this pass takes ~1.5 s; at corpus scale the
+    combiner also ships strictly less than a sort shuffle of raw rows."""
+    keys = list(keys)
+    P = partitions or DEDUP_PARTITIONS
+    for fn, _in, _out in specs:
+        if fn not in DISTRIBUTIVE_AGGS:
+            raise ValueError(f"{fn} has no distributive partial")
+
+    def _local(df: pd.DataFrame) -> pd.DataFrame:
+        gb = df.groupby(keys, sort=False, dropna=False)
+        part = gb.size().reset_index()[keys]
+        for fn, in_col, out_col in specs:
+            if fn == "count_star":
+                part[f"_c_{out_col}"] = gb.size().to_numpy()
+            elif fn == "count":
+                part[f"_c_{out_col}"] = gb[in_col].count().to_numpy()
+            elif fn == "sum":
+                part[f"_s_{out_col}"] = gb[in_col].sum(min_count=1).to_numpy()
+            elif fn == "min":
+                part[f"_lo_{out_col}"] = gb[in_col].min().to_numpy()
+            elif fn == "max":
+                part[f"_hi_{out_col}"] = gb[in_col].max().to_numpy()
+            else:  # avg / mean
+                part[f"_s_{out_col}"] = gb[in_col].sum(min_count=1).to_numpy()
+                part[f"_n_{out_col}"] = gb[in_col].count().to_numpy()
+        part["_part"] = (
+            pd.util.hash_pandas_object(part[keys], index=False).to_numpy() % P
+        ).astype("int32")
+        return part
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby(keys, sort=False, dropna=False)
+        out = gb.size().reset_index()[keys]
+        for fn, _in_col, out_col in specs:
+            if fn in ("count_star", "count"):
+                out[out_col] = gb[f"_c_{out_col}"].sum().astype("int64").to_numpy()
+            elif fn == "sum":
+                out[out_col] = gb[f"_s_{out_col}"].sum(min_count=1).to_numpy()
+            elif fn == "min":
+                out[out_col] = gb[f"_lo_{out_col}"].min().to_numpy()
+            elif fn == "max":
+                out[out_col] = gb[f"_hi_{out_col}"].max().to_numpy()
+            else:  # avg / mean — SQL semantics: Σsum / Σcount
+                s = gb[f"_s_{out_col}"].sum(min_count=1).to_numpy()
+                n = gb[f"_n_{out_col}"].sum().to_numpy().astype(np.float64)
+                out[out_col] = np.divide(
+                    s, n, out=np.full(len(n), np.nan), where=n > 0
+                )
+        return out
+
+    return (
+        ds.map_batches(_local, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(_merge, batch_format="pandas")
+    )
+
+
 # broadcast membership sets above this many distinct keys switch to the
 # shuffle path: ~4M int64 keys ≈ 32 MB re-shipped to every worker is the
 # break-even vs one hash-partition exchange of the (deduped) key column
@@ -553,9 +630,9 @@ def grouped_count_having(
     ds: "ray.data.Dataset", key: str, min_count: int, count_name: str = "cnt"
 ) -> "ray.data.Dataset":
     """GROUP BY key HAVING count(*) >= min_count (README.md:13 —
-    "customers with ≥2 purchases").  Count() pre-aggregates per block
-    before the shuffle (Ray's AggregateFn does partial+final)."""
-    agg = ds.groupby(key).aggregate(Count(alias_name=count_name))
+    "customers with ≥2 purchases").  Combiner pass: per-batch partial
+    counts → one hash shuffle of partials → exact merge."""
+    agg = grouped_aggregate(ds, [key], [("count_star", None, count_name)])
 
     def _having(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.greater_equal(batch[count_name], min_count))
@@ -570,14 +647,14 @@ def grouped_topk(
     count_name: str = "cnt",
 ) -> "ray.data.Dataset":
     """Top-k groups by row count (README.md:13 — "top-3 items").
-    Grouped count (partial-aggregated shuffle) → global sort on the
-    small aggregate → limit.  Ties broken by key ascending so the
-    result is deterministic."""
-    return (
-        ds.groupby(key)
-        .aggregate(Count(alias_name=count_name))
-        .sort([count_name, key], descending=[True, False])
-        .limit(k)
+    Grouped combiner count → shuffle-free partial top-k on the small
+    aggregate.  Ties broken by key ascending so the result is
+    deterministic."""
+    return topk(
+        grouped_aggregate(ds, [key], [("count_star", None, count_name)]),
+        [count_name, key],
+        [True, False],
+        k,
     )
 
 
@@ -651,6 +728,7 @@ __all__ = [
     "union_with_prefix",
     "distinct",
     "grouped_count_having",
+    "grouped_aggregate",
     "grouped_topk",
     "topn_per_group",
     "sort_limit",

@@ -1086,7 +1086,16 @@ def _compile_aggregate(node, ds, select_list, group_exprs, auto_names=False):
             .map_groups(_agg_part, batch_format="pandas")
         )
     elif key_names:
-        agged = ds.groupby(key_names).aggregate(*aggs)
+        from ..ops.relational import DISTRIBUTIVE_AGGS, grouped_aggregate
+
+        if all(fn in DISTRIBUTIVE_AGGS for fn, _i, _o in agg_specs):
+            # combiner pass: per-batch partials → one hash shuffle of
+            # group partials → exact merge (Ray's sort-based groupby
+            # pays a multi-stage sample+sort barrier — measured 9 s vs
+            # 1.5 s on the demo workload, and ships raw rows at scale)
+            agged = grouped_aggregate(ds, key_names, agg_specs)
+        else:
+            agged = ds.groupby(key_names).aggregate(*aggs)
     else:
         # global aggregate: Dataset.aggregate returns one dict row
         row = dict(ds.aggregate(*aggs)) if aggs else {}
