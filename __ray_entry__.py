@@ -688,11 +688,13 @@ def _q_c360_segments(sf_dir: str):
         lambda: c360.customer_master(sf_dir),
         lambda: c360.subbrand_customer_master(sf_dir),
     )
+    # no materialize: item_based_segments consumes the interactions
+    # plan exactly once (its own shrunk materialize covers both passes)
     inter = build_interactions(
         c360.purchase_history(sf_dir),
         c360.subbrand_purchase_history(sf_dir),
         assignment,
-    ).materialize()
+    )
     targets = [str(i) for i in range(1, 6)]
     return item_based_segments(inter, targets, n=20)
 

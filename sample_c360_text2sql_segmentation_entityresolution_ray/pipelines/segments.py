@@ -65,7 +65,9 @@ def build_interactions(
     purchases_main, purchases_sub, integrated
 ) -> "ray.data.Dataset":
     """(USER_ID, ITEM_ID, TIMESTAMP) — the Personalize import table."""
-    cluster_map = integrated.select_columns(["RecordId", "MatchID"])
+    # materialized: the map is broadcast-collected by BOTH brand joins —
+    # without this the upstream attach pass would execute twice
+    cluster_map = integrated.select_columns(["RecordId", "MatchID"]).materialize()
 
     def _join(purchases):
         joined = broadcast_join(
