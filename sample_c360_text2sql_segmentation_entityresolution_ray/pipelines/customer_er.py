@@ -208,6 +208,44 @@ def resolve_customers(
 
         edges = dedupe_by_key(plan, ["url_a", "url_b"]).materialize()
         labels = resolve_labels(edges, cfg)
+        n_labels = labels.count()
+        if n_labels > cfg.broadcast_label_limit:
+            # label table too large for every worker's heap: attach via
+            # two hash-partitioned left joins instead of a broadcast map
+            # (mirrors the flagship's attach_labels switch,
+            # pipelines/entity_resolution.py)
+            from ..ops.relational import hash_join
+            from ..stages.clustering import confidence_stage
+
+            conf = confidence_stage(edges)
+            P = max(2, min(cfg.cc_num_partitions, n_labels // 10_000 + 2))
+            joined = hash_join(
+                records, labels, on=("customer_id",), right_on=("node",),
+                how="left_outer", num_partitions=P,
+            )
+            joined = hash_join(
+                joined, conf, on=("customer_id",), right_on=("node",),
+                how="left_outer", num_partitions=P,
+            )
+
+            def _finish(df: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame(
+                    {
+                        "source": df["source"],
+                        "ConfidenceLevel": df["ConfidenceLevel"].fillna(1.0),
+                        "RecordId": df["customer_id"],
+                        "MatchID": df["label"].where(
+                            df["label"].notna(), df["customer_id"]
+                        ),
+                        "email": df["email"],
+                        "name": df["name"],
+                        "gender": df["gender"],
+                        "age": df["age"],
+                        "created_at": df["created_at"],
+                    }
+                )
+
+            return joined.map_batches(_finish, batch_format="pandas"), edges
         lab_df = labels.to_pandas()
         label_map = dict(zip(lab_df["node"], lab_df["label"]))
         conf_map = _conf_map_from_edges(edges)

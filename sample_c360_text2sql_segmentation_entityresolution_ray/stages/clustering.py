@@ -227,8 +227,10 @@ def confidence_stage(edges) -> "ray.data.Dataset":
             }
         )
 
-    return (
-        edges.map_batches(_both, batch_format="pandas")
-        .groupby("node")
-        .aggregate(Max("score", alias_name="ConfidenceLevel"))
+    from ..ops.relational import grouped_aggregate
+
+    return grouped_aggregate(
+        edges.map_batches(_both, batch_format="pandas"),
+        ["node"],
+        [("max", "score", "ConfidenceLevel")],
     )

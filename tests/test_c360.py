@@ -92,3 +92,30 @@ def test_interactions_and_segments(sf_dir):
     # anti-join property: no segment user already bought the item
     bought = set(zip(idf["USER_ID"], idf["ITEM_ID"]))
     assert all((u, i) not in bought for u, i in zip(seg["user_id"], seg["item_id"]))
+
+
+def test_customer_er_join_attach_parity(sf_dir):
+    """Force the large-label fallback (distributed labels + join-based
+    attach) and assert it matches the broadcast-map path exactly."""
+    import dataclasses
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.stages.config import (
+        DEFAULT_CONFIG,
+    )
+
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG, local_cc_max_edges=0, broadcast_label_limit=0
+    )
+    a_join, _ = resolve_customers(
+        lambda: c360.customer_master(sf_dir),
+        lambda: c360.subbrand_customer_master(sf_dir),
+        cfg,
+    )
+    a_bcast, _ = resolve_customers(
+        lambda: c360.customer_master(sf_dir),
+        lambda: c360.subbrand_customer_master(sf_dir),
+    )
+    cols = ["source", "ConfidenceLevel", "RecordId", "MatchID", "email"]
+    j = a_join.to_pandas()[cols].sort_values("RecordId").reset_index(drop=True)
+    b = a_bcast.to_pandas()[cols].sort_values("RecordId").reset_index(drop=True)
+    pd.testing.assert_frame_equal(j, b)
