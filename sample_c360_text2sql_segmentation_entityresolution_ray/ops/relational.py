@@ -276,7 +276,11 @@ def grouped_aggregate(
     Exists because Ray 2.49's sort-based ``groupby().aggregate`` pays a
     multi-stage sample+sort barrier that measured ~9 s on a 50k-row /
     13k-group input where this pass takes ~1.5 s; at corpus scale the
-    combiner also ships strictly less than a sort shuffle of raw rows."""
+    combiner also ships strictly less than a sort shuffle of raw rows.
+
+    Skew-immune: a hot key contributes at most ONE partial row per
+    input block to its partition, so the heaviest partition holds
+    ≤ n_blocks × (keys hashing there) rows regardless of row skew."""
     keys = list(keys)
     P = partitions or DEDUP_PARTITIONS
     for fn, _in, _out in specs:

@@ -1034,9 +1034,15 @@ def _compile_aggregate(node, ds, select_list, group_exprs, auto_names=False):
         # partition, so every aggregate (including exact nunique) is
         # computed exactly there — one shuffle, no aggregate-frame
         # re-join (the previous plan paid a dedup shuffle + a fresh
-        # aggregator-actor join).  The shuffle ships (key, input) rows
-        # un-combined — the exact-distinct cost; the approximate path at
-        # corpus scale is ops.sketch's KMV distinct-count.
+        # aggregator-actor join).
+        #
+        # PARTITIONING ASSUMPTION (the contract for this custom op):
+        # one group key's rows must fit one partition worker — exact
+        # holistic aggregates are inherently key-colocated.  A hot key
+        # over an extreme-cardinality distinct column should use the
+        # skew-immune estimators instead: ops.sketch.kmv_distinct
+        # (count DISTINCT, ≤k hashes per key per block cross the
+        # shuffle) / ops.sketch.quantile_sketch (median).
         from ..ops.relational import DEDUP_PARTITIONS
 
         def _part(df: pd.DataFrame) -> pd.DataFrame:

@@ -238,3 +238,66 @@ def test_from_unixtime_helper(catalog, duck):
         got[cols].astype(str).sort_values(cols).reset_index(drop=True),
         exp[cols].astype(str).sort_values(cols).reset_index(drop=True),
     )
+
+
+def test_star_join_chain_stays_broadcast(catalog, duck, sf_dir):
+    """fact ⋈ dim ⋈ dim: both dims have known-small parquet row counts,
+    so the whole chain compiles to broadcast probes — no shuffle-join
+    operator anywhere in the executed plan."""
+    cat = Catalog()
+    for t in ["orders", "customer", "nation"]:
+        cat.register_parquet(t, f"{sf_dir}/{t}.parquet")
+    sql = """
+        SELECT n.n_name AS nation, count(*) AS orders_n,
+               round(sum(o.o_totalprice), 2) AS vol
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """
+    ds = execute_sql(sql, cat)
+    got = ds.to_pandas()
+    exp = duck.sql(sql).df()
+    cols = sorted(got.columns)
+    g = got[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    e = exp[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, e)
+    assert "Join(" not in ds.stats(), "star chain fell back to a shuffle join"
+
+
+def test_grouped_aggregate_hot_key(ray_session):
+    """A single key owning ~all rows must still aggregate exactly —
+    the combiner ships one partial per block, not the rows."""
+    import numpy as np
+    import ray.data
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
+        grouped_aggregate,
+    )
+
+    n = 50_000
+    df = pd.DataFrame(
+        {
+            "k": ["hot"] * (n - 3) + ["a", "b", "c"],
+            "v": np.arange(n, dtype=np.int64),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(16)
+    out = (
+        grouped_aggregate(
+            ds,
+            ["k"],
+            [("count_star", None, "n"), ("sum", "v", "s"), ("max", "v", "mx")],
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.groupby("k")
+        .agg(n=("v", "size"), s=("v", "sum"), mx=("v", "max"))
+        .reset_index()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp)
