@@ -154,4 +154,59 @@ def knn_ivf(
     return knn_brute_force(filtered, queries, k=k, emb_col=emb_col, id_col=id_col)
 
 
-__all__ = ["knn_brute_force", "fit_centroids", "ivf_bucket_stage", "knn_ivf"]
+def write_ivf_parquet(
+    bucketed: "ray.data.Dataset", path: str
+) -> None:
+    """Persist the bucketed corpus hive-partitioned by ``ivf_bucket`` —
+    one directory per bucket, so probes become partition pruning at the
+    read (and a failed indexing run resumes per-bucket)."""
+    bucketed.write_parquet(path, partition_cols=["ivf_bucket"])
+
+
+def knn_ivf_parquet(
+    path: str,
+    queries: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "ray.data.Dataset":
+    """IVF probe over a bucket-partitioned Parquet layout: only the
+    ``n_probe`` nearest buckets' DIRECTORIES are read — the pruning
+    happens in the parquet fragment planner via the partition-column
+    filter, before any row leaves storage (the 100-TB ANN read path)."""
+    import os
+
+    qm = _unit(np.asarray(queries, dtype=np.float64))
+    cm = _unit(np.asarray(centroids, dtype=np.float64))
+    order = np.argsort(-(qm @ cm.T), axis=1)[:, :n_probe]
+    wanted = sorted({int(b) for row in order for b in row})
+    # directory-level pruning: hand the reader ONLY the probed buckets'
+    # hive directories — unprobed partitions never produce read tasks.
+    # (Ray 2.49's read_parquet(filter=...) samples fragments against the
+    # file schema, which lacks the virtual hive column — so the prune is
+    # done on paths, which is also the more explicit form of the plan.)
+    paths = []
+    for b in wanted:
+        d = os.path.join(path, f"ivf_bucket={b}")
+        if os.path.isdir(d):
+            # a path LIST must be files (Ray treats list entries as
+            # files); expand each probed directory
+            paths.extend(
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    filtered = ray.data.read_parquet(paths, columns=[id_col, emb_col])
+    return knn_brute_force(filtered, queries, k=k, emb_col=emb_col, id_col=id_col)
+
+
+__all__ = [
+    "knn_brute_force",
+    "fit_centroids",
+    "ivf_bucket_stage",
+    "knn_ivf",
+    "write_ivf_parquet",
+    "knn_ivf_parquet",
+]

@@ -61,3 +61,49 @@ def test_bucket_column_is_partitionable():
     cents = ann.fit_centroids(ds, n_centroids=4)
     b = ann.ivf_bucket_stage(ds, cents).to_pandas()
     assert b["ivf_bucket"].between(0, 3).all()
+
+
+def test_ivf_parquet_prunes_at_read(tmp_path):
+    """Bucket-partitioned Parquet probe: identical results to the
+    in-memory IVF scan, and the partition filter keeps unprobed
+    buckets' directories out of the read entirely."""
+
+    ds, m = _corpus(n=120, seed=11)
+    cents = ann.fit_centroids(ds, n_centroids=6)
+    bucketed = ann.ivf_bucket_stage(ds, cents)
+    path = str(tmp_path / "ivf")
+    ann.write_ivf_parquet(bucketed, path)
+
+    rng = np.random.default_rng(5)
+    queries = rng.standard_normal((2, m.shape[1]))
+    got = (
+        ann.knn_ivf_parquet(path, queries, cents, k=5, n_probe=2)
+        .to_pandas()
+        .sort_values(["query_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+    want = (
+        ann.knn_ivf(bucketed, queries, cents, k=5, n_probe=2)
+        .to_pandas()
+        .sort_values(["query_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+    assert got[["query_id", "vec_id"]].equals(want[["query_id", "vec_id"]])
+
+    # pruning is physical: only the probed buckets' hive directories are
+    # handed to the reader, so the scan touches fewer rows than the
+    # corpus whenever some bucket was not probed
+    import os
+
+    qm = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    cm = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    wanted = {int(b) for row in np.argsort(-(qm @ cm.T), axis=1)[:, :2] for b in row}
+    if len(wanted) < 6:
+        files = [
+            os.path.join(path, f"ivf_bucket={b}", f)
+            for b in sorted(wanted)
+            if os.path.isdir(os.path.join(path, f"ivf_bucket={b}"))
+            for f in os.listdir(os.path.join(path, f"ivf_bucket={b}"))
+            if f.endswith(".parquet")
+        ]
+        assert ray.data.read_parquet(files).count() < 120
