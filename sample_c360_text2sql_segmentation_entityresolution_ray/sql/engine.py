@@ -169,7 +169,57 @@ _SCALARS: dict[str, Callable] = {
     "from_unixtime": lambda s: pd.to_datetime(s, unit="s"),
     "~~": lambda a, pat: a.str.fullmatch(_like_regex(pat)).fillna(False),
     "!~~": lambda a, pat: ~a.str.fullmatch(_like_regex(pat)).fillna(False),
+    "coalesce": lambda *xs: _coalesce(*xs),
+    # mask(..., None) keeps object columns None-valued (NaN in an
+    # object column stringifies differently from DuckDB's None)
+    "nullif": lambda a, b: (
+        a.mask((a == b).fillna(False), None)
+        if isinstance(a, pd.Series)
+        else (None if a == b else a)
+    ),
+    "date_trunc": lambda part, ts: _date_trunc(part, ts),
+    "year": lambda ts: ts.dt.year.astype("int64"),
+    "month": lambda ts: ts.dt.month.astype("int64"),
+    "day": lambda ts: ts.dt.day.astype("int64"),
+    # SQL substr is 1-based; length optional
+    "substr": lambda s, start, n=None: _substr(s, start, n),
+    "substring": lambda s, start, n=None: _substr(s, start, n),
 }
+
+
+def _coalesce(*xs):
+    """First non-null, vectorized; scalar args broadcast to the first
+    Series argument's index."""
+    ser = next((x for x in xs if isinstance(x, pd.Series)), None)
+    if ser is None:
+        for x in xs:
+            if x is not None and not (isinstance(x, float) and np.isnan(x)):
+                return x
+        return None
+    out = xs[0] if isinstance(xs[0], pd.Series) else pd.Series(xs[0], index=ser.index)
+    for x in xs[1:]:
+        nxt = x if isinstance(x, pd.Series) else pd.Series(x, index=ser.index)
+        out = out.where(out.notna(), nxt)
+    return out
+
+
+def _date_trunc(part, ts):
+    p = str(part).lower()
+    floors = {"day": "D", "hour": "h", "minute": "min", "second": "s"}
+    if p in floors:
+        return ts.dt.floor(floors[p])
+    if p == "month":
+        return ts.dt.to_period("M").dt.start_time
+    if p == "year":
+        return ts.dt.to_period("Y").dt.start_time
+    if p == "week":  # ISO truncation to Monday (DuckDB semantics)
+        return ts.dt.to_period("W-SUN").dt.start_time
+    raise SqlUnsupported(f"date_trunc part {p!r}")
+
+
+def _substr(s, start, n=None):
+    b = int(start) - 1
+    return s.str.slice(b, None if n is None else b + int(n))
 
 
 def _like_regex(pattern: str) -> str:
@@ -336,6 +386,9 @@ def eval_expr(
     if cls == "OPERATOR" and typ in ("OPERATOR_IS_NULL", "OPERATOR_IS_NOT_NULL"):
         v = eval_expr(node["children"][0], df, agg_cols, win_cols)
         return v.isna() if typ == "OPERATOR_IS_NULL" else v.notna()
+    if cls == "OPERATOR" and typ == "OPERATOR_COALESCE":
+        kids = [eval_expr(c, df, agg_cols, win_cols) for c in node["children"]]
+        return _coalesce(*kids)
     if cls == "CAST":
         v = eval_expr(node["child"], df, agg_cols, win_cols)
         tid = node["cast_type"]["id"]
@@ -378,7 +431,7 @@ _SUPPORTED_EXPR = {
     ("CONJUNCTION", None), ("CAST", None), ("CASE", None), ("STAR", None),
     ("OPERATOR", "COMPARE_IN"), ("OPERATOR", "COMPARE_NOT_IN"),
     ("OPERATOR", "OPERATOR_NOT"), ("OPERATOR", "OPERATOR_IS_NULL"),
-    ("OPERATOR", "OPERATOR_IS_NOT_NULL"),
+    ("OPERATOR", "OPERATOR_IS_NOT_NULL"), ("OPERATOR", "OPERATOR_COALESCE"),
     ("BETWEEN", "COMPARE_BETWEEN"), ("_PYCONST", None),
 }
 

@@ -166,6 +166,20 @@ CASES = {
                round(median(l_quantity), 2) AS medq
         FROM lineitem GROUP BY l_linestatus
     """,
+    "coalesce_nullif": """
+        SELECT c.c_custkey AS k,
+               coalesce(o.o_orderkey, -1) AS ok,
+               nullif(c.c_mktsegment, 'BUILDING') AS seg
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        WHERE c.c_custkey <= 30
+    """,
+    "date_parts_substr": """
+        SELECT event_id, date_trunc('day', ts) AS d,
+               date_trunc('month', ts) AS mo, date_trunc('week', ts) AS wk,
+               year(ts) AS y, month(ts) AS m, day(ts) AS dd,
+               substr(event_type, 1, 3) AS pre
+        FROM events WHERE value > 97
+    """,
     "window_rolling_cum": """
         SELECT o_custkey, o_orderkey,
                round(sum(o_totalprice)
