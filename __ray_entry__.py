@@ -500,6 +500,47 @@ def _q_er_assignment(sf_dir: str):
     return assignment.select_columns(["source", "RecordId", "MatchID", "lang"])
 
 
+def _q_er_incremental(sf_dir: str):
+    """Incremental resolution: full ER on ~80% of the corpus, then the
+    remaining ~20% folded in via resolve_entities_incremental (pair
+    stream filtered to delta-touching pairs, prior clusters seeded as
+    zero-cost union-find edges).  Proven bit-equal to the full run in
+    tests/test_er_e2e.py, so the SAME planted-truth oracle applies."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.pipelines.entity_resolution import (
+        build_idf_ref_local,
+        resolve_entities_incremental,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sources.pages import (
+        pages_dataset,
+        pages_sample_table,
+        pages_slim_dataset,
+    )
+
+    urls = pages_dataset(sf_dir).select_columns(["url"]).to_pandas()["url"]
+    new_set = {u for u in urls if (__import__('zlib').crc32(u.encode()) % 5) == 0}
+    new_arr = _pa.array(sorted(new_set))
+
+    def _old_only():
+        def _f(b):
+            return b.filter(_pc.invert(_pc.is_in(b["url"], value_set=new_arr)))
+
+        return pages_dataset(sf_dir).map_batches(_f, batch_format="pyarrow")
+
+    idf = build_idf_ref_local(pages_sample_table(sf_dir, 0.05))
+    prev, _ = resolve_entities(_old_only, idf_ref=idf)
+    assignment, _ = resolve_entities_incremental(
+        lambda: pages_dataset(sf_dir),
+        prev.to_pandas(),
+        new_set,
+        idf_ref=idf,
+        slim_factory=lambda: pages_slim_dataset(sf_dir),
+    )
+    return assignment.select_columns(["source", "RecordId", "MatchID", "lang"])
+
+
 def _q_minhash_dup_docs(sf_dir: str):
     """MinHash-LSH near-dup pairs with exact shingle-Jaccard verify —
     oracle-checked against DuckDB's exact all-pairs 3-shingle Jaccard
@@ -1233,6 +1274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_exact": _q_embedding_dup_exact,
         # fixture-truth / feature-export oracle checked (see oracle_sql)
         "er_assignment": _q_er_assignment,
+        "er_incremental": _q_er_incremental,
         "customer_er_assignment": _q_customer_er,
         "c360_interactions": _q_c360_interactions,
         "c360_segments": _q_c360_segments,
@@ -1283,6 +1325,9 @@ def oracle_sql() -> dict[str, str]:
         # fixture-backed truth / feature oracles (driver checks at
         # sf0.01; tests rewrite the fixture path for their sf)
         "er_assignment": _sql_er_assignment(_FIX01),
+        # incremental == full (bit-equal, tests/test_er_e2e.py) ⇒ the
+        # same planted-truth oracle checks it
+        "er_incremental": _sql_er_assignment(_FIX01),
         "customer_er_assignment": _sql_customer_er(_FIX01),
         "c360_interactions": _sql_c360_interactions(_FIX01),
         "c360_segments": _sql_c360_segments(_FIX01),

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -87,7 +89,9 @@ def build_idf_ref_local(pages_table, cfg: ERConfig = DEFAULT_CONFIG):
     return ray.put(table)
 
 
-def matched_edges(pages, cfg: ERConfig = DEFAULT_CONFIG, idf_ref=None):
+def matched_edges(
+    pages, cfg: ERConfig = DEFAULT_CONFIG, idf_ref=None, pair_filter=None
+):
     """pages → scored matched edges (url_a, url_b, …, score), streaming,
     exactly one row per pair.
 
@@ -101,7 +105,7 @@ def matched_edges(pages, cfg: ERConfig = DEFAULT_CONFIG, idf_ref=None):
     extracted = extract_stage(pages)
     records = normalize_stage(extracted, cfg)
     if cfg.feature_attach in ("auto", "broadcast"):
-        plan = _broadcast_feature_plan(records, cfg, idf_ref)
+        plan = _broadcast_feature_plan(records, cfg, idf_ref, pair_filter)
         if plan is not None:
             return plan
         if cfg.feature_attach == "broadcast":
@@ -112,12 +116,14 @@ def matched_edges(pages, cfg: ERConfig = DEFAULT_CONFIG, idf_ref=None):
         records = normalize_stage(extract_stage(pages), cfg)  # fresh plan
     exploded = band_emit_stage(records, cfg)
     pairs = pair_gen_stage(exploded, cfg)
+    if pair_filter is not None:
+        pairs = pair_filter(pairs)
     slim = score_pairs_stage(pairs, cfg, idf_ref)  # gated + deduped
     scored = string_score_stage(slim, cfg)
     return matched_edges_stage(scored, cfg)
 
 
-def _broadcast_feature_plan(records, cfg: ERConfig, idf_ref):
+def _broadcast_feature_plan(records, cfg: ERConfig, idf_ref, pair_filter=None):
     """Broadcast-feature variant of the match plan (see
     ``ERConfig.feature_attach``): ONE driver pass over the records
     stream splits each record into (a) its feature arrays, kept in a
@@ -159,6 +165,8 @@ def _broadcast_feature_plan(records, cfg: ERConfig, idf_ref):
         )
     exploded = band_emit_stage(slim_records, cfg, slim=True)
     pairs = pair_gen_stage(exploded, cfg, slim=True)
+    if pair_filter is not None:
+        pairs = pair_filter(pairs)
     # gate first, dedupe after: a pre-gate dedupe of the raw candidate
     # stream looks cheaper (×17 duplicate true pairs) but its extra
     # shuffle BARRIER costs more wall than the duplicated vectorized
@@ -370,3 +378,104 @@ def resolve_entities(
     )
     assignment = attach_labels(slim, labels, conf, cfg, edges=edges)
     return assignment, edges
+
+
+def resolve_entities_incremental(
+    pages_factory,
+    prev_assignment,
+    new_urls,
+    cfg: ERConfig = DEFAULT_CONFIG,
+    idf_ref=None,
+    slim_factory=None,
+):
+    """Fold a DELTA into an existing resolution without re-scoring
+    old↔old pairs — the quadratic part of the workload when
+    |delta| ≪ |corpus|.
+
+    The reference re-runs the whole integration workflow on updates and
+    merges results into ``integrated_customer``
+    (`lib/data-integration-workflow.ts`,
+    `lambda/integrated_customer_updater/index.py:77-86`); this is the
+    engine-level version of that merge with the redundant work removed.
+
+    ``pages_factory`` must yield the COMBINED corpus (old ∪ new):
+    blocking still sees every record, so a new record lands in exactly
+    the blocks a full re-run would put it in; only the candidate-pair
+    stream is then filtered to pairs touching ``new_urls`` before the
+    scoring stages.  ``prev_assignment`` is the prior run's
+    (RecordId, MatchID, ConfidenceLevel) table (DataFrame or Dataset);
+    its clusters are re-imposed as zero-cost union-find edges.
+
+    EXACTNESS: with the same ``idf_ref`` (freeze the IDF table across
+    runs — it is corpus-sampled) and block caps not binding, the result
+    equals a full run on the combined corpus: pair features depend only
+    on the two records, old↔old outcomes are exactly the prior
+    clusters, and ConfidenceLevel = max(prior conf, new incident
+    scores) = the full run's max.  Tested bit-for-bit in
+    `tests/test_er_e2e.py`.
+
+    Scale note: the prior assignment and the delta's edge stream are
+    merged in ONE driver union-find (the delta workflow's natural
+    size); a delta big enough to breach ``local_cc_max_edges`` should
+    simply take the full-run path."""
+    if hasattr(prev_assignment, "to_pandas"):
+        prev_assignment = prev_assignment.to_pandas()
+    new_arr = pa.array(sorted(new_urls), pa.string())
+
+    def _pair_filter(pairs):
+        def _f(batch: pa.Table) -> pa.Table:
+            keep = pc.or_(
+                pc.is_in(batch["url_a"], value_set=new_arr),
+                pc.is_in(batch["url_b"], value_set=new_arr),
+            )
+            return batch.filter(keep)
+
+        return pairs.map_batches(_f, batch_format="pyarrow")
+
+    if idf_ref is None:
+        idf_ref = build_idf_ref(pages_factory(), cfg)
+    slim = (
+        slim_factory()
+        if slim_factory is not None
+        else pages_factory().select_columns(["url", "source", "lang"])
+    )
+    from ..stages.clustering import LocalUnionFind, collect_edges_local
+
+    plan = matched_edges(pages_factory(), cfg, idf_ref, pair_filter=_pair_filter)
+    out = collect_edges_local(plan, cfg.local_cc_max_edges)
+    if out is None:
+        raise ValueError(
+            "delta edge stream exceeded local_cc_max_edges — a delta "
+            "this large should take the full resolve_entities path"
+        )
+    edges_df, _new_labels, new_conf = out
+
+    # prior clusters as zero-cost edges (RecordId—MatchID membership),
+    # then the delta's matched edges on top: min-label union-find keeps
+    # every untouched cluster's MatchID stable by construction
+    uf = LocalUnionFind()
+    prev_linked = prev_assignment[
+        prev_assignment["RecordId"] != prev_assignment["MatchID"]
+    ]
+    uf.add_edges(
+        prev_linked["RecordId"].to_numpy(), prev_linked["MatchID"].to_numpy()
+    )
+    uf.add_edges(edges_df["url_a"].to_numpy(), edges_df["url_b"].to_numpy())
+    label_map = uf.label_map()
+
+    # seed confidence ONLY from previously-MATCHED records: a prior
+    # singleton's ConfidenceLevel is the 1.0 default, which must not
+    # swamp the real score of its first matched edge (against a delta
+    # record) via the max-merge below
+    sizes = prev_assignment.groupby("MatchID")["RecordId"].transform("size")
+    prev_matched = prev_assignment[sizes >= 2]
+    conf_map = dict(
+        zip(prev_matched["RecordId"], prev_matched["ConfidenceLevel"])
+    )
+    for node, sc in new_conf.items():
+        prev = conf_map.get(node)
+        if prev is None or sc > prev:
+            conf_map[node] = sc
+
+    assignment = _attach_broadcast(slim, label_map, conf_map)
+    return assignment, ray.data.from_pandas(edges_df)

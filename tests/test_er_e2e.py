@@ -71,3 +71,51 @@ def test_er_payload_feature_plan_matches_broadcast(sf_dir):
         bc[cols].sort_values(["url_a", "url_b"]).reset_index(drop=True),
         pl[cols].sort_values(["url_a", "url_b"]).reset_index(drop=True),
     )
+
+
+def test_incremental_resolution_matches_full(sf_dir):
+    """resolve_entities_incremental(full(A), Δ) must equal a full run on
+    A ∪ Δ bit-for-bit: pair features depend only on the two records,
+    the prior clusters summarize every old↔old outcome, and the frozen
+    idf_ref removes the corpus-sample dependence."""
+    import numpy as np
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.pipelines.entity_resolution import (
+        build_idf_ref,
+        resolve_entities_incremental,
+    )
+
+    all_urls = pages_dataset(sf_dir).select_columns(["url"]).to_pandas()["url"]
+    # deterministic ~20% delta by url hash
+    new_set = {
+        u
+        for u in all_urls
+        if (__import__('zlib').crc32(u.encode()) % 5) == 0
+    }
+    assert 0 < len(new_set) < len(all_urls)
+
+    def combined():
+        return pages_dataset(sf_dir)
+
+    def old_only():
+        import pyarrow.compute as pc
+
+        arr = __import__("pyarrow").array(sorted(new_set))
+
+        def _f(b):
+            return b.filter(
+                pc.invert(pc.is_in(b["url"], value_set=arr))
+            )
+
+        return pages_dataset(sf_dir).map_batches(_f, batch_format="pyarrow")
+
+    idf = build_idf_ref(combined())  # frozen across all three runs
+    prev, _ = resolve_entities(old_only, idf_ref=idf)
+    inc, _ = resolve_entities_incremental(
+        combined, prev.to_pandas(), new_set, idf_ref=idf
+    )
+    full, _ = resolve_entities(combined, idf_ref=idf)
+
+    a = inc.to_pandas().sort_values("RecordId").reset_index(drop=True)
+    b = full.to_pandas().sort_values("RecordId").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
