@@ -221,22 +221,25 @@ def topk(
     keys: Sequence[str],
     descending: Sequence[bool],
     n: int,
+    offset: int = 0,
 ) -> "ray.data.Dataset":
-    """Global top-``n`` by sort keys without a full sort shuffle: every
-    block keeps its local top-``n`` (the global winners are a subset of
-    the union), the survivors (≤ blocks × n rows, and ≤ n per block)
-    are combined once on the driver.  The SQL façade compiles
-    ``ORDER BY … LIMIT n`` here when ``n`` ≤ ``TOPK_DRIVER_LIMIT``;
-    semantics match ``ds.sort(keys).limit(n)`` (NULLs last)."""
+    """Global top-``n`` (after skipping ``offset`` ordered rows) by sort
+    keys without a full sort shuffle: every block keeps its local
+    top-``n + offset`` (the global winners are a subset of the union),
+    the survivors (≤ n+offset per block) are combined once on the
+    driver.  The SQL façade compiles ``ORDER BY … LIMIT n [OFFSET m]``
+    here when ``n + m`` ≤ ``TOPK_DRIVER_LIMIT``; semantics match
+    ``ds.sort(keys)`` then slice (NULLs last)."""
     keys = list(keys)
     asc = [not d for d in descending]
+    keep = n + offset
 
     def _local(batch: pd.DataFrame) -> pd.DataFrame:
-        if len(batch) <= n:
+        if len(batch) <= keep:
             return batch
         return batch.sort_values(
             keys, ascending=asc, kind="mergesort", na_position="last"
-        ).head(n)
+        ).head(keep)
 
     pieces = [
         b
@@ -249,7 +252,7 @@ def topk(
     out = (
         pd.concat(pieces, ignore_index=True)
         .sort_values(keys, ascending=asc, kind="mergesort", na_position="last")
-        .head(n)
+        .iloc[offset : offset + n]
         .reset_index(drop=True)
     )
     return ray.data.from_pandas(out)

@@ -945,20 +945,23 @@ def _compile_select_node(node: dict, catalog: Catalog, auto_names: bool = False)
                     raise SqlUnsupported("ORDER BY must reference output columns")
                 keys.append(e["column_names"][-1])
                 desc.append(o["type"] == "DESCENDING")
-            # ORDER BY immediately followed by a small LIMIT fuses into
-            # the shuffle-free partial top-k (per-block head + bounded
-            # driver combine) instead of a full distributed sort
-            nlim = None
-            if (
-                mi + 1 < len(mods)
-                and mods[mi + 1]["type"] == "LIMIT_MODIFIER"
-                and not mods[mi + 1].get("offset")
-            ):
-                nlim = int(_const_value(mods[mi + 1]["limit"]))
+            # ORDER BY immediately followed by a small LIMIT [OFFSET]
+            # fuses into the shuffle-free partial top-k (per-block head
+            # + bounded driver combine) instead of a full sort; OFFSET
+            # is exact here because the order is total at the combine
+            nlim = noff = None
+            if mi + 1 < len(mods) and mods[mi + 1]["type"] == "LIMIT_MODIFIER":
+                nxt = mods[mi + 1]
+                nlim = (
+                    int(_const_value(nxt["limit"])) if nxt.get("limit") else None
+                )
+                noff = (
+                    int(_const_value(nxt["offset"])) if nxt.get("offset") else 0
+                )
             from ..ops.relational import TOPK_DRIVER_LIMIT, topk
 
-            if nlim is not None and nlim <= TOPK_DRIVER_LIMIT:
-                ds = topk(ds, keys, desc, nlim)
+            if nlim is not None and nlim + noff <= TOPK_DRIVER_LIMIT:
+                ds = topk(ds, keys, desc, nlim, offset=noff)
                 skip_next_limit = True
             else:
                 ds = ds.sort(keys, descending=desc)
@@ -966,6 +969,9 @@ def _compile_select_node(node: dict, catalog: Catalog, auto_names: bool = False)
             if skip_next_limit:
                 skip_next_limit = False
                 continue
+            if mod.get("offset"):
+                # silently dropping OFFSET would return the wrong rows
+                raise SqlUnsupported("LIMIT ... OFFSET")
             ds = ds.limit(int(_const_value(mod["limit"])))
         elif mod["type"] == "DISTINCT_MODIFIER":
             # DuckDB emits DISTINCT before ORDER/LIMIT in the modifier

@@ -166,6 +166,11 @@ CASES = {
                round(median(l_quantity), 2) AS medq
         FROM lineitem GROUP BY l_linestatus
     """,
+    "order_limit_offset": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 7 OFFSET 5
+    """,
     "coalesce_nullif": """
         SELECT c.c_custkey AS k,
                coalesce(o.o_orderkey, -1) AS ok,
