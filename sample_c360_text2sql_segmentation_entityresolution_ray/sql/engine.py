@@ -1015,26 +1015,39 @@ def _compile_aggregate(node, ds, select_list, group_exprs, auto_names=False):
     aggs = []
     agg_specs: list[tuple[str, str | None, str]] = []  # (fn, in_col, out_col)
     distinct_counts: list[tuple[str, str]] = []  # (out_col, in_col)
-    input_exprs: dict[str, dict] = {}  # input column name -> child expr
+    # input column name -> (child expr | None, FILTER expr | None).
+    # FILTER (WHERE …) compiles to input MASKING — the masked value is
+    # NULL where the predicate fails, and every downstream aggregate
+    # path (Ray ignore-nulls, combiner, fused holistic, distinct pair
+    # dedup) already skips NULLs, so one mechanism covers them all.
+    input_exprs: dict[str, tuple] = {}
     for k, n in agg_nodes.items():
         fn = n["function_name"].lower()
         out_col = agg_cols[k]
         children = n.get("children", [])
+        filt = n.get("filter")
         if n.get("distinct"):
             if fn != "count" or len(children) != 1:
                 raise SqlUnsupported(f"{fn}(DISTINCT ...)")
             in_col = f"_in{len(input_exprs)}"
-            input_exprs[in_col] = children[0]
+            input_exprs[in_col] = (children[0], filt)
             distinct_counts.append((out_col, in_col))
             continue
         if fn == "count_star":
-            aggs.append(Count(alias_name=out_col))
-            agg_specs.append(("count_star", None, out_col))
+            if filt:
+                # count(*) FILTER (WHERE p) = non-null count of the mask
+                in_col = f"_in{len(input_exprs)}"
+                input_exprs[in_col] = (None, filt)
+                aggs.append(Count(in_col, alias_name=out_col, ignore_nulls=True))
+                agg_specs.append(("count", in_col, out_col))
+            else:
+                aggs.append(Count(alias_name=out_col))
+                agg_specs.append(("count_star", None, out_col))
             continue
         if len(children) != 1:
             raise SqlUnsupported(f"aggregate {fn} arity")
         in_col = f"_in{len(input_exprs)}"
-        input_exprs[in_col] = children[0]
+        input_exprs[in_col] = (children[0], filt)
         if fn == "count":
             aggs.append(Count(in_col, alias_name=out_col, ignore_nulls=True))
         elif fn in _AGG_BUILDERS:
@@ -1048,9 +1061,18 @@ def _compile_aggregate(node, ds, select_list, group_exprs, auto_names=False):
         for g, kn in zip(group_exprs, key_names):
             v = eval_expr(g, df)
             out[kn] = v if isinstance(v, pd.Series) else pd.Series([v] * len(df))
-        for cn, e in input_exprs.items():
-            v = eval_expr(e, df)
-            out[cn] = v if isinstance(v, pd.Series) else pd.Series([v] * len(df))
+        for cn, (e, filt) in input_exprs.items():
+            if e is None:  # count(*) FILTER mask column
+                v = pd.Series(np.ones(len(df)), index=df.index)
+            else:
+                v = eval_expr(e, df)
+                if not isinstance(v, pd.Series):
+                    v = pd.Series([v] * len(df), index=df.index)
+            if filt is not None:
+                mask = eval_expr(filt, df)
+                mask = pd.Series(np.asarray(mask, dtype=bool), index=v.index)
+                v = v.where(mask)
+            out[cn] = v
         if not out:  # bare count(*): a 0-column frame would drop the rows
             out["_one"] = pd.Series(np.ones(len(df), dtype=np.int8), index=df.index)
         return pd.DataFrame(out)

@@ -166,6 +166,19 @@ CASES = {
                round(median(l_quantity), 2) AS medq
         FROM lineitem GROUP BY l_linestatus
     """,
+    "aggregate_filter_clause": """
+        SELECT o_orderstatus AS st,
+               count(*) AS n,
+               count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+               round(sum(o_totalprice) FILTER (WHERE o_totalprice > 150000), 2) AS vol_big,
+               count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000) AS whales
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "aggregate_filter_global": """
+        SELECT count(*) FILTER (WHERE o_orderstatus = 'O') AS open_n,
+               round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS open_avg
+        FROM orders
+    """,
     "order_limit_offset": """
         SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey
