@@ -465,6 +465,14 @@ def _q_doc_split(sf_dir: str):
     return sampling.assign_split(docs, by_modulo=True)
 
 
+def _q_span_dup_stats(sf_dir: str):
+    """Corpus-wide exact duplicate-span census (Lee-et-al substring
+    dedup shape): per doc, how many of its 5-token windows repeat
+    anywhere in the corpus and how many token positions they cover."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.span_dup_stats(docs, width=5, min_count=2)
+
+
 def _q_knn_top10(sf_dir: str):
     """Exact cosine top-10 to the vec_id=0 embedding (brute force,
     broadcast query matrix)."""
@@ -1268,6 +1276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_char_stats": _q_doc_char_stats,
         "doc_fingerprints": _q_doc_fingerprints,
         "doc_split": _q_doc_split,
+        "span_dup_stats": _q_span_dup_stats,
         "knn_top10": _q_knn_top10,
         "minhash_dup_docs": _q_minhash_dup_docs,
         "ngram_dup_docs": _q_ngram_dup_docs,
@@ -1505,6 +1514,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_char_stats": """
             SELECT doc_id, length(text) AS n_chars FROM documents
+        """,
+        # exact re-derivation of the duplicate-span census from raw
+        # text: span strings in SQL vs polynomial window hashes in the
+        # engine — any hash collision or off-by-one breaks the match
+        "span_dup_stats": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), pos AS (
+                SELECT doc_id, t,
+                       unnest(range(1, greatest(len(t) - 5 + 2, 1))) AS i
+                FROM toks
+            ), spans AS (
+                SELECT doc_id, i,
+                       array_to_string(list_slice(t, i, i + 5 - 1), ' ') AS span
+                FROM pos
+            ), dupkeys AS (
+                SELECT span FROM spans GROUP BY span HAVING count(*) >= 2
+            ), dup AS (
+                SELECT s.doc_id, s.i FROM spans s JOIN dupkeys USING (span)
+            ), dups AS (
+                SELECT doc_id, count(*) AS dup_spans FROM dup GROUP BY doc_id
+            ), cov AS (
+                SELECT doc_id, count(DISTINCT j) AS covered_tokens
+                FROM (SELECT doc_id, unnest(range(i, i + 5)) AS j FROM dup)
+                GROUP BY doc_id
+            )
+            SELECT tk.doc_id,
+                   CAST(greatest(len(tk.t) - 5 + 1, 0) AS BIGINT) AS n_spans,
+                   CAST(coalesce(d.dup_spans, 0) AS BIGINT) AS dup_spans,
+                   CAST(coalesce(c.covered_tokens, 0) AS BIGINT) AS covered_tokens
+            FROM toks tk
+            LEFT JOIN dups d ON tk.doc_id = d.doc_id
+            LEFT JOIN cov c ON tk.doc_id = c.doc_id
         """,
         "doc_fingerprints": """
             SELECT doc_id, md5(text) AS fp_md5 FROM documents

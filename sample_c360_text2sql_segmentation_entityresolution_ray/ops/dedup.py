@@ -595,6 +595,315 @@ def embedding_dup_pairs(
     )
 
 
+# ---------------------------------------------------------------------------
+# exact duplicate token spans (substring dedup, Lee et al. 2022 shape)
+# ---------------------------------------------------------------------------
+
+# dup-span sets above this many keys stop being broadcast (~16 MB of
+# uint64) and switch to the join+sweep path
+SPAN_BROADCAST_LIMIT = 2_000_000
+
+_SPAN_MULT = np.uint64(0x9E3779B97F4A7C15)  # odd ⇒ invertible mod 2^64
+
+
+def _span_hashes(token_hashes: np.ndarray, width: int) -> np.ndarray:
+    """uint64 hash of every ``width``-token window: position-weighted
+    polynomial over per-token SipHashes (vectorized sliding dot with
+    mod-2^64 wraparound).  Collisions need an exact linear relation
+    between distinct token-hash windows — ~2^-64 per pair."""
+    n = len(token_hashes) - width + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        powers = np.power(
+            _SPAN_MULT, np.arange(width - 1, -1, -1, dtype=np.uint64),
+            dtype=np.uint64,
+        )
+        win = np.lib.stride_tricks.sliding_window_view(token_hashes, width)
+        return (win * powers).sum(axis=1, dtype=np.uint64)
+
+
+def _doc_span_hashes(text: str, width: int) -> np.ndarray:
+    # split on single space (NOT the word regex) so DuckDB's
+    # string_split(text, ' ') sees the identical token sequence
+    return _span_hashes(
+        texthash.hash_str_array(text.split(" ")), width
+    )
+
+
+def _dup_span_keys(
+    docs: "ray.data.Dataset",
+    width: int,
+    min_count: int,
+    text_col: str,
+    id_col: str,
+) -> "ray.data.Dataset":
+    """(h:int64) table of span hashes occurring ≥ ``min_count`` times
+    corpus-wide.  Each batch pre-counts its spans (np.unique), so the
+    shuffle ships (hash, partial-count) rows — never positions, never
+    text; the combiner merge is exact (sum of partials)."""
+    from .relational import grouped_aggregate
+
+    def _partials(batch: pd.DataFrame) -> pd.DataFrame:
+        hs = [
+            _doc_span_hashes(t, width)
+            for t in batch[text_col].to_numpy(object)
+        ]
+        flat = np.concatenate(hs) if hs else np.empty(0, np.uint64)
+        uniq, cnt = np.unique(flat, return_counts=True)
+        return pd.DataFrame(
+            {"h": uniq.view(np.int64), "cnt": cnt.astype(np.int64)}
+        )
+
+    counts = grouped_aggregate(
+        docs.select_columns([id_col, text_col]).map_batches(
+            _partials, batch_format="pandas"
+        ),
+        keys=["h"],
+        specs=[("sum", "cnt", "cnt")],
+    )
+    return counts.filter(expr=f"cnt >= {int(min_count)}").select_columns(["h"])
+
+
+def _collect_span_keys(dup: "ray.data.Dataset", limit: int):
+    """Sorted uint64 array of dup-span hashes, or ``None`` once the
+    stream exceeds ``limit`` (caller switches to the join path; the
+    stream stops early so an oversized set costs bounded driver heap)."""
+    parts: list[np.ndarray] = []
+    total = 0
+    for b in dup.iter_batches(batch_format="pandas", batch_size=65536):
+        parts.append(b["h"].to_numpy().view(np.uint64))
+        total += len(parts[-1])
+        if total > limit:
+            return None
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    return np.sort(np.concatenate(parts))
+
+
+def _covered_union(starts: np.ndarray, width: int) -> int:
+    """|∪ [s, s+width)| for sorted start positions."""
+    if len(starts) == 0:
+        return 0
+    return int(np.minimum(np.diff(starts), width).sum()) + width
+
+
+def span_dup_stats(
+    docs: "ray.data.Dataset",
+    width: int = 5,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_span_limit: int = SPAN_BROADCAST_LIMIT,
+) -> "ray.data.Dataset":
+    """Per-doc exact duplicate-span census: of the ``width``-token
+    windows of each doc, how many occur ≥ ``min_count`` times in the
+    WHOLE corpus, and how many token positions those windows cover
+    (the removal cost a Lee-et-al-style substring dedup would pay).
+
+    Output: ``(doc_id, n_spans, dup_spans, covered_tokens)`` (int64).
+
+    Plan: one partial-count shuffle builds the global dup-span table;
+    then either (small set) the sorted hash array is broadcast once and
+    each doc re-derives its spans locally — zero further shuffle — or
+    (large set) span positions are hash-joined against the dup table
+    and swept per doc-hash partition, so no heap ever holds the set.
+    """
+    dup = _dup_span_keys(docs, width, min_count, text_col, id_col)
+    keys = _collect_span_keys(dup, broadcast_span_limit)
+    slim = docs.select_columns([id_col, text_col])
+
+    if keys is not None:
+        ref = ray.put(keys)
+
+        def _stats(batch: pd.DataFrame) -> pd.DataFrame:
+            dup_keys = ray.get(ref)  # task stage: plasma hit, no actor pool
+            ids, n_spans, dup_spans, covered = [], [], [], []
+            for i, t in zip(
+                batch[id_col].to_numpy(), batch[text_col].to_numpy(object)
+            ):
+                hs = _doc_span_hashes(t, width)
+                pos = np.searchsorted(dup_keys, hs)
+                pos[pos == len(dup_keys)] = 0
+                mask = (
+                    dup_keys[pos] == hs if len(dup_keys) else
+                    np.zeros(len(hs), bool)
+                )
+                starts = np.flatnonzero(mask)
+                ids.append(i)
+                n_spans.append(len(hs))
+                dup_spans.append(int(mask.sum()))
+                covered.append(_covered_union(starts, width))
+            return pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_spans": np.asarray(n_spans, np.int64),
+                    "dup_spans": np.asarray(dup_spans, np.int64),
+                    "covered_tokens": np.asarray(covered, np.int64),
+                }
+            )
+
+        return slim.map_batches(_stats, batch_format="pandas")
+
+    # join path: ship (doc, pos, h) span rows through one equi-join with
+    # the dup table, then sweep per doc-hash partition — scale-safe
+    from .relational import DEDUP_PARTITIONS, hash_join
+
+    def _emit_positions(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, poss, hss = [], [], []
+        for i, t in zip(
+            batch[id_col].to_numpy(), batch[text_col].to_numpy(object)
+        ):
+            hs = _doc_span_hashes(t, width)
+            ids.extend([i] * len(hs))
+            poss.append(np.arange(len(hs), dtype=np.int64))
+            hss.append(hs.view(np.int64))
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "pos": np.concatenate(poss) if poss else np.empty(0, np.int64),
+                "h": np.concatenate(hss) if hss else np.empty(0, np.int64),
+            }
+        )
+
+    # sequence the two joins: each join's aggregator-actor pool must own
+    # the cluster alone while it drains (two concurrent pools + their
+    # feeding map stages livelock small clusters — see ops/relational.py
+    # JOIN_AGGREGATOR_CPUS).  The materialized sets are the dup-key
+    # table and per-doc stats — both far smaller than the corpus.
+    dup = dup.materialize()
+    # partitions sized to the measured small side: an empty hash-join
+    # partition reaches Acero as a schema-less block and crashes
+    # finalize (Ray 2.49) — tiny sides get ONE partition
+    def _parts_for(rows: int) -> int:
+        return 1 if rows <= 1000 else min(DEDUP_PARTITIONS, rows // 1000 + 2)
+
+    n_parts = _parts_for(dup.count())
+    spans = slim.map_batches(_emit_positions, batch_format="pandas")
+    hits = (
+        hash_join(spans, dup, on=("h",), num_partitions=n_parts)
+        .select_columns([id_col, "pos"])
+        .materialize()
+    )
+
+    def _part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_part"] = (
+            pd.util.hash_pandas_object(batch[id_col], index=False).to_numpy()
+            % DEDUP_PARTITIONS
+        ).astype("int32")
+        return batch
+
+    def _sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "pos"], kind="mergesort")
+        out_id, out_d, out_c = [], [], []
+        for i, grp in g.groupby(id_col, sort=False):
+            starts = grp["pos"].to_numpy()
+            out_id.append(i)
+            out_d.append(len(starts))
+            out_c.append(_covered_union(starts, width))
+        return pd.DataFrame(
+            {
+                id_col: out_id,
+                "dup_spans": np.asarray(out_d, np.int64),
+                "covered_tokens": np.asarray(out_c, np.int64),
+            }
+        )
+
+    dup_stats = (
+        hits.map_batches(_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(_sweep, batch_format="pandas")
+        .materialize()
+    )
+
+    def _n_spans(batch: pd.DataFrame) -> pd.DataFrame:
+        ns = np.asarray(
+            [
+                max(len(t.split(" ")) - width + 1, 0)
+                for t in batch[text_col].to_numpy(object)
+            ],
+            np.int64,
+        )
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(), "n_spans": ns})
+
+    base = slim.map_batches(_n_spans, batch_format="pandas")
+    joined = hash_join(
+        base,
+        dup_stats,
+        on=(id_col,),
+        how="left_outer",
+        num_partitions=_parts_for(dup_stats.count()),
+    )
+
+    def _fill(batch: pd.DataFrame) -> pd.DataFrame:
+        for c in ("dup_spans", "covered_tokens"):
+            batch[c] = batch[c].fillna(0).astype(np.int64)
+        return batch[[id_col, "n_spans", "dup_spans", "covered_tokens"]]
+
+    return joined.map_batches(_fill, batch_format="pandas")
+
+
+def strip_duplicate_spans(
+    docs: "ray.data.Dataset",
+    width: int = 5,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_span_limit: int = SPAN_BROADCAST_LIMIT,
+) -> "ray.data.Dataset":
+    """Remove every token covered by a corpus-duplicate span (the
+    destructive half of :func:`span_dup_stats`): output
+    ``(doc_id, clean_text, removed_tokens)``.
+
+    Broadcast-set path only — the join variant would have to ship each
+    doc's positions back to its text; callers above
+    ``broadcast_span_limit`` dup spans should raise ``min_count`` or
+    ``width`` first (each dup key is 8 bytes: 2M keys ≈ 16 MB/worker).
+    """
+    dup = _dup_span_keys(docs, width, min_count, text_col, id_col)
+    keys = _collect_span_keys(dup, broadcast_span_limit)
+    if keys is None:
+        raise ValueError(
+            f"duplicate-span set exceeds broadcast_span_limit="
+            f"{broadcast_span_limit}; raise width/min_count or the limit"
+        )
+    ref = ray.put(keys)
+
+    def _strip(batch: pd.DataFrame) -> pd.DataFrame:
+        dup_keys = ray.get(ref)
+        ids, texts, removed = [], [], []
+        for i, t in zip(
+            batch[id_col].to_numpy(), batch[text_col].to_numpy(object)
+        ):
+            toks = t.split(" ")
+            hs = _doc_span_hashes(t, width)
+            if len(dup_keys) and len(hs):
+                pos = np.searchsorted(dup_keys, hs)
+                pos[pos == len(dup_keys)] = 0
+                starts = np.flatnonzero(dup_keys[pos] == hs)
+            else:
+                starts = np.empty(0, np.int64)
+            cover = np.zeros(len(toks) + 1, np.int64)
+            np.add.at(cover, starts, 1)
+            np.add.at(cover, starts + width, -1)
+            keep = np.cumsum(cover[:-1]) == 0
+            ids.append(i)
+            texts.append(" ".join(np.asarray(toks, object)[keep]))
+            removed.append(int((~keep).sum()))
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "clean_text": texts,
+                "removed_tokens": np.asarray(removed, np.int64),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        _strip, batch_format="pandas"
+    )
+
+
 __all__ = [
     "exact_dedup",
     "minhash_dup_pairs",
@@ -605,4 +914,6 @@ __all__ = [
     "ngram_dup_all_pairs",
     "embedding_dup_pairs",
     "embedding_dup_pairs_exact",
+    "span_dup_stats",
+    "strip_duplicate_spans",
 ]

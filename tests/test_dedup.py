@@ -102,3 +102,62 @@ def test_embedding_dup_pairs():
     ).to_pandas()
     found = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
     assert found == {(0, 1)}
+
+
+def _span_corpus():
+    # doc 0/1 share the 6-token phrase; doc 2 is disjoint
+    shared = "alpha beta gamma delta epsilon zeta"
+    return ray.data.from_items(
+        [
+            {"doc_id": 0, "text": f"{shared} one two three"},
+            {"doc_id": 1, "text": f"x y {shared} tail words"},
+            {"doc_id": 2, "text": "totally unrelated stream of other tokens here"},
+            {"doc_id": 3, "text": "tiny"},  # fewer tokens than width
+        ]
+    )
+
+
+def test_span_dup_stats_planted():
+    df = (
+        dedup.span_dup_stats(_span_corpus(), width=5, min_count=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # a shared 6-token phrase has two duplicate 5-token windows
+    assert df.loc[0, "dup_spans"] == 2 and df.loc[1, "dup_spans"] == 2
+    # two overlapping width-5 windows cover 6 tokens
+    assert df.loc[0, "covered_tokens"] == 6 and df.loc[1, "covered_tokens"] == 6
+    assert df.loc[2, "dup_spans"] == 0 and df.loc[2, "covered_tokens"] == 0
+    # short doc: no spans at all, still present with zeros
+    assert df.loc[3, "n_spans"] == 0 and df.loc[3, "covered_tokens"] == 0
+    assert df.loc[0, "n_spans"] == 9 - 5 + 1
+
+
+def test_span_dup_stats_join_path_matches_broadcast():
+    """Forcing broadcast_span_limit=0 must take the join+sweep path and
+    reproduce the broadcast path bit-for-bit."""
+    cols = ["doc_id", "n_spans", "dup_spans", "covered_tokens"]
+    bc = dedup.span_dup_stats(_span_corpus()).to_pandas()
+    jn = dedup.span_dup_stats(_span_corpus(), broadcast_span_limit=0).to_pandas()
+    pd.testing.assert_frame_equal(
+        bc[cols].sort_values("doc_id").reset_index(drop=True),
+        jn[cols].sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+def test_strip_duplicate_spans():
+    out = (
+        dedup.strip_duplicate_spans(_span_corpus(), width=5, min_count=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "clean_text"] == "one two three"
+    assert out.loc[1, "clean_text"] == "x y tail words"
+    assert out.loc[0, "removed_tokens"] == 6
+    # untouched docs come back verbatim
+    assert out.loc[2, "removed_tokens"] == 0
+    assert out.loc[3, "clean_text"] == "tiny"
+    with pytest.raises(ValueError):
+        dedup.strip_duplicate_spans(_span_corpus(), broadcast_span_limit=0)
