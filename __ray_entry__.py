@@ -27,6 +27,7 @@ from sample_c360_text2sql_segmentation_entityresolution_ray.ops import (
     dedup,
     relational as rel,
     text as textops,
+    urls as urlops,
 )
 from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
     Count,
@@ -463,6 +464,19 @@ def _q_doc_split(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id"])
     return sampling.assign_split(docs, by_modulo=True)
+
+
+def _q_canonical_url_dedup(sf_dir: str):
+    """Latest-wins dedup by canonical URL over the deterministic
+    url-variants fixture (host case, tracking params, fragments,
+    default ports — every rule re-derived by the DuckDB oracle)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sources.fixture_export import (
+        ensure_fixtures,
+    )
+
+    fix = ensure_fixtures(sf_dir)
+    ds = ray.data.read_parquet(f"{fix}/url_variants.parquet")
+    return urlops.url_dedup(ds)
 
 
 def _q_span_dup_stats(sf_dir: str):
@@ -957,6 +971,54 @@ def _q_sql_demo_window(sf_dir: str):
 _FIX01 = "/tmp/graft_oracle_fixtures/v1/sf0.01"
 
 
+def _sql_canonical_url_dedup(fix: str) -> str:
+    """Re-derives every canonicalization rule of ``ops/urls.py`` in SQL
+    (lowercased scheme/host, default-port strip, fragment strip,
+    tracking-param filter) over the same url_variants fixture bytes."""
+    return f"""
+        WITH v AS (
+            SELECT url, warc_ts
+            FROM read_parquet('{fix}/url_variants.parquet')
+        ), parts AS (
+            SELECT url, warc_ts,
+                   lower(regexp_extract(url, '^(https?)://', 1)) AS scheme,
+                   lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS host0,
+                   regexp_replace(
+                       regexp_extract(url, '^https?://[^/?#]+(.*)$', 1),
+                       '#.*$', '') AS rest
+            FROM v
+        ), split AS (
+            SELECT url, warc_ts, scheme,
+                   CASE WHEN scheme = 'https'
+                        THEN regexp_replace(host0, ':443$', '')
+                        ELSE regexp_replace(host0, ':80$', '') END AS host,
+                   CASE WHEN strpos(rest, '?') > 0
+                        THEN substr(rest, 1, strpos(rest, '?') - 1)
+                        ELSE rest END AS path,
+                   CASE WHEN strpos(rest, '?') > 0
+                        THEN substr(rest, strpos(rest, '?') + 1)
+                        ELSE '' END AS query
+            FROM parts
+        ), canon AS (
+            SELECT url, warc_ts,
+                   scheme || '://' || host || path ||
+                   CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon_url
+            FROM (
+                -- array_to_string of an EMPTY list is NULL in DuckDB
+                SELECT *, coalesce(array_to_string(list_filter(
+                        string_split(query, '&'),
+                        p -> p <> '' AND NOT regexp_matches(
+                            p, '^(utm_[a-z0-9]+|fbclid|gclid)=')), '&'), '') AS q
+                FROM split
+            )
+        )
+        SELECT canon_url,
+               count(*) AS n_variants,
+               arg_max(url, warc_ts) AS kept_url
+        FROM canon GROUP BY canon_url
+    """
+
+
 def _sql_lab_cte(fix: str) -> str:
     """Ground-truth (sub → main) label map.  Planted clusters are
     size-2 stars with the main id lexicographically smallest, so
@@ -1277,6 +1339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "doc_split": _q_doc_split,
         "span_dup_stats": _q_span_dup_stats,
+        "canonical_url_dedup": _q_canonical_url_dedup,
         "knn_top10": _q_knn_top10,
         "minhash_dup_docs": _q_minhash_dup_docs,
         "ngram_dup_docs": _q_ngram_dup_docs,
@@ -1337,6 +1400,7 @@ def oracle_sql() -> dict[str, str]:
         # incremental == full (bit-equal, tests/test_er_e2e.py) ⇒ the
         # same planted-truth oracle checks it
         "er_incremental": _sql_er_assignment(_FIX01),
+        "canonical_url_dedup": _sql_canonical_url_dedup(_FIX01),
         "customer_er_assignment": _sql_customer_er(_FIX01),
         "c360_interactions": _sql_c360_interactions(_FIX01),
         "c360_segments": _sql_c360_segments(_FIX01),

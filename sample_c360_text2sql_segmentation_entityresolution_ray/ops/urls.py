@@ -1,0 +1,143 @@
+"""URL canonicalization and latest-wins URL dedup.
+
+Web-crawl corpora carry the same page under many surface forms — case
+differences in the host, tracking query parameters, fragments, default
+ports.  Canonicalizing before any url-keyed stage (crawl dedup, the ER
+blocking keys in `stages/blocking.py`) collapses those forms; the
+reference's analog is the identifier normalization its ER pipeline
+applies to match keys (SURVEY §2.2 M1).
+
+Canonical form (each rule replicated verbatim by the DuckDB oracle in
+`__ray_entry__.oracle_sql()["canonical_url_dedup"]`):
+
+1. scheme and host lowercased (path/query case preserved);
+2. default port stripped (``:443`` for https, ``:80`` for http);
+3. fragment (``#…``) dropped;
+4. tracking query params dropped — ``utm_*``, ``fbclid``, ``gclid`` —
+   and empty params; the ``?`` disappears when nothing is left.
+
+Non-``http(s)://`` strings pass through unchanged.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+_URL_RE = re.compile(r"^(https?)://([^/?#]+)(.*)$", re.DOTALL | re.IGNORECASE)
+_TRACKING_RE = re.compile(r"^(utm_[a-z0-9]+|fbclid|gclid)=")
+
+
+def canonicalize_url(url: str) -> str:
+    """Scalar canonicalizer — the single source of truth for the rules."""
+    m = _URL_RE.match(url)
+    if m is None:
+        return url
+    scheme = m.group(1).lower()
+    host = m.group(2).lower()
+    default_port = ":443" if scheme == "https" else ":80"
+    if host.endswith(default_port):
+        host = host[: -len(default_port)]
+    rest = m.group(3).split("#", 1)[0]
+    if "?" in rest:
+        path, query = rest.split("?", 1)
+        kept = [
+            p for p in query.split("&") if p and not _TRACKING_RE.match(p)
+        ]
+        rest = path + ("?" + "&".join(kept) if kept else "")
+    return f"{scheme}://{host}{rest}"
+
+
+def canonicalize_batch(urls: np.ndarray) -> np.ndarray:
+    """Vectorized-common-path canonicalization of an object array.
+
+    URLs already in canonical shape (lowercase, no ``#``/``?``/port —
+    the overwhelming majority of a normalized crawl) are detected with
+    one vectorized regex and passed through; only the rest run the
+    scalar rule chain."""
+    s = pd.Series(urls, dtype=object)
+    clean = s.str.match(r"^https?://[a-z0-9.\-]+/[^?#]*$", na=False)
+    out = s.to_numpy(object).copy()
+    dirty = np.flatnonzero(~clean.to_numpy())
+    for i in dirty:
+        out[i] = canonicalize_url(out[i])
+    return out
+
+
+def canonicalize_stage(
+    ds: "ray.data.Dataset", url_col: str = "url", out_col: str = "canon_url"
+) -> "ray.data.Dataset":
+    """Append ``out_col`` = canonical form of ``url_col`` (task stage)."""
+
+    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch[out_col] = canonicalize_batch(batch[url_col].to_numpy(object))
+        return batch
+
+    return ds.map_batches(_fn, batch_format="pandas")
+
+
+URL_DEDUP_PARTITIONS = 64
+
+
+def url_dedup(
+    ds: "ray.data.Dataset",
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    partitions: int = URL_DEDUP_PARTITIONS,
+) -> "ray.data.Dataset":
+    """Latest-wins dedup by canonical URL.
+
+    Output: ``(canon_url, n_variants, kept_url)`` — one row per
+    canonical form, keeping the variant with the greatest ``ts_col``
+    (crawl recency; callers must ensure distinct timestamps per group
+    for a deterministic pick, as WARC capture times are).
+
+    One hash-partition shuffle keyed on the canonical string's hash;
+    the per-partition sweep is a vectorized pandas groupby (idxmax +
+    size), so a partition never holds Python state per row.  Skewed
+    canonical keys (a hot page captured millions of times) land whole
+    in one partition — at that skew, pre-aggregate per block first
+    (the groupby here is already a combiner-safe max/count shape).
+    """
+    canon = canonicalize_stage(ds, url_col=url_col, out_col="canon_url")
+
+    def _part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_part"] = (
+            pd.util.hash_pandas_object(
+                batch["canon_url"], index=False
+            ).to_numpy()
+            % partitions
+        ).astype("int32")
+        return batch
+
+    def _sweep(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby("canon_url", sort=False)
+        n = gb.size()
+        idx = gb[ts_col].idxmax()
+        return pd.DataFrame(
+            {
+                "canon_url": n.index.to_numpy(object),
+                "n_variants": n.to_numpy(np.int64),
+                "kept_url": g.loc[idx.to_numpy(), url_col].to_numpy(object),
+            }
+        )
+
+    return (
+        canon.map_batches(_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(_sweep, batch_format="pandas")
+    )
+
+
+__all__ = [
+    "canonicalize_url",
+    "canonicalize_batch",
+    "canonicalize_stage",
+    "url_dedup",
+]

@@ -31,6 +31,11 @@ import pyarrow.parquet as pq
 # bump when any generator / feature function changes shape or values
 FIXTURE_ROOT = "/tmp/graft_oracle_fixtures/v1"
 
+# content revision written into the _SUCCESS marker: bumping forces a
+# regeneration of already-materialized fixture dirs (e.g. when a new
+# fixture table is added) without changing the oracle-visible paths
+FIXTURE_REV = "2"
+
 
 def fixture_dir(sf_dir: str) -> str:
     return os.path.join(FIXTURE_ROOT, os.path.basename(sf_dir.rstrip("/")))
@@ -42,7 +47,9 @@ def ensure_fixtures(sf_dir: str) -> str:
     out = fixture_dir(sf_dir)
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
-        return out
+        with open(marker) as f:
+            if f.read().strip() == FIXTURE_REV:
+                return out
     if not os.path.isdir(sf_dir):
         raise FileNotFoundError(sf_dir)
     os.makedirs(out, exist_ok=True)
@@ -80,8 +87,13 @@ def ensure_fixtures(sf_dir: str) -> str:
 
     _export_doc_simhash(docs, out)
 
+    pq.write_table(
+        pages.expand_url_variants(pg.select(["url"])),
+        f"{out}/url_variants.parquet",
+    )
+
     with open(marker, "w") as f:
-        f.write("ok")
+        f.write(FIXTURE_REV)
     return out
 
 

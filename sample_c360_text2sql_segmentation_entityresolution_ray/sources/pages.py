@@ -196,6 +196,42 @@ def _expand_relations(batch: pa.Table) -> pa.Table:
     )
 
 
+def expand_url_variants(records: pa.Table) -> pa.Table:
+    """Deterministic surface-form variants of page URLs, for the URL
+    canonicalization oracle (`ops/urls.py`).
+
+    Each input url yields 3 variants drawn from 5 mangle rules (rule
+    choice rotates with row index): verbatim, UPPERCASED host, tracking
+    query params, fragment, explicit ``:443`` port.  All variants of a
+    url share its canonical form; ``warc_ts`` is distinct per variant so
+    latest-wins dedup has a deterministic argmax (the k=2 variant).
+    """
+    urls = records["url"].to_pylist()
+    rows = []
+    for i, u in enumerate(urls):
+        scheme, rest = u.split("://", 1)
+        host, path = rest.split("/", 1)
+        for k in range(3):
+            rule = (i + k) % 5
+            if rule == 0:
+                v = u
+            elif rule == 1:
+                v = f"{scheme}://{host.upper()}/{path}"
+            elif rule == 2:
+                v = f"{u}?utm_source=feed&utm_campaign=c{i % 7}"
+            elif rule == 3:
+                v = f"{u}#sec-{k}"
+            else:
+                v = f"{scheme}://{host}:443/{path}"
+            rows.append((v, EPOCH + 31 * i + k))
+    return pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("s")),
+        }
+    )
+
+
 def documents_path(sf_dir: str) -> str:
     return f"{sf_dir}/documents.parquet"
 

@@ -1,0 +1,60 @@
+"""URL canonicalization rules and latest-wins dedup."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import ray.data
+
+from sample_c360_text2sql_segmentation_entityresolution_ray.ops import urls
+
+
+def test_canonicalize_rules():
+    f = urls.canonicalize_url
+    assert f("HTTPS://WWW.Example.COM/Path/X") == "https://www.example.com/Path/X"
+    assert f("https://a.com:443/x") == "https://a.com/x"
+    assert f("http://a.com:80/x") == "http://a.com/x"
+    assert f("http://a.com:8080/x") == "http://a.com:8080/x"  # non-default kept
+    assert f("https://a.com/x#frag") == "https://a.com/x"
+    assert f("https://a.com/x?utm_source=f&utm_campaign=c") == "https://a.com/x"
+    assert (
+        f("https://a.com/x?id=7&utm_source=f&fbclid=z&q=a+b")
+        == "https://a.com/x?id=7&q=a+b"
+    )
+    assert f("https://a.com/x?&&") == "https://a.com/x"  # empty params dropped
+    assert f("ftp://a.com/x") == "ftp://a.com/x"  # non-http passthrough
+    assert f("not a url") == "not a url"
+
+
+def test_canonicalize_batch_matches_scalar():
+    import numpy as np
+
+    raw = np.asarray(
+        [
+            "https://clean.example.com/a/b",  # vectorized fast path
+            "HTTPS://DIRTY.example.com/a?utm_source=x#f",
+            "https://a.com:443/x?id=1",
+        ],
+        dtype=object,
+    )
+    out = urls.canonicalize_batch(raw)
+    assert list(out) == [urls.canonicalize_url(u) for u in raw]
+
+
+def test_url_dedup_latest_wins():
+    rows = [
+        {"url": "https://A.com/x", "warc_ts": 10},
+        {"url": "https://a.com/x?utm_source=f", "warc_ts": 30},
+        {"url": "https://a.com/x#top", "warc_ts": 20},
+        {"url": "https://b.com/y", "warc_ts": 5},
+    ]
+    out = (
+        urls.url_dedup(ray.data.from_items(rows))
+        .to_pandas()
+        .set_index("canon_url")
+        .sort_index()
+    )
+    assert len(out) == 2
+    assert out.loc["https://a.com/x", "n_variants"] == 3
+    assert out.loc["https://a.com/x", "kept_url"] == "https://a.com/x?utm_source=f"
+    assert out.loc["https://b.com/y", "kept_url"] == "https://b.com/y"
