@@ -466,6 +466,13 @@ def _q_doc_split(sf_dir: str):
     return sampling.assign_split(docs, by_modulo=True)
 
 
+def _q_doc_repetition(sf_dir: str):
+    """Within-doc repetition census (Gopher repetition filters' exact
+    core): top-2-gram count + duplicated-3-gram token coverage."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return textops.repetition_stage(docs)
+
+
 def _q_canonical_url_dedup(sf_dir: str):
     """Latest-wins dedup by canonical URL over the deterministic
     url-variants fixture (host case, tracking params, fragments,
@@ -1339,6 +1346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "doc_split": _q_doc_split,
         "span_dup_stats": _q_span_dup_stats,
+        "doc_repetition": _q_doc_repetition,
         "canonical_url_dedup": _q_canonical_url_dedup,
         "knn_top10": _q_knn_top10,
         "minhash_dup_docs": _q_minhash_dup_docs,
@@ -1610,6 +1618,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(c.covered_tokens, 0) AS BIGINT) AS covered_tokens
             FROM toks tk
             LEFT JOIN dups d ON tk.doc_id = d.doc_id
+            LEFT JOIN cov c ON tk.doc_id = c.doc_id
+        """,
+        "doc_repetition": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), bi AS (
+                SELECT doc_id,
+                       array_to_string(list_slice(t, i, i + 1), ' ') AS g
+                FROM (SELECT doc_id, t,
+                             unnest(range(1, greatest(len(t), 1))) AS i
+                      FROM toks)
+            ), bic AS (
+                SELECT doc_id, max(c) AS top_bigram_count
+                FROM (SELECT doc_id, g, count(*) AS c
+                      FROM bi GROUP BY doc_id, g)
+                GROUP BY doc_id
+            ), tri AS (
+                SELECT doc_id, i,
+                       array_to_string(list_slice(t, i, i + 2), ' ') AS g
+                FROM (SELECT doc_id, t,
+                             unnest(range(1, greatest(len(t) - 1, 1))) AS i
+                      FROM toks)
+            ), tridup AS (
+                SELECT doc_id, g FROM tri
+                GROUP BY doc_id, g HAVING count(*) >= 2
+            ), starts AS (
+                SELECT s.doc_id, s.i
+                FROM tri s JOIN tridup d
+                  ON s.doc_id = d.doc_id AND s.g = d.g
+            ), cov AS (
+                SELECT doc_id, count(DISTINCT j) AS dup_trigram_covered
+                FROM (SELECT doc_id, unnest(range(i, i + 3)) AS j FROM starts)
+                GROUP BY doc_id
+            )
+            SELECT tk.doc_id,
+                   CAST(len(tk.t) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(b.top_bigram_count, 0) AS BIGINT)
+                       AS top_bigram_count,
+                   CAST(coalesce(c.dup_trigram_covered, 0) AS BIGINT)
+                       AS dup_trigram_covered
+            FROM toks tk
+            LEFT JOIN bic b ON tk.doc_id = b.doc_id
             LEFT JOIN cov c ON tk.doc_id = c.doc_id
         """,
         "doc_fingerprints": """

@@ -116,6 +116,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "top2_lineitems_per_flag",
         "sessionize_events",
         "exact_dedup_docs",
+        "span_dup_stats",
+        "canonical_url_dedup",
         "minhash_dup_docs",
         "simhash_dup_docs",
         "embedding_dup_pairs",

@@ -192,6 +192,61 @@ def fingerprint_stage(
     return ds.map_batches(_fn, batch_format="pyarrow")
 
 
+def repetition_stage(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Within-doc repetition census (the Gopher repetition filters'
+    exact-count core, integer outputs so the DuckDB oracle hashes
+    bit-equal): per doc,
+
+    - ``n_tokens`` — space-split token count;
+    - ``top_bigram_count`` — occurrences of the most frequent 2-gram;
+    - ``dup_trigram_covered`` — tokens covered by 3-gram windows that
+      repeat within the doc.
+
+    Pure per-doc map over numpy window hashes — no shuffle; callers
+    derive the paper's fractional thresholds (e.g. drop when
+    ``top_bigram_count * 2 / n_tokens > 0.2``) downstream."""
+    import pandas as pd
+
+    from .dedup import _covered_union, _doc_span_hashes
+
+    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, nt, tb, cov = [], [], [], []
+        for i, t in zip(
+            batch[id_col].to_numpy(), batch[text_col].to_numpy(object)
+        ):
+            toks_n = len(t.split(" "))
+            bi = _doc_span_hashes(t, 2)
+            tri = _doc_span_hashes(t, 3)
+            if len(tri):
+                _, inv, counts = np.unique(
+                    tri, return_inverse=True, return_counts=True
+                )
+                starts = np.flatnonzero(counts[inv] >= 2)
+                covered = _covered_union(starts, 3)
+            else:
+                covered = 0
+            ids.append(i)
+            nt.append(toks_n)
+            tb.append(
+                int(np.unique(bi, return_counts=True)[1].max()) if len(bi) else 0
+            )
+            cov.append(covered)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "n_tokens": np.asarray(nt, np.int64),
+                "top_bigram_count": np.asarray(tb, np.int64),
+                "dup_trigram_covered": np.asarray(cov, np.int64),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _fn, batch_format="pandas"
+    )
+
+
 __all__ = [
     "predict_lang",
     "token_count_stage",
@@ -199,4 +254,5 @@ __all__ = [
     "quality_stage",
     "langid_stage",
     "fingerprint_stage",
+    "repetition_stage",
 ]

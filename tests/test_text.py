@@ -64,3 +64,26 @@ def test_fingerprints_match_md5():
         "Hello world! This is a test.".encode()
     ).hexdigest()
     assert out.loc[0, "fp_rolling"] != out.loc[2, "fp_rolling"]
+
+
+def test_repetition_stage_planted():
+    rows = [
+        # "a b" bigram occurs 3x; trigram "a b a" (x2) and "b a b" (x2)
+        # cover positions 0..4 of "a b a b a"
+        {"doc_id": 0, "text": "a b a b a x y z"},
+        {"doc_id": 1, "text": "all distinct tokens here now"},
+        {"doc_id": 2, "text": "solo"},
+    ]
+    out = (
+        textops.repetition_stage(ray.data.from_items(rows))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "n_tokens"] == 8
+    assert out.loc[0, "top_bigram_count"] == 2  # "a b" at 0 and 2
+    assert out.loc[0, "dup_trigram_covered"] == 5  # positions 0-4
+    assert out.loc[1, "top_bigram_count"] == 1
+    assert out.loc[1, "dup_trigram_covered"] == 0
+    assert out.loc[2, "n_tokens"] == 1
+    assert out.loc[2, "top_bigram_count"] == 0
