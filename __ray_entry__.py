@@ -466,6 +466,18 @@ def _q_doc_split(sf_dir: str):
     return sampling.assign_split(docs, by_modulo=True)
 
 
+def _q_pii_scrub(sf_dir: str):
+    """Mask emails/phones/IPs over the planted-PII fixture; the oracle
+    applies the identical RE2 patterns with regexp_replace(…, 'g')."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sources.fixture_export import (
+        ensure_fixtures,
+    )
+
+    fix = ensure_fixtures(sf_dir)
+    ds = ray.data.read_parquet(f"{fix}/pii_docs.parquet")
+    return textops.pii_scrub_stage(ds)
+
+
 def _q_doc_repetition(sf_dir: str):
     """Within-doc repetition census (Gopher repetition filters' exact
     core): top-2-gram count + duplicated-3-gram token coverage."""
@@ -978,6 +990,40 @@ def _q_sql_demo_window(sf_dir: str):
 _FIX01 = "/tmp/graft_oracle_fixtures/v1/sf0.01"
 
 
+def _sql_pii_scrub(fix: str) -> str:
+    """Applies ops/text.py PII_PATTERNS verbatim (same order, same RE2
+    regexes) over the planted-PII fixture; counts are taken per pattern
+    on the text as left by the previous rule, exactly as the stage
+    does."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.text import (
+        PII_PATTERNS,
+    )
+
+    (_, email, email_r), (_, phone, phone_r), (_, ip, ip_r) = PII_PATTERNS
+    return f"""
+        WITH p AS (
+            SELECT doc_id, text FROM read_parquet('{fix}/pii_docs.parquet')
+        ), e AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT)
+                       AS n_emails,
+                   regexp_replace(text, '{email}', '{email_r}', 'g') AS t
+            FROM p
+        ), ph AS (
+            SELECT doc_id, n_emails,
+                   CAST(len(regexp_extract_all(t, '{phone}')) AS BIGINT)
+                       AS n_phones,
+                   regexp_replace(t, '{phone}', '{phone_r}', 'g') AS t
+            FROM e
+        )
+        SELECT doc_id,
+               regexp_replace(t, '{ip}', '{ip_r}', 'g') AS clean_text,
+               n_emails, n_phones,
+               CAST(len(regexp_extract_all(t, '{ip}')) AS BIGINT) AS n_ips
+        FROM ph
+    """
+
+
 def _sql_canonical_url_dedup(fix: str) -> str:
     """Re-derives every canonicalization rule of ``ops/urls.py`` in SQL
     (lowercased scheme/host, default-port strip, fragment strip,
@@ -1347,6 +1393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split": _q_doc_split,
         "span_dup_stats": _q_span_dup_stats,
         "doc_repetition": _q_doc_repetition,
+        "pii_scrub": _q_pii_scrub,
         "canonical_url_dedup": _q_canonical_url_dedup,
         "knn_top10": _q_knn_top10,
         "minhash_dup_docs": _q_minhash_dup_docs,
@@ -1409,6 +1456,7 @@ def oracle_sql() -> dict[str, str]:
         # same planted-truth oracle checks it
         "er_incremental": _sql_er_assignment(_FIX01),
         "canonical_url_dedup": _sql_canonical_url_dedup(_FIX01),
+        "pii_scrub": _sql_pii_scrub(_FIX01),
         "customer_er_assignment": _sql_customer_er(_FIX01),
         "c360_interactions": _sql_c360_interactions(_FIX01),
         "c360_segments": _sql_c360_segments(_FIX01),

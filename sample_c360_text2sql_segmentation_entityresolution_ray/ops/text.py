@@ -247,6 +247,44 @@ def repetition_stage(
     )
 
 
+# PII patterns shared verbatim with the DuckDB oracle (RE2-compatible
+# subset: no lookaround, no backrefs).  Applied in THIS order — counts
+# are per-pattern matches in the text as left by the previous rule.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+    ("ip", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def pii_scrub_stage(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Mask emails / phone numbers / IPv4 addresses in ``text_col``.
+
+    Vectorized pandas ``str.count`` + ``str.replace`` per pattern (RE2-
+    compatible regexes, so the oracle's ``regexp_replace(…, 'g')`` is
+    byte-identical).  Output: ``(id, clean_text, n_emails, n_phones,
+    n_ips)``.  Stateless map — compile cost is module-level, not
+    per-batch."""
+    import pandas as pd
+
+    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[text_col].astype(object)
+        out = {id_col: batch[id_col].to_numpy()}
+        counts = {}
+        for name, pat, repl in PII_PATTERNS:
+            counts[f"n_{name}s"] = s.str.count(pat).to_numpy(np.int64)
+            s = s.str.replace(pat, repl, regex=True)
+        out["clean_text"] = s.to_numpy(object)
+        out.update(counts)
+        return pd.DataFrame(out)
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _fn, batch_format="pandas"
+    )
+
+
 __all__ = [
     "predict_lang",
     "token_count_stage",
@@ -255,4 +293,6 @@ __all__ = [
     "langid_stage",
     "fingerprint_stage",
     "repetition_stage",
+    "pii_scrub_stage",
+    "PII_PATTERNS",
 ]

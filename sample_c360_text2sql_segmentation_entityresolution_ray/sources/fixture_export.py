@@ -34,7 +34,7 @@ FIXTURE_ROOT = "/tmp/graft_oracle_fixtures/v1"
 # content revision written into the _SUCCESS marker: bumping forces a
 # regeneration of already-materialized fixture dirs (e.g. when a new
 # fixture table is added) without changing the oracle-visible paths
-FIXTURE_REV = "2"
+FIXTURE_REV = "3"
 
 
 def fixture_dir(sf_dir: str) -> str:
@@ -92,9 +92,40 @@ def ensure_fixtures(sf_dir: str) -> str:
         f"{out}/url_variants.parquet",
     )
 
+    _export_pii_docs(docs, out)
+
     with open(marker, "w") as f:
         f.write(FIXTURE_REV)
     return out
+
+
+def _export_pii_docs(docs: pa.Table, out: str) -> None:
+    """(doc_id, text) with deterministic planted PII: each doc gets an
+    email / phone / IPv4 (rotating by doc_id, every 5th doc untouched)
+    so the scrub oracle exercises every pattern AND the no-op path."""
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    out_texts = []
+    for i, t in zip(ids, texts):
+        k = i % 5
+        if k == 0:
+            t = f"{t} contact user{i}@mail{i % 50}.example.com now"
+        elif k == 1:
+            t = f"call 555-{100 + i % 900:03d}-{1000 + i % 9000:04d} {t}"
+        elif k == 2:
+            t = f"{t} from 10.{i % 256}.{(i * 7) % 256}.{(i * 13) % 256}"
+        elif k == 3:
+            t = (
+                f"{t} user{i}@mail.example.com or "
+                f"admin{i}@mail.example.com at 10.0.{i % 256}.1"
+            )
+        out_texts.append(t)
+    pq.write_table(
+        pa.table(
+            {"doc_id": docs["doc_id"], "text": pa.array(out_texts, pa.string())}
+        ),
+        f"{out}/pii_docs.parquet",
+    )
 
 
 def _export_doc_simhash(docs: pa.Table, out: str) -> None:

@@ -87,3 +87,27 @@ def test_repetition_stage_planted():
     assert out.loc[1, "dup_trigram_covered"] == 0
     assert out.loc[2, "n_tokens"] == 1
     assert out.loc[2, "top_bigram_count"] == 0
+
+
+def test_pii_scrub_stage():
+    rows = [
+        {"doc_id": 0, "text": "mail bob@x.example.com and al.b+c@y.org now"},
+        {"doc_id": 1, "text": "call 555-123-4567 or 555-000-1111"},
+        {"doc_id": 2, "text": "host 10.1.2.3 clean 1234-567-8901x"},
+        {"doc_id": 3, "text": "nothing personal here"},
+    ]
+    out = (
+        textops.pii_scrub_stage(ray.data.from_items(rows))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "clean_text"] == "mail <EMAIL> and <EMAIL> now"
+    assert out.loc[0, "n_emails"] == 2
+    assert out.loc[1, "clean_text"] == "call <PHONE> or <PHONE>"
+    assert out.loc[1, "n_phones"] == 2
+    # 1234-567-8901x: no word boundary before the phone shape -> kept
+    assert out.loc[2, "clean_text"] == "host <IP> clean 1234-567-8901x"
+    assert out.loc[2, "n_ips"] == 1
+    assert out.loc[3, "clean_text"] == "nothing personal here"
+    assert int(out.loc[3, ["n_emails", "n_phones", "n_ips"]].sum()) == 0
