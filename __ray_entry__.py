@@ -466,6 +466,13 @@ def _q_doc_split(sf_dir: str):
     return sampling.assign_split(docs, by_modulo=True)
 
 
+def _q_token_freq_top50(sf_dir: str):
+    """Corpus vocabulary census: top-50 tokens by (count desc, token
+    asc) — partial-count combiner, tiny final sort."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return textops.token_freq_topk(docs, k=50)
+
+
 def _q_pii_scrub(sf_dir: str):
     """Mask emails/phones/IPs over the planted-PII fixture; the oracle
     applies the identical RE2 patterns with regexp_replace(…, 'g')."""
@@ -1394,6 +1401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dup_stats": _q_span_dup_stats,
         "doc_repetition": _q_doc_repetition,
         "pii_scrub": _q_pii_scrub,
+        "token_freq_top50": _q_token_freq_top50,
         "canonical_url_dedup": _q_canonical_url_dedup,
         "knn_top10": _q_knn_top10,
         "minhash_dup_docs": _q_minhash_dup_docs,
@@ -1712,6 +1720,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprints": """
             SELECT doc_id, md5(text) AS fp_md5 FROM documents
+        """,
+        "token_freq_top50": """
+            SELECT token, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+            GROUP BY token
+            ORDER BY cnt DESC, token ASC
+            LIMIT 50
         """,
         "doc_split": """
             SELECT doc_id,

@@ -285,6 +285,46 @@ def pii_scrub_stage(
     )
 
 
+def token_freq_topk(
+    ds: "ray.data.Dataset",
+    k: int = 50,
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Corpus-wide space-split token frequencies, top ``k`` by
+    ``(count desc, token asc)`` — the vocabulary/stopword census every
+    corpus build starts with.
+
+    Per-batch partial counts (one np.unique over the batch's
+    concatenated tokens) make the shuffle carry (token, partial-count)
+    rows — bounded by distinct-vocab × blocks, never corpus size; the
+    combiner merge is exact and the final sort sees only merged vocab
+    rows."""
+    import pandas as pd
+
+    from .relational import grouped_aggregate
+
+    def _partials(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = np.concatenate(
+            [
+                np.asarray(t.split(" "), dtype=object)
+                for t in batch[text_col].to_numpy(object)
+            ]
+        ) if len(batch) else np.empty(0, object)
+        uniq, cnt = np.unique(toks, return_counts=True)
+        return pd.DataFrame(
+            {"token": uniq.astype(object), "cnt": cnt.astype(np.int64)}
+        )
+
+    counts = grouped_aggregate(
+        ds.select_columns([text_col]).map_batches(
+            _partials, batch_format="pandas"
+        ),
+        keys=["token"],
+        specs=[("sum", "cnt", "cnt")],
+    )
+    return counts.sort(["cnt", "token"], descending=[True, False]).limit(k)
+
+
 __all__ = [
     "predict_lang",
     "token_count_stage",
@@ -295,4 +335,5 @@ __all__ = [
     "repetition_stage",
     "pii_scrub_stage",
     "PII_PATTERNS",
+    "token_freq_topk",
 ]
