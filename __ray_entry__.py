@@ -492,6 +492,13 @@ def _q_doc_repetition(sf_dir: str):
     return textops.repetition_stage(docs)
 
 
+def _q_domain_stats(sf_dir: str):
+    """Per-domain crawl census over the pages table (stacked combiner
+    aggregates; count-distinct langs without a distinct shuffle)."""
+    pages = pages_dataset(sf_dir)
+    return urlops.domain_stats(pages)
+
+
 def _q_canonical_url_dedup(sf_dir: str):
     """Latest-wins dedup by canonical URL over the deterministic
     url-variants fixture (host case, tracking params, fragments,
@@ -1402,6 +1409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "pii_scrub": _q_pii_scrub,
         "token_freq_top50": _q_token_freq_top50,
+        "domain_stats": _q_domain_stats,
         "canonical_url_dedup": _q_canonical_url_dedup,
         "knn_top10": _q_knn_top10,
         "minhash_dup_docs": _q_minhash_dup_docs,
@@ -1464,6 +1472,13 @@ def oracle_sql() -> dict[str, str]:
         # same planted-truth oracle checks it
         "er_incremental": _sql_er_assignment(_FIX01),
         "canonical_url_dedup": _sql_canonical_url_dedup(_FIX01),
+        "domain_stats": f"""
+            SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS domain,
+                   CAST(count(*) AS BIGINT) AS n_pages,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM read_parquet('{_FIX01}/pages_records.parquet')
+            GROUP BY domain
+        """,
         "pii_scrub": _sql_pii_scrub(_FIX01),
         "customer_er_assignment": _sql_customer_er(_FIX01),
         "c360_interactions": _sql_c360_interactions(_FIX01),

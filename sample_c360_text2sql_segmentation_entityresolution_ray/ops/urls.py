@@ -135,9 +135,45 @@ def url_dedup(
     )
 
 
+def domain_stats(
+    ds: "ray.data.Dataset",
+    url_col: str = "url",
+    lang_col: str = "lang",
+) -> "ray.data.Dataset":
+    """Per-domain crawl census: ``(domain, n_pages, n_langs)``.
+
+    Two stacked combiner aggregates keep everything distributive (no
+    count-distinct shuffle): (domain, lang) partial counts first, then
+    per-domain sum + group count.  A hot domain ships one partial row
+    per (block, lang), never its pages."""
+    from .relational import grouped_aggregate
+
+    def _extract(batch: pd.DataFrame) -> pd.DataFrame:
+        dom = batch[url_col].str.extract(
+            r"^https?://([^/]+)/", expand=False
+        )
+        return pd.DataFrame(
+            {"domain": dom.to_numpy(object), lang_col: batch[lang_col]}
+        )
+
+    per_lang = grouped_aggregate(
+        ds.select_columns([url_col, lang_col]).map_batches(
+            _extract, batch_format="pandas"
+        ),
+        keys=["domain", lang_col],
+        specs=[("count_star", None, "n")],
+    )
+    return grouped_aggregate(
+        per_lang,
+        keys=["domain"],
+        specs=[("sum", "n", "n_pages"), ("count_star", None, "n_langs")],
+    )
+
+
 __all__ = [
     "canonicalize_url",
     "canonicalize_batch",
     "canonicalize_stage",
     "url_dedup",
+    "domain_stats",
 ]
