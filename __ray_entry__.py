@@ -177,6 +177,24 @@ def _q_customers_with_open_orders(sf_dir: str):
     return rel.semi_join(cust, open_orders, on="c_custkey", right_on="o_custkey")
 
 
+def _q_open_orders_bloom_semi(sf_dir: str):
+    """Same semi-join semantics as customers_with_open_orders but via
+    the Bloom-prefilter path: the bitset drops non-matching customers
+    before any exchange, the exact semi-join removes the fp residue —
+    identical output, shuffle volume cut to key-hit rate + fp."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.sketch import (
+        bloom_semi_join,
+    )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    open_orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]).filter(
+        expr="o_orderstatus == 'O'"
+    )
+    return bloom_semi_join(
+        cust, open_orders, on="c_custkey", right_on="o_custkey"
+    )
+
+
 def _q_parties_union_prefix(sf_dir: str):
     """UNION ALL with key-space prefixing (SURVEY U1/M3)."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
@@ -1384,6 +1402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_part_broadcast_join": _q_lineitem_part_broadcast,
         "customers_without_orders": _q_customers_without_orders,
         "customers_with_open_orders": _q_customers_with_open_orders,
+        "open_orders_bloom_semi": _q_open_orders_bloom_semi,
         "parties_union_prefix": _q_parties_union_prefix,
         "distinct_flag_status": _q_distinct_flag_status,
         "repeat_customers": _q_repeat_customers,
@@ -1540,6 +1559,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
         """,
         "customers_with_open_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        """,
+        # bloom prefilter + exact semi-join == plain semi-join, so the
+        # oracle IS the same SQL - the driver proving equality is the
+        # no-false-negative guarantee checked end-to-end
+        "open_orders_bloom_semi": """
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
         """,

@@ -127,3 +127,44 @@ def test_quantile_skips_nulls_and_handles_empty(ray_session):
     assert quantile_sketch(ds, "x", [0.5], grid=100) == [3.0]
     empty = ray.data.from_pandas(pd.DataFrame({"x": pd.Series([], dtype=float)}))
     assert np.isnan(quantile_sketch(empty, "x", [0.5])[0])
+
+
+def test_bloom_no_false_negatives_and_exact_semi_join():
+    import numpy as np
+    import ray.data
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import (
+        relational as rel,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.sketch import (
+        bloom_semi_join,
+        build_bloom,
+        _bloom_hashes,
+    )
+
+    keys = [f"k{i}" for i in range(0, 4000, 4)]  # 1000 member keys
+    small = ray.data.from_items([{"k": k} for k in keys])
+    num_bits, num_hashes = 1 << 16, 4
+    bits = build_bloom(small, "k", num_bits=num_bits, num_hashes=num_hashes)
+
+    def member(vals):
+        mask = np.ones(len(vals), dtype=bool)
+        for idx in _bloom_hashes(np.asarray(vals, object), num_hashes, num_bits):
+            mask &= (
+                bits[(idx >> 3).astype(np.int64)]
+                >> (idx & 7).astype(np.uint8) & 1
+            ).astype(bool)
+        return mask
+
+    assert member(keys).all()  # no false negatives, ever
+    probes = [f"absent{i}" for i in range(2000)]
+    fp = member(probes).mean()
+    assert fp < 0.05, fp  # 2^16 bits / 1000 keys: fp ~0.03%
+
+    large = ray.data.from_items(
+        [{"k": f"k{i}", "v": i} for i in range(5000)]
+    )
+    got = bloom_semi_join(large, small, "k").to_pandas()
+    want = rel.semi_join(large, small, "k").to_pandas()
+    assert sorted(got["k"]) == sorted(want["k"])
+    assert len(got) == 1000
