@@ -184,7 +184,28 @@ _SCALARS: dict[str, Callable] = {
     # SQL substr is 1-based; length optional
     "substr": lambda s, start, n=None: _substr(s, start, n),
     "substring": lambda s, start, n=None: _substr(s, start, n),
+    # RE2-subset regex family (the reference's Athena string guidance);
+    # DuckDB replaces the FIRST match unless options contain 'g'
+    "regexp_replace": lambda s, pat, repl, opts=None: s.str.replace(
+        pat, repl, n=(-1 if opts and "g" in opts else 1), regex=True
+    ),
+    "regexp_extract": lambda s, pat, group=0: _regexp_extract(s, pat, group),
+    "regexp_matches": lambda s, pat: s.str.contains(pat, regex=True, na=False),
 }
+
+
+def _regexp_extract(s: pd.Series, pat: str, group) -> pd.Series:
+    """DuckDB semantics: first match's group ``group`` (0 = whole
+    match), '' when no match.  The pattern is wrapped in one outer
+    group so original group i lands in extract-column i (and 0 is the
+    wrap itself); RE2 has no backrefs, so the renumbering is safe."""
+    df = s.str.extract("(" + pat + ")", expand=True)
+    g = int(group if np.isscalar(group) else group.iloc[0])
+    if g >= df.shape[1]:
+        raise SqlUnsupported(
+            f"regexp_extract group {g} out of range for pattern {pat!r}"
+        )
+    return df.iloc[:, g].fillna("")
 
 
 def _coalesce(*xs):

@@ -54,6 +54,15 @@ CASES = {
         UNION ALL
         SELECT 's_' || CAST(s_suppkey AS VARCHAR), lower(s_name) FROM supplier
     """,
+    "regexp_functions": """
+        SELECT c_custkey,
+               regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+               regexp_replace(c_name, '[0-9]', '#') AS masked_first,
+               regexp_extract(c_name, '([A-Za-z]+)#([0-9]+)', 2) AS digits,
+               regexp_extract(c_name, '[0-9]+$') AS tail,
+               regexp_matches(c_name, '00') AS has_00
+        FROM customer WHERE c_custkey <= 40
+    """,
     "case_strftime": """
         SELECT event_id, CASE WHEN value >= 50 THEN 'hi' ELSE 'lo' END AS band,
                strftime(ts, '%Y-%m-%d') AS day
