@@ -118,6 +118,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "exact_dedup_docs",
         "span_dup_stats",
         "canonical_url_dedup",
+        "doc_repetition",
+        "token_freq_top50",
         "minhash_dup_docs",
         "simhash_dup_docs",
         "embedding_dup_pairs",
