@@ -484,6 +484,19 @@ def _q_doc_split(sf_dir: str):
     return sampling.assign_split(docs, by_modulo=True)
 
 
+def _q_doc_mix_sample(sf_dir: str):
+    """Corpus-mix rebalancing: deterministic per-language sampling
+    rates via the SQL-reproducible md5-60bit uniform."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import sampling
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return sampling.weighted_sample(
+        docs,
+        rates={"en": 0.8, "fr": 0.5, "de": 0.25},
+        default_rate=0.1,
+    )
+
+
 def _q_token_freq_top50(sf_dir: str):
     """Corpus vocabulary census: top-50 tokens by (count desc, token
     asc) — partial-count combiner, tiny final sort."""
@@ -1429,6 +1442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "token_freq_top50": _q_token_freq_top50,
         "domain_stats": _q_domain_stats,
+        "doc_mix_sample": _q_doc_mix_sample,
         "canonical_url_dedup": _q_canonical_url_dedup,
         "knn_top10": _q_knn_top10,
         "minhash_dup_docs": _q_minhash_dup_docs,
@@ -1761,6 +1775,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprints": """
             SELECT doc_id, md5(text) AS fp_md5 FROM documents
+        """,
+        "doc_mix_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || left(md5('mix' || CAST(doc_id AS VARCHAR)), 15))::BIGINT
+                  < CAST((CASE lang WHEN 'en' THEN 0.8 WHEN 'fr' THEN 0.5
+                                    WHEN 'de' THEN 0.25 ELSE 0.1 END)
+                         * 1152921504606846976 AS BIGINT)
         """,
         "token_freq_top50": """
             SELECT token, CAST(count(*) AS BIGINT) AS cnt

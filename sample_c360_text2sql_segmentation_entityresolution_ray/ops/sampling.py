@@ -106,9 +106,66 @@ def shuffle_for_training(
     return ds.random_shuffle(seed=seed)
 
 
+_MD5_SPACE = 1 << 60  # 15 hex chars, the KMV-style SQL-reproducible hash
+
+
+def weighted_sample(
+    ds: "ray.data.Dataset",
+    rates: dict[str, float],
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "mix",
+) -> "ray.data.Dataset":
+    """Corpus-mixing sampler: keep a row iff its deterministic unit
+    uniform ``u(id) < rates.get(row[key_col], default_rate)`` — the
+    per-language / per-source rebalancing step of a training-data mix.
+
+    ``u`` is the top-60-bit md5 of ``salt + str(id)`` (the same
+    SQL-reproducible construction as the KMV sketch), so the exact kept
+    set is re-derivable in DuckDB:
+    ``('0x' || left(md5('<salt>' || CAST(id AS VARCHAR)), 15))::BIGINT
+    < CAST(rate * 2^60 AS BIGINT)``.  Deterministic across runs and
+    cluster sizes; independent mixes via ``salt``.  Stateless map —
+    md5 per row is the price of oracle-exactness (~1 µs/row; swap
+    ``functions.texthash.hash_str_array`` in when exactness vs SQL is
+    not required)."""
+    import hashlib
+
+    thresholds = {
+        k: int(round(r * _MD5_SPACE)) for k, r in rates.items()
+    }
+    default_t = int(round(default_rate * _MD5_SPACE))
+
+    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        u = np.fromiter(
+            (
+                int(
+                    hashlib.md5(f"{salt}{v}".encode("utf-8")).hexdigest()[:15],
+                    16,
+                )
+                for v in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        t = (
+            batch[key_col]
+            .map(thresholds)
+            .fillna(default_t)
+            .astype(np.int64)
+            .to_numpy()
+        )
+        return batch[u < t]
+
+    return ds.map_batches(_fn, batch_format="pandas")
+
+
 __all__ = [
     "assign_split",
     "hash_sample",
     "stratified_sample",
     "shuffle_for_training",
+    "weighted_sample",
 ]

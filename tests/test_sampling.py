@@ -53,3 +53,33 @@ def test_stratified_sample_caps_per_group():
 def test_shuffle_preserves_rows():
     out = sampling.shuffle_for_training(_docs(100), seed=7).to_pandas()
     assert sorted(out["doc_id"]) == list(range(100))
+
+
+def test_weighted_sample_deterministic_and_rate_shaped():
+    import ray.data
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.sampling import (
+        weighted_sample,
+    )
+
+    rows = [
+        {"doc_id": i, "lang": ("en" if i % 2 == 0 else "xx")}
+        for i in range(2000)
+    ]
+    ds = lambda: ray.data.from_items(rows)
+    kept = weighted_sample(
+        ds(), rates={"en": 0.9}, default_rate=0.05
+    ).to_pandas()
+    again = weighted_sample(
+        ds(), rates={"en": 0.9}, default_rate=0.05
+    ).to_pandas()
+    assert sorted(kept["doc_id"]) == sorted(again["doc_id"])  # deterministic
+    en = (kept["lang"] == "en").sum()
+    xx = (kept["lang"] == "xx").sum()
+    assert 820 <= en <= 980  # ~0.9 of 1000
+    assert 20 <= xx <= 90  # ~0.05 of 1000
+    # a different salt gives an independent draw
+    other = weighted_sample(
+        ds(), rates={"en": 0.9}, default_rate=0.05, salt="other"
+    ).to_pandas()
+    assert sorted(other["doc_id"]) != sorted(kept["doc_id"])
