@@ -409,6 +409,29 @@ def _q_asof_last_order(sf_dir: str):
     return joined.map_batches(_proj, batch_format="pandas")
 
 
+def _q_asof_last_order_bucketed(sf_dir: str):
+    """Same as-of semantics through the Parquet-bucketed scale path
+    (right side hive-bucketed by key hash, per-bucket merge_asof) —
+    the driver proves it equals the broadcast plan's oracle."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    joined = rel.asof_join_bucketed(
+        ev, orders, left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate", how="inner", partitions=16,
+    )
+
+    def _proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"],
+                "user_id": df["user_id"],
+                "last_order_date": df["o_orderdate"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+            }
+        )
+
+    return joined.map_batches(_proj, batch_format="pandas")
+
+
 PRICE_BANDS = [
     ("low", 0.0, 100_000.0),
     ("mid", 100_000.0, 300_000.0),
@@ -1426,6 +1449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily": _q_events_daily,
         "sessionize_events": _q_sessionize_events,
         "asof_last_order": _q_asof_last_order,
+        "asof_last_order_bucketed": _q_asof_last_order_bucketed,
         "orders_price_bands": _q_orders_price_bands,
         "customer_order_seq": _q_customer_order_seq,
         "lineitem_qty_ranks": _q_lineitem_qty_ranks,
@@ -1644,6 +1668,14 @@ def oracle_sql() -> dict[str, str]:
             FROM numbered GROUP BY user_id, sid
         """,
         "asof_last_order": """
+            SELECT e.event_id, e.user_id,
+                   strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS last_order_date
+            FROM events e
+            ASOF JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        # bucketed scale path == broadcast path == DuckDB ASOF JOIN
+        "asof_last_order_bucketed": """
             SELECT e.event_id, e.user_id,
                    strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS last_order_date
             FROM events e

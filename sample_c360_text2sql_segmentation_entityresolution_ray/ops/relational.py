@@ -487,6 +487,90 @@ def asof_join(
     return left.map_batches(_asof, batch_format="pandas")
 
 
+ASOF_BUCKET_PARTITIONS = 64
+
+
+def asof_join_bucketed(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    how: str = "inner",
+    partitions: int = ASOF_BUCKET_PARTITIONS,
+    scratch_dir: str | None = None,
+) -> "ray.data.Dataset":
+    """The :func:`asof_join` scale path — for right sides past the
+    broadcast limit.
+
+    Both sides hash on the join key (dtype-insensitively, via the string
+    form): the right side streams into hive-partitioned Parquet (one
+    directory per key-hash bucket, the same layout the IVF index uses),
+    then each left key-hash partition runs one vectorized
+    ``pandas.merge_asof`` against ONLY its bucket's directory — no heap
+    ever holds the right side, and a failed run resumes per bucket.
+    Partitioning assumption: key-hash co-location.  Tie rows (equal
+    ``(key, ts)``) resolve by right-side sort stability, as in the
+    broadcast path."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from ..functions.texthash import hash_str_array
+
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"asof_join supports inner/left_outer, got {how}")
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="asof_buckets_", dir="/tmp")
+    # empty typed template: keeps merge_asof dtypes (and the output
+    # block schema) stable for left partitions whose bucket is empty
+    right_template = right.limit(1).to_pandas().iloc[0:0]
+
+    def _tag(key):
+        def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch["_part"] = (
+                hash_str_array(batch[key].astype(str).to_numpy(object))
+                % np.uint64(partitions)
+            ).astype("int32")
+            return batch
+
+        return _fn
+
+    right.map_batches(_tag(right_key), batch_format="pandas").write_parquet(
+        scratch, partition_cols=["_part"]
+    )
+
+    def _probe(g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g["_part"].iloc[0])
+        d = os.path.join(scratch, f"_part={part}")
+        if os.path.isdir(d):
+            rdf = _pq.read_table(d).to_pandas()[right_template.columns]
+            rdf = rdf.sort_values(right_ts, kind="mergesort")
+        else:
+            rdf = right_template
+        g = g.drop(columns=["_part"]).sort_values(left_ts, kind="mergesort")
+        out = pd.merge_asof(
+            g,
+            rdf,
+            left_on=left_ts,
+            right_on=right_ts,
+            left_by=left_key,
+            right_by=right_key,
+            direction="backward",
+        )
+        if how == "inner":
+            out = out[out[right_ts].notna()]
+        return out
+
+    return (
+        left.map_batches(_tag(left_key), batch_format="pandas")
+        .groupby("_part")
+        .map_groups(_probe, batch_format="pandas")
+    )
+
+
 def range_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
