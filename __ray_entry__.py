@@ -449,6 +449,20 @@ def _q_orders_price_bands(sf_dir: str):
     return joined.select_columns(["o_orderkey", "band"])
 
 
+def _q_orders_price_bands_bucketed(sf_dir: str):
+    """Same interval-join semantics through the hive-bucketed scale
+    path (grid from the left side's measured value range, intervals
+    replicated per overlapped bucket)."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    bands = ray.data.from_items(
+        [{"band": b, "lo": lo, "hi": hi} for b, lo, hi in PRICE_BANDS]
+    )
+    joined = rel.range_join_bucketed(
+        orders, bands, "o_totalprice", "lo", "hi", num_buckets=16
+    )
+    return joined.select_columns(["o_orderkey", "band"])
+
+
 SESSION_GAP_S = 1800
 
 
@@ -1451,6 +1465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_order": _q_asof_last_order,
         "asof_last_order_bucketed": _q_asof_last_order_bucketed,
         "orders_price_bands": _q_orders_price_bands,
+        "orders_price_bands_bucketed": _q_orders_price_bands_bucketed,
         "customer_order_seq": _q_customer_order_seq,
         "lineitem_qty_ranks": _q_lineitem_qty_ranks,
         "events_hourly_windows": _q_events_hourly_windows,
@@ -1683,6 +1698,15 @@ def oracle_sql() -> dict[str, str]:
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         """,
         "orders_price_bands": """
+            WITH bands(band, lo, hi) AS (VALUES
+                ('low', 0.0, 100000.0),
+                ('mid', 100000.0, 300000.0),
+                ('high', 300000.0, 1e18))
+            SELECT o_orderkey, band
+            FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        """,
+        # bucketed scale path == broadcast path == the same band SQL
+        "orders_price_bands_bucketed": """
             WITH bands(band, lo, hi) AS (VALUES
                 ('low', 0.0, 100000.0),
                 ('mid', 100000.0, 300000.0),

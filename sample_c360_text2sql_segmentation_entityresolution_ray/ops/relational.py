@@ -625,6 +625,110 @@ def range_join(
     return left.map_batches(_ranger, batch_format="pandas")
 
 
+RANGE_BUCKETS = 64
+
+
+def range_join_bucketed(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    how: str = "inner",
+    num_buckets: int = RANGE_BUCKETS,
+    scratch_dir: str | None = None,
+) -> "ray.data.Dataset":
+    """The :func:`range_join` scale path — for interval tables past the
+    broadcast limit.
+
+    The bucket grid comes from the LEFT side's measured value range
+    (one Min/Max aggregate pass), so unbounded interval edges (a +inf
+    ``hi`` band) don't collapse the grid.  Intervals replicate into
+    every grid bucket they overlap (≤ ``num_buckets`` copies, hive-
+    partitioned Parquet — the asof/IVF layout); each left value-bucket
+    partition then sweeps only its bucket's intervals with the same
+    vectorized per-interval masks as the broadcast plan."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"range_join supports inner/left_outer, got {how}")
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="range_buckets_", dir="/tmp")
+    stats = left.aggregate(Min(value_col), Max(value_col))
+    gmin = float(stats[f"min({value_col})"])
+    gmax = float(stats[f"max({value_col})"])
+    width = (gmax - gmin) / num_buckets or 1.0
+    right_template = right.limit(1).to_pandas().iloc[0:0]
+
+    def _bucket_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(
+            np.floor((v - gmin) / width), 0, num_buckets - 1
+        ).astype(np.int32)
+
+    def _tag_right(batch: pd.DataFrame) -> pd.DataFrame:
+        lo_b = _bucket_of(batch[lo_col].to_numpy(np.float64))
+        hi_b = _bucket_of(batch[hi_col].to_numpy(np.float64))
+        reps = (hi_b - lo_b + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(batch)), reps)
+        out = batch.iloc[idx].reset_index(drop=True)
+        parts = np.concatenate(
+            [np.arange(a, b + 1) for a, b in zip(lo_b, hi_b)]
+        ) if len(batch) else np.empty(0, np.int64)
+        out["_part"] = parts.astype(np.int32)
+        return out
+
+    right.map_batches(_tag_right, batch_format="pandas").write_parquet(
+        scratch, partition_cols=["_part"]
+    )
+
+    def _tag_left(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_part"] = _bucket_of(batch[value_col].to_numpy(np.float64))
+        return batch
+
+    def _probe(g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g["_part"].iloc[0])
+        d = os.path.join(scratch, f"_part={part}")
+        rdf = (
+            _pq.read_table(d).to_pandas()[right_template.columns]
+            if os.path.isdir(d)
+            else right_template
+        )
+        g = g.drop(columns=["_part"]).reset_index(drop=True)
+        lo = rdf[lo_col].to_numpy()
+        hi = rdf[hi_col].to_numpy()
+        v = g[value_col].to_numpy()
+        pieces = []
+        matched = np.zeros(len(g), dtype=bool)
+        for r in range(len(rdf)):
+            mask = (v >= lo[r]) & (v < hi[r])
+            if mask.any():
+                matched |= mask
+                sub = g[mask].reset_index(drop=True)
+                for c in rdf.columns:
+                    sub[c] = rdf.iloc[r][c]
+                pieces.append(sub)
+        if how == "left_outer" and (~matched).any():
+            sub = g[~matched].reset_index(drop=True)
+            for c in rdf.columns:
+                sub[c] = None
+            pieces.append(sub)
+        if not pieces:
+            out = g.iloc[:0].copy()
+            for c in rdf.columns:
+                out[c] = pd.Series(dtype=rdf[c].dtype)
+            return out
+        return pd.concat(pieces, ignore_index=True)
+
+    return (
+        left.map_batches(_tag_left, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(_probe, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # set ops
 # ---------------------------------------------------------------------------
