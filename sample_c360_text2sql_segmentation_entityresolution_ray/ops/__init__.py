@@ -1,4 +1,5 @@
-"""General operator library: relational, dedup, ANN, text, multimodal."""
+"""General operator library: relational, dedup, ANN, text, urls,
+sketches, windows, multimodal."""
 
 from . import (  # noqa: F401
     ann,
@@ -9,5 +10,8 @@ from . import (  # noqa: F401
     profile,
     relational,
     sampling,
+    sketch,
     text,
+    urls,
+    window,
 )
