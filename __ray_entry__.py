@@ -988,6 +988,27 @@ SQL_DEMO_WINDOW = """
     FROM orders WHERE o_custkey <= 750
 """
 
+SQL_DEMO_SETOPS = """
+    (SELECT c_mktsegment AS seg FROM customer WHERE c_custkey <= 75
+     INTERSECT
+     SELECT c_mktsegment FROM customer WHERE c_custkey > 75)
+    EXCEPT
+    SELECT c_mktsegment FROM customer WHERE c_mktsegment = 'FURNITURE'
+    UNION
+    SELECT upper(o_orderstatus) FROM orders
+"""
+
+SQL_DEMO_OUTER_JOIN = """
+    SELECT CAST(coalesce(a.c_custkey, -1) AS BIGINT) AS ak,
+           CAST(coalesce(b.o_custkey, -1) AS BIGINT) AS bk,
+           CAST(coalesce(b.n_orders, 0) AS BIGINT) AS n_orders
+    FROM (SELECT c_custkey FROM customer WHERE c_custkey < 50) a
+    FULL JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders
+               WHERE o_custkey >= 25 AND o_custkey < 75
+               GROUP BY o_custkey) b
+    ON a.c_custkey = b.o_custkey
+"""
+
 
 def _sql_catalog(sf_dir: str):
     from sample_c360_text2sql_segmentation_entityresolution_ray.sql import Catalog
@@ -1048,6 +1069,24 @@ def _q_text2sql_agent(sf_dir: str):
 
     agent = Text2SqlAgent(_sql_catalog(sf_dir), RuleBasedSqlGenerator())
     return agent.run("who are our repeat buyers?").dataset
+
+
+def _q_sql_demo_setops(sf_dir: str):
+    """Set-operation surface through the SQL façade: INTERSECT / EXCEPT
+    / UNION (distinct semantics) — one combiner-shaped shuffle each
+    (`ops.relational.set_op`)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sql import execute_sql
+
+    return execute_sql(SQL_DEMO_SETOPS, _sql_catalog(sf_dir))
+
+
+def _q_sql_demo_outer_join(sf_dir: str):
+    """FULL OUTER JOIN between derived tables through the SQL façade —
+    shadow-key hash exchange preserves both sides' key columns with SQL
+    null extension (pyarrow would consume/coalesce them)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sql import execute_sql
+
+    return execute_sql(SQL_DEMO_OUTER_JOIN, _sql_catalog(sf_dir))
 
 
 def _q_sql_demo_window(sf_dir: str):
@@ -1510,6 +1549,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_demo_window": _q_sql_demo_window,
         "sql_demo_subquery": _q_sql_demo_subquery,
         "sql_demo_stats": _q_sql_demo_stats,
+        "sql_demo_setops": _q_sql_demo_setops,
+        "sql_demo_outer_join": _q_sql_demo_outer_join,
         "text2sql_agent": _q_text2sql_agent,
     }
 
@@ -1581,6 +1622,8 @@ def oracle_sql() -> dict[str, str]:
         "sql_demo_window": SQL_DEMO_WINDOW,
         "sql_demo_subquery": SQL_DEMO_SUBQUERY,
         "sql_demo_stats": SQL_DEMO_STATS,
+        "sql_demo_setops": SQL_DEMO_SETOPS,
+        "sql_demo_outer_join": SQL_DEMO_OUTER_JOIN,
         # the exact SQL RuleBasedSqlGenerator emits for "repeat buyers"
         "text2sql_agent": """
             SELECT c.c_name AS name, count(*) AS order_count

@@ -166,11 +166,60 @@ def auto_join(
         # both known-small: build on the smaller side
         small_left = left_rows < right_rows
         small_right = not small_left
-    if small_right:
+    if small_right and how in ("inner", "left_outer"):
         return _bc_join(left, right, lk, rk, how, build="right")
     if small_left and how == "inner":
         return _bc_join(left, right, lk, rk, how, build="left")
+    # right_outer / full_outer always take the hash exchange: the probe
+    # side would need unmatched-build-row tracking a broadcast can't do.
+    # They also need partitions sized to the data: a partition receiving
+    # zero shards from one side reaches Acero as a SCHEMA-LESS empty
+    # table and the key lookup crashes (Ray 2.49 join.py finalize).
+    # Size to the smaller side's measured rows, materializing a derived
+    # side to count it (parquet-backed sides carry footer counts and
+    # skip this; at engine scale the sides of an outer join are tables).
+    if how in ("right_outer", "full_outer"):
+        lr, rr = left_rows, right_rows
+        if lr is None:
+            left = left.materialize()
+            lr = left.count()
+        if rr is None:
+            right = right.materialize()
+            rr = right.count()
+        parts = max(1, min(lr, rr) // 1000 + 1)
+        # pyarrow CONSUMES join-key columns: left keys are dropped on
+        # right_outer and coalesced with right values on full_outer —
+        # SQL instead keeps both sides' key columns, null-extended.
+        # Join on duplicated shadow keys so the originals ride through
+        # as payload with correct nulls, then drop the shadows.
+        lkeys = [f"__jk_l{i}" for i in range(len(lk))]
+        rkeys = [f"__jk_r{i}" for i in range(len(rk))]
+        joined = hash_join(
+            _shadow_keys(left, lk, lkeys),
+            _shadow_keys(right, rk, rkeys),
+            on=tuple(lkeys), right_on=tuple(rkeys), how=how,
+            num_partitions=parts,
+        )
+
+        def _drop_shadow(batch: pa.Table) -> pa.Table:
+            drop = [c for c in batch.column_names if c.startswith("__jk_")]
+            return batch.drop_columns(drop)
+
+        return joined.map_batches(_drop_shadow, batch_format="pyarrow")
     return hash_join(left, right, on=tuple(lk), right_on=tuple(rk), how=how)
+
+
+def _shadow_keys(
+    ds: "ray.data.Dataset", keys: Sequence[str], names: Sequence[str]
+) -> "ray.data.Dataset":
+    """Append zero-copy duplicates of ``keys`` under ``names``."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        for k, n in zip(keys, names):
+            batch = batch.append_column(n, batch[k])
+        return batch
+
+    return ds.map_batches(_f, batch_format="pyarrow")
 
 
 def _bc_join(
@@ -815,6 +864,63 @@ def distinct(ds: "ray.data.Dataset", cols: Sequence[str]) -> "ray.data.Dataset":
         return batch[cols]
 
     return dedupe_by_key(ds.map_batches(_proj, batch_format="pandas"), cols)
+
+
+def set_op(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    op: str,
+    cols: Sequence[str],
+    partitions: int = DEDUP_PARTITIONS,
+) -> "ray.data.Dataset":
+    """SQL set operations with DISTINCT semantics: ``intersect``,
+    ``except`` (left minus right) and ``union`` (distinct).
+
+    Both inputs must already share the column names in ``cols`` (the SQL
+    layer renames the right side positionally first, as UNION ALL does).
+
+    Scale posture — same combiner shape as :func:`dedupe_by_key`: each
+    side deduplicates locally per batch (pre-shuffle shrink, only
+    distinct rows travel), tags itself with a side bit, hashes the full
+    row into ``partitions`` buckets, then ONE groupby over the bucket id
+    resolves side membership with a vectorized pandas groupby inside
+    each partition.  NULL keys group together (``dropna=False``),
+    matching SQL's "null is not distinct from null" set-op rule.
+    """
+    if op not in ("intersect", "except", "union"):
+        raise ValueError(f"set_op: unknown op {op!r}")
+    cols = list(cols)
+
+    def _tag(side: int):
+        def _f(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch[cols].drop_duplicates(cols)
+            key = batch[cols[0]].astype(str)
+            for c in cols[1:]:
+                key = key + "\x1f" + batch[c].astype(str)
+            batch = batch.copy()
+            batch["_part"] = (
+                pd.util.hash_array(key.to_numpy(object)) % partitions
+            ).astype("int32")
+            batch["_side"] = np.int8(side)
+            return batch
+
+        return _f
+
+    tagged = left.map_batches(_tag(0), batch_format="pandas").union(
+        right.map_batches(_tag(1), batch_format="pandas")
+    )
+
+    def _finish(g: pd.DataFrame) -> pd.DataFrame:
+        sides = g.groupby(cols, dropna=False, sort=False)["_side"].agg(
+            ["min", "max"]
+        )
+        if op == "intersect":
+            sides = sides[(sides["min"] == 0) & (sides["max"] == 1)]
+        elif op == "except":
+            sides = sides[sides["max"] == 0]
+        return sides.reset_index()[cols]
+
+    return tagged.groupby("_part").map_groups(_finish, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

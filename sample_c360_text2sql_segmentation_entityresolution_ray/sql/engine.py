@@ -624,7 +624,7 @@ def _compile_from(from_node, catalog: Catalog, needed: dict) -> _FromPlan:
         )
     if t == "SUBQUERY":  # derived table: FROM (SELECT ...) alias
         sub = _compile_select_node(from_node["subquery"]["node"], catalog)
-        cols = list(sub.schema().names)
+        cols = _static_names(from_node["subquery"]["node"]) or _schema_names(sub)
         aliases = from_node.get("column_name_alias") or []
         if aliases:
             if len(aliases) != len(cols):
@@ -640,9 +640,23 @@ def _compile_from(from_node, catalog: Catalog, needed: dict) -> _FromPlan:
         left = _compile_from(from_node["left"], catalog, needed)
         right = _compile_from(from_node["right"], catalog, needed)
         jt = from_node.get("join_type", "INNER")
-        how = {"INNER": "inner", "LEFT": "left_outer"}.get(jt)
+        how = {
+            "INNER": "inner",
+            "LEFT": "left_outer",
+            "RIGHT": "right_outer",
+            "FULL": "full_outer",
+        }.get(jt)
         if how is None:
             raise SqlUnsupported(f"join type {jt}")
+        if how in ("right_outer", "full_outer"):
+            # column resolution is qualifier-blind: a name on both sides
+            # cannot be routed (and pyarrow would coalesce/suffix it)
+            shared = left.columns & right.columns
+            if shared:
+                raise SqlUnsupported(
+                    f"{jt} JOIN with same-named columns on both sides: "
+                    f"{sorted(shared)} — alias one side"
+                )
         lk, rk = [], []
         for a, b in _equality_pairs(from_node["condition"]):
             ca, cb = a["column_names"][-1], b["column_names"][-1]
@@ -816,22 +830,60 @@ _AGG_BUILDERS = {
 }
 
 
+def _static_names(node: dict, auto: bool = False) -> list[str] | None:
+    """Output column names of a select node derived from the AST alone
+    (no plan execution — a branch may be legitimately empty, in which
+    case ``Dataset.schema()`` probes nothing).  ``None`` for SELECT *,
+    whose names come from the table."""
+    if node["type"] == "SET_OPERATION_NODE":
+        return _static_names(node["left"], auto)
+    sl = node.get("select_list") or []
+    if len(sl) == 1 and sl[0].get("class") == "STAR":
+        return None
+    return [_output_name(it, i, auto) for i, it in enumerate(sl)]
+
+
+def _schema_names(ds: "ray.data.Dataset") -> list[str]:
+    """Output column names of a compiled plan.  ``Dataset.schema()``
+    probes the first block and can return ``None`` when that probe block
+    is empty (a selective WHERE in a fused map chain); fall back to
+    pulling one batch — even an empty pandas batch carries its column
+    names."""
+    s = ds.schema()
+    if s is not None:
+        return list(s.names)
+    for b in ds.iter_batches(batch_size=None, batch_format="pandas"):
+        return list(b.columns)
+    raise SqlUnsupported("cannot determine set-op branch schema")
+
+
 def _compile_select_node(node: dict, catalog: Catalog, auto_names: bool = False):
     if node["type"] == "SET_OPERATION_NODE":
-        if node["setop_type"] != "UNION" or not node.get("setop_all"):
-            raise SqlUnsupported("only UNION ALL supported")
+        setop = node["setop_type"]
+        setop_all = bool(node.get("setop_all"))
+        if setop not in ("UNION", "EXCEPT", "INTERSECT"):
+            raise SqlUnsupported(f"set operation {setop}")
+        if setop_all and setop != "UNION":
+            raise SqlUnsupported(f"{setop} ALL (bag semantics)")
         left = _compile_select_node(node["left"], catalog)
         right = _compile_select_node(node["right"], catalog, auto_names=True)
-        lcols = left.schema().names
-        rcols = right.schema().names
+        lcols = _static_names(node["left"]) or _schema_names(left)
+        rcols = _static_names(node["right"], auto=True) or _schema_names(right)
         if len(lcols) != len(rcols):
-            raise SqlUnsupported("UNION ALL arity mismatch")
+            raise SqlUnsupported(f"{setop} arity mismatch")
         rename = dict(zip(rcols, lcols))
 
         def _rn(df: pd.DataFrame) -> pd.DataFrame:
             return df.rename(columns=rename)
 
-        return left.union(right.map_batches(_rn, batch_format="pandas"))
+        right = right.map_batches(_rn, batch_format="pandas")
+        if setop == "UNION" and setop_all:
+            return left.union(right)
+        # UNION / EXCEPT / INTERSECT (distinct semantics): one
+        # combiner-shaped shuffle, see ops.relational.set_op
+        from ..ops.relational import set_op
+
+        return set_op(left, right, setop.lower(), cols=lcols)
     if node["type"] != "SELECT_NODE":
         raise SqlUnsupported(f"statement {node['type']}")
 

@@ -207,6 +207,34 @@ CASES = {
                substr(event_type, 1, 3) AS pre
         FROM events WHERE value > 97
     """,
+    "setops_chain": """
+        (SELECT c_mktsegment AS seg FROM customer WHERE c_custkey <= 75
+         INTERSECT
+         SELECT c_mktsegment FROM customer WHERE c_custkey > 75)
+        EXCEPT
+        SELECT c_mktsegment FROM customer WHERE c_mktsegment = 'FURNITURE'
+        UNION
+        SELECT upper(o_orderstatus) FROM orders
+    """,
+    "union_distinct": """
+        SELECT c_mktsegment AS seg FROM customer
+        UNION SELECT o_orderstatus FROM orders
+    """,
+    "right_outer_join": """
+        SELECT o.o_orderkey AS ord, c.c_custkey AS ck, c.c_mktsegment AS seg
+        FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey <= 60
+    """,
+    "full_outer_join_coalesced": """
+        SELECT CAST(coalesce(a.c_custkey, -1) AS BIGINT) AS ak,
+               CAST(coalesce(b.o_custkey, -1) AS BIGINT) AS bk,
+               CAST(coalesce(b.n_orders, 0) AS BIGINT) AS n_orders
+        FROM (SELECT c_custkey FROM customer WHERE c_custkey < 50) a
+        FULL JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders
+                   WHERE o_custkey >= 25 AND o_custkey < 75
+                   GROUP BY o_custkey) b
+        ON a.c_custkey = b.o_custkey
+    """,
     "window_rolling_cum": """
         SELECT o_custkey, o_orderkey,
                round(sum(o_totalprice)
@@ -258,6 +286,48 @@ def test_unsupported_raises(catalog):
             "SELECT c_custkey AS k FROM customer c WHERE c_acctbal > "
             "(SELECT avg(o_totalprice) FROM orders o "
             " WHERE o.o_custkey = c.c_custkey)",
+            catalog,
+        )
+
+
+def test_outer_join_null_semantics(catalog, duck):
+    """Raw (uncoalesced) FULL JOIN: both key columns must null-extend —
+    the shadow-key exchange must not let pyarrow coalesce them."""
+    sql = """
+        SELECT a.c_custkey AS ak, b.k2 AS bk
+        FROM (SELECT c_custkey FROM customer WHERE c_custkey <= 20) a
+        FULL JOIN (SELECT c_custkey AS k2 FROM customer
+                   WHERE c_custkey BETWEEN 11 AND 30) b
+        ON a.c_custkey = b.k2
+    """
+    got = execute_sql(sql, catalog).to_pandas()
+    exp = duck.sql(sql).df()
+    cols = ["ak", "bk"]
+    g = got[cols].astype("float64").sort_values(cols).reset_index(drop=True)
+    e = exp[cols].astype("float64").sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, e, check_dtype=False)
+
+
+def test_setop_empty_branch_and_guards(catalog):
+    # a legitimately-empty branch compiles (names from the AST) and
+    # leaves the other side's distinct rows (EXCEPT) intact
+    out = execute_sql(
+        """SELECT c_mktsegment AS seg FROM customer
+           EXCEPT SELECT c_mktsegment FROM customer WHERE c_custkey > 999999""",
+        catalog,
+    ).to_pandas()
+    assert len(out) == 5 and list(out.columns) == ["seg"]
+    with pytest.raises(SqlUnsupported):  # bag semantics not supported
+        execute_sql(
+            "SELECT c_custkey FROM customer EXCEPT ALL "
+            "SELECT o_custkey FROM orders",
+            catalog,
+        )
+    with pytest.raises(SqlUnsupported):  # ambiguous outer-join columns
+        execute_sql(
+            "SELECT 1 AS x FROM (SELECT c_custkey FROM customer) a "
+            "FULL JOIN (SELECT c_custkey FROM customer) b "
+            "ON a.c_custkey = b.c_custkey",
             catalog,
         )
 
