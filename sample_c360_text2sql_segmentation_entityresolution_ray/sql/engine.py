@@ -191,7 +191,68 @@ _SCALARS: dict[str, Callable] = {
     ),
     "regexp_extract": lambda s, pat, group=0: _regexp_extract(s, pat, group),
     "regexp_matches": lambda s, pat: s.str.contains(pat, regex=True, na=False),
+    # plain-substring string family (DuckDB semantics)
+    "replace": lambda s, a, b: s.str.replace(a, b, regex=False),
+    "contains": lambda s, sub: s.str.contains(sub, regex=False, na=False),
+    "starts_with": lambda s, p: s.str.startswith(p).fillna(False),
+    "ends_with": lambda s, p: s.str.endswith(p).fillna(False),
+    "split_part": lambda s, sep, n: _split_part(s, sep, n),
+    "left": lambda s, n: _left_str(s, n),
+    "right": lambda s, n: _right_str(s, n),
+    "reverse": lambda s: s.str[::-1],
+    "repeat": lambda s, n: s.str.repeat(int(n)),
+    "ltrim": lambda s: s.str.lstrip(),
+    "rtrim": lambda s: s.str.rstrip(),
+    "lpad": lambda s, n, p: _pad_str(s, n, p, side="l"),
+    "rpad": lambda s, n, p: _pad_str(s, n, p, side="r"),
+    # math family (DuckDB: log(x) is log10; ln is natural)
+    "floor": lambda a: np.floor(a),
+    "ceil": lambda a: np.ceil(a),
+    "ceiling": lambda a: np.ceil(a),
+    "sqrt": lambda a: np.sqrt(a),
+    "ln": lambda a: np.log(a),
+    "log": lambda a: np.log10(a),
+    "log2": lambda a: np.log2(a),
+    "exp": lambda a: np.exp(a),
+    "pow": lambda a, b: np.power(a, b),
+    "power": lambda a, b: np.power(a, b),
+    # DuckDB sign returns an integer -1/0/1 regardless of input type
+    "sign": lambda a: np.sign(a).astype("int64"),
 }
+
+
+def _split_part(s: pd.Series, sep: str, n) -> pd.Series:
+    """DuckDB split_part: 1-based field index, '' when out of range."""
+    n = int(n) if np.isscalar(n) else int(n.iloc[0])
+    return s.str.split(sep, regex=False).str.get(n - 1).fillna("")
+
+
+def _left_str(s: pd.Series, n) -> pd.Series:
+    """DuckDB left: first n chars; negative n drops the last |n|."""
+    n = int(n)
+    return s.str[:n] if n != 0 else s.str[:0]
+
+
+def _right_str(s: pd.Series, n) -> pd.Series:
+    """DuckDB right: last n chars; negative n drops the first |n|."""
+    n = int(n)
+    return s.str[-n:] if n != 0 else s.str[:0]
+
+
+def _pad_str(s: pd.Series, n, p: str, side: str) -> pd.Series:
+    """DuckDB lpad/rpad: pad to length ``n`` with ``p`` (cycled),
+    truncating to the FIRST n chars when already longer."""
+    n = int(n)
+
+    def f(v):
+        if v is None or v != v:
+            return None
+        if len(v) >= n:
+            return v[:n]
+        pad = (p * n)[: n - len(v)]
+        return pad + v if side == "l" else v + pad
+
+    return s.map(f)
 
 
 def _regexp_extract(s: pd.Series, pat: str, group) -> pd.Series:

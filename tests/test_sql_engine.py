@@ -207,6 +207,33 @@ CASES = {
                substr(event_type, 1, 3) AS pre
         FROM events WHERE value > 97
     """,
+    "string_functions": """
+        SELECT c_custkey,
+               replace(c_name, '0', '_') AS rep,
+               contains(c_name, '00') AS has00,
+               starts_with(c_name, 'Customer') AS pre,
+               ends_with(c_name, '1') AS suf,
+               split_part(c_name, '#', 2) AS num_part,
+               left(c_name, 4) AS l4, right(c_name, 3) AS r3,
+               left(c_name, -2) AS lneg, right(c_name, -2) AS rneg,
+               reverse(c_name) AS rev, repeat(c_mktsegment, 2) AS rep2,
+               lpad(c_mktsegment, 12, '*') AS lp,
+               rpad(c_mktsegment, 4, 'xy') AS rp,
+               ltrim(concat(' ', c_name)) AS lt, rtrim(concat(c_name, ' ')) AS rt
+        FROM customer WHERE c_custkey <= 40
+    """,
+    "math_functions": """
+        SELECT o_orderkey,
+               floor(o_totalprice) AS fl, ceil(o_totalprice) AS ce,
+               round(sqrt(o_totalprice), 6) AS sq,
+               round(ln(o_totalprice), 6) AS lnp,
+               round(log(o_totalprice), 6) AS lg10,
+               round(log2(o_totalprice), 6) AS lg2,
+               round(exp(o_totalprice / 100000), 6) AS ex,
+               round(pow(o_totalprice, 0.25), 6) AS pw,
+               sign(o_totalprice - 100000) AS sg
+        FROM orders WHERE o_orderkey <= 400
+    """,
     "setops_chain": """
         (SELECT c_mktsegment AS seg FROM customer WHERE c_custkey <= 75
          INTERSECT
