@@ -90,7 +90,8 @@ def build_idf_ref_local(pages_table, cfg: ERConfig = DEFAULT_CONFIG):
 
 
 def matched_edges(
-    pages, cfg: ERConfig = DEFAULT_CONFIG, idf_ref=None, pair_filter=None
+    pages, cfg: ERConfig = DEFAULT_CONFIG, idf_ref=None, pair_filter=None,
+    records_factory=None,
 ):
     """pages → scored matched edges (url_a, url_b, …, score), streaming,
     exactly one row per pair.
@@ -102,8 +103,12 @@ def matched_edges(
     Dedup happens on the SLIM gated stream instead (stage 1 → 150 B/row
     survivors → one light shuffle), so the expensive string DP kernels
     in stage 2 run once per unique pair (see `stages/scoring.py`)."""
-    extracted = extract_stage(pages)
-    records = normalize_stage(extracted, cfg)
+    if records_factory is not None:
+        # pre-normalized records (e.g. a feature checkpoint union'd with
+        # a normalized delta) — skip extract/normalize entirely
+        records = records_factory()
+    else:
+        records = normalize_stage(extract_stage(pages), cfg)
     if cfg.feature_attach in ("auto", "broadcast"):
         plan = _broadcast_feature_plan(records, cfg, idf_ref, pair_filter)
         if plan is not None:
@@ -113,7 +118,12 @@ def matched_edges(
                 "feature_attach='broadcast' but the corpus exceeds "
                 "broadcast_features_limit; use 'payload' or 'auto'"
             )
-        records = normalize_stage(extract_stage(pages), cfg)  # fresh plan
+        # fresh plan (the aborted broadcast pass consumed the stream)
+        records = (
+            records_factory()
+            if records_factory is not None
+            else normalize_stage(extract_stage(pages), cfg)
+        )
     exploded = band_emit_stage(records, cfg)
     pairs = pair_gen_stage(exploded, cfg)
     if pair_filter is not None:
@@ -387,6 +397,7 @@ def resolve_entities_incremental(
     cfg: ERConfig = DEFAULT_CONFIG,
     idf_ref=None,
     slim_factory=None,
+    records_factory=None,
 ):
     """Fold a DELTA into an existing resolution without re-scoring
     old↔old pairs — the quadratic part of the workload when
@@ -433,15 +444,27 @@ def resolve_entities_incremental(
         return pairs.map_batches(_f, batch_format="pyarrow")
 
     if idf_ref is None:
+        if pages_factory is None:
+            raise ValueError(
+                "records_factory-only runs must pass a FROZEN idf_ref "
+                "(the IDF table is sampled from raw page text, which "
+                "pre-normalized records no longer carry)"
+            )
         idf_ref = build_idf_ref(pages_factory(), cfg)
-    slim = (
-        slim_factory()
-        if slim_factory is not None
-        else pages_factory().select_columns(["url", "source", "lang"])
-    )
+    if slim_factory is not None:
+        slim = slim_factory()
+    elif records_factory is not None:
+        # normalize keeps (url, source, lang) — no raw pages needed
+        slim = records_factory().select_columns(["url", "source", "lang"])
+    else:
+        slim = pages_factory().select_columns(["url", "source", "lang"])
     from ..stages.clustering import LocalUnionFind, collect_edges_local
 
-    plan = matched_edges(pages_factory(), cfg, idf_ref, pair_filter=_pair_filter)
+    plan = matched_edges(
+        pages_factory() if records_factory is None else None,
+        cfg, idf_ref, pair_filter=_pair_filter,
+        records_factory=records_factory,
+    )
     out = collect_edges_local(plan, cfg.local_cc_max_edges)
     if out is None:
         raise ValueError(
@@ -479,3 +502,48 @@ def resolve_entities_incremental(
 
     assignment = _attach_broadcast(slim, label_map, conf_map)
     return assignment, ray.data.from_pandas(edges_df)
+
+
+def checkpoint_features(
+    pages_factory,
+    checkpoint_dir: str,
+    input_fingerprint: str,
+    cfg: ERConfig = DEFAULT_CONFIG,
+):
+    """Persist the normalized per-record feature table (extract +
+    normalize output: url, source, lang, domain, slug, n_tokens,
+    shingle/bigram/token-hash sets, MinHash signatures) as a resumable
+    Parquet stage; returns a zero-arg ``records_factory`` re-reading it.
+
+    The delta workflow's biggest saving at corpus scale: a later
+    `resolve_entities_incremental(records_factory=delta_records_factory(
+    this, new_pages))` run unions this checkpoint with the normalized
+    DELTA and skips extract/normalize for every old record — the stage
+    that dominates wall time at 10^12 pages (the reference instead
+    re-runs its whole integration workflow per update,
+    `lib/data-integration-workflow.ts`).  Same-fingerprint calls resume
+    from the manifest without recomputing."""
+    import os
+
+    from ..state.checkpoint import run_stage
+
+    run_stage(
+        "features", checkpoint_dir, input_fingerprint,
+        lambda: normalize_stage(extract_stage(pages_factory()), cfg),
+    )
+    data_dir = os.path.join(checkpoint_dir, "features", "data")
+    return lambda: ray.data.read_parquet(data_dir)
+
+
+def delta_records_factory(
+    features_factory, new_pages_factory, cfg: ERConfig = DEFAULT_CONFIG
+):
+    """``records_factory`` = old feature checkpoint ∪ normalize(delta):
+    only the delta's pages pay extraction/normalization."""
+
+    def _factory():
+        old = features_factory()
+        new = normalize_stage(extract_stage(new_pages_factory()), cfg)
+        return old.union(new)
+
+    return _factory

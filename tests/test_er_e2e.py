@@ -109,7 +109,7 @@ def test_incremental_resolution_matches_full(sf_dir):
 
         return pages_dataset(sf_dir).map_batches(_f, batch_format="pyarrow")
 
-    idf = build_idf_ref(combined())  # frozen across all three runs
+    idf = build_idf_ref(combined())  # frozen across all runs
     prev, _ = resolve_entities(old_only, idf_ref=idf)
     inc, _ = resolve_entities_incremental(
         combined, prev.to_pandas(), new_set, idf_ref=idf
@@ -119,3 +119,38 @@ def test_incremental_resolution_matches_full(sf_dir):
     a = inc.to_pandas().sort_values("RecordId").reset_index(drop=True)
     b = full.to_pandas().sort_values("RecordId").reset_index(drop=True)
     pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+    # feature-checkpoint variant: old records come back from Parquet,
+    # only the delta pays extract/normalize — still bit-equal to full
+    import tempfile
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.pipelines.entity_resolution import (
+        checkpoint_features,
+        delta_records_factory,
+    )
+
+    def new_only():
+        import pyarrow.compute as pc
+
+        arr = __import__("pyarrow").array(sorted(new_set))
+
+        def _f(batch):
+            return batch.filter(pc.is_in(batch["url"], value_set=arr))
+
+        return pages_dataset(sf_dir).map_batches(_f, batch_format="pyarrow")
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        feats = checkpoint_features(old_only, ckpt, "fp-old-corpus")
+        rf = delta_records_factory(feats, new_only)
+        inc2, _ = resolve_entities_incremental(
+            None, prev.to_pandas(), new_set, idf_ref=idf, records_factory=rf
+        )
+        c = inc2.to_pandas().sort_values("RecordId").reset_index(drop=True)
+        pd.testing.assert_frame_equal(c[sorted(c.columns)], b[sorted(b.columns)])
+        # same fingerprint: second call resumes from the manifest
+        import os
+
+        manifest = os.path.join(ckpt, "features", "manifest.json")
+        mtime = os.path.getmtime(manifest)
+        checkpoint_features(old_only, ckpt, "fp-old-corpus")
+        assert os.path.getmtime(manifest) == mtime
