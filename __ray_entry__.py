@@ -926,6 +926,19 @@ def _q_doc_quality(sf_dir: str):
     )
 
 
+def _q_decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination (GPT-3 App. C shape): flag documents
+    whose token 5-grams overlap a broadcast eval set — here the
+    deterministic `doc_id % 10 = 7` slice of the same corpus, so the
+    planted positives are exactly that slice (plus any exact dups)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda b: b[b["doc_id"] % 10 == 7], batch_format="pandas"
+    )
+    ref = textops.benchmark_ngram_ref(bench, n=5)
+    return textops.decontaminate_stage(docs, ref, n=5, min_hits=1)
+
+
 # ---------------------------------------------------------------------------
 # SQL façade demos (SURVEY "What's missing" #1: the text2sql execution
 # half — parse with DuckDB's json_serialize_sql, compile onto the Ray
@@ -1542,6 +1555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_top10": _q_knn_ivf_top10,
         "langid_docs": _q_langid_docs,
         "doc_quality": _q_doc_quality,
+        "decontaminate_docs": _q_decontaminate_docs,
         "curated_corpus": _q_curated_corpus,
         # SQL façade (text2sql execution half)
         "sql_demo_agg": _q_sql_demo_agg,
@@ -1616,6 +1630,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "langid_docs": _sql_langid(),
         "doc_quality": _sql_doc_quality(),
+        # decontaminate_stage re-derived: token 5-grams, the same
+        # md5-60bit hash construction, benchmark = doc_id % 10 = 7
+        "decontaminate_docs": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     list_distinct(
+                       [('0x' || left(md5(array_to_string(t[i:i+4], ' ')), 15))::BIGINT
+                        FOR i IN range(1, len(t) - 3)]) AS g
+              FROM toks
+            ), bench AS (
+              SELECT list_distinct(flatten(list(g))) AS bg
+              FROM grams WHERE doc_id % 10 = 7
+            )
+            SELECT d.doc_id, len(d.g) AS ngrams,
+                   len(list_intersect(d.g, b.bg)) AS hits,
+                   len(list_intersect(d.g, b.bg)) >= 1 AS contaminated
+            FROM grams d, bench b
+        """,
         "curated_corpus": _sql_curated_corpus(),
         "sql_demo_agg": SQL_DEMO_AGG,
         "sql_demo_union": SQL_DEMO_UNION,

@@ -325,6 +325,94 @@ def token_freq_topk(
     return counts.sort(["cnt", "token"], descending=[True, False]).limit(k)
 
 
+# ---------------------------------------------------------------------------
+# benchmark decontamination (train-vs-eval n-gram overlap)
+# ---------------------------------------------------------------------------
+
+def _ngram_hashes_md5(text: str, n: int) -> np.ndarray:
+    """Distinct token n-gram hashes of one document: top-60-bit md5 of
+    the space-joined lowercased token window — the same SQL-reproducible
+    construction as the KMV sketch / corpus-mix sampler
+    (``('0x' || left(md5(g), 15))::BIGINT`` in DuckDB)."""
+    toks = TOKEN_RE.findall(text.lower())
+    if len(toks) < n:
+        return np.empty(0, np.int64)
+    grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    return np.fromiter(
+        (
+            int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+            for g in grams
+        ),
+        np.int64,
+        len(grams),
+    )
+
+
+def benchmark_ngram_ref(
+    bench: "ray.data.Dataset", text_col: str = "text", n: int = 5
+):
+    """Collect a benchmark/eval set's distinct token-n-gram hash set and
+    broadcast it once (``ray.put``).
+
+    The eval side of a decontamination pass is small by definition (the
+    GPT-3 appendix-C setup: 13-gram overlap of the TRAINING corpus
+    against fixed eval sets), so it is driver-collected and every
+    scoring task reads the plasma copy — the 100-TB training side never
+    shuffles.  8 bytes/n-gram: a million-gram eval suite broadcasts as
+    ~8 MB."""
+    parts = []
+    for b in bench.select_columns([text_col]).iter_batches(
+        batch_size=None, batch_format="pandas"
+    ):
+        for t in b[text_col]:
+            parts.append(_ngram_hashes_md5(t, n))
+    allh = (
+        np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+    )
+    return ray.put(allh)  # sorted (np.unique) for searchsorted probes
+
+
+def decontaminate_stage(
+    docs: "ray.data.Dataset",
+    bench_ref,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_hits: int = 1,
+) -> "ray.data.Dataset":
+    """Per-document benchmark-overlap census: (id, ngrams, hits,
+    contaminated) where ``hits`` counts the doc's distinct token
+    n-grams present in the broadcast benchmark set and ``contaminated``
+    flags ``hits >= min_hits``.
+
+    Stateless map (broadcast lookup → TASK stage, not an actor pool);
+    the sorted-array probe is one ``searchsorted`` per doc."""
+
+    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+        bench = ray.get(bench_ref)
+        n_grams = np.empty(len(batch), np.int64)
+        hits = np.empty(len(batch), np.int64)
+        for i, t in enumerate(batch[text_col].to_numpy()):
+            h = _ngram_hashes_md5(t, n)
+            n_grams[i] = len(h)
+            if len(bench) and len(h):
+                idx = np.searchsorted(bench, h)
+                idx[idx == len(bench)] = len(bench) - 1
+                hits[i] = int(np.sum(bench[idx] == h))
+            else:
+                hits[i] = 0
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(),
+                "ngrams": n_grams,
+                "hits": hits,
+                "contaminated": hits >= min_hits,
+            }
+        )
+
+    return docs.map_batches(_fn, batch_format="pandas")
+
+
 __all__ = [
     "predict_lang",
     "token_count_stage",
@@ -336,4 +424,6 @@ __all__ = [
     "pii_scrub_stage",
     "PII_PATTERNS",
     "token_freq_topk",
+    "benchmark_ngram_ref",
+    "decontaminate_stage",
 ]

@@ -111,3 +111,37 @@ def test_pii_scrub_stage():
     assert out.loc[2, "n_ips"] == 1
     assert out.loc[3, "clean_text"] == "nothing personal here"
     assert int(out.loc[3, ["n_emails", "n_phones", "n_ips"]].sum()) == 0
+
+
+def test_decontaminate_stage_planted(ray_session):
+    """A doc sharing a 5-gram window with the benchmark is flagged; a
+    disjoint doc is not; the benchmark doc flags itself."""
+    import ray.data
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.text import (
+        benchmark_ngram_ref,
+        decontaminate_stage,
+    )
+
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 0, "text": bench_text},  # the benchmark doc itself
+            # shares the window "quick brown fox jumps over"
+            {"doc_id": 1, "text": "she saw a quick brown fox jumps over there"},
+            {"doc_id": 2, "text": "completely unrelated words in this one here"},
+            {"doc_id": 3, "text": "too short"},  # < n tokens: 0 grams
+        ]
+    )
+    bench = docs.filter(lambda r: r["doc_id"] == 0)
+    ref = benchmark_ngram_ref(bench, n=5)
+    out = (
+        decontaminate_stage(docs, ref, n=5, min_hits=1)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert bool(out.loc[0, "contaminated"]) and out.loc[0, "hits"] == out.loc[0, "ngrams"]
+    assert bool(out.loc[1, "contaminated"]) and out.loc[1, "hits"] >= 1
+    assert not bool(out.loc[2, "contaminated"]) and out.loc[2, "hits"] == 0
+    assert out.loc[3, "ngrams"] == 0 and not bool(out.loc[3, "contaminated"])
