@@ -1050,7 +1050,13 @@ def _compile_select_node(node: dict, catalog: Catalog, auto_names: bool = False)
             ds = _window_op(ds, list(parts), list(orders), specs)
 
     if group_exprs or has_agg:
-        ds = _compile_aggregate(node, ds, select_list, group_exprs, auto_names)
+        group_sets = node.get("group_sets") or []
+        if len(group_sets) > 1:
+            ds = _compile_grouping_sets(
+                node, ds, select_list, group_exprs, group_sets, auto_names
+            )
+        else:
+            ds = _compile_aggregate(node, ds, select_list, group_exprs, auto_names)
     else:
         if len(select_list) == 1 and select_list[0].get("class") == "STAR":
             pass  # SELECT *
@@ -1118,6 +1124,64 @@ def _compile_select_node(node: dict, catalog: Catalog, auto_names: bool = False)
         else:
             raise SqlUnsupported(f"modifier {mod['type']}")
     return ds
+
+
+def _compile_grouping_sets(
+    node, ds, select_list, group_exprs, group_sets, auto_names=False
+):
+    """GROUP BY ROLLUP / CUBE / GROUPING SETS: DuckDB's parser lowers
+    all three to ``group_sets`` (index lists into group_expressions);
+    compile ONE combiner aggregate per set over a materialized input,
+    splice rolled-up dimension columns back in as NULLs, and UNION ALL
+    the per-set frames — each set is its own partial-agg shuffle over
+    already-pruned columns, so k sets cost k light exchanges, never k
+    scans of storage.  Multi-set restrictions (compile-time rejected):
+    group keys and the select items referencing them must be plain
+    column refs; GROUPING() is unsupported."""
+    for g in group_exprs:
+        if g.get("class") != "COLUMN_REF":
+            raise SqlUnsupported(
+                "grouping sets require plain column-ref group keys"
+            )
+    gcols = [g["column_names"][-1] for g in group_exprs]
+    ds = ds.materialize()  # consumed once per grouping set
+    names = [_output_name(it, i, auto_names) for i, it in enumerate(select_list)]
+    parts = []
+    for s in group_sets:
+        keep = {gcols[i] for i in s}
+        sub_select = []
+        for name, it in zip(names, select_list):
+            if _contains_aggregate(it):
+                sub_select.append(it)
+            elif it.get("class") == "COLUMN_REF":
+                col = it["column_names"][-1]
+                if col not in gcols:
+                    raise SqlUnsupported(
+                        f"grouping-set select item {col!r} is not a group key"
+                    )
+                if col in keep:
+                    sub_select.append(it)
+                else:  # rolled up in this set: NULL dimension
+                    sub_select.append(
+                        {
+                            "class": "_PYCONST",
+                            "type": "_PYCONST",
+                            "py_value": None,
+                            "alias": name,
+                        }
+                    )
+            else:
+                raise SqlUnsupported(
+                    "grouping-set select items must be column refs or aggregates"
+                )
+        sub_group = [group_exprs[i] for i in s]
+        parts.append(
+            _compile_aggregate(node, ds, sub_select, sub_group, auto_names)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
 
 
 def _compile_aggregate(node, ds, select_list, group_exprs, auto_names=False):

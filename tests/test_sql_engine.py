@@ -262,6 +262,21 @@ CASES = {
                    GROUP BY o_custkey) b
         ON a.c_custkey = b.o_custkey
     """,
+    "rollup": """
+        SELECT l_returnflag AS flag, l_linestatus AS status,
+               count(*) AS n, round(sum(l_quantity), 2) AS qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "cube_with_having": """
+        SELECT l_returnflag AS flag, l_linestatus AS status, count(*) AS n
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        HAVING count(*) >= 100
+    """,
+    "grouping_sets": """
+        SELECT l_returnflag AS flag, l_linestatus AS status, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
     "window_rolling_cum": """
         SELECT o_custkey, o_orderkey,
                round(sum(o_totalprice)
