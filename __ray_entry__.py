@@ -534,6 +534,25 @@ def _q_doc_mix_sample(sf_dir: str):
     )
 
 
+def _q_chunk_docs(sf_dir: str):
+    """Training-example chunking: sliding 32-token windows, stride 24
+    (HF `return_overflowing_tokens` shape) — stateless map, no shuffle."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import packing
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return packing.chunk_docs(docs, window=32, stride=24)
+
+
+def _q_pack_sequences(sf_dir: str):
+    """Sequence packing: next-fit into 256-token training sequences
+    within md5-hash partitions — one slim (id, n_tokens) shuffle."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import packing
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    counts = textops.token_count_stage(docs).drop_columns(["n_bpe_tokens"])
+    return packing.pack_sequences(counts, budget=256, partitions=16)
+
+
 def _q_token_freq_top50(sf_dir: str):
     """Corpus vocabulary census: top-50 tokens by (count desc, token
     asc) — partial-count combiner, tiny final sort."""
@@ -1531,6 +1550,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dup_stats": _q_span_dup_stats,
         "doc_repetition": _q_doc_repetition,
         "pii_scrub": _q_pii_scrub,
+        "chunk_docs": _q_chunk_docs,
+        "pack_sequences": _q_pack_sequences,
         "token_freq_top50": _q_token_freq_top50,
         "domain_stats": _q_domain_stats,
         "doc_mix_sample": _q_doc_mix_sample,
@@ -1575,6 +1596,25 @@ def _kmv_oracle() -> str:
     )
 
     return kmv_oracle_sql("lineitem", "l_partkey", "l_returnflag", 128)
+
+
+_WS_TOKENS_SQL = "len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))"
+
+
+def _chunk_oracle() -> str:
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.packing import (
+        chunk_oracle_sql,
+    )
+
+    return chunk_oracle_sql("documents", window=32, stride=24)
+
+
+def _pack_oracle() -> str:
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.packing import (
+        pack_oracle_sql,
+    )
+
+    return pack_oracle_sql("documents", budget=256, partitions=16, tokens_sql=_WS_TOKENS_SQL)
 
 
 def _quantile_oracle_sql(table: str, col: str, qs: list) -> str:
@@ -1917,6 +1957,8 @@ def oracle_sql() -> dict[str, str]:
                                     WHEN 'de' THEN 0.25 ELSE 0.1 END)
                          * 1152921504606846976 AS BIGINT)
         """,
+        "chunk_docs": _chunk_oracle(),
+        "pack_sequences": _pack_oracle(),
         "token_freq_top50": """
             SELECT token, CAST(count(*) AS BIGINT) AS cnt
             FROM (SELECT unnest(string_split(text, ' ')) AS token

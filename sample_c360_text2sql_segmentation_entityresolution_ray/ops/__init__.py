@@ -7,6 +7,7 @@ from . import (  # noqa: F401
     format,
     io,
     multimodal,
+    packing,
     profile,
     relational,
     sampling,
