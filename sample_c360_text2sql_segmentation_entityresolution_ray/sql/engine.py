@@ -169,6 +169,34 @@ _SCALARS: dict[str, Callable] = {
     "from_unixtime": lambda s: pd.to_datetime(s, unit="s"),
     "~~": lambda a, pat: a.str.fullmatch(_like_regex(pat)).fillna(False),
     "!~~": lambda a, pat: ~a.str.fullmatch(_like_regex(pat)).fillna(False),
+    # ILIKE family (DuckDB serializes ILIKE as ~~*)
+    "~~*": lambda a, pat: a.str.fullmatch(_like_regex(pat), case=False).fillna(False),
+    "!~~*": lambda a, pat: ~a.str.fullmatch(_like_regex(pat), case=False).fillna(False),
+    "like_escape": lambda a, pat, esc: a.str.fullmatch(
+        _like_regex(pat, esc)
+    ).fillna(False),
+    "not_like_escape": lambda a, pat, esc: ~a.str.fullmatch(
+        _like_regex(pat, esc)
+    ).fillna(False),
+    # variadic comparison family (DuckDB ignores NULL arguments)
+    "greatest": lambda *xs: _greatest_least(xs, "max"),
+    "least": lambda *xs: _greatest_least(xs, "min"),
+    "concat_ws": lambda sep, *xs: _concat_ws(sep, xs),
+    # extract(part FROM ts) serializes as date_part(part, ts)
+    "date_part": lambda part, ts: _date_part(part, ts),
+    "datepart": lambda part, ts: _date_part(part, ts),
+    # DuckDB //: truncating division on integers, plain / on doubles
+    "//": lambda a, b: _int_div(a, b),
+    # INTERVAL arithmetic: `d + INTERVAL 30 DAY` serializes as
+    # +(d, to_days(30)); timedelta units vectorize as Series + offset
+    "to_days": lambda n: _to_td(n, "D"),
+    "to_hours": lambda n: _to_td(n, "h"),
+    "to_minutes": lambda n: _to_td(n, "m"),
+    "to_seconds": lambda n: _to_td(n, "s"),
+    "to_milliseconds": lambda n: _to_td(n, "ms"),
+    "to_weeks": lambda n: _to_td(n, "W"),
+    "to_months": lambda n: pd.DateOffset(months=int(n)),
+    "to_years": lambda n: pd.DateOffset(years=int(n)),
     "coalesce": lambda *xs: _coalesce(*xs),
     # mask(..., None) keeps object columns None-valued (NaN in an
     # object column stringifies differently from DuckDB's None)
@@ -218,6 +246,7 @@ _SCALARS: dict[str, Callable] = {
     "power": lambda a, b: np.power(a, b),
     # DuckDB sign returns an integer -1/0/1 regardless of input type
     "sign": lambda a: np.sign(a).astype("int64"),
+    "trunc": lambda a: np.trunc(a),
 }
 
 
@@ -304,19 +333,113 @@ def _substr(s, start, n=None):
     return s.str.slice(b, None if n is None else b + int(n))
 
 
-def _like_regex(pattern: str) -> str:
-    """SQL LIKE → anchored regex (% → .*, _ → .)."""
+def _like_regex(pattern: str, escape: str | None = None) -> str:
+    """SQL LIKE → anchored regex (% → .*, _ → .); ``escape`` makes the
+    following char literal (LIKE ... ESCAPE)."""
     import re as _re
 
     out = []
-    for ch in pattern:
-        if ch == "%":
+    it = iter(pattern)
+    for ch in it:
+        if escape and ch == escape:
+            nxt = next(it, "")
+            out.append(_re.escape(nxt))
+        elif ch == "%":
             out.append(".*")
         elif ch == "_":
             out.append(".")
         else:
             out.append(_re.escape(ch))
     return "".join(out)
+
+
+def _to_td(n, unit: str):
+    """INTERVAL count → timedelta; vectorizes when the count is a column."""
+    if isinstance(n, pd.Series):
+        return pd.to_timedelta(n, unit=unit)
+    return pd.to_timedelta(int(n), unit=unit)
+
+
+def _greatest_least(xs, mode: str):
+    """Elementwise variadic max/min, NULL args ignored (DuckDB); NULL
+    only when every argument is NULL."""
+    ser = next((x for x in xs if isinstance(x, pd.Series)), None)
+    if ser is None:
+        vals = [x for x in xs if x is not None]
+        if not vals:
+            return None
+        return max(vals) if mode == "max" else min(vals)
+    frame = pd.concat(
+        [
+            x if isinstance(x, pd.Series) else pd.Series([x] * len(ser), index=ser.index)
+            for x in xs
+        ],
+        axis=1,
+    )
+    return frame.max(axis=1) if mode == "max" else frame.min(axis=1)
+
+
+def _concat_ws(sep, xs):
+    """DuckDB concat_ws: join non-NULL args with ``sep`` (NULLs skipped,
+    not empty-stringed)."""
+    sep = sep if isinstance(sep, str) else str(sep)
+    ser = next((x for x in xs if isinstance(x, pd.Series)), None)
+    if ser is None:
+        return sep.join(str(x) for x in xs if x is not None)
+    idx = ser.index
+    out = pd.Series([""] * len(ser), index=idx)
+    has = pd.Series(False, index=idx)
+    for x in xs:
+        c = x if isinstance(x, pd.Series) else pd.Series([x] * len(ser), index=idx)
+        valid = c.notna()
+        s = c.astype(str)
+        out = pd.Series(
+            np.where(has & valid, out + sep + s, np.where(valid, s, out)), index=idx
+        )
+        has = has | valid
+    return out
+
+
+def _date_part(part, ts: pd.Series) -> pd.Series:
+    """DuckDB date_part/extract — integer parts; dow is Sunday=0,
+    week is ISO; epoch is a double."""
+    p = str(part).lower()
+    simple = {
+        "year": "year", "month": "month", "day": "day",
+        "hour": "hour", "minute": "minute", "second": "second",
+        "doy": "dayofyear", "dayofyear": "dayofyear", "quarter": "quarter",
+    }
+    if p in simple:
+        return getattr(ts.dt, simple[p]).astype("int64")
+    if p in ("dow", "dayofweek"):
+        return ((ts.dt.dayofweek + 1) % 7).astype("int64")
+    if p in ("isodow",):
+        return (ts.dt.dayofweek + 1).astype("int64")
+    if p in ("week", "weekofyear"):
+        return ts.dt.isocalendar().week.astype("int64")
+    if p == "epoch":
+        return ts.astype("datetime64[ns]").astype("int64") / 1e9
+    raise SqlUnsupported(f"date_part {p!r}")
+
+
+def _int_div(a, b):
+    """DuckDB //: integer inputs divide truncating toward zero;
+    non-integer inputs behave as plain division (measured semantics)."""
+
+    def _is_int(x):
+        if isinstance(x, pd.Series):
+            return x.dtype.kind in "iu"
+        return isinstance(x, (int, np.integer)) and not isinstance(x, bool)
+
+    if _is_int(a) and _is_int(b):
+        r = np.trunc(
+            np.asarray(a, dtype=np.float64) / np.asarray(b, dtype=np.float64)
+        )
+        ser = a if isinstance(a, pd.Series) else (b if isinstance(b, pd.Series) else None)
+        if ser is None:
+            return int(r)
+        return pd.Series(r.astype(np.int64), index=ser.index)
+    return a / b
 
 _COMPARES = {
     "COMPARE_EQUAL": lambda a, b: a == b,
@@ -1018,9 +1141,109 @@ def _compile_select_node(node: dict, catalog: Catalog, auto_names: bool = False)
 
     select_list = node["select_list"]
     group_exprs = node.get("group_expressions", [])
+
+    # SQL name scoping: GROUP BY / HAVING / ORDER BY may reference select
+    # ALIASES (and GROUP BY/ORDER BY 1-based ordinals).  Aliases resolve
+    # to their expressions here, at compile time — an input column of the
+    # same name wins, per SQL.  Without this the alias name would reach a
+    # worker as a missing-column KeyError.
+    import copy as _copy
+
+    alias_map = {
+        it["alias"]: it
+        for it in select_list
+        if it.get("alias") and not _contains_window(it)
+    }
+    input_cols = plan.columns
+
+    def _sub_aliases(e):
+        if isinstance(e, dict):
+            if e.get("class") == "COLUMN_REF":
+                nm = e["column_names"][-1]
+                if (
+                    len(e["column_names"]) == 1
+                    and nm not in input_cols
+                    and nm in alias_map
+                ):
+                    return _copy.deepcopy(alias_map[nm])
+                return e
+            return {
+                k: (v if k in ("location", "query_location") else _sub_aliases(v))
+                for k, v in e.items()
+            }
+        if isinstance(e, list):
+            return [_sub_aliases(x) for x in e]
+        return e
+
+    if group_exprs:
+        resolved_groups = []
+        for g in group_exprs:
+            if g.get("class") == "CONSTANT":
+                v = _const_value(g)
+                if not isinstance(v, (int, np.integer)) or not (
+                    1 <= v <= len(select_list)
+                ):
+                    raise SqlUnsupported("GROUP BY ordinal out of range")
+                g = select_list[int(v) - 1]
+            else:
+                g = _sub_aliases(g)
+            if (
+                g.get("class") == "STAR"
+                or _contains_aggregate(g)
+                or _contains_window(g)
+            ):
+                raise SqlUnsupported("GROUP BY target must be a plain expression")
+            resolved_groups.append(g)
+        group_exprs = resolved_groups
+    if node.get("having"):
+        node["having"] = _sub_aliases(node["having"])
+
     has_agg = any(_contains_aggregate(x) for x in select_list) or bool(
         node.get("having")
     )
+
+    # ORDER BY resolution: each order item becomes (col, desc, nulls_first)
+    # where col is an output column (direct ref or 1-based ordinal) or a
+    # hidden `_ord{i}` column computed from the item's EXPRESSION over the
+    # pre-projection scope (SQL's ORDER BY sees input columns, so
+    # `SELECT a FROM t ORDER BY b * 2` must evaluate b before projection
+    # drops it).  Aggregate expressions (ORDER BY count(*)) ride the same
+    # hidden-column path through the aggregate frame.
+    order_mod = next(
+        (m for m in node.get("modifiers", []) if m["type"] == "ORDER_MODIFIER"),
+        None,
+    )
+    order_keys: list[tuple[str, bool, bool]] = []
+    hidden_orders: list[tuple[str, dict]] = []
+    if order_mod is not None:
+        out_names = _static_names(node, auto_names)
+        for i, o in enumerate(order_mod["orders"]):
+            e = o["expression"]
+            desc = o["type"] == "DESCENDING"
+            nfirst = o.get("null_order") == "NULLS_FIRST"
+            col = None
+            if e.get("class") == "CONSTANT":
+                v = _const_value(e)
+                if (
+                    not isinstance(v, (int, np.integer))
+                    or out_names is None
+                    or not (1 <= v <= len(out_names))
+                ):
+                    raise SqlUnsupported("ORDER BY ordinal out of range")
+                col = out_names[int(v) - 1]
+            elif e.get("class") == "COLUMN_REF":
+                nm = e["column_names"][-1]
+                if out_names is None or nm in out_names:
+                    col = nm
+            if col is None:
+                col = f"_ord{i}"
+                hidden_orders.append((col, _sub_aliases(e)))
+            order_keys.append((col, desc, nfirst))
+    if hidden_orders and any(
+        m["type"] == "DISTINCT_MODIFIER" for m in node.get("modifiers", [])
+    ):
+        # SQL itself requires DISTINCT's ORDER BY exprs in the select list
+        raise SqlUnsupported("SELECT DISTINCT with ORDER BY expression")
 
     # window functions: anywhere in a select expression (the computed
     # column is spliced back in via ``win_cols``); never in
@@ -1052,14 +1275,29 @@ def _compile_select_node(node: dict, catalog: Catalog, auto_names: bool = False)
     if group_exprs or has_agg:
         group_sets = node.get("group_sets") or []
         if len(group_sets) > 1:
+            if hidden_orders:
+                raise SqlUnsupported("ORDER BY expression over GROUPING SETS")
             ds = _compile_grouping_sets(
                 node, ds, select_list, group_exprs, group_sets, auto_names
             )
         else:
-            ds = _compile_aggregate(node, ds, select_list, group_exprs, auto_names)
+            ds = _compile_aggregate(
+                node, ds, select_list, group_exprs, auto_names, hidden_orders
+            )
     else:
         if len(select_list) == 1 and select_list[0].get("class") == "STAR":
-            pass  # SELECT *
+            if hidden_orders:  # SELECT *: append the order columns only
+
+                def _aug(df: pd.DataFrame) -> pd.DataFrame:
+                    df = df.copy()
+                    for hname, he in hidden_orders:
+                        v = eval_expr(he, df, win_cols=win_cols or None)
+                        df[hname] = (
+                            v if isinstance(v, pd.Series) else pd.Series([v] * len(df), index=df.index)
+                        )
+                    return df
+
+                ds = ds.map_batches(_aug, batch_format="pandas")
         else:
             names = [_output_name(it, i, auto_names) for i, it in enumerate(select_list)]
 
@@ -1070,6 +1308,12 @@ def _compile_select_node(node: dict, catalog: Catalog, auto_names: bool = False)
                     if not isinstance(v, pd.Series):
                         v = pd.Series([v] * len(df), index=df.index)
                     out[name] = v
+                # hidden ORDER BY expressions see the input scope
+                for hname, he in hidden_orders:
+                    v = eval_expr(he, df, win_cols=win_cols or None)
+                    out[hname] = (
+                        v if isinstance(v, pd.Series) else pd.Series([v] * len(df), index=df.index)
+                    )
                 return pd.DataFrame(out)
 
             ds = ds.map_batches(_proj, batch_format="pandas")
@@ -1078,13 +1322,29 @@ def _compile_select_node(node: dict, catalog: Catalog, auto_names: bool = False)
     skip_next_limit = False
     for mi, mod in enumerate(mods):
         if mod["type"] == "ORDER_MODIFIER":
+            # NULLS FIRST deviates from the shared default (Ray sort,
+            # the fused top-k, and DuckDB all place NULLs last): a
+            # hidden is-null indicator sorted descending ahead of its
+            # key implements it on both sort paths
+            ind_cols: list[tuple[str, str]] = []
             keys, desc = [], []
-            for o in mod["orders"]:
-                e = o["expression"]
-                if e.get("class") != "COLUMN_REF":
-                    raise SqlUnsupported("ORDER BY must reference output columns")
-                keys.append(e["column_names"][-1])
-                desc.append(o["type"] == "DESCENDING")
+            for k, d, nfirst in order_keys:
+                if nfirst:
+                    ind = f"_isnull_{k}"
+                    ind_cols.append((ind, k))
+                    keys.append(ind)
+                    desc.append(True)
+                keys.append(k)
+                desc.append(d)
+            if ind_cols:
+
+                def _ind(df: pd.DataFrame, ind_cols=ind_cols) -> pd.DataFrame:
+                    df = df.copy()
+                    for ind, c in ind_cols:
+                        df[ind] = df[c].isna().astype("int8")
+                    return df
+
+                ds = ds.map_batches(_ind, batch_format="pandas")
             # ORDER BY immediately followed by a small LIMIT [OFFSET]
             # fuses into the shuffle-free partial top-k (per-block head
             # + bounded driver combine) instead of a full sort; OFFSET
@@ -1105,6 +1365,13 @@ def _compile_select_node(node: dict, catalog: Catalog, auto_names: bool = False)
                 skip_next_limit = True
             else:
                 ds = ds.sort(keys, descending=desc)
+            helper = [i for i, _c in ind_cols] + [h for h, _e in hidden_orders]
+            if helper:
+
+                def _droph(df: pd.DataFrame, helper=helper) -> pd.DataFrame:
+                    return df.drop(columns=[c for c in helper if c in df.columns])
+
+                ds = ds.map_batches(_droph, batch_format="pandas")
         elif mod["type"] == "LIMIT_MODIFIER":
             if skip_next_limit:
                 skip_next_limit = False
@@ -1184,10 +1451,14 @@ def _compile_grouping_sets(
     return out
 
 
-def _compile_aggregate(node, ds, select_list, group_exprs, auto_names=False):
+def _compile_aggregate(
+    node, ds, select_list, group_exprs, auto_names=False, hidden_orders=()
+):
     """GROUP BY path: one pre-stage computes key + aggregate-input
     columns vectorized, one partial-aggregating groupby shuffle, then
-    HAVING + the final projection over the aggregated frame."""
+    HAVING + the final projection over the aggregated frame.
+    ``hidden_orders``: (name, expr) ORDER BY expressions appended as
+    extra output columns (dropped after the sort)."""
     key_names = [f"_g{i}" for i in range(len(group_exprs))]
     key_structs = {_struct_key(g): kn for g, kn in zip(group_exprs, key_names)}
 
@@ -1208,6 +1479,8 @@ def _compile_aggregate(node, ds, select_list, group_exprs, auto_names=False):
     walk(select_list)
     if node.get("having"):
         walk(node["having"])
+    for _hname, he in hidden_orders:
+        walk(he)
 
     agg_cols = {k: f"_a{i}" for i, k in enumerate(agg_nodes)}
     aggs = []
@@ -1391,6 +1664,30 @@ def _compile_aggregate(node, ds, select_list, group_exprs, auto_names=False):
     having = node.get("having")
     names = [_output_name(it, i, auto_names) for i, it in enumerate(select_list)]
 
+    # hidden ORDER BY expressions evaluate over the aggregate frame:
+    # group expressions inside them become their key columns (aggregates
+    # keep their structural identity so agg_cols still resolves them)
+    def _sub_keys(e):
+        if isinstance(e, dict):
+            if _is_aggregate(e):
+                return e
+            sk = _struct_key(e)
+            if sk in key_structs:
+                return {
+                    "class": "COLUMN_REF",
+                    "type": "COLUMN_REF",
+                    "column_names": [key_structs[sk]],
+                }
+            return {
+                k: (v if k in ("location", "query_location") else _sub_keys(v))
+                for k, v in e.items()
+            }
+        if isinstance(e, list):
+            return [_sub_keys(x) for x in e]
+        return e
+
+    hidden_final = [(hname, _sub_keys(he)) for hname, he in hidden_orders]
+
     def _final(df: pd.DataFrame) -> pd.DataFrame:
         if having is not None:
             mask = eval_expr(having, df, agg_cols)
@@ -1405,6 +1702,11 @@ def _compile_aggregate(node, ds, select_list, group_exprs, auto_names=False):
             if not isinstance(v, pd.Series):
                 v = pd.Series([v] * len(df), index=df.index)
             out[name] = v
+        for hname, he in hidden_final:
+            v = eval_expr(he, df, agg_cols)
+            out[hname] = (
+                v if isinstance(v, pd.Series) else pd.Series([v] * len(df), index=df.index)
+            )
         return pd.DataFrame(out)
 
     return agged.map_batches(_final, batch_format="pandas")

@@ -288,6 +288,52 @@ CASES = {
                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS r3
         FROM orders WHERE o_custkey <= 200
     """,
+    # ORDER BY expressions / ordinals / aliases (SQL sees the INPUT scope)
+    "order_by_input_expr": """
+        SELECT o_orderkey FROM orders
+        ORDER BY o_totalprice * 2 DESC, o_orderkey LIMIT 5
+    """,
+    "order_by_ordinals": """
+        SELECT o_orderstatus, count(*) AS c FROM orders
+        GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 2
+    """,
+    "order_by_aggregate_expr": """
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS s FROM orders
+        GROUP BY o_custkey
+        ORDER BY sum(o_totalprice) / count(*) DESC, o_custkey LIMIT 5
+    """,
+    "order_by_alias_expr": """
+        SELECT o_orderkey, o_totalprice * 0.5 AS half FROM orders
+        ORDER BY half DESC, o_orderkey LIMIT 5
+    """,
+    "group_by_alias_and_having_alias": """
+        SELECT upper(o_orderstatus) AS st, count(*) AS c FROM orders
+        GROUP BY st HAVING c > 10
+    """,
+    # ILIKE / ESCAPE / variadic comparisons / concat_ws
+    "ilike_escape": """
+        SELECT c_custkey FROM customer
+        WHERE c_name ILIKE '%customer%' AND c_name NOT LIKE '%x#_%' ESCAPE '#'
+        ORDER BY c_custkey LIMIT 5
+    """,
+    "greatest_least_concat_ws": """
+        SELECT o_orderkey, greatest(o_totalprice, 150000.0) AS g,
+               least(o_custkey, 500) AS l,
+               concat_ws('-', o_orderstatus, CAST(o_custkey AS VARCHAR)) AS tag
+        FROM orders ORDER BY o_orderkey LIMIT 5
+    """,
+    # extract/date_part, integer division, INTERVAL arithmetic
+    "extract_and_int_div": """
+        SELECT extract('year' FROM o_orderdate) AS y,
+               date_part('quarter', o_orderdate) AS q,
+               o_orderkey // 1000 AS kb, count(*) AS c
+        FROM orders GROUP BY y, q, kb
+    """,
+    "interval_arithmetic": """
+        SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY AS d30,
+               o_orderdate - INTERVAL 2 HOUR AS h2
+        FROM orders ORDER BY o_orderkey LIMIT 5
+    """,
 }
 
 
@@ -300,6 +346,19 @@ def test_prunes_columns_at_read(catalog):
     ds = execute_sql("SELECT o_orderkey AS k FROM orders", catalog)
     # the physical read must only carry the referenced column
     assert ds.to_pandas().columns.tolist() == ["k"]
+
+
+def test_nulls_first_ordering(catalog, duck):
+    """NULLS FIRST is order semantics — compare positionally, not
+    canonicalized (both engines default to NULLS LAST otherwise)."""
+    sql = """
+        SELECT nullif(o_orderstatus, 'O') AS st, o_orderkey FROM orders
+        ORDER BY st NULLS FIRST, o_orderkey LIMIT 8
+    """
+    got = execute_sql(sql, catalog).to_pandas()
+    exp = duck.sql(sql).df()
+    assert got["st"].isna().tolist() == exp["st"].isna().tolist()
+    assert got["o_orderkey"].tolist() == exp["o_orderkey"].tolist()
 
 
 def test_unsupported_raises(catalog):
