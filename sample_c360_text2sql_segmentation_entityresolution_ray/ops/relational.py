@@ -131,6 +131,34 @@ def broadcast_join(
     return large.map_batches(_probe, batch_format="pandas")
 
 
+def cross_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    right_rows: int | None = None,
+    limit: int = BROADCAST_ROW_LIMIT,
+) -> "ray.data.Dataset":
+    """Cartesian product with a broadcast build side: the right side is
+    collected once (guarded by ``limit`` — a cross product against a big
+    build side is an error, not a plan), ``ray.put`` once, and each left
+    batch pandas-cross-merges against it.  Streams the left side; output
+    is |left| × |right| rows, so keep the build side dimension-sized.
+    Callers must ensure disjoint column names (pandas would suffix)."""
+    n = right_rows if right_rows is not None else right.count()
+    if n > limit:
+        raise ValueError(
+            f"cross_join build side has {n} rows > {limit}; a cross "
+            "product needs a dimension-sized side"
+        )
+    rdf = right.to_pandas()
+    ref = ray.put(rdf)
+
+    def _probe(batch: pd.DataFrame) -> pd.DataFrame:
+        build = ray.get(ref)
+        return batch.merge(build, how="cross")
+
+    return left.map_batches(_probe, batch_format="pandas")
+
+
 # Auto-join: a side whose row count is KNOWN (parquet metadata) and at
 # most this many rows becomes a broadcast build side; unknown or larger
 # sides take the hash-partition shuffle.  Conservative vs
@@ -1020,6 +1048,7 @@ __all__ = [
     "hash_join",
     "broadcast_join",
     "auto_join",
+    "cross_join",
     "topk",
     "asof_join",
     "range_join",

@@ -755,15 +755,69 @@ def _collect_colrefs(node, out: list):
             _collect_colrefs(x, out)
 
 
-def _equality_pairs(cond) -> list[tuple[dict, dict]]:
-    if cond.get("class") == "COMPARISON" and cond["type"] == "COMPARE_EQUAL":
-        return [(cond["left"], cond["right"])]
-    if cond.get("class") == "CONJUNCTION" and cond["type"] == "CONJUNCTION_AND":
-        out = []
-        for c in cond["children"]:
-            out.extend(_equality_pairs(c))
-        return out
-    raise SqlUnsupported("join condition must be AND of equalities")
+def _split_join_condition(cond) -> tuple[list[tuple[dict, dict, dict]], list[dict]]:
+    """ON clause → (equi terms as (term, left_expr, right_expr),
+    residual non-equality terms).  Residuals become a post-join filter
+    on INNER joins (ON ≡ WHERE there); outer joins reject them because
+    ON controls null-extension, which a filter cannot reproduce."""
+    pairs, residual = [], []
+    for term in _split_conjuncts(cond):
+        if (
+            term.get("class") == "COMPARISON"
+            and term["type"] == "COMPARE_EQUAL"
+            and term["left"].get("class") == "COLUMN_REF"
+            and term["right"].get("class") == "COLUMN_REF"
+        ):
+            pairs.append((term, term["left"], term["right"]))
+        else:
+            residual.append(term)
+    return pairs, residual
+
+
+def _from_all_columns(fn: dict, catalog: "Catalog") -> list[str] | None:
+    """FULL (unpruned) output columns of a FROM subtree — what NATURAL
+    JOIN and comma-join routing must see; None when a SELECT * derived
+    table hides them."""
+    t = fn.get("type")
+    if t == "BASE_TABLE":
+        return list(catalog.columns(fn["table_name"]))
+    if t == "SUBQUERY":
+        aliases = fn.get("column_name_alias") or []
+        if aliases:
+            return list(aliases)
+        return _static_names(fn["subquery"]["node"], auto=True)
+    if t == "JOIN":
+        l = _from_all_columns(fn["left"], catalog)
+        r = _from_all_columns(fn["right"], catalog)
+        if l is None or r is None:
+            return None
+        return l + [c for c in r if c not in set(l)]
+    return None
+
+
+def _preplan_joins(fn, catalog: "Catalog", needed: dict) -> None:
+    """Resolve USING(...) / NATURAL join keys before compilation: the
+    key names carry no COLUMN_REF nodes, so column pruning would drop
+    them — stash the resolved list on the node and force-load the keys."""
+    if not isinstance(fn, dict) or fn.get("type") != "JOIN":
+        return
+    _preplan_joins(fn.get("left"), catalog, needed)
+    _preplan_joins(fn.get("right"), catalog, needed)
+    using = list(fn.get("using_columns") or [])
+    if fn.get("ref_type") == "NATURAL" and not using:
+        l = _from_all_columns(fn["left"], catalog)
+        r = _from_all_columns(fn["right"], catalog)
+        if l is None or r is None:
+            raise SqlUnsupported("NATURAL JOIN over a SELECT * derived table")
+        rset = set(r)
+        # no shared columns: SQL says NATURAL degrades to a cross
+        # product — the empty list leaves the node key-less, which the
+        # compiler routes to cross_join
+        using = [c for c in l if c in rset]
+    if using:
+        fn["_using"] = using
+        for c in using:
+            needed.setdefault(None, set()).add(c)
 
 
 class _FromPlan:
@@ -832,7 +886,39 @@ def _compile_from(from_node, catalog: Catalog, needed: dict) -> _FromPlan:
         }.get(jt)
         if how is None:
             raise SqlUnsupported(f"join type {jt}")
-        if how in ("right_outer", "full_outer"):
+        using = from_node.get("_using")
+        cond = from_node.get("condition")
+        lk, rk, residual = [], [], []
+        if using:
+            shared_extra = (left.columns & right.columns) - set(using)
+            if shared_extra:
+                raise SqlUnsupported(
+                    f"USING/NATURAL join with extra same-named columns "
+                    f"{sorted(shared_extra)} — alias one side"
+                )
+            missing = [
+                c for c in using if c not in left.columns or c not in right.columns
+            ]
+            if missing:
+                raise SqlUnsupported(f"USING column(s) {missing} not on both sides")
+            lk, rk = list(using), list(using)
+        elif cond is not None:
+            pairs, residual = _split_join_condition(cond)
+            for term, a, b in pairs:
+                ca, cb = a["column_names"][-1], b["column_names"][-1]
+                if ca in left.columns and cb in right.columns:
+                    lk.append(ca)
+                    rk.append(cb)
+                elif cb in left.columns and ca in right.columns:
+                    lk.append(cb)
+                    rk.append(ca)
+                else:  # same-side equality: it's a filter, not a key
+                    residual.append(term)
+            if residual and how != "inner":
+                raise SqlUnsupported(
+                    "outer join ON clause must be AND of cross-side equalities"
+                )
+        if how in ("right_outer", "full_outer") and not using:
             # column resolution is qualifier-blind: a name on both sides
             # cannot be routed (and pyarrow would coalesce/suffix it)
             shared = left.columns & right.columns
@@ -841,29 +927,53 @@ def _compile_from(from_node, catalog: Catalog, needed: dict) -> _FromPlan:
                     f"{jt} JOIN with same-named columns on both sides: "
                     f"{sorted(shared)} — alias one side"
                 )
-        lk, rk = [], []
-        for a, b in _equality_pairs(from_node["condition"]):
-            ca, cb = a["column_names"][-1], b["column_names"][-1]
-            if ca in left.columns and cb in right.columns:
-                lk.append(ca)
-                rk.append(cb)
-            elif cb in left.columns and ca in right.columns:
-                lk.append(cb)
-                rk.append(ca)
-            else:
-                raise SqlUnsupported(f"cannot route join key {ca}={cb}")
-        from ..ops.relational import auto_join
+        if lk:
+            from ..ops.relational import auto_join
 
-        ds = auto_join(
-            left.ds,
-            right.ds,
-            on=tuple(lk),
-            right_on=tuple(rk),
-            how=how,
-            left_rows=left.approx_rows,
-            right_rows=right.approx_rows,
+            ds = auto_join(
+                left.ds,
+                right.ds,
+                on=tuple(lk),
+                right_on=tuple(rk),
+                how=how,
+                left_rows=left.approx_rows,
+                right_rows=right.approx_rows,
+            )
+        else:
+            # CROSS JOIN / comma join with no routable equality (a pure
+            # inequality ON lands here too: cross product + filter)
+            if how != "inner":
+                raise SqlUnsupported("outer join requires an equality condition")
+            shared = left.columns & right.columns
+            if shared:
+                raise SqlUnsupported(
+                    f"CROSS JOIN with same-named columns {sorted(shared)} "
+                    "— alias one side"
+                )
+            from ..ops.relational import AUTO_BROADCAST_ROWS, cross_join
+
+            big, small = left, right
+            if (
+                right.approx_rows is None or right.approx_rows > AUTO_BROADCAST_ROWS
+            ) and (
+                left.approx_rows is not None
+                and left.approx_rows <= AUTO_BROADCAST_ROWS
+            ):
+                big, small = right, left
+            ds = cross_join(big.ds, small.ds, small.approx_rows)
+        plan = _FromPlan(
+            ds, left.columns | right.columns, left.quals | right.quals
         )
-        return _FromPlan(ds, left.columns | right.columns, left.quals | right.quals)
+        if residual:
+
+            def _rfilt(df: pd.DataFrame, residual=residual) -> pd.DataFrame:
+                mask = np.ones(len(df), dtype=bool)
+                for term in residual:
+                    mask &= np.asarray(eval_expr(term, df), dtype=bool)
+                return df[mask]
+
+            plan.ds = plan.ds.map_batches(_rfilt, batch_format="pandas")
+        return plan
     raise SqlUnsupported(f"FROM {t}")
 
 
@@ -987,6 +1097,85 @@ def _extract_memberships(node: dict) -> list[tuple[bool, str, dict]]:
     return specs
 
 
+def _attach_where_equalities(node: dict, catalog: "Catalog") -> None:
+    """Comma joins (``FROM a, b WHERE a.k = b.k``) parse as a
+    condition-less CROSS join with the equalities in WHERE: move each
+    col=col WHERE conjunct into the deepest condition-less CROSS node it
+    straddles, turning the cartesian product into a real equi-join.
+    Safe because WHERE ≡ ON for inner joins; leftover conjuncts stay in
+    WHERE."""
+    where = node.get("where_clause")
+    ft = node.get("from_table")
+    if where is None or not isinstance(ft, dict):
+        return
+
+    def has_bare_cross(fn) -> bool:
+        if not isinstance(fn, dict) or fn.get("type") != "JOIN":
+            return False
+        if fn.get("ref_type") == "CROSS" and fn.get("condition") is None:
+            return True
+        return has_bare_cross(fn.get("left")) or has_bare_cross(fn.get("right"))
+
+    if not has_bare_cross(ft):
+        return
+    leftover = []
+    for term in _split_conjuncts(where):
+        placed = False
+        if (
+            term.get("class") == "COMPARISON"
+            and term["type"] == "COMPARE_EQUAL"
+            and term["left"].get("class") == "COLUMN_REF"
+            and term["right"].get("class") == "COLUMN_REF"
+        ):
+            a = term["left"]["column_names"][-1]
+            b = term["right"]["column_names"][-1]
+
+            def place(fn):
+                nonlocal placed
+                if placed or not isinstance(fn, dict) or fn.get("type") != "JOIN":
+                    return
+                place(fn.get("left"))
+                place(fn.get("right"))
+                if (
+                    placed
+                    or fn.get("join_type", "INNER") != "INNER"
+                    or fn.get("ref_type") != "CROSS"
+                    or fn.get("using_columns")
+                ):
+                    return
+                l = _from_all_columns(fn["left"], catalog)
+                r = _from_all_columns(fn["right"], catalog)
+                if l is None or r is None:
+                    return
+                lset, rset = set(l), set(r)
+                if (a in lset and b in rset) or (b in lset and a in rset):
+                    cond = fn.get("condition")
+                    fn["condition"] = (
+                        term
+                        if cond is None
+                        else {
+                            "class": "CONJUNCTION",
+                            "type": "CONJUNCTION_AND",
+                            "children": [cond, term],
+                        }
+                    )
+                    placed = True
+
+            place(ft)
+        if not placed:
+            leftover.append(term)
+    if not leftover:
+        node["where_clause"] = None
+    elif len(leftover) == 1:
+        node["where_clause"] = leftover[0]
+    else:
+        node["where_clause"] = {
+            "class": "CONJUNCTION",
+            "type": "CONJUNCTION_AND",
+            "children": leftover,
+        }
+
+
 def _output_name(item: dict, i: int, auto: bool = False) -> str:
     if item.get("alias"):
         return item["alias"]
@@ -1097,6 +1286,7 @@ def _compile_select_node(node: dict, catalog: Catalog, auto_names: bool = False)
     # [NOT] IN (SELECT ...) conjuncts become semi/anti-join stages
     _rewrite_subquery_constants(node, catalog)
     memberships = _extract_memberships(node)
+    _attach_where_equalities(node, catalog)
 
     for part in ("select_list", "where_clause", "having", "group_expressions"):
         if node.get(part):
@@ -1112,6 +1302,7 @@ def _compile_select_node(node: dict, catalog: Catalog, auto_names: bool = False)
         needed.setdefault(qual, set()).add(col)
     for _neg, mcol, _sub in memberships:  # join key survives pruning
         needed.setdefault(None, set()).add(mcol)
+    _preplan_joins(node.get("from_table"), catalog, needed)
     plan = _compile_from(node["from_table"], catalog, needed)
     unknown_quals = {q for q in needed if q is not None} - plan.quals
     if unknown_quals:

@@ -334,6 +334,39 @@ CASES = {
                o_orderdate - INTERVAL 2 HOUR AS h2
         FROM orders ORDER BY o_orderkey LIMIT 5
     """,
+    # join-shape coverage: CROSS, comma joins (WHERE equalities hoisted
+    # into the join), USING/NATURAL, non-equality ON residue
+    "cross_join": """
+        SELECT s_name, e.user_id AS u
+        FROM supplier CROSS JOIN (SELECT DISTINCT user_id FROM events
+                                  WHERE user_id <= 3) e
+    """,
+    "comma_join_where_equalities": """
+        SELECT c_name, count(*) AS c FROM orders, customer
+        WHERE o_custkey = c_custkey AND o_totalprice > 100000
+        GROUP BY c_name
+    """,
+    "using_join": """
+        SELECT c FROM (SELECT o_custkey AS k, o_totalprice FROM orders) o
+        JOIN (SELECT c_custkey AS k, count(*) AS c FROM customer GROUP BY k) c
+        USING (k) ORDER BY o_totalprice DESC, c LIMIT 3
+    """,
+    "natural_join": """
+        SELECT count(*) AS c FROM (SELECT o_custkey AS k FROM orders) o
+        NATURAL JOIN (SELECT c_custkey AS k FROM customer WHERE c_custkey < 100) c
+    """,
+    "nonequi_join_residue": """
+        SELECT c.c_custkey, count(*) AS c FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+                     AND o.o_totalprice > c.c_acctbal
+        GROUP BY c.c_custkey
+    """,
+    "pure_inequality_join": """
+        SELECT count(*) AS c
+        FROM (SELECT DISTINCT user_id AS a FROM events WHERE user_id <= 10) x
+        JOIN (SELECT DISTINCT user_id AS b FROM events WHERE user_id <= 10) y
+        ON y.b > x.a
+    """,
 }
 
 
@@ -373,13 +406,12 @@ def test_unsupported_raises(catalog):
             catalog,
         )
     with pytest.raises(SqlUnsupported):
+        # outer joins cannot take non-equality ON residue (ON controls
+        # null-extension; a post-join filter can't reproduce it)
         execute_sql(
-            "SELECT * FROM orders o JOIN customer c ON o.o_custkey < c.c_custkey",
+            "SELECT c_name AS n FROM orders o LEFT JOIN customer c "
+            "ON o.o_custkey = c.c_custkey AND o.o_totalprice < c.c_acctbal",
             catalog,
-        )
-    with pytest.raises(SqlUnsupported):
-        execute_sql(
-            "SELECT sum(DISTINCT o_totalprice) AS s FROM orders", catalog
         )
     with pytest.raises(SqlUnsupported):
         # correlated subqueries compile to unknown-column → rejected
