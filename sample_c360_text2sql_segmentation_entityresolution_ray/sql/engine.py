@@ -452,12 +452,14 @@ _COMPARES = {
 
 _AGG_FNS = {"sum", "avg", "mean", "min", "max", "count", "count_star",
             "stddev", "stddev_samp", "stddev_pop", "var_samp", "variance",
-            "var_pop", "median"}
+            "var_pop", "median", "bool_or", "bool_and",
+            "string_agg", "array_agg", "list"}
 # aggregates with no Ray builtin / no distributive partial — they force
 # the GROUP BY plan onto the fused partition-hash pass (exact pandas
 # aggregation per co-located group); a quantile sketch is the
 # approximate alternative at corpus scale (ops/sketch.py)
-_PANDAS_ONLY_AGGS = {"stddev_pop", "var_samp", "variance", "var_pop", "median"}
+_PANDAS_ONLY_AGGS = {"stddev_pop", "var_samp", "variance", "var_pop", "median",
+                     "string_agg", "array_agg"}
 
 
 def _as_str(x):
@@ -730,7 +732,9 @@ def _validate_expr(node) -> None:
         fn = node.get("function_name", "").lower()
         if fn not in _SCALARS and fn not in _AGG_FNS:
             raise SqlUnsupported(f"scalar function {fn}")
-        if node.get("distinct") and fn != "count":
+        if node.get("distinct") and fn not in (
+            "count", "sum", "avg", "mean", "min", "max"
+        ):
             raise SqlUnsupported(f"{fn}(DISTINCT ...)")
     elif cls is not None and (cls, None) not in _SUPPORTED_EXPR and (
         cls, typ
@@ -1676,7 +1680,13 @@ def _compile_aggregate(
     agg_cols = {k: f"_a{i}" for i, k in enumerate(agg_nodes)}
     aggs = []
     agg_specs: list[tuple[str, str | None, str]] = []  # (fn, in_col, out_col)
-    distinct_counts: list[tuple[str, str]] = []  # (out_col, in_col)
+    distinct_aggs: list[tuple[str, str, str]] = []  # (fn, out_col, in_col)
+    bool_inputs: set[str] = set()  # inputs coerced bool→float for min/max
+    bool_casts: list[str] = []  # aggregate outputs cast back to SQL boolean
+    # out_col -> (fn, in_col, sep) for ORDER-BY-inside aggregates; all
+    # must share ONE order signature (order_sort: [(in_col, desc)])
+    ordered_specs: dict[str, tuple] = {}
+    order_sort: list[tuple[str, bool]] | None = None
     # input column name -> (child expr | None, FILTER expr | None).
     # FILTER (WHERE …) compiles to input MASKING — the masked value is
     # NULL where the predicate fails, and every downstream aggregate
@@ -1688,12 +1698,57 @@ def _compile_aggregate(
         out_col = agg_cols[k]
         children = n.get("children", [])
         filt = n.get("filter")
-        if n.get("distinct"):
-            if fn != "count" or len(children) != 1:
+        if n.get("distinct") and fn not in ("min", "max"):
+            # DISTINCT changes count/sum/avg; it is a no-op for extrema,
+            # which fall through to the plain path
+            if fn not in ("count", "sum", "avg", "mean") or len(children) != 1:
                 raise SqlUnsupported(f"{fn}(DISTINCT ...)")
             in_col = f"_in{len(input_exprs)}"
             input_exprs[in_col] = (children[0], filt)
-            distinct_counts.append((out_col, in_col))
+            distinct_aggs.append(("mean" if fn == "avg" else fn, out_col, in_col))
+            continue
+        if fn in ("string_agg", "array_agg", "list"):
+            # holistic with intra-group ORDER BY; unordered forms are
+            # nondeterministic under a shuffle, so the façade rejects
+            # them rather than mis-execute
+            orders = (n.get("order_bys") or {}).get("orders") or []
+            if not orders:
+                raise SqlUnsupported(f"{fn} without ORDER BY (nondeterministic)")
+            if filt:
+                raise SqlUnsupported(f"{fn} FILTER")
+            sep = None
+            if fn == "string_agg":
+                if len(children) != 2 or children[1].get("class") != "CONSTANT":
+                    raise SqlUnsupported("string_agg(expr, constant separator)")
+                sep = str(_const_value(children[1]))
+            elif len(children) != 1:
+                raise SqlUnsupported(f"{fn} arity")
+            sig = []
+            for o in orders:
+                oc = f"_in{len(input_exprs)}"
+                input_exprs[oc] = (o["expression"], None)
+                sig.append((oc, o["type"] == "DESCENDING"))
+            if order_sort is not None and sig != order_sort:
+                raise SqlUnsupported(
+                    "multiple aggregate ORDER BY signatures in one query"
+                )
+            order_sort = sig
+            in_col = f"_in{len(input_exprs)}"
+            input_exprs[in_col] = (children[0], None)
+            fn_norm = "array_agg" if fn == "list" else fn
+            ordered_specs[out_col] = (fn_norm, in_col, sep)
+            agg_specs.append((fn_norm, in_col, out_col))
+            continue
+        if fn in ("bool_or", "bool_and"):
+            if len(children) != 1:
+                raise SqlUnsupported(f"{fn} arity")
+            in_col = f"_in{len(input_exprs)}"
+            input_exprs[in_col] = (children[0], filt)
+            bool_inputs.add(in_col)
+            bool_casts.append(out_col)
+            eff = "max" if fn == "bool_or" else "min"
+            aggs.append(_AGG_BUILDERS[eff](in_col, out_col))
+            agg_specs.append((eff, in_col, out_col))
             continue
         if fn == "count_star":
             if filt:
@@ -1730,6 +1785,12 @@ def _compile_aggregate(
                 v = eval_expr(e, df)
                 if not isinstance(v, pd.Series):
                     v = pd.Series([v] * len(df), index=df.index)
+            if cn in bool_inputs:
+                # bool → float so min/max aggregate NULL-transparently;
+                # cast back to SQL boolean in the final projection
+                v = pd.Series(
+                    np.asarray(v, dtype=np.float64), index=v.index
+                )
             if filt is not None:
                 mask = eval_expr(filt, df)
                 mask = pd.Series(np.asarray(mask, dtype=bool), index=v.index)
@@ -1751,7 +1812,7 @@ def _compile_aggregate(
         from ..ops.relational import dedupe_by_key
 
         out = []
-        for out_col, in_col in distinct_counts:
+        for fn, out_col, in_col in distinct_aggs:
             cols = key_names + [in_col]
 
             def _pairs(df: pd.DataFrame, cols=cols, c=in_col) -> pd.DataFrame:
@@ -1760,7 +1821,7 @@ def _compile_aggregate(
             uniq = dedupe_by_key(
                 ds.map_batches(_pairs, batch_format="pandas"), cols
             )
-            out.append((out_col, in_col, uniq))
+            out.append((fn, out_col, in_col, uniq))
         return out
 
     pandas_only = [s for s in agg_specs if s[0] in _PANDAS_ONLY_AGGS]
@@ -1770,7 +1831,7 @@ def _compile_aggregate(
             "partial; use the quantile/variance sketches for global "
             "estimates at scale)"
         )
-    if key_names and (distinct_counts or pandas_only):
+    if key_names and (distinct_aggs or pandas_only):
         # count(DISTINCT) / holistic aggregates (median, variance)
         # fuse the WHOLE aggregate into one
         # partition-hash pass: rows of a group key all land in the same
@@ -1797,6 +1858,16 @@ def _compile_aggregate(
             return df
 
         def _agg_part(g: pd.DataFrame) -> pd.DataFrame:
+            if order_sort:
+                # one pre-sort serves every ordered aggregate (single
+                # signature enforced at compile); groupby(sort=False)
+                # preserves within-group row order for ALL aggregates
+                g = g.sort_values(
+                    [c for c, _ in order_sort],
+                    ascending=[not d for _, d in order_sort],
+                    kind="mergesort",
+                    na_position="last",
+                )
             gb = g.groupby(key_names, sort=False, dropna=False)
             out = gb.size().reset_index()[key_names]
             for fn, in_col, out_col in agg_specs:
@@ -1820,13 +1891,36 @@ def _compile_aggregate(
                     s = gb[in_col].var(ddof=1)
                 elif fn == "var_pop":
                     s = gb[in_col].var(ddof=0)
-                else:  # median
+                elif fn == "string_agg":
+                    _fn2, _ic, sep = ordered_specs[out_col]
+                    s = gb[in_col].agg(
+                        lambda x, sep=sep: (
+                            sep.join(x.dropna().astype(str))
+                            if x.notna().any()
+                            else None
+                        )
+                    )
+                elif fn == "array_agg":
+                    s = gb[in_col].agg(
+                        lambda x: [None if pd.isna(v) else v for v in x]
+                    )
+                elif fn == "median":
                     s = gb[in_col].median()
+                else:
+                    raise SqlUnsupported(f"aggregate {fn}")
                 out[out_col] = s.to_numpy()
-            for out_col, in_col in distinct_counts:
-                out[out_col] = (
-                    gb[in_col].nunique(dropna=True).to_numpy().astype("int64")
-                )
+            for fn, out_col, in_col in distinct_aggs:
+                if fn == "count":
+                    out[out_col] = (
+                        gb[in_col].nunique(dropna=True).to_numpy().astype("int64")
+                    )
+                else:  # sum/mean over per-group distinct values
+                    dd = g.drop_duplicates(subset=key_names + [in_col])
+                    gb2 = dd.groupby(key_names, sort=False, dropna=False)[in_col]
+                    s = gb2.sum(min_count=1) if fn == "sum" else gb2.mean()
+                    # dedup keeps first occurrences, so group order (order
+                    # of appearance) matches gb's
+                    out[out_col] = s.to_numpy()
             return out
 
         agged = (
@@ -1848,8 +1942,14 @@ def _compile_aggregate(
     else:
         # global aggregate: Dataset.aggregate returns one dict row
         row = dict(ds.aggregate(*aggs)) if aggs else {}
-        for out_col, _in_col, uniq in _pair_frames():
-            row[out_col] = uniq.count()
+        for fn, out_col, in_col, uniq in _pair_frames():
+            if fn == "count":
+                row[out_col] = uniq.count()
+            else:  # sum/mean over the global distinct values
+                builder = Sum if fn == "sum" else Mean
+                row[out_col] = dict(uniq.aggregate(builder(in_col)))[
+                    f"{'sum' if fn == 'sum' else 'mean'}({in_col})"
+                ]
         agged = ray.data.from_items([row])
 
     having = node.get("having")
@@ -1880,6 +1980,14 @@ def _compile_aggregate(
     hidden_final = [(hname, _sub_keys(he)) for hname, he in hidden_orders]
 
     def _final(df: pd.DataFrame) -> pd.DataFrame:
+        for c in bool_casts:  # float min/max back to SQL boolean
+            s = df[c]
+            df = df.assign(
+                **{c: pd.Series(
+                    np.where(s.isna(), None, s.to_numpy(dtype=float) > 0.5),
+                    index=df.index, dtype=object,
+                )}
+            )
         if having is not None:
             mask = eval_expr(having, df, agg_cols)
             df = df[np.asarray(mask, dtype=bool)]

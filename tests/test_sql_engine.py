@@ -367,6 +367,33 @@ CASES = {
         JOIN (SELECT DISTINCT user_id AS b FROM events WHERE user_id <= 10) y
         ON y.b > x.a
     """,
+    # aggregate surface: boolean aggregates, DISTINCT aggregates,
+    # ORDER-BY-inside string_agg
+    "bool_aggregates": """
+        SELECT o_custkey, bool_or(o_totalprice > 200000) AS any_big,
+               bool_and(o_orderstatus = 'O') AS all_open
+        FROM orders GROUP BY o_custkey
+    """,
+    "bool_aggregates_global": """
+        SELECT bool_or(o_totalprice > 400000) AS b1,
+               bool_and(o_totalprice > 0) AS b2 FROM orders
+    """,
+    "distinct_aggregates": """
+        SELECT o_orderstatus, CAST(sum(DISTINCT o_custkey) AS DOUBLE) AS sd,
+               round(avg(DISTINCT o_custkey), 6) AS ad,
+               count(DISTINCT o_custkey) AS cd,
+               min(DISTINCT o_totalprice) AS mn
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "distinct_aggregates_global": """
+        SELECT CAST(sum(DISTINCT o_custkey) AS DOUBLE) AS s,
+               round(avg(DISTINCT o_custkey), 6) AS a FROM orders
+    """,
+    "string_agg_ordered": """
+        SELECT o_custkey % 10 AS bucket,
+               string_agg(o_orderstatus, '' ORDER BY o_orderkey) AS seq
+        FROM orders WHERE o_custkey <= 50 GROUP BY bucket
+    """,
 }
 
 
@@ -379,6 +406,19 @@ def test_prunes_columns_at_read(catalog):
     ds = execute_sql("SELECT o_orderkey AS k FROM orders", catalog)
     # the physical read must only carry the referenced column
     assert ds.to_pandas().columns.tolist() == ["k"]
+
+
+def test_array_agg_ordered(catalog, duck):
+    """array_agg returns lists — compared element-wise (the engine
+    yields Python lists, DuckDB numpy arrays)."""
+    sql = """
+        SELECT o_custkey AS k, array_agg(o_orderkey ORDER BY o_orderkey) AS ks
+        FROM orders WHERE o_custkey <= 100 GROUP BY k
+    """
+    got = execute_sql(sql, catalog).to_pandas().sort_values("k").reset_index(drop=True)
+    exp = duck.sql(sql).df().sort_values("k").reset_index(drop=True)
+    assert got["k"].tolist() == exp["k"].tolist()
+    assert [list(x) for x in got["ks"]] == [list(x) for x in exp["ks"]]
 
 
 def test_nulls_first_ordering(catalog, duck):
