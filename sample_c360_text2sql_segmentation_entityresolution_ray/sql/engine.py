@@ -568,6 +568,8 @@ def eval_expr(
         return _const_value(node)
     if cls == "_PYCONST":  # spliced-in scalar-subquery / EXISTS result
         return node["py_value"]
+    if cls == "_PYCOL":  # decorrelated scalar subquery: joined-in column
+        return df[node["py_col"]]
     if cls == "BETWEEN" and typ == "COMPARE_BETWEEN":
         v = eval_expr(node["input"], df, agg_cols, win_cols)
         lo = eval_expr(node["lower"], df, agg_cols, win_cols)
@@ -639,7 +641,7 @@ _SUPPORTED_EXPR = {
     ("OPERATOR", "COMPARE_IN"), ("OPERATOR", "COMPARE_NOT_IN"),
     ("OPERATOR", "OPERATOR_NOT"), ("OPERATOR", "OPERATOR_IS_NULL"),
     ("OPERATOR", "OPERATOR_IS_NOT_NULL"), ("OPERATOR", "OPERATOR_COALESCE"),
-    ("BETWEEN", "COMPARE_BETWEEN"), ("_PYCONST", None),
+    ("BETWEEN", "COMPARE_BETWEEN"), ("_PYCONST", None), ("_PYCOL", None),
 }
 
 
@@ -994,15 +996,87 @@ def _compile_from(from_node, catalog: Catalog, needed: dict) -> _FromPlan:
 #     membership list is the small side by construction)
 
 
+def _from_quals(fn) -> set[str]:
+    """Table names/aliases a FROM tree binds (the inner scope of a
+    subquery — any OTHER qualifier inside it is a correlated outer ref)."""
+    if not isinstance(fn, dict):
+        return set()
+    t = fn.get("type")
+    if t == "BASE_TABLE":
+        return {fn.get("alias") or fn["table_name"], fn["table_name"]}
+    if t == "SUBQUERY":
+        return {fn.get("alias") or ""}
+    if t == "JOIN":
+        return _from_quals(fn.get("left")) | _from_quals(fn.get("right"))
+    return set()
+
+
+def _is_correlated(subnode: dict) -> bool:
+    """True when the subquery holds a qualified column ref bound outside
+    its own FROM tree."""
+    quals = _from_quals(subnode.get("from_table"))
+    refs: list = []
+    _collect_colrefs(subnode, refs)
+    return any(q is not None and q not in quals for q, _c in refs)
+
+
+def _extract_correlation(subnode: dict) -> tuple[list[str], list[str]]:
+    """Pull ``inner_col = outer.col`` equality conjuncts out of the
+    subquery's WHERE (the decorrelatable part), leaving the residual in
+    place.  Returns (inner_key_cols, outer_cols); any remaining outer
+    ref in the residual fails later with unknown-alias — the façade
+    rejects rather than mis-executes."""
+    quals = _from_quals(subnode.get("from_table"))
+    where = subnode.get("where_clause")
+    if where is None:
+        return [], []
+
+    def is_outer(c) -> bool:
+        return (
+            c.get("class") == "COLUMN_REF"
+            and len(c["column_names"]) > 1
+            and c["column_names"][0] not in quals
+        )
+
+    inner_keys, outer_cols, residual = [], [], []
+    for term in _split_conjuncts(where):
+        if term.get("class") == "COMPARISON" and term["type"] == "COMPARE_EQUAL":
+            a, b = term["left"], term["right"]
+            outer = inner = None
+            if is_outer(a) and b.get("class") == "COLUMN_REF" and not is_outer(b):
+                outer, inner = a, b
+            elif is_outer(b) and a.get("class") == "COLUMN_REF" and not is_outer(a):
+                outer, inner = b, a
+            if outer is not None:
+                inner_keys.append(inner["column_names"][-1])
+                outer_cols.append(outer["column_names"][-1])
+                continue
+        residual.append(term)
+    if not residual:
+        subnode["where_clause"] = None
+    elif len(residual) == 1:
+        subnode["where_clause"] = residual[0]
+    else:
+        subnode["where_clause"] = {
+            "class": "CONJUNCTION",
+            "type": "CONJUNCTION_AND",
+            "children": residual,
+        }
+    return inner_keys, outer_cols
+
+
 def _rewrite_subquery_constants(node: dict, catalog: "Catalog") -> None:
-    """Replace SCALAR/EXISTS subquery nodes (in select/where/having)
-    with ``_PYCONST`` nodes, executing each subquery once (tiny result
-    by definition: 1×1 or a boolean)."""
+    """Replace UNCORRELATED SCALAR/EXISTS subquery nodes (in
+    select/where/having) with ``_PYCONST`` nodes, executing each
+    subquery once (tiny result by definition: 1×1 or a boolean).
+    Correlated ones are left for the decorrelation passes."""
 
     def walk(o):
         if isinstance(o, dict):
-            if o.get("class") == "SUBQUERY" and o.get("subquery_type") in (
-                "SCALAR", "EXISTS",
+            if (
+                o.get("class") == "SUBQUERY"
+                and o.get("subquery_type") in ("SCALAR", "EXISTS")
+                and not _is_correlated(o["subquery"]["node"])
             ):
                 sub = _compile_select_node(
                     o["subquery"]["node"], catalog, auto_names=True
@@ -1101,6 +1175,115 @@ def _extract_memberships(node: dict) -> list[tuple[bool, str, dict]]:
     return specs
 
 
+def _extract_correlated_exists(node: dict) -> list[tuple[bool, list, list, dict]]:
+    """[NOT] EXISTS conjuncts whose subquery correlates via
+    ``inner_col = outer.col`` equalities decorrelate to semi/anti joins
+    (the classic rewrite).  Returns (negated, inner_keys, outer_cols,
+    subnode) specs; the conjuncts leave the WHERE clause."""
+    where = node.get("where_clause")
+    if where is None or not _contains_class(where, "SUBQUERY"):
+        return []
+    specs, residual = [], []
+    for term in _split_conjuncts(where):
+        neg, t = False, term
+        if (
+            t.get("class") == "OPERATOR"
+            and t.get("type") == "OPERATOR_NOT"
+            and len(t.get("children", [])) == 1
+            and t["children"][0].get("class") == "SUBQUERY"
+        ):
+            neg, t = True, t["children"][0]
+        if t.get("class") == "SUBQUERY" and t.get("subquery_type") == "EXISTS":
+            sub = t["subquery"]["node"]
+            if sub.get("type") == "SELECT_NODE" and not sub.get(
+                "group_expressions"
+            ) and not sub.get("having"):
+                ik, oc = _extract_correlation(sub)
+                if ik:
+                    # ORDER/LIMIT inside EXISTS can't change its truth
+                    # per outer row, but a global LIMIT would corrupt
+                    # the decorrelated key set — strip them
+                    sub["modifiers"] = []
+                    specs.append((neg, ik, oc, sub))
+                    continue
+        residual.append(term)
+    if not specs:
+        return []
+    if not residual:
+        node["where_clause"] = None
+    elif len(residual) == 1:
+        node["where_clause"] = residual[0]
+    else:
+        node["where_clause"] = {
+            "class": "CONJUNCTION",
+            "type": "CONJUNCTION_AND",
+            "children": residual,
+        }
+    return specs
+
+
+def _extract_correlated_scalars(node: dict) -> list[tuple[str, dict, list, list, bool]]:
+    """Correlated scalar-aggregate subqueries in the select list / WHERE
+    decorrelate to a grouped aggregate LEFT-joined on the correlation
+    keys; the subquery node becomes a ``_PYCOL`` ref to the joined-in
+    column.  A no-match outer row reads NULL — except count(...), which
+    SQL defines as 0 over the empty group (fill_zero)."""
+    specs: list = []
+
+    def walk(o):
+        if isinstance(o, dict):
+            if (
+                o.get("class") == "SUBQUERY"
+                and o.get("subquery_type") == "SCALAR"
+                and _is_correlated(o["subquery"]["node"])
+            ):
+                sub = o["subquery"]["node"]
+                if sub.get("type") != "SELECT_NODE":
+                    raise SqlUnsupported("correlated scalar set operation")
+                if (
+                    sub.get("group_expressions")
+                    or sub.get("having")
+                    or sub.get("modifiers")
+                    or len(sub.get("select_list") or []) != 1
+                    # a BARE aggregate: an expression around it would
+                    # need empty-group evaluation (count(*)+1 over no
+                    # rows is 1), which a join NULL can't reproduce
+                    or not _is_aggregate(sub["select_list"][0])
+                ):
+                    raise SqlUnsupported(
+                        "correlated scalar subquery must be a single "
+                        "ungrouped bare aggregate"
+                    )
+                ik, oc = _extract_correlation(sub)
+                if not ik:
+                    raise SqlUnsupported(
+                        "correlated scalar subquery needs inner=outer "
+                        "equality conjuncts"
+                    )
+                i = len(specs)
+                colname = f"_sq{i}"
+                item = dict(sub["select_list"][0])
+                fn0 = item.get("function_name", "").lower()
+                fill_zero = fn0 in ("count", "count_star")
+                specs.append((colname, sub, ik, oc, fill_zero))
+                alias = o.get("alias")
+                o.clear()
+                o.update({"class": "_PYCOL", "type": "_PYCOL", "py_col": colname})
+                if alias:
+                    o["alias"] = alias
+                return
+            for v in o.values():
+                walk(v)
+        elif isinstance(o, list):
+            for x in o:
+                walk(x)
+
+    for part in ("select_list", "where_clause"):
+        if node.get(part):
+            walk(node[part])
+    return specs
+
+
 def _attach_where_equalities(node: dict, catalog: "Catalog") -> None:
     """Comma joins (``FROM a, b WHERE a.k = b.k``) parse as a
     condition-less CROSS join with the equalities in WHERE: move each
@@ -1178,6 +1361,44 @@ def _attach_where_equalities(node: dict, catalog: "Catalog") -> None:
             "type": "CONJUNCTION_AND",
             "children": leftover,
         }
+
+
+def _apply_exists_join(ds, inner, on_cols, right_cols, neg: bool):
+    """Decorrelated [NOT] EXISTS: semi/anti join on the correlation
+    keys.  Single key uses the native broadcast-membership path;
+    multi-key builds a composite string key on both sides.  Outer rows
+    with a NULL key get a sentinel composite the inner side never emits
+    (SQL equality with NULL matches nothing), so EXISTS drops them and
+    NOT EXISTS keeps them — exactly the correlated semantics."""
+    from ..ops.relational import anti_join, semi_join
+
+    op = anti_join if neg else semi_join
+    if len(on_cols) == 1:
+        return op(ds, inner, on=on_cols[0], right_on=right_cols[0])
+
+    def _ckey(df: pd.DataFrame, cols) -> pd.Series:
+        key = "V\x1f" + df[cols[0]].astype(str)
+        for c in cols[1:]:
+            key = key + "\x1f" + df[c].astype(str)
+        return key.mask(df[cols].isna().any(axis=1), "N")
+
+    def _left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_cek"] = _ckey(df, on_cols)
+        return df
+
+    def _right(df: pd.DataFrame) -> pd.DataFrame:
+        k = _ckey(df, right_cols)
+        return pd.DataFrame({"_cek": k[k != "N"]})
+
+    out = op(
+        ds.map_batches(_left, batch_format="pandas"),
+        inner.map_batches(_right, batch_format="pandas"),
+        on="_cek",
+    )
+    return out.map_batches(
+        lambda df: df.drop(columns=["_cek"]), batch_format="pandas"
+    )
 
 
 def _output_name(item: dict, i: int, auto: bool = False) -> str:
@@ -1289,6 +1510,8 @@ def _compile_select_node(node: dict, catalog: Catalog, auto_names: bool = False)
     # subqueries: scalar/EXISTS execute once and splice in as constants;
     # [NOT] IN (SELECT ...) conjuncts become semi/anti-join stages
     _rewrite_subquery_constants(node, catalog)
+    corr_exists = _extract_correlated_exists(node)
+    corr_scalars = _extract_correlated_scalars(node)
     memberships = _extract_memberships(node)
     _attach_where_equalities(node, catalog)
 
@@ -1306,6 +1529,12 @@ def _compile_select_node(node: dict, catalog: Catalog, auto_names: bool = False)
         needed.setdefault(qual, set()).add(col)
     for _neg, mcol, _sub in memberships:  # join key survives pruning
         needed.setdefault(None, set()).add(mcol)
+    for _neg, _ik, ocs, _sub in corr_exists:  # correlation keys too
+        for c in ocs:
+            needed.setdefault(None, set()).add(c)
+    for _cn, _sub, _ik, ocs, _fz in corr_scalars:
+        for c in ocs:
+            needed.setdefault(None, set()).add(c)
     _preplan_joins(node.get("from_table"), catalog, needed)
     plan = _compile_from(node["from_table"], catalog, needed)
     unknown_quals = {q for q in needed if q is not None} - plan.quals
@@ -1313,6 +1542,65 @@ def _compile_select_node(node: dict, catalog: Catalog, auto_names: bool = False)
         # a qualified ref outside this FROM tree = correlated outer ref
         raise SqlUnsupported(f"unknown table alias(es) {sorted(unknown_quals)}")
     ds = plan.ds
+
+    # decorrelated scalar aggregates join in BEFORE the WHERE filter —
+    # the filter may reference their _PYCOL columns
+    for i, (colname, sub, ik, ocs, fill_zero) in enumerate(corr_scalars):
+        key_aliases = [f"_sqk{i}_{j}" for j in range(len(ik))]
+        item = dict(sub["select_list"][0])
+        item["alias"] = colname
+        sub["select_list"] = [
+            {
+                "class": "COLUMN_REF",
+                "type": "COLUMN_REF",
+                "column_names": [k],
+                "alias": ka,
+            }
+            for k, ka in zip(ik, key_aliases)
+        ] + [item]
+        sub["group_expressions"] = [
+            {"class": "COLUMN_REF", "type": "COLUMN_REF", "column_names": [k]}
+            for k in ik
+        ]
+        inner = _compile_select_node(sub, catalog, auto_names=True)
+        # the decorrelated aggregate has one row per correlation key —
+        # dimension-sized by construction.  Measure it (materialize is
+        # bounded by that) and broadcast; a map-only probe avoids the
+        # hash join's aggregator actors, which deadlock small clusters
+        # when several correlated subqueries chain joins in one plan.
+        from ..ops.relational import (
+            AUTO_BROADCAST_ROWS,
+            broadcast_join,
+            hash_join,
+        )
+
+        inner = inner.materialize()
+        if inner.count() <= AUTO_BROADCAST_ROWS:
+            ds = broadcast_join(
+                ds, inner, on=tuple(ocs), right_on=tuple(key_aliases),
+                how="left_outer",
+            )
+        else:
+            ds = hash_join(
+                ds, inner, on=tuple(ocs), right_on=tuple(key_aliases),
+                how="left_outer",
+            )
+        # pandas-merge keeps differently-named right keys; Ray's join
+        # consumes them — normalize by dropping either way
+        ds = ds.map_batches(
+            lambda df, ka=key_aliases: df.drop(
+                columns=[c for c in ka if c in df.columns]
+            ),
+            batch_format="pandas",
+        )
+        if fill_zero:  # SQL: count over an empty group is 0, not NULL
+
+            def _fz(df: pd.DataFrame, c=colname) -> pd.DataFrame:
+                df = df.copy()
+                df[c] = df[c].fillna(0).astype("int64")
+                return df
+
+            ds = ds.map_batches(_fz, batch_format="pandas")
 
     where = node.get("where_clause")
     if where:
@@ -1333,6 +1621,33 @@ def _compile_select_node(node: dict, catalog: Catalog, auto_names: bool = False)
             # the subquery result would make SQL's NOT IN return no rows)
             op = anti_join if neg else semi_join
             ds = op(ds, sub_ds, on=mcol, right_on=sub_cols[0])
+
+    for i, (neg, ik, ocs, sub) in enumerate(corr_exists):
+        key_aliases = [f"_ek{i}_{j}" for j in range(len(ik))]
+        sub["select_list"] = [
+            {
+                "class": "COLUMN_REF",
+                "type": "COLUMN_REF",
+                "column_names": [k],
+                "alias": ka,
+            }
+            for k, ka in zip(ik, key_aliases)
+        ]
+        inner = _compile_select_node(sub, catalog, auto_names=True)
+        ds = _apply_exists_join(ds, inner, ocs, key_aliases, neg)
+
+    if corr_scalars and (
+        len(node["select_list"]) == 1
+        and node["select_list"][0].get("class") == "STAR"
+    ):
+        # SELECT * must not leak the joined-in _sq columns (they were
+        # only referenced from WHERE)
+        sq_cols = [cn for cn, *_rest in corr_scalars]
+
+        def _dropsq(df: pd.DataFrame, sq=sq_cols) -> pd.DataFrame:
+            return df.drop(columns=[c for c in sq if c in df.columns])
+
+        ds = ds.map_batches(_dropsq, batch_format="pandas")
 
     select_list = node["select_list"]
     group_exprs = node.get("group_expressions", [])

@@ -394,6 +394,38 @@ CASES = {
                string_agg(o_orderstatus, '' ORDER BY o_orderkey) AS seq
         FROM orders WHERE o_custkey <= 50 GROUP BY bucket
     """,
+    # correlated subqueries — decorrelated to semi/anti joins (EXISTS)
+    # and grouped-aggregate left joins (scalar aggregates)
+    "correlated_exists": """
+        SELECT c_custkey FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+    """,
+    "correlated_not_exists": """
+        SELECT count(*) AS n FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+    """,
+    "correlated_exists_two_keys": """
+        SELECT count(*) AS n FROM orders a
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = a.o_orderkey
+                        AND l.l_linestatus = a.o_orderstatus)
+    """,
+    "correlated_scalar_select": """
+        SELECT c_custkey,
+               (SELECT max(o_totalprice) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS m,
+               (SELECT count(*) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS n
+        FROM customer c WHERE c_custkey <= 50 ORDER BY c_custkey
+    """,
+    "correlated_scalar_where": """
+        SELECT c_custkey FROM customer c
+        WHERE c_acctbal * 50 > (SELECT max(o_totalprice) FROM orders o
+                                WHERE o.o_custkey = c.c_custkey)
+    """,
 }
 
 
@@ -454,11 +486,12 @@ def test_unsupported_raises(catalog):
             catalog,
         )
     with pytest.raises(SqlUnsupported):
-        # correlated subqueries compile to unknown-column → rejected
+        # INEQUALITY correlation has no decorrelated join form → rejected
+        # (equality-correlated EXISTS/scalar aggregates are supported)
         execute_sql(
-            "SELECT c_custkey AS k FROM customer c WHERE c_acctbal > "
-            "(SELECT avg(o_totalprice) FROM orders o "
-            " WHERE o.o_custkey = c.c_custkey)",
+            "SELECT count(*) AS n FROM orders a WHERE EXISTS "
+            "(SELECT 1 FROM orders b WHERE b.o_custkey = a.o_custkey "
+            " AND b.o_totalprice > a.o_totalprice)",
             catalog,
         )
 
