@@ -1042,6 +1042,23 @@ SQL_DEMO_OUTER_JOIN = """
 """
 
 
+SQL_DEMO_CORRELATED = """
+    SELECT c_custkey,
+           (SELECT max(o_totalprice) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS max_spend,
+           (SELECT count(*) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS n_orders
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'F')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+    ORDER BY n_orders DESC, c_custkey LIMIT 100
+"""
+
+
 def _sql_catalog(sf_dir: str):
     from sample_c360_text2sql_segmentation_entityresolution_ray.sql import Catalog
 
@@ -1119,6 +1136,15 @@ def _q_sql_demo_outer_join(sf_dir: str):
     from sample_c360_text2sql_segmentation_entityresolution_ray.sql import execute_sql
 
     return execute_sql(SQL_DEMO_OUTER_JOIN, _sql_catalog(sf_dir))
+
+
+def _q_sql_demo_correlated(sf_dir: str):
+    """Correlated subqueries through the façade: equality-correlated
+    EXISTS/NOT EXISTS decorrelate to semi/anti joins, scalar aggregates
+    to measured broadcast left joins (sql/engine.py decorrelation)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sql import execute_sql
+
+    return execute_sql(SQL_DEMO_CORRELATED, _sql_catalog(sf_dir))
 
 
 def _q_sql_demo_window(sf_dir: str):
@@ -1586,6 +1612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_demo_stats": _q_sql_demo_stats,
         "sql_demo_setops": _q_sql_demo_setops,
         "sql_demo_outer_join": _q_sql_demo_outer_join,
+        "sql_demo_correlated": _q_sql_demo_correlated,
         "text2sql_agent": _q_text2sql_agent,
     }
 
@@ -1699,6 +1726,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_demo_stats": SQL_DEMO_STATS,
         "sql_demo_setops": SQL_DEMO_SETOPS,
         "sql_demo_outer_join": SQL_DEMO_OUTER_JOIN,
+        "sql_demo_correlated": SQL_DEMO_CORRELATED,
         # the exact SQL RuleBasedSqlGenerator emits for "repeat buyers"
         "text2sql_agent": """
             SELECT c.c_name AS name, count(*) AS order_count

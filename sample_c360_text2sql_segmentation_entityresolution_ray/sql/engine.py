@@ -1894,10 +1894,47 @@ def _compile_select_node(node: dict, catalog: Catalog, auto_names: bool = False)
             # DuckDB emits DISTINCT before ORDER/LIMIT in the modifier
             # list, so in-order processing preserves SQL semantics
             if mod.get("distinct_on_targets"):
-                raise SqlUnsupported("DISTINCT ON (...)")
-            from ..ops.relational import distinct as _distinct
+                # DISTINCT ON (keys): first row per key group by the
+                # ORDER BY — row_number over (keys, order) == 1.
+                # Deterministic only when ORDER BY breaks ties, same as
+                # in SQL; without ORDER BY the façade rejects.
+                if not order_keys:
+                    raise SqlUnsupported("DISTINCT ON requires ORDER BY")
+                if any(nf for _k, _d, nf in order_keys):
+                    raise SqlUnsupported("DISTINCT ON with NULLS FIRST")
+                out_names_don = _static_names(node, auto_names)
+                targets = []
+                for tnode in mod["distinct_on_targets"]:
+                    if tnode.get("class") == "COLUMN_REF":
+                        targets.append(tnode["column_names"][-1])
+                    elif tnode.get("class") == "CONSTANT" and out_names_don:
+                        v = _const_value(tnode)
+                        if not isinstance(v, (int, np.integer)) or not (
+                            1 <= v <= len(out_names_don)
+                        ):
+                            raise SqlUnsupported("DISTINCT ON ordinal")
+                        targets.append(out_names_don[int(v) - 1])
+                    else:
+                        raise SqlUnsupported(
+                            "DISTINCT ON targets must be output columns"
+                        )
+                from ..ops.window import window as _window_op
 
-            ds = _distinct(ds, list(ds.schema().names))
+                ds = _window_op(
+                    ds,
+                    targets,
+                    [(k, d) for k, d, _nf in order_keys],
+                    {"_rn_don": ("row_number",)},
+                )
+
+                def _keep_first(df: pd.DataFrame) -> pd.DataFrame:
+                    return df[df["_rn_don"] == 1].drop(columns=["_rn_don"])
+
+                ds = ds.map_batches(_keep_first, batch_format="pandas")
+            else:
+                from ..ops.relational import distinct as _distinct
+
+                ds = _distinct(ds, list(ds.schema().names))
         else:
             raise SqlUnsupported(f"modifier {mod['type']}")
     return ds

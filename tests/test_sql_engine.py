@@ -440,6 +440,19 @@ def test_prunes_columns_at_read(catalog):
     assert ds.to_pandas().columns.tolist() == ["k"]
 
 
+def test_distinct_on(catalog, duck):
+    """DISTINCT ON keeps the first row per key group by the ORDER BY —
+    order-sensitive because of the LIMIT, so compare positionally."""
+    sql = """
+        SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+        FROM orders ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """
+    got = execute_sql(sql, catalog).to_pandas().reset_index(drop=True)
+    exp = duck.sql(sql).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_array_agg_ordered(catalog, duck):
     """array_agg returns lists — compared element-wise (the engine
     yields Python lists, DuckDB numpy arrays)."""
