@@ -534,6 +534,69 @@ def _q_doc_mix_sample(sf_dir: str):
     )
 
 
+def _lined_docs(sf_dir: str):
+    """documents reshaped into multi-line crawl pages: 8-token body
+    lines plus a per-source boilerplate header AND footer — the exact
+    shape line-level dedup exists for.  The oracle rebuilds the same
+    text in SQL (token slicing + string_agg), so the construction
+    itself is oracle-checked too."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        ids, texts = [], []
+        for did, t, src in zip(
+            batch["doc_id"].to_pylist(),
+            batch["text"].to_pylist(),
+            batch["source"].to_pylist(),
+        ):
+            toks = t.split()
+            if not toks:
+                continue
+            kmax = -(-(max(len(toks) - 8, 0)) // 8)
+            lines = [" ".join(toks[k * 8 : k * 8 + 8]) for k in range(kmax + 1)]
+            bp = f"boilerplate: {src}"
+            ids.append(did)
+            texts.append(bp + "\n" + "\n".join(lines) + "\n" + bp)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, batch["doc_id"].type),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    return docs.map_batches(_fn, batch_format="pyarrow")
+
+
+_LINED_SQL = """(
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+), body AS (
+  SELECT doc_id, source,
+         string_agg(array_to_string(t[k*8+1 : k*8+8], ' '), chr(10) ORDER BY k) AS b
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(
+         0, CAST(ceil(greatest(len(t) - 8, 0) / 8.0) AS BIGINT))) AS k) g
+  WHERE len(t) > 0
+  GROUP BY doc_id, source
+)
+SELECT doc_id,
+       'boilerplate: ' || source || chr(10) || b || chr(10)
+         || 'boilerplate: ' || source AS text
+FROM body
+) lined"""
+
+
+def _q_line_dedup(sf_dir: str):
+    """Corpus-level line dedup (C4/Dolma paragraph-dedup shape): a
+    non-blank line occurring twice corpus-wide survives only at its
+    first (doc_id, line_no); slim combiner census + measured broadcast.
+    Runs over the lined-docs construction so boilerplate header/footer
+    lines actually repeat across the corpus."""
+    return dedup.line_dedup(_lined_docs(sf_dir))
+
+
 def _q_chunk_docs(sf_dir: str):
     """Training-example chunking: sliding 32-token windows, stride 24
     (HF `return_overflowing_tokens` shape) — stateless map, no shuffle."""
@@ -1576,6 +1639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dup_stats": _q_span_dup_stats,
         "doc_repetition": _q_doc_repetition,
         "pii_scrub": _q_pii_scrub,
+        "line_dedup_docs": _q_line_dedup,
         "chunk_docs": _q_chunk_docs,
         "pack_sequences": _q_pack_sequences,
         "token_freq_top50": _q_token_freq_top50,
@@ -1985,6 +2049,7 @@ def oracle_sql() -> dict[str, str]:
                                     WHEN 'de' THEN 0.25 ELSE 0.1 END)
                          * 1152921504606846976 AS BIGINT)
         """,
+        "line_dedup_docs": dedup.line_dedup_oracle_sql(_LINED_SQL),
         "chunk_docs": _chunk_oracle(),
         "pack_sequences": _pack_oracle(),
         "token_freq_top50": """

@@ -904,6 +904,257 @@ def strip_duplicate_spans(
     )
 
 
+# ---------------------------------------------------------------------------
+# corpus-level line dedup (C4 / Dolma paragraph-dedup shape)
+# ---------------------------------------------------------------------------
+
+LINE_DUP_BROADCAST_LIMIT = 2_000_000  # duplicated-line keys broadcast cap
+_LINE_POS_SHIFT = 20  # composite position = doc_id << 20 | line_no
+
+# blank-line test strips EXACTLY this ASCII set on both sides (python
+# str.strip() would also strip unicode whitespace, which DuckDB's trim
+# charset below cannot see — keep the two definitions bit-identical)
+_WS_ASCII = " \t\r\x0b\x0c"
+
+
+def _line_rows(batch: pd.DataFrame, text_col: str, id_col: str) -> pd.DataFrame:
+    """Slim per-line rows for ELIGIBLE lines (non-blank after strip):
+    (line_key, pos).  pos = doc_id << 20 | line_no — the lexicographic
+    (doc_id, line_no) order as ONE int64 so a plain grouped min finds
+    the global first occurrence.  Contract (documented): doc_id < 2^43
+    and < 2^20 lines per document."""
+    keys, poss = [], []
+    for did, t in zip(
+        batch[id_col].to_numpy(), batch[text_col].to_numpy(object)
+    ):
+        lines = t.split("\n")
+        elig = [i for i, ln in enumerate(lines) if ln.strip(_WS_ASCII)]
+        if not elig:
+            continue
+        keys.append(
+            texthash.hash_str_array([lines[i] for i in elig]).astype(np.int64)
+        )
+        base = int(did) << _LINE_POS_SHIFT
+        poss.append(np.array([base | i for i in elig], dtype=np.int64))
+    if not keys:
+        return pd.DataFrame(
+            {"line_key": pd.Series(dtype="int64"), "pos": pd.Series(dtype="int64")}
+        )
+    return pd.DataFrame(
+        {"line_key": np.concatenate(keys), "pos": np.concatenate(poss)}
+    )
+
+
+def _dup_line_table(
+    ds: "ray.data.Dataset", text_col: str, id_col: str
+) -> "ray.data.Dataset":
+    """(line_key, first_pos) for every line occurring ≥ 2 times in the
+    corpus.  Per-batch partial (count, min-pos) combiner first, so the
+    shuffle carries one row per distinct line per block — never one per
+    occurrence."""
+    from .relational import grouped_aggregate
+
+    def _partials(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = _line_rows(batch, text_col, id_col)
+        if not len(rows):
+            rows["cnt"] = pd.Series(dtype="int64")
+            return rows[["line_key", "cnt", "pos"]]
+        gb = rows.groupby("line_key", sort=False)
+        out = gb.agg(cnt=("pos", "size"), pos=("pos", "min")).reset_index()
+        return out[["line_key", "cnt", "pos"]]
+
+    merged = grouped_aggregate(
+        ds.select_columns([id_col, text_col]).map_batches(
+            _partials, batch_format="pandas"
+        ),
+        keys=["line_key"],
+        specs=[("sum", "cnt", "cnt"), ("min", "pos", "first_pos")],
+    )
+    return merged.filter(expr="cnt >= 2").select_columns(
+        ["line_key", "first_pos"]
+    )
+
+
+def line_dedup(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_limit: int = LINE_DUP_BROADCAST_LIMIT,
+) -> "ray.data.Dataset":
+    """Corpus-level exact line dedup (the C4/Dolma paragraph-dedup
+    shape): a non-blank line occurring in ≥ 2 places corpus-wide is
+    kept ONLY at its first occurrence by (doc_id, line_no); blank /
+    whitespace-only lines are structure and never dropped.  Returns
+    (id, text, n_lines, n_dropped) with ``text`` rebuilt from the kept
+    lines.
+
+    Plan: slim (line_key, pos) combiner census → duplicated keys with
+    their global min pos → measured branch: the dup-key table broadcasts
+    when ≤ ``broadcast_limit`` rows (one ray.put, vectorized isin probe
+    per doc batch — the corpus streams, text never shuffles); above it,
+    the drop decisions flow back as a (doc_id, dropped line_nos) join
+    (slim rows both ways, one hash exchange keyed on doc id).
+    Oracle: DuckDB re-derives keeper positions from the LINE STRINGS
+    themselves, so a line_key hash collision would show up as a
+    mismatch."""
+    dup = _dup_line_table(ds, text_col, id_col).materialize()
+    n_dup = dup.count()
+
+    def _rebuild(batch: pd.DataFrame, drop_lookup) -> pd.DataFrame:
+        ids, texts, n_lines, n_dropped = [], [], [], []
+        for did, t in zip(
+            batch[id_col].to_numpy(), batch[text_col].to_numpy(object)
+        ):
+            lines = t.split("\n")
+            drop = drop_lookup(int(did), lines)
+            kept = [ln for i, ln in enumerate(lines) if i not in drop]
+            ids.append(did)
+            texts.append("\n".join(kept))
+            n_lines.append(len(lines))
+            n_dropped.append(len(drop))
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                text_col: texts,
+                "n_lines": pd.Series(n_lines, dtype="int64"),
+                "n_dropped": pd.Series(n_dropped, dtype="int64"),
+            }
+        )
+
+    if n_dup <= broadcast_limit:
+        pdf = dup.to_pandas()
+        first_pos = dict(
+            zip(pdf["line_key"].to_numpy(), pdf["first_pos"].to_numpy())
+        )
+        ref = ray.put(first_pos)
+
+        def _probe(batch: pd.DataFrame) -> pd.DataFrame:
+            fp = ray.get(ref)
+
+            def drop_lookup(did: int, lines: list) -> set:
+                elig = [i for i, ln in enumerate(lines) if ln.strip(_WS_ASCII)]
+                if not elig:
+                    return set()
+                keys = texthash.hash_str_array(
+                    [lines[i] for i in elig]
+                ).astype(np.int64)
+                base = did << _LINE_POS_SHIFT
+                return {
+                    i
+                    for i, k in zip(elig, keys)
+                    if k in fp and fp[k] != (base | i)
+                }
+
+            return _rebuild(batch, drop_lookup)
+
+        return ds.map_batches(_probe, batch_format="pandas")
+
+    # join path: per-line slim rows ⋈ dup keys → dropped (doc_id,
+    # line_no) → per-doc lists → hash join back onto the documents
+    from .relational import DEDUP_PARTITIONS, hash_join
+
+    def _lines_slim(batch: pd.DataFrame) -> pd.DataFrame:
+        return _line_rows(batch, text_col, id_col)
+
+    lines = ds.select_columns([id_col, text_col]).map_batches(
+        _lines_slim, batch_format="pandas"
+    )
+    dropped = hash_join(lines, dup, on=("line_key",)).filter(
+        expr="pos != first_pos"
+    )
+
+    def _doc_no(batch: pd.DataFrame) -> pd.DataFrame:
+        pos = batch["pos"].to_numpy()
+        return pd.DataFrame(
+            {
+                id_col: pos >> _LINE_POS_SHIFT,
+                "line_no": pos & ((1 << _LINE_POS_SHIFT) - 1),
+                "_part": (pos >> _LINE_POS_SHIFT) % DEDUP_PARTITIONS,
+            }
+        )
+
+    def _collect(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby(id_col, sort=False)["line_no"].agg(list)
+        return pd.DataFrame({id_col: gb.index, "_dropped": gb.to_numpy()})
+
+    per_doc = (
+        dropped.map_batches(_doc_no, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(
+            lambda g: _collect(g.drop(columns="_part")), batch_format="pandas"
+        )
+    ).materialize()
+    # attach by measured size: two hash joins in ONE plan would hold two
+    # aggregator-actor pools simultaneously and starve a small cluster's
+    # map slots (see sql/engine.py decorrelation for the same trap);
+    # materializing per_doc retires the first join's actors and the
+    # attach broadcasts when the drop map is dimension-sized
+    from .relational import BROADCAST_ROW_LIMIT, broadcast_join
+
+    if per_doc.count() <= BROADCAST_ROW_LIMIT:
+        joined = broadcast_join(
+            ds.select_columns([id_col, text_col]), per_doc,
+            on=[id_col], how="left_outer",
+        )
+    else:
+        joined = hash_join(ds.select_columns([id_col, text_col]), per_doc,
+                           on=(id_col,), how="left_outer")
+
+    def _apply(batch: pd.DataFrame) -> pd.DataFrame:
+        dropmap = {
+            int(d): set(np.asarray(v, dtype=np.int64).tolist())
+            for d, v in zip(
+                batch[id_col].to_numpy(), batch["_dropped"].to_numpy(object)
+            )
+            if v is not None and not (isinstance(v, float) and np.isnan(v))
+        }
+        return _rebuild(
+            batch.drop(columns=["_dropped"]),
+            lambda did, lines: dropmap.get(did, set()),
+        )
+
+    return joined.map_batches(_apply, batch_format="pandas")
+
+
+def line_dedup_oracle_sql(table: str, text_col: str = "text",
+                          id_col: str = "doc_id") -> str:
+    """DuckDB SQL re-deriving :func:`line_dedup` exactly — from the line
+    STRINGS (not the engine's hashes), so it also proves no hash
+    collision changed the answer."""
+    return f"""
+WITH split AS (
+  SELECT {id_col}, string_split({text_col}, chr(10)) AS parts
+  FROM {table}
+), lines AS (
+  SELECT {id_col}, g AS line_no, parts[g + 1] AS line,
+         trim(parts[g + 1], ' ' || chr(9) || chr(13) || chr(11) || chr(12)) <> '' AS elig
+  FROM split,
+       LATERAL (SELECT unnest(generate_series(0, len(parts) - 1)) AS g) gs
+), keeper AS (
+  SELECT line, count(*) AS cnt,
+         min({id_col} * {1 << _LINE_POS_SHIFT} + line_no) AS first_pos
+  FROM lines WHERE elig GROUP BY line
+), kept AS (
+  SELECT l.{id_col}, l.line_no, l.line,
+         (NOT l.elig) OR k.cnt = 1
+         OR l.{id_col} * {1 << _LINE_POS_SHIFT} + l.line_no = k.first_pos
+           AS keep
+  FROM lines l LEFT JOIN keeper k ON l.elig AND l.line = k.line
+)
+SELECT s.{id_col},
+       coalesce(a.txt, '') AS {text_col},
+       CAST(len(s.parts) AS BIGINT) AS n_lines,
+       CAST(coalesce(a.nd, 0) AS BIGINT) AS n_dropped
+FROM split s LEFT JOIN (
+  SELECT {id_col},
+         string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY line_no)
+           AS txt,
+         count(*) FILTER (WHERE NOT keep) AS nd
+  FROM kept GROUP BY {id_col}
+) a ON s.{id_col} = a.{id_col}
+"""
+
+
 __all__ = [
     "exact_dedup",
     "minhash_dup_pairs",
@@ -916,4 +1167,6 @@ __all__ = [
     "embedding_dup_pairs_exact",
     "span_dup_stats",
     "strip_duplicate_spans",
+    "line_dedup",
+    "line_dedup_oracle_sql",
 ]
