@@ -125,11 +125,22 @@ def window(
     rolling) include a unique tiebreak column in ``order_by`` or ties
     make the result nondeterministic — exactly as in SQL."""
     partition_by = list(partition_by)
+    # empty partition_by = a GLOBAL window (OVER (ORDER BY …)): SQL's
+    # semantics impose ONE total order, so the data collapses to one
+    # partition by definition — inherently serial, fine for ranked
+    # reports, wrong for corpus-sized inputs (documented contract)
+    global_window = not partition_by
+    if global_window:
+        partition_by = ["_gwkey"]
     ocols = [c for c, _ in order_by]
     asc = [not d for _, d in order_by]
 
     def _part(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
+        if global_window:
+            df["_gwkey"] = np.int8(0)
+            df["_wpart"] = np.int32(0)
+            return df
         key = df[partition_by[0]].astype(str)
         for c in partition_by[1:]:
             key = key + "\x1f" + df[c].astype(str)
@@ -149,7 +160,8 @@ def window(
         ra = _rank_arrays(g, partition_by, ocols) if need_rank else {}
         for name, spec in specs.items():
             g[name] = _apply_spec(gb, g, spec, ra)
-        return g.drop(columns="_wpart")
+        drop = ["_wpart", "_gwkey"] if global_window else ["_wpart"]
+        return g.drop(columns=drop)
 
     return (
         ds.map_batches(_part, batch_format="pandas")

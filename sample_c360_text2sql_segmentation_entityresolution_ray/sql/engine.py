@@ -660,8 +660,6 @@ def _window_spec(node: dict) -> tuple[tuple, tuple, tuple]:
     ``ops.window.window`` can't express (a façade must reject, never
     mis-execute)."""
     typ = node["type"]
-    if not node.get("partitions"):
-        raise SqlUnsupported("window without PARTITION BY (global window)")
     if not node.get("orders"):
         raise SqlUnsupported("window without ORDER BY")
     if node.get("ignore_nulls") or node.get("filter_expr") or node.get(
@@ -669,7 +667,7 @@ def _window_spec(node: dict) -> tuple[tuple, tuple, tuple]:
     ) or node.get("exclude_clause", "NO_OTHER") != "NO_OTHER":
         raise SqlUnsupported("window IGNORE NULLS / FILTER / DISTINCT / EXCLUDE")
     parts = []
-    for p in node["partitions"]:
+    for p in node.get("partitions") or []:
         if p.get("class") != "COLUMN_REF":
             raise SqlUnsupported("window PARTITION BY must be column refs")
         parts.append(p["column_names"][-1])

@@ -394,6 +394,14 @@ CASES = {
                string_agg(o_orderstatus, '' ORDER BY o_orderkey) AS seq
         FROM orders WHERE o_custkey <= 50 GROUP BY bucket
     """,
+    # global window (OVER with ORDER BY only): one total order — the
+    # single-partition plan SQL's semantics force; for ranked reports
+    "global_window": """
+        SELECT o_orderkey,
+               row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+               rank() OVER (ORDER BY o_orderstatus) AS rk
+        FROM orders WHERE o_custkey <= 100 ORDER BY rn LIMIT 10
+    """,
     # correlated subqueries — decorrelated to semi/anti joins (EXISTS)
     # and grouped-aggregate left joins (scalar aggregates)
     "correlated_exists": """
@@ -485,9 +493,10 @@ def test_unsupported_raises(catalog):
             "SELECT median(o_totalprice) AS m FROM orders", catalog
         )
     with pytest.raises(SqlUnsupported):
+        # a window with no ORDER BY has no defined row order
         execute_sql(
-            "SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn"
-            " FROM orders",
+            "SELECT o_orderkey, sum(o_totalprice)"
+            " OVER (PARTITION BY o_custkey) AS s FROM orders",
             catalog,
         )
     with pytest.raises(SqlUnsupported):
