@@ -90,6 +90,15 @@ def _apply_spec(gb, g: pd.DataFrame, spec: tuple, rank_arrays: dict):
         return gb[col].transform(
             lambda s: getattr(s.rolling(n, min_periods=1), agg)()
         ).to_numpy()
+    if kind == "part_count_star":  # count(*) OVER (PARTITION BY …)
+        return gb[g.columns[0]].transform("size").to_numpy()
+    if kind.startswith("part_"):
+        # full-partition aggregate (frame = whole partition): the SQL
+        # "pct of total" idiom — order-independent, so these are the
+        # only specs valid with an empty ORDER BY
+        agg = {"part_sum": "sum", "part_avg": "mean", "part_mean": "mean",
+               "part_min": "min", "part_max": "max", "part_count": "count"}[kind]
+        return gb[spec[1]].transform(agg).to_numpy()
     raise ValueError(f"unknown window spec {spec!r}")
 
 

@@ -660,8 +660,6 @@ def _window_spec(node: dict) -> tuple[tuple, tuple, tuple]:
     ``ops.window.window`` can't express (a façade must reject, never
     mis-execute)."""
     typ = node["type"]
-    if not node.get("orders"):
-        raise SqlUnsupported("window without ORDER BY")
     if node.get("ignore_nulls") or node.get("filter_expr") or node.get(
         "distinct"
     ) or node.get("exclude_clause", "NO_OTHER") != "NO_OTHER":
@@ -672,7 +670,7 @@ def _window_spec(node: dict) -> tuple[tuple, tuple, tuple]:
             raise SqlUnsupported("window PARTITION BY must be column refs")
         parts.append(p["column_names"][-1])
     orders = []
-    for o in node["orders"]:
+    for o in node.get("orders") or []:
         e = o["expression"]
         if e.get("class") != "COLUMN_REF":
             raise SqlUnsupported("window ORDER BY must be column refs")
@@ -684,6 +682,24 @@ def _window_spec(node: dict) -> tuple[tuple, tuple, tuple]:
             raise SqlUnsupported(f"{typ} argument must be a column ref")
         return ch[i]["column_names"][-1]
 
+    if typ == "WINDOW_AGGREGATE":
+        # frame = whole partition (UNBOUNDED..UNBOUNDED, or the default
+        # RANGE CURRENT ROW with no ORDER BY — all rows are peers):
+        # order-independent full-partition aggregate, the one window
+        # shape that needs no ORDER BY
+        fn0 = node.get("function_name", "").lower()
+        start0, end0 = node.get("start"), node.get("end")
+        whole = start0 == "UNBOUNDED_PRECEDING" and (
+            end0 == "UNBOUNDED_FOLLOWING"
+            or (end0 == "CURRENT_ROW_RANGE" and not node.get("orders"))
+        )
+        if whole and fn0 in ("sum", "avg", "mean", "min", "max", "count",
+                             "count_star"):
+            if fn0 == "count_star" or not node.get("children"):
+                return tuple(parts), tuple(orders), ("part_count_star",)
+            return tuple(parts), tuple(orders), (f"part_{fn0}", _child_col())
+    if not node.get("orders"):
+        raise SqlUnsupported("window without ORDER BY")
     if typ in _WINDOW_RANKING:
         return tuple(parts), tuple(orders), _WINDOW_RANKING[typ]
     if typ in ("WINDOW_LAG", "WINDOW_LEAD"):
@@ -1762,6 +1778,40 @@ def _compile_select_node(node: dict, catalog: Catalog, auto_names: bool = False)
         node.get("having")
     ):
         raise SqlUnsupported("window function in WHERE/HAVING")
+    # QUALIFY filters on window results: resolve select aliases (the
+    # common `QUALIFY rn = 1` form — the alias IS a window expr, so use
+    # the unrestricted alias map) and collect its windows alongside the
+    # select list's so they share the same shuffle signatures
+    qualify = node.get("qualify")
+    if qualify is not None:
+        if group_exprs or has_agg:
+            raise SqlUnsupported("QUALIFY with GROUP BY/aggregates")
+        full_alias_map = {
+            it["alias"]: it for it in select_list if it.get("alias")
+        }
+
+        def _sub_full(e):
+            if isinstance(e, dict):
+                if e.get("class") == "COLUMN_REF":
+                    nm = e["column_names"][-1]
+                    if (
+                        len(e["column_names"]) == 1
+                        and nm not in input_cols
+                        and nm in full_alias_map
+                    ):
+                        return _copy.deepcopy(full_alias_map[nm])
+                    return e
+                return {
+                    k: (v if k in ("location", "query_location") else _sub_full(v))
+                    for k, v in e.items()
+                }
+            if isinstance(e, list):
+                return [_sub_full(x) for x in e]
+            return e
+
+        qualify = _sub_full(qualify)
+        _validate_expr(qualify)
+        _collect_windows(qualify, win_nodes)
     win_cols: dict[str, str] = {}
     if win_nodes:
         if group_exprs or has_agg:
@@ -1779,6 +1829,15 @@ def _compile_select_node(node: dict, catalog: Catalog, auto_names: bool = False)
         # one partition-hash shuffle per distinct OVER signature
         for (parts, orders), specs in sig_groups.items():
             ds = _window_op(ds, list(parts), list(orders), specs)
+
+    if qualify is not None:
+
+        def _qfilt(df: pd.DataFrame, q=qualify) -> pd.DataFrame:
+            return df[
+                np.asarray(eval_expr(q, df, win_cols=win_cols or None), dtype=bool)
+            ]
+
+        ds = ds.map_batches(_qfilt, batch_format="pandas")
 
     if group_exprs or has_agg:
         group_sets = node.get("group_sets") or []

@@ -402,6 +402,36 @@ CASES = {
                rank() OVER (ORDER BY o_orderstatus) AS rk
         FROM orders WHERE o_custkey <= 100 ORDER BY rn LIMIT 10
     """,
+    # full-partition window aggregates (the "pct of total" idiom) and
+    # QUALIFY filtering on window results
+    "partition_window_aggregates": """
+        SELECT o_orderkey,
+               round(o_totalprice / sum(o_totalprice)
+                     OVER (PARTITION BY o_custkey), 8) AS frac,
+               count(*) OVER (PARTITION BY o_custkey) AS n,
+               min(o_totalprice) OVER (PARTITION BY o_custkey) AS m,
+               count(*) OVER () AS total_n
+        FROM orders WHERE o_custkey <= 100
+    """,
+    "window_unbounded_both": """
+        SELECT o_orderkey,
+               max(o_totalprice) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderkey
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND UNBOUNDED FOLLOWING) AS mx
+        FROM orders WHERE o_custkey <= 100
+    """,
+    "qualify_alias": """
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders QUALIFY rn = 1
+    """,
+    "qualify_direct": """
+        SELECT o_custkey, o_orderkey FROM orders
+        QUALIFY row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) <= 2
+    """,
     # correlated subqueries — decorrelated to semi/anti joins (EXISTS)
     # and grouped-aggregate left joins (scalar aggregates)
     "correlated_exists": """
@@ -493,10 +523,12 @@ def test_unsupported_raises(catalog):
             "SELECT median(o_totalprice) AS m FROM orders", catalog
         )
     with pytest.raises(SqlUnsupported):
-        # a window with no ORDER BY has no defined row order
+        # an order-DEPENDENT window with no ORDER BY has no defined
+        # result (full-partition aggregates like sum OVER (PARTITION BY)
+        # are the supported order-free shape)
         execute_sql(
-            "SELECT o_orderkey, sum(o_totalprice)"
-            " OVER (PARTITION BY o_custkey) AS s FROM orders",
+            "SELECT o_orderkey, lag(o_totalprice)"
+            " OVER (PARTITION BY o_custkey) AS p FROM orders",
             catalog,
         )
     with pytest.raises(SqlUnsupported):
