@@ -1105,6 +1105,18 @@ SQL_DEMO_OUTER_JOIN = """
 """
 
 
+SQL_DEMO_PCT_QUALIFY = """
+    SELECT o_custkey, o_orderkey,
+           round(o_totalprice / sum(o_totalprice)
+                 OVER (PARTITION BY o_custkey), 8) AS spend_share,
+           count(*) OVER (PARTITION BY o_custkey) AS n_orders,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+    QUALIFY rn <= 2
+"""
+
+
 SQL_DEMO_CORRELATED = """
     SELECT c_custkey,
            (SELECT max(o_totalprice) FROM orders o
@@ -1199,6 +1211,14 @@ def _q_sql_demo_outer_join(sf_dir: str):
     from sample_c360_text2sql_segmentation_entityresolution_ray.sql import execute_sql
 
     return execute_sql(SQL_DEMO_OUTER_JOIN, _sql_catalog(sf_dir))
+
+
+def _q_sql_demo_pct_qualify(sf_dir: str):
+    """Full-partition window aggregates (pct-of-total) + QUALIFY top-2
+    per customer — three window exprs sharing shuffles by signature."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sql import execute_sql
+
+    return execute_sql(SQL_DEMO_PCT_QUALIFY, _sql_catalog(sf_dir))
 
 
 def _q_sql_demo_correlated(sf_dir: str):
@@ -1677,6 +1697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_demo_setops": _q_sql_demo_setops,
         "sql_demo_outer_join": _q_sql_demo_outer_join,
         "sql_demo_correlated": _q_sql_demo_correlated,
+        "sql_demo_pct_qualify": _q_sql_demo_pct_qualify,
         "text2sql_agent": _q_text2sql_agent,
     }
 
@@ -1791,6 +1812,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_demo_setops": SQL_DEMO_SETOPS,
         "sql_demo_outer_join": SQL_DEMO_OUTER_JOIN,
         "sql_demo_correlated": SQL_DEMO_CORRELATED,
+        "sql_demo_pct_qualify": SQL_DEMO_PCT_QUALIFY,
         # the exact SQL RuleBasedSqlGenerator emits for "repeat buyers"
         "text2sql_agent": """
             SELECT c.c_name AS name, count(*) AS order_count
