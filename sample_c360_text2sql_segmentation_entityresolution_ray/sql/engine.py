@@ -1431,6 +1431,8 @@ def _std_builder(col, name):
     return Std(col, alias_name=name, ddof=1)
 
 
+_GLOBAL_STD_FAMILY = {"stddev_pop": 0, "var_samp": 1, "variance": 1, "var_pop": 0}
+
 _AGG_BUILDERS = {
     "sum": lambda col, name: Sum(col, alias_name=name),
     "avg": lambda col, name: Mean(col, alias_name=name),
@@ -2096,6 +2098,7 @@ def _compile_aggregate(
     # must share ONE order signature (order_sort: [(in_col, desc)])
     ordered_specs: dict[str, tuple] = {}
     order_sort: list[tuple[str, bool]] | None = None
+    var_squares: list[str] = []  # global variance outputs: Std² post-pass
     # input column name -> (child expr | None, FILTER expr | None).
     # FILTER (WHERE …) compiles to input MASKING — the masked value is
     # NULL where the predicate fails, and every downstream aggregate
@@ -2178,6 +2181,17 @@ def _compile_aggregate(
             aggs.append(Count(in_col, alias_name=out_col, ignore_nulls=True))
         elif fn in _AGG_BUILDERS:
             aggs.append(_AGG_BUILDERS[fn](in_col, out_col))
+        elif fn in _GLOBAL_STD_FAMILY and not key_names:
+            # the GLOBAL variance family rides Ray's distributive Std
+            # (variance = std², squared after the aggregate); grouped
+            # queries compute these exactly in the fused pandas pass
+            from ray.data.aggregate import Std
+
+            aggs.append(
+                Std(in_col, alias_name=out_col, ddof=_GLOBAL_STD_FAMILY[fn])
+            )
+            if fn.startswith("var"):
+                var_squares.append(out_col)
         elif fn not in _PANDAS_ONLY_AGGS:
             raise SqlUnsupported(f"aggregate {fn}")
         agg_specs.append((fn, in_col, out_col))
@@ -2235,11 +2249,13 @@ def _compile_aggregate(
 
     pandas_only = [s for s in agg_specs if s[0] in _PANDAS_ONLY_AGGS]
     if pandas_only and not key_names:
-        raise SqlUnsupported(
-            f"{pandas_only[0][0]} without GROUP BY (no distributive "
-            "partial; use the quantile/variance sketches for global "
-            "estimates at scale)"
-        )
+        hard = [s for s in pandas_only if s[0] not in _GLOBAL_STD_FAMILY]
+        if hard:
+            raise SqlUnsupported(
+                f"{hard[0][0]} without GROUP BY (no distributive "
+                "partial; use the quantile/variance sketches for global "
+                "estimates at scale)"
+            )
     if key_names and (distinct_aggs or pandas_only):
         # count(DISTINCT) / holistic aggregates (median, variance)
         # fuse the WHOLE aggregate into one
@@ -2351,6 +2367,9 @@ def _compile_aggregate(
     else:
         # global aggregate: Dataset.aggregate returns one dict row
         row = dict(ds.aggregate(*aggs)) if aggs else {}
+        for c in var_squares:
+            if row.get(c) is not None:
+                row[c] = row[c] ** 2
         for fn, out_col, in_col, uniq in _pair_frames():
             if fn == "count":
                 row[out_col] = uniq.count()

@@ -170,6 +170,13 @@ CASES = {
                round(avg(l_quantity), 6) AS m
         FROM lineitem
     """,
+    "variance_family_global": """
+        SELECT round(stddev_pop(l_quantity), 6) AS sp,
+               round(var_samp(l_extendedprice), 1) AS vs,
+               round(var_pop(l_quantity), 6) AS vp,
+               round(variance(l_discount), 9) AS v
+        FROM lineitem
+    """,
     "median_with_distinct": """
         SELECT l_linestatus AS s, count(DISTINCT l_suppkey) AS supps,
                round(median(l_quantity), 2) AS medq
