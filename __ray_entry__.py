@@ -680,6 +680,26 @@ def _q_knn_top10(sf_dir: str):
     return out.select_columns(["vec_id"])
 
 
+def _q_kmeans_clusters(sf_dir: str):
+    """Distributed k-means (k=10, 10 Lloyd iterations, combiner-shuffle
+    partials) over the embeddings table → (vec_id, cluster).  Oracle:
+    DuckDB assigns every vector to the pure-numpy reference centroids
+    (fixture parquet) via list_distance argmin — the distributed fit
+    must converge to the same centroids for the partition to match."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.cluster import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sources.fixture_export import (
+        KMEANS_ITERS,
+        KMEANS_K,
+    )
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = kmeans_fit(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    return kmeans_assign(emb, cents)
+
+
 def _q_er_assignment(sf_dir: str):
     """Flagship ER partition (source, RecordId, MatchID, lang).
 
@@ -1667,6 +1687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mix_sample": _q_doc_mix_sample,
         "canonical_url_dedup": _q_canonical_url_dedup,
         "knn_top10": _q_knn_top10,
+        "kmeans_clusters": _q_kmeans_clusters,
         "minhash_dup_docs": _q_minhash_dup_docs,
         "ngram_dup_docs": _q_ngram_dup_docs,
         "embedding_dup_exact": _q_embedding_dup_exact,
@@ -1751,6 +1772,18 @@ def oracle_sql() -> dict[str, str]:
         # same planted-truth oracle checks it
         "er_incremental": _sql_er_assignment(_FIX01),
         "canonical_url_dedup": _sql_canonical_url_dedup(_FIX01),
+        "kmeans_clusters": f"""
+            SELECT vec_id, cluster FROM (
+                SELECT e.vec_id, c.cluster_id AS cluster,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_distance(e.embedding, c.centroid),
+                                    c.cluster_id
+                       ) AS rn
+                FROM embeddings e
+                CROSS JOIN read_parquet('{_FIX01}/kmeans_centroids.parquet') c
+            ) WHERE rn = 1
+        """,
         "domain_stats": f"""
             SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS domain,
                    CAST(count(*) AS BIGINT) AS n_pages,

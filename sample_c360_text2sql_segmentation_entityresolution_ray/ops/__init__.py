@@ -1,8 +1,9 @@
-"""General operator library: relational, dedup, ANN, text, urls,
-sketches, windows, multimodal."""
+"""General operator library: relational, dedup, ANN, clustering, text,
+urls, sketches, windows, multimodal."""
 
 from . import (  # noqa: F401
     ann,
+    cluster,
     dedup,
     format,
     io,

@@ -34,7 +34,7 @@ FIXTURE_ROOT = "/tmp/graft_oracle_fixtures/v1"
 # content revision written into the _SUCCESS marker: bumping forces a
 # regeneration of already-materialized fixture dirs (e.g. when a new
 # fixture table is added) without changing the oracle-visible paths
-FIXTURE_REV = "3"
+FIXTURE_REV = "4"
 
 
 def fixture_dir(sf_dir: str) -> str:
@@ -94,6 +94,8 @@ def ensure_fixtures(sf_dir: str) -> str:
 
     _export_pii_docs(docs, out)
 
+    _export_kmeans_centroids(sf_dir, out)
+
     with open(marker, "w") as f:
         f.write(FIXTURE_REV)
     return out
@@ -147,6 +149,37 @@ def _export_doc_simhash(docs: pa.Table, out: str) -> None:
             }
         ),
         f"{out}/doc_simhash.parquet",
+    )
+
+
+KMEANS_K = 10
+KMEANS_ITERS = 10
+
+
+def _export_kmeans_centroids(sf_dir: str, out: str) -> None:
+    """(cluster_id BIGINT, centroid DOUBLE[]): final centroids of the
+    pure-numpy k-means reference (`ops/cluster.py::kmeans_reference`)
+    over the embeddings table.  The oracle assigns every vector to
+    these via `list_distance` argmin; the distributed fit must land on
+    the same centroids for its assignment to match."""
+    from ..ops.cluster import kmeans_reference
+
+    emb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = emb["vec_id"].to_numpy()
+    X = np.asarray(
+        emb["embedding"].combine_chunks().flatten(), dtype=np.float64
+    ).reshape(len(ids), -1)
+    cents, _ = kmeans_reference(ids, X, k=KMEANS_K, iters=KMEANS_ITERS)
+    pq.write_table(
+        pa.table(
+            {
+                "cluster_id": pa.array(range(KMEANS_K), pa.int64()),
+                "centroid": pa.array(list(cents), pa.list_(pa.float64())),
+            }
+        ),
+        f"{out}/kmeans_centroids.parquet",
     )
 
 

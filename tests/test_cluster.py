@@ -1,0 +1,61 @@
+"""Distributed k-means (ops/cluster.py) vs the pure-numpy reference."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+
+import ray.data
+
+from sample_c360_text2sql_segmentation_entityresolution_ray.ops.cluster import (
+    kmeans_assign,
+    kmeans_fit,
+    kmeans_reference,
+)
+
+
+def _load(sf_dir):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    X = np.asarray(t["embedding"].combine_chunks().flatten(), dtype=np.float64).reshape(
+        len(ids), -1
+    )
+    return t, ids, X
+
+
+def test_distributed_fit_matches_numpy_reference(sf_dir):
+    t, ids, X = _load(sf_dir)
+    ref_cents, ref_labels = kmeans_reference(ids, X, k=10, iters=10)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cents = kmeans_fit(ds, k=10, iters=10)
+    # partial-sum order differs from numpy's; equality is to fp noise
+    assert np.allclose(cents, ref_cents, atol=1e-8)
+
+    out = kmeans_assign(ds, cents).to_pandas().sort_values("vec_id")
+    got = out["cluster"].to_numpy()
+    assert (got == ref_labels[np.argsort(ids, kind="stable")]).all()
+    # every planted cluster is populated (fixture has 10 label groups)
+    assert len(np.unique(got)) == 10
+
+
+def test_fit_is_deterministic_across_runs(sf_dir):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    a = kmeans_fit(ds, k=4, iters=3)
+    b = kmeans_fit(ds, k=4, iters=3)
+    assert np.allclose(a, b, atol=1e-12)
+
+
+def test_reference_empty_cluster_keeps_centroid():
+    # two far points, k=2 — but both seeds land on data; construct a
+    # case where one centroid empties: three coincident points seed two
+    # clusters, the loser keeps its (duplicate) centroid without NaNs
+    ids = np.array([1, 2, 3])
+    X = np.array([[0.0, 0.0], [0.0, 0.0], [0.0, 0.0]])
+    cents, labels = kmeans_reference(ids, X, k=2, iters=2)
+    assert not np.isnan(cents).any()
+    assert (labels == 0).all()  # ties break to the lowest cluster id
