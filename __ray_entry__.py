@@ -700,6 +700,61 @@ def _q_kmeans_clusters(sf_dir: str):
     return kmeans_assign(emb, cents)
 
 
+def _q_quality_classifier(sf_dir: str):
+    """Trained quality classifier (CCNet-style distillation): ridge-
+    logistic fit distributedly (one combiner-shuffled Gram pass per IRLS
+    iteration) on the five heuristic features, labels = composite
+    heuristic ≥ threshold; output (doc_id, prob).  Oracle: DuckDB
+    re-derives the features and scores with the numpy reference
+    coefficients (fixture parquet) — the distributed fit must land on
+    the same β."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.model import (
+        logistic_fit,
+        predict_stage,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.text import (
+        QUALITY_FEATURES,
+        quality_feature_stage,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sources.fixture_export import (
+        QC_ITERS,
+        QC_L2,
+        QC_THRESHOLD,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _label(batch: pa.Table) -> pa.Table:
+        f = {
+            k: batch[k].to_numpy(zero_copy_only=False)
+            for k in QUALITY_FEATURES
+        }
+        # identical expression order to quality_of / the fixture
+        # exporter (bit-identical composite ⇒ identical labels)
+        q = (
+            0.3 * f["len_ok"] + 0.2 * f["swr10"] + 0.2 * f["alpha"]
+            + 0.15 * f["term"] + 0.15 * f["rep"]
+        )
+        return batch.append_column(
+            "label", pa.array((q >= QC_THRESHOLD).astype(np.float64))
+        )
+
+    # features are ~6 floats/doc — materializing THEM (never the text)
+    # is what lets the 8 IRLS passes + the predict pass stream cheaply
+    feats = (
+        quality_feature_stage(docs)
+        .map_batches(_label, batch_format="pyarrow")
+        .materialize()
+    )
+    beta = logistic_fit(
+        feats, QUALITY_FEATURES, "label", l2=QC_L2, iters=QC_ITERS
+    )
+    out = predict_stage(
+        feats, beta, QUALITY_FEATURES, id_col="doc_id", out_col="prob"
+    )
+    return _round_cols(out, ["prob"], 4)
+
+
 def _q_er_assignment(sf_dir: str):
     """Flagship ER partition (source, RecordId, MatchID, lang).
 
@@ -1707,6 +1762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_top10": _q_knn_ivf_top10,
         "langid_docs": _q_langid_docs,
         "doc_quality": _q_doc_quality,
+        "quality_classifier": _q_quality_classifier,
         "decontaminate_docs": _q_decontaminate_docs,
         "curated_corpus": _q_curated_corpus,
         # SQL façade (text2sql execution half)
@@ -1815,6 +1871,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "langid_docs": _sql_langid(),
         "doc_quality": _sql_doc_quality(),
+        "quality_classifier": f"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       regexp_extract_all(lower(text), '\\w+') AS toks
+                FROM documents
+            ), f AS ({{QF}} FROM t),
+            b AS (
+                SELECT max(CASE WHEN j = 0 THEN beta END) AS b0,
+                       max(CASE WHEN j = 1 THEN beta END) AS b1,
+                       max(CASE WHEN j = 2 THEN beta END) AS b2,
+                       max(CASE WHEN j = 3 THEN beta END) AS b3,
+                       max(CASE WHEN j = 4 THEN beta END) AS b4,
+                       max(CASE WHEN j = 5 THEN beta END) AS b5
+                FROM read_parquet('{_FIX01}/quality_coefs.parquet')
+            )
+            SELECT f.doc_id,
+                   round(1.0 / (1.0 + exp(-(
+                       b.b0 + b.b1 * least(1.0, f.sr * 10)
+                            + b.b2 * f.len_ok + b.b3 * f.alpha
+                            + b.b4 * f.term + b.b5 * f.rep))), 4) AS prob
+            FROM f, b
+        """.replace("{QF}", _SQL_QUALITY_FIELDS),
         # decontaminate_stage re-derived: token 5-grams, the same
         # md5-60bit hash construction, benchmark = doc_id % 10 = 7
         "decontaminate_docs": r"""

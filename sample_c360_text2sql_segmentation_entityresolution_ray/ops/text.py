@@ -111,10 +111,12 @@ def char_stats_stage(
     return ds.map_batches(_fn, batch_format="pyarrow")
 
 
-def quality_of(text: str) -> tuple[float, int, float]:
-    """(quality, n_tokens, stopword_ratio) for one document — public
-    web-corpus heuristics (Gopher/C4-style): length band, stopword
-    presence, sentence terminators, alphabetic ratio, line repetition."""
+def quality_features_of(text: str) -> dict:
+    """The five Gopher/C4-style per-doc heuristics behind the composite
+    quality score, exposed individually — the feature vector for the
+    trained quality classifier (`ops/model.py`): stopword presence
+    (clamped ×10), length band, alphabetic ratio, sentence terminators,
+    line repetition; plus raw n_tokens / stopword_ratio."""
     toks = TOKEN_RE.findall(text.lower())
     sw = _STOPWORDS["en"]
     stop_ratio = sum(1 for x in toks if x in sw) / len(toks) if toks else 0.0
@@ -123,14 +125,33 @@ def quality_of(text: str) -> tuple[float, int, float]:
     term = min(1.0, len(_TERMINATOR_RE.findall(text)) / max(1.0, len(toks) / 25))
     lines = [ln for ln in text.split("\n") if ln.strip()]
     rep = 1.0 - ((len(lines) - len(set(lines))) / len(lines) if lines else 0.0)
+    return {
+        "swr10": min(1.0, stop_ratio * 10),
+        "len_ok": len_ok,
+        "alpha": alpha,
+        "term": term,
+        "rep": rep,
+        "n_tokens": len(toks),
+        "stopword_ratio": stop_ratio,
+    }
+
+
+QUALITY_FEATURES = ["swr10", "len_ok", "alpha", "term", "rep"]
+
+
+def quality_of(text: str) -> tuple[float, int, float]:
+    """(quality, n_tokens, stopword_ratio) for one document — public
+    web-corpus heuristics (Gopher/C4-style): length band, stopword
+    presence, sentence terminators, alphabetic ratio, line repetition."""
+    f = quality_features_of(text)
     quality = (
-        0.3 * len_ok
-        + 0.2 * min(1.0, stop_ratio * 10)
-        + 0.2 * alpha
-        + 0.15 * term
-        + 0.15 * rep
+        0.3 * f["len_ok"]
+        + 0.2 * f["swr10"]
+        + 0.2 * f["alpha"]
+        + 0.15 * f["term"]
+        + 0.15 * f["rep"]
     )
-    return quality, len(toks), stop_ratio
+    return quality, f["n_tokens"], f["stopword_ratio"]
 
 
 def quality_stage(
@@ -151,6 +172,22 @@ def quality_stage(
                 ),
             }
         )
+
+    return ds.map_batches(_fn, batch_format="pyarrow")
+
+
+def quality_feature_stage(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """(id, swr10, len_ok, alpha, term, rep) — the classifier feature
+    vector (:data:`QUALITY_FEATURES`), one stateless map."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        feats = [quality_features_of(t) for t in batch[text_col].to_pylist()]
+        cols = {id_col: batch[id_col]}
+        for k in QUALITY_FEATURES:
+            cols[k] = pa.array([f[k] for f in feats], pa.float64())
+        return pa.table(cols)
 
     return ds.map_batches(_fn, batch_format="pyarrow")
 

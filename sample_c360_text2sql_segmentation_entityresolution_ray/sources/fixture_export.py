@@ -34,7 +34,7 @@ FIXTURE_ROOT = "/tmp/graft_oracle_fixtures/v1"
 # content revision written into the _SUCCESS marker: bumping forces a
 # regeneration of already-materialized fixture dirs (e.g. when a new
 # fixture table is added) without changing the oracle-visible paths
-FIXTURE_REV = "4"
+FIXTURE_REV = "5"
 
 
 def fixture_dir(sf_dir: str) -> str:
@@ -96,6 +96,8 @@ def ensure_fixtures(sf_dir: str) -> str:
 
     _export_kmeans_centroids(sf_dir, out)
 
+    _export_quality_coefs(docs, out)
+
     with open(marker, "w") as f:
         f.write(FIXTURE_REV)
     return out
@@ -154,6 +156,41 @@ def _export_doc_simhash(docs: pa.Table, out: str) -> None:
 
 KMEANS_K = 10
 KMEANS_ITERS = 10
+
+# trained quality classifier: label = composite heuristic ≥ threshold
+# (distillation), ridge-logistic so separable labels stay finite
+QC_THRESHOLD = 0.75
+QC_L2 = 1.0
+QC_ITERS = 8
+
+
+def _export_quality_coefs(docs: pa.Table, out: str) -> None:
+    """(j BIGINT, beta DOUBLE): reference ridge-logistic coefficients
+    (`ops/model.py::logistic_fit_reference`) for the quality-classifier
+    distillation — j=0 is the intercept, then QUALITY_FEATURES order.
+    The oracle scores every doc with these via SQL sigmoid; the
+    distributed IRLS fit must land on the same β."""
+    from ..ops.model import logistic_fit_reference
+    from ..ops.text import QUALITY_FEATURES, quality_features_of
+
+    feats = [quality_features_of(t) for t in docs["text"].to_pylist()]
+    X = np.array([[f[k] for k in QUALITY_FEATURES] for f in feats])
+    # same expression ORDER as the distributed label map (bit-identical)
+    quality = (
+        0.3 * X[:, 1] + 0.2 * X[:, 0] + 0.2 * X[:, 2]
+        + 0.15 * X[:, 3] + 0.15 * X[:, 4]
+    )
+    y = (quality >= QC_THRESHOLD).astype(np.float64)
+    beta = logistic_fit_reference(X, y, l2=QC_L2, iters=QC_ITERS)
+    pq.write_table(
+        pa.table(
+            {
+                "j": pa.array(range(len(beta)), pa.int64()),
+                "beta": pa.array(beta, pa.float64()),
+            }
+        ),
+        f"{out}/quality_coefs.parquet",
+    )
 
 
 def _export_kmeans_centroids(sf_dir: str, out: str) -> None:
