@@ -700,6 +700,15 @@ def _q_kmeans_clusters(sf_dir: str):
     return kmeans_assign(emb, cents)
 
 
+def _q_tfidf_keywords(sf_dir: str):
+    """Top-5 TF-IDF keywords per document (score desc, token asc):
+    one combiner DF shuffle + broadcast scoring (vocab ≤ limit here);
+    the join scale path is equivalence-tested in test_text.py."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = textops.tfidf_doc_keywords(docs, k=5)
+    return _round_cols(out, ["score"], 6)
+
+
 def _q_quality_classifier(sf_dir: str):
     """Trained quality classifier (CCNet-style distillation): ridge-
     logistic fit distributedly (one combiner-shuffled Gram pass per IRLS
@@ -1763,6 +1772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_docs": _q_langid_docs,
         "doc_quality": _q_doc_quality,
         "quality_classifier": _q_quality_classifier,
+        "tfidf_keywords": _q_tfidf_keywords,
         "decontaminate_docs": _q_decontaminate_docs,
         "curated_corpus": _q_curated_corpus,
         # SQL façade (text2sql execution half)
@@ -1871,6 +1881,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "langid_docs": _sql_langid(),
         "doc_quality": _sql_doc_quality(),
+        "tfidf_keywords": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '\w+')) AS token
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, token, count(*)::BIGINT AS tf
+                FROM toks GROUP BY doc_id, token
+            ),
+            df AS (
+                SELECT token, count(DISTINCT doc_id)::BIGINT AS df
+                FROM toks GROUP BY token
+            ),
+            n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                       tf.tf * (ln((n.n + 1) / (df.df + 1)) + 1.0) AS s
+                FROM tf JOIN df USING (token), n
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY s DESC, token
+                ) AS rank
+                FROM scored
+            )
+            SELECT doc_id, token, tf, df, round(s, 6) AS score, rank
+            FROM r WHERE rank <= 5
+        """,
         "quality_classifier": f"""
             WITH t AS (
                 SELECT doc_id, text,

@@ -125,6 +125,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "embedding_dup_pairs",
         "curated_corpus",
         "doc_quality",
+        "quality_classifier",
+        "kmeans_clusters",
         "knn_top10",
         "sql_demo_agg",
     ]

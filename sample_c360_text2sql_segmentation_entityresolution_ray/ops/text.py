@@ -463,4 +463,178 @@ __all__ = [
     "token_freq_topk",
     "benchmark_ngram_ref",
     "decontaminate_stage",
+    "tfidf_doc_keywords",
 ]
+
+
+# ---------------------------------------------------------------------------
+# per-doc TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+def _batch_doc_tf(texts, ids) -> pd.DataFrame:
+    """Exploded (doc_id, token, tf) for one batch — one np.unique per
+    doc over its TOKEN_RE tokens (matching SQL
+    ``regexp_extract_all(lower(text), '\\w+')``)."""
+    out_id, out_tok, out_tf = [], [], []
+    for i, t in zip(ids, texts):
+        toks = np.asarray(TOKEN_RE.findall(t.lower()), dtype=object)
+        if not len(toks):
+            continue
+        uniq, cnt = np.unique(toks, return_counts=True)
+        out_id.append(np.full(len(uniq), i))
+        out_tok.append(uniq)
+        out_tf.append(cnt)
+    if not out_id:
+        return pd.DataFrame(
+            {"doc_id": np.empty(0, np.int64), "token": np.empty(0, object),
+             "tf": np.empty(0, np.int64)}
+        )
+    return pd.DataFrame(
+        {
+            "doc_id": np.concatenate(out_id),
+            "token": np.concatenate(out_tok).astype(object),
+            "tf": np.concatenate(out_tf).astype(np.int64),
+        }
+    )
+
+
+# above this many distinct tokens the corpus DF table stops being
+# broadcast (~dozens of MB of strings re-shipped per worker) and the
+# scoring goes through a token-key hash join instead
+TFIDF_VOCAB_BROADCAST_LIMIT = 2_000_000
+
+
+def tfidf_doc_keywords(
+    ds: "ray.data.Dataset",
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_broadcast_limit: int = TFIDF_VOCAB_BROADCAST_LIMIT,
+) -> "ray.data.Dataset":
+    """Top-``k`` TF-IDF keywords per document:
+    ``(doc_id, token, tf, df, score, rank)`` with
+    ``score = tf · (ln((N+1)/(df+1)) + 1)`` and rank ordered by
+    ``(score desc, token asc)`` — the classic per-doc salient-term
+    extraction (Salton TF-IDF; the corpus-level census sibling is
+    :func:`token_freq_topk`).
+
+    Scale shape: the DF table is ONE combiner shuffle of per-batch
+    ``(token, partial df)`` rows (bounded by vocab × blocks).  Scoring
+    then takes one of two paths by measured vocabulary size:
+
+    - **broadcast** (vocab ≤ ``vocab_broadcast_limit``): the sorted
+      (token, df) arrays ship once per worker via ``ray.put``; each
+      batch tokenizes, searchsorted-joins, and emits its docs' final
+      top-k with ranks — a doc never leaves its block, NO further
+      shuffle.
+    - **join** (above the limit): the exploded (doc_id, token, tf)
+      stream hash-joins the DF table on ``token``, local per-(batch,
+      doc) top-k pre-shrinks (the global winners are a subset), then
+      one doc-hash partition pass ranks exactly.
+    """
+    from .relational import grouped_aggregate
+
+    n_docs = float(ds.count())
+
+    def _df_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        per_doc_distinct = [
+            np.unique(np.asarray(TOKEN_RE.findall(t.lower()), dtype=object))
+            for t in batch[text_col].to_numpy(object)
+        ]
+        toks = (
+            np.concatenate(per_doc_distinct)
+            if per_doc_distinct
+            else np.empty(0, object)
+        )
+        uniq, cnt = np.unique(toks, return_counts=True)
+        return pd.DataFrame(
+            {"token": uniq.astype(object), "df": cnt.astype(np.int64)}
+        )
+
+    df_tab = grouped_aggregate(
+        ds.select_columns([text_col]).map_batches(
+            _df_partials, batch_format="pandas"
+        ),
+        keys=["token"],
+        specs=[("sum", "df", "df")],
+    ).materialize()  # consumed twice on the join path (count + probe)
+
+    def _score(tf: np.ndarray, df: np.ndarray) -> np.ndarray:
+        return tf.astype(np.float64) * (
+            np.log((n_docs + 1.0) / (df.astype(np.float64) + 1.0)) + 1.0
+        )
+
+    def _rank_head(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [id_col, "score", "token"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        g = g.groupby(id_col, sort=False).head(k).copy()
+        g["rank"] = g.groupby(id_col, sort=False).cumcount() + 1
+        return g
+
+    if df_tab.count() <= vocab_broadcast_limit:
+        pdf = df_tab.to_pandas()
+        order = np.argsort(pdf["token"].to_numpy(object), kind="stable")
+        vocab_ref = ray.put(
+            (
+                pdf["token"].to_numpy(object)[order],
+                pdf["df"].to_numpy()[order].astype(np.int64),
+            )
+        )
+
+        def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+            vocab, dfs = ray.get(vocab_ref)
+            tfd = _batch_doc_tf(
+                batch[text_col].to_numpy(object), batch[id_col].to_numpy()
+            )
+            pos = (
+                np.searchsorted(vocab, tfd["token"].to_numpy(object))
+                if len(tfd)
+                else np.empty(0, np.int64)
+            )
+            tfd["df"] = dfs[pos] if len(tfd) else np.empty(0, np.int64)
+            tfd["score"] = _score(tfd["tf"].to_numpy(), tfd["df"].to_numpy())
+            return _rank_head(tfd)
+
+        return ds.select_columns([id_col, text_col]).map_batches(
+            _fn, batch_format="pandas"
+        )
+
+    # join path: explode → hash join on token → local top-k shrink →
+    # one doc-hash partition pass ranks exactly
+    from .relational import DEDUP_PARTITIONS, hash_join
+
+    exploded = ds.select_columns([id_col, text_col]).map_batches(
+        lambda b: _batch_doc_tf(
+            b[text_col].to_numpy(object), b[id_col].to_numpy()
+        ),
+        batch_format="pandas",
+    )
+    joined = hash_join(exploded, df_tab, on=["token"])
+
+    def _local_shrink(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["score"] = _score(batch["tf"].to_numpy(), batch["df"].to_numpy())
+        batch = batch.sort_values(
+            [id_col, "score", "token"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        batch = batch.groupby(id_col, sort=False).head(k).copy()
+        batch["_part"] = (
+            pd.util.hash_pandas_object(batch[id_col], index=False).to_numpy()
+            % DEDUP_PARTITIONS
+        ).astype("int32")
+        return batch
+
+    ranked = (
+        joined.map_batches(_local_shrink, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(
+            lambda g: _rank_head(g.drop(columns=["_part"])),
+            batch_format="pandas",
+        )
+    )
+    return ranked

@@ -145,3 +145,32 @@ def test_decontaminate_stage_planted(ray_session):
     assert bool(out.loc[1, "contaminated"]) and out.loc[1, "hits"] >= 1
     assert not bool(out.loc[2, "contaminated"]) and out.loc[2, "hits"] == 0
     assert out.loc[3, "ngrams"] == 0 and not bool(out.loc[3, "contaminated"])
+
+
+def test_tfidf_keywords_join_path_equals_broadcast(sf_dir):
+    """The vocab-over-limit hash-join path must produce exactly the
+    broadcast path's (doc_id, token, tf, df, score, rank) rows."""
+    import pandas as pd
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.text import (
+        tfidf_doc_keywords,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).limit(120)
+
+    def _canon(ds):
+        df = ds.to_pandas()
+        df["score"] = df["score"].round(9)
+        return (
+            df.reindex(sorted(df.columns), axis=1)
+            .sort_values(["doc_id", "rank"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    fast = _canon(tfidf_doc_keywords(docs, k=5))
+    slow = _canon(tfidf_doc_keywords(docs, k=5, vocab_broadcast_limit=0))
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+    assert (fast.groupby("doc_id")["rank"].max() <= 5).all()
+    assert (fast["rank"] >= 1).all()
