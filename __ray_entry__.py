@@ -700,6 +700,28 @@ def _q_kmeans_clusters(sf_dir: str):
     return kmeans_assign(emb, cents)
 
 
+def _q_cluster_sampled(sf_dir: str):
+    """Cluster-balanced subsample (SemDeDup shape): distributed k-means
+    assignment, then at most 20 rows per cluster by deterministic md5
+    rank.  Oracle re-derives BOTH stages in SQL (argmin over the
+    reference centroids + row_number over the same md5 draw)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.cluster import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.sampling import (
+        cluster_balanced_sample,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sources.fixture_export import (
+        KMEANS_ITERS,
+        KMEANS_K,
+    )
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = kmeans_fit(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    return cluster_balanced_sample(kmeans_assign(emb, cents), m=20)
+
+
 def _q_tfidf_keywords(sf_dir: str):
     """Top-5 TF-IDF keywords per document (score desc, token asc):
     one combiner DF shuffle + broadcast scoring (vocab ≤ limit here);
@@ -1752,6 +1774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_url_dedup": _q_canonical_url_dedup,
         "knn_top10": _q_knn_top10,
         "kmeans_clusters": _q_kmeans_clusters,
+        "cluster_sampled": _q_cluster_sampled,
         "minhash_dup_docs": _q_minhash_dup_docs,
         "ngram_dup_docs": _q_ngram_dup_docs,
         "embedding_dup_exact": _q_embedding_dup_exact,
@@ -1849,6 +1872,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings e
                 CROSS JOIN read_parquet('{_FIX01}/kmeans_centroids.parquet') c
             ) WHERE rn = 1
+        """,
+        "cluster_sampled": f"""
+            WITH assign AS (
+                SELECT vec_id, cluster FROM (
+                    SELECT e.vec_id, c.cluster_id AS cluster,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_distance(e.embedding, c.centroid),
+                                        c.cluster_id
+                           ) AS rn
+                    FROM embeddings e
+                    CROSS JOIN read_parquet('{_FIX01}/kmeans_centroids.parquet') c
+                ) WHERE rn = 1
+            ),
+            u AS (
+                SELECT vec_id, cluster,
+                       ('0x' || left(md5('cbal' || CAST(vec_id AS VARCHAR)), 15))::BIGINT AS u
+                FROM assign
+            ),
+            r AS (
+                SELECT vec_id, cluster, row_number() OVER (
+                    PARTITION BY cluster ORDER BY u, vec_id
+                ) AS rn FROM u
+            )
+            SELECT vec_id, cluster FROM r WHERE rn <= 20
         """,
         "domain_stats": f"""
             SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS domain,

@@ -162,10 +162,59 @@ def weighted_sample(
     return ds.map_batches(_fn, batch_format="pandas")
 
 
+def cluster_balanced_sample(
+    ds: "ray.data.Dataset",
+    m: int,
+    cluster_col: str = "cluster",
+    id_col: str = "vec_id",
+    salt: str = "cbal",
+) -> "ray.data.Dataset":
+    """Keep at most ``m`` rows per cluster, chosen by deterministic
+    md5 rank — the cluster-balanced subsampling step of a curated
+    corpus mix (SemDeDup-style: cluster first, then cap each semantic
+    bucket so head clusters can't dominate the mix).
+
+    The per-row draw is the same SQL-reproducible top-60-bit
+    ``md5(salt + id)`` as :func:`weighted_sample`, so the EXACT kept
+    set re-derives in DuckDB via ``row_number() OVER (PARTITION BY
+    cluster ORDER BY u, id) <= m``.  One cluster-hash partition pass
+    (per-batch top-m pre-shrink inside :func:`..ops.relational.
+    topn_per_group`); deterministic across runs and cluster sizes."""
+    import hashlib
+
+    from .relational import topn_per_group
+
+    def _draw(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_u"] = np.fromiter(
+            (
+                int(
+                    hashlib.md5(f"{salt}{v}".encode("utf-8")).hexdigest()[:15],
+                    16,
+                )
+                for v in batch[id_col].to_numpy()
+            ),
+            dtype=np.int64,
+            count=len(batch),
+        )
+        return batch
+
+    kept = topn_per_group(
+        ds.map_batches(_draw, batch_format="pandas"),
+        group_key=cluster_col,
+        order_col="_u",
+        n=m,
+        descending=False,
+        tiebreak=(id_col,),
+    )
+    return kept.drop_columns(["_u"])
+
+
 __all__ = [
     "assign_split",
     "hash_sample",
     "stratified_sample",
     "shuffle_for_training",
     "weighted_sample",
+    "cluster_balanced_sample",
 ]

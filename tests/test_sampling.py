@@ -83,3 +83,24 @@ def test_weighted_sample_deterministic_and_rate_shaped():
         ds(), rates={"en": 0.9}, default_rate=0.05, salt="other"
     ).to_pandas()
     assert sorted(other["doc_id"]) != sorted(kept["doc_id"])
+
+
+def test_cluster_balanced_sample_caps_and_is_deterministic():
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.sampling import (
+        cluster_balanced_sample,
+    )
+
+    df = pd.DataFrame(
+        {"vec_id": range(300), "cluster": [i % 3 for i in range(300)]}
+    )
+    ds = ray.data.from_pandas(df).repartition(6)
+    a = cluster_balanced_sample(ds, m=7).to_pandas()
+    b = cluster_balanced_sample(ds, m=7).to_pandas()
+    assert len(a) == 21 and (a.groupby("cluster").size() == 7).all()
+    pd.testing.assert_frame_equal(
+        a.sort_values(["cluster", "vec_id"]).reset_index(drop=True),
+        b.sort_values(["cluster", "vec_id"]).reset_index(drop=True),
+    )
+    # a different salt draws a different (still capped) subset
+    c = cluster_balanced_sample(ds, m=7, salt="other").to_pandas()
+    assert set(map(tuple, c.to_numpy())) != set(map(tuple, a.to_numpy()))
