@@ -115,17 +115,41 @@ def _seed_centroids(
     return seeds
 
 
+# below this many rows the fit runs on the driver via the bit-equal
+# numpy reference: 21 dataset executions (seed + 10 iterations × 2
+# stages) cost ~1 s of fixed barrier overhead EACH at sandbox scale,
+# while 200k × d=64 float64 vectors are ~100 MB — the same
+# measured-size broadcast-vs-shuffle switch the ER attach uses
+# (pipelines/entity_resolution.py)
+KMEANS_DRIVER_LIMIT = 200_000
+
+
 def kmeans_fit(
     ds: "ray.data.Dataset",
     k: int,
     iters: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    driver_limit: int = KMEANS_DRIVER_LIMIT,
 ) -> np.ndarray:
     """Lloyd's k-means over ``ds[vec_col]``; returns (k, d) centroids.
 
     One combiner-shuffled pass per iteration (see module docstring);
-    an emptied cluster keeps its previous centroid (deterministic)."""
+    an emptied cluster keeps its previous centroid (deterministic).
+    Inputs under ``driver_limit`` rows collect once and fit via
+    :func:`kmeans_reference` (identical update rule; the parity is
+    pinned by ``test_cluster.py``).  The size probe is
+    ``limit(n+1).take_all()`` — ONE truncated streaming execution that
+    doubles as the collect when the input is small — never ``count()``
+    (a full extra pass on computed inputs)."""
+    probe = ds.select_columns([id_col, vec_col]).limit(driver_limit + 1).take_all()
+    if len(probe) <= driver_limit:
+        ids = np.array([r[id_col] for r in probe])
+        X = np.asarray([r[vec_col] for r in probe], dtype=np.float64)
+        cents, _ = kmeans_reference(ids, X, k=k, iters=iters)
+        return cents
+    del probe
+
     cents = _seed_centroids(ds, k, id_col, vec_col)
     dim = cents.shape[1]
     sum_cols = [f"_s{j}" for j in range(dim)]

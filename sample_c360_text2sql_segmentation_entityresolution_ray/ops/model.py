@@ -111,17 +111,42 @@ def linear_fit(
     return np.linalg.solve(G + R, b)
 
 
+# below this many rows the IRLS loop runs on the driver via the
+# bit-equal numpy mirror: each of the 8 Newton passes is a full dataset
+# execution (~1 s of fixed barrier overhead at sandbox scale), while the
+# collected features are p+1 ≈ 7 floats/row — the same measured-size
+# switch kmeans_fit / the ER attach use
+LOGISTIC_DRIVER_LIMIT = 1_000_000
+
+
 def logistic_fit(
     ds: "ray.data.Dataset",
     feature_cols: list[str],
     label_col: str,
     l2: float = 1.0,
     iters: int = 8,
+    driver_limit: int = LOGISTIC_DRIVER_LIMIT,
 ) -> np.ndarray:
     """L2-regularized logistic regression via Newton/IRLS: one
     combiner-shuffled pass per iteration, β broadcast in the closure.
     ``l2 > 0`` keeps the Hessian PD and the solution finite even on
-    linearly separable labels (the distillation case)."""
+    linearly separable labels (the distillation case).
+
+    Inputs under ``driver_limit`` rows collect once (features + label
+    only — never the text) and fit via :func:`logistic_fit_reference`
+    (identical update rule; parity pinned by ``test_model.py``).  The
+    size probe is ``limit(n+1).take_all()`` — one truncated streaming
+    execution that doubles as the collect — never ``count()``."""
+    cols = list(feature_cols) + [label_col]
+    probe = ds.select_columns(cols).limit(driver_limit + 1).take_all()
+    if len(probe) <= driver_limit:
+        X = np.array(
+            [[r[c] for c in feature_cols] for r in probe], dtype=np.float64
+        )
+        y = np.array([r[label_col] for r in probe], dtype=np.float64)
+        return logistic_fit_reference(X, y, l2=l2, iters=iters)
+    del probe
+
     p1 = len(feature_cols) + 1
     gcols = _gram_cols(p1)
     bcols = [f"_b{i}" for i in range(p1)]

@@ -30,9 +30,14 @@ def test_distributed_fit_matches_numpy_reference(sf_dir):
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    cents = kmeans_fit(ds, k=10, iters=10)
+    # driver_limit=0 forces the distributed combiner path (the default
+    # measured-size switch would collect inputs this small)
+    cents = kmeans_fit(ds, k=10, iters=10, driver_limit=0)
     # partial-sum order differs from numpy's; equality is to fp noise
     assert np.allclose(cents, ref_cents, atol=1e-8)
+
+    # the default driver fast path is the reference, bit-for-bit
+    assert (kmeans_fit(ds, k=10, iters=10) == ref_cents).all()
 
     out = kmeans_assign(ds, cents).to_pandas().sort_values("vec_id")
     got = out["cluster"].to_numpy()
@@ -45,8 +50,8 @@ def test_fit_is_deterministic_across_runs(sf_dir):
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    a = kmeans_fit(ds, k=4, iters=3)
-    b = kmeans_fit(ds, k=4, iters=3)
+    a = kmeans_fit(ds, k=4, iters=3, driver_limit=0)
+    b = kmeans_fit(ds, k=4, iters=3, driver_limit=0)
     assert np.allclose(a, b, atol=1e-12)
 
 

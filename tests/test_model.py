@@ -40,11 +40,18 @@ def test_linear_fit_matches_reference_and_recovers_weights():
 def test_logistic_fit_matches_reference():
     df = _synth()
     ds = ray.data.from_pandas(df).repartition(8)
-    beta = logistic_fit(ds, ["x0", "x1", "x2"], "label", l2=1.0, iters=8)
+    # driver_limit=0 forces the distributed IRLS path (the default
+    # measured-size switch would collect inputs this small)
+    beta = logistic_fit(
+        ds, ["x0", "x1", "x2"], "label", l2=1.0, iters=8, driver_limit=0
+    )
     ref = logistic_fit_reference(
         df[["x0", "x1", "x2"]].to_numpy(), df["label"], l2=1.0, iters=8
     )
     assert np.allclose(beta, ref, atol=1e-8)
+    # the default driver fast path is the reference, bit-for-bit
+    fast = logistic_fit(ds, ["x0", "x1", "x2"], "label", l2=1.0, iters=8)
+    assert (fast == ref).all()
     # the fitted boundary separates: AUC-ish sanity via score ordering
     scored = (
         predict_stage(
