@@ -1560,11 +1560,33 @@ def _compile_select_node(node: dict, catalog: Catalog, auto_names: bool = False)
     ds = plan.ds
 
     # decorrelated scalar aggregates join in BEFORE the WHERE filter —
-    # the filter may reference their _PYCOL columns
-    for i, (colname, sub, ik, ocs, fill_zero) in enumerate(corr_scalars):
-        key_aliases = [f"_sqk{i}_{j}" for j in range(len(ik))]
-        item = dict(sub["select_list"][0])
-        item["alias"] = colname
+    # the filter may reference their _PYCOL columns.  Subqueries sharing
+    # the same source (FROM tree + residual WHERE) and correlation keys
+    # fuse into ONE grouped aggregate + ONE join — the classic pattern
+    # `(SELECT max(x) ...), (SELECT count(*) ...)` over the same table
+    # costs one shuffle, not one per aggregate.
+    fused: dict = {}
+    for spec in corr_scalars:
+        _cn, sub, ik, ocs, _fz = spec
+        try:
+            fkey = (
+                json.dumps(sub.get("from_table"), sort_keys=True),
+                json.dumps(sub.get("where_clause"), sort_keys=True),
+                tuple(ik),
+                tuple(ocs),
+            )
+        except TypeError:  # unserializable node — keep it unfused
+            fkey = ("__unfused__", id(sub))
+        fused.setdefault(fkey, []).append(spec)
+
+    for gi, group in enumerate(fused.values()):
+        _cn0, sub, ik, ocs, _fz0 = group[0]
+        key_aliases = [f"_sqk{gi}_{j}" for j in range(len(ik))]
+        items = []
+        for colname, gsub, _ik, _ocs, _fz in group:
+            item = dict(gsub["select_list"][0])
+            item["alias"] = colname
+            items.append(item)
         sub["select_list"] = [
             {
                 "class": "COLUMN_REF",
@@ -1573,7 +1595,7 @@ def _compile_select_node(node: dict, catalog: Catalog, auto_names: bool = False)
                 "alias": ka,
             }
             for k, ka in zip(ik, key_aliases)
-        ] + [item]
+        ] + items
         sub["group_expressions"] = [
             {"class": "COLUMN_REF", "type": "COLUMN_REF", "column_names": [k]}
             for k in ik
@@ -1603,20 +1625,17 @@ def _compile_select_node(node: dict, catalog: Catalog, auto_names: bool = False)
             )
         # pandas-merge keeps differently-named right keys; Ray's join
         # consumes them — normalize by dropping either way
-        ds = ds.map_batches(
-            lambda df, ka=key_aliases: df.drop(
-                columns=[c for c in ka if c in df.columns]
-            ),
-            batch_format="pandas",
-        )
-        if fill_zero:  # SQL: count over an empty group is 0, not NULL
+        zero_cols = [cn for cn, _s, _i, _o, fz in group if fz]
 
-            def _fz(df: pd.DataFrame, c=colname) -> pd.DataFrame:
+        def _post(df: pd.DataFrame, ka=key_aliases, zc=zero_cols) -> pd.DataFrame:
+            df = df.drop(columns=[c for c in ka if c in df.columns])
+            if zc:  # SQL: count over an empty group is 0, not NULL
                 df = df.copy()
-                df[c] = df[c].fillna(0).astype("int64")
-                return df
+                for c in zc:
+                    df[c] = df[c].fillna(0).astype("int64")
+            return df
 
-            ds = ds.map_batches(_fz, batch_format="pandas")
+        ds = ds.map_batches(_post, batch_format="pandas")
 
     where = node.get("where_clause")
     if where:

@@ -471,6 +471,20 @@ CASES = {
         WHERE c_acctbal * 50 > (SELECT max(o_totalprice) FROM orders o
                                 WHERE o.o_custkey = c.c_custkey)
     """,
+    # first two subqueries share source + correlation key → fused into
+    # ONE grouped aggregate + ONE join; the third has a different
+    # residual WHERE so it must stay its own group (engine.py fusion)
+    "correlated_scalar_fusion_mixed": """
+        SELECT c_custkey,
+               (SELECT max(o_totalprice) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS max_spend,
+               (SELECT count(*) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders,
+               (SELECT count(*) FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderstatus = 'F') AS n_closed
+        FROM customer c WHERE c_custkey <= 80 ORDER BY c_custkey
+    """,
 }
 
 
