@@ -1114,6 +1114,22 @@ def _q_doc_quality(sf_dir: str):
     )
 
 
+def _q_lm_perplexity(sf_dir: str):
+    """Corpus bigram-LM perplexity scoring (CCNet quality-filter shape):
+    fit an add-one-smoothed bigram LM on the corpus (two slim combiner
+    shuffles; vocab capped at 24 so the `<unk>` path is exercised at
+    every sf), then score every document with a broadcast-probe map.
+    Oracle re-derives vocabulary, counts, and per-doc mean log-prob."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.lm import (
+        bigram_lm_fit,
+        lm_score_stage,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    lm_ref = bigram_lm_fit(docs, vocab_size=24)
+    return lm_score_stage(docs, lm_ref)
+
+
 def _q_decontaminate_docs(sf_dir: str):
     """Benchmark decontamination (GPT-3 App. C shape): flag documents
     whose token 5-grams overlap a broadcast eval set — here the
@@ -1797,6 +1813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": _q_quality_classifier,
         "tfidf_keywords": _q_tfidf_keywords,
         "decontaminate_docs": _q_decontaminate_docs,
+        "lm_perplexity": _q_lm_perplexity,
         "curated_corpus": _q_curated_corpus,
         # SQL façade (text2sql execution half)
         "sql_demo_agg": _q_sql_demo_agg,
@@ -1818,6 +1835,14 @@ def _kmv_oracle() -> str:
     )
 
     return kmv_oracle_sql("lineitem", "l_partkey", "l_returnflag", 128)
+
+
+def _lm_oracle_sql() -> str:
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.lm import (
+        lm_perplexity_oracle_sql,
+    )
+
+    return lm_perplexity_oracle_sql(vocab_size=24)
 
 
 _WS_TOKENS_SQL = "len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))"
@@ -1982,6 +2007,11 @@ def oracle_sql() -> dict[str, str]:
         """.replace("{QF}", _SQL_QUALITY_FIELDS),
         # decontaminate_stage re-derived: token 5-grams, the same
         # md5-60bit hash construction, benchmark = doc_id % 10 = 7
+        # bigram-LM fit + perplexity scoring re-derived end-to-end:
+        # vocabulary (count desc, token asc, cap 24), <unk>/<s> ids,
+        # add-one smoothing with the ACTUAL kept-vocab size, per-doc
+        # mean ln P — frame-exact at round-6
+        "lm_perplexity": _lm_oracle_sql(),
         "decontaminate_docs": r"""
             WITH toks AS (
               SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t

@@ -7,6 +7,7 @@ from . import (  # noqa: F401
     dedup,
     format,
     io,
+    lm,
     model,
     multimodal,
     packing,

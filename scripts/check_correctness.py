@@ -1,0 +1,130 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__ray_entry__.queries()`` entry against its
+``oracle_sql()`` string (DuckDB over the same parquet tables) at a
+given sf dir, the way the external driver does: row count, column-name
+set, and a value hash computed after sorting columns by name and rows
+by every column.  Use before handing the repo to the driver:
+
+    python scripts/check_correctness.py [/root/testdata/sf0.01] [name ...]
+
+Exit code 1 if any oracle-checked query mismatches.
+"""
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pandas as pd
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if hasattr(res, "to_pandas"):  # Dataset or pyarrow.Table
+        return res.to_pandas()
+    raise TypeError(type(res))
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_float_dtype(s):
+            df[c] = np.round(s.astype("float64"), 9)
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("float64") if s.isna().any() else s.astype("int64")
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]").astype("int64")
+        elif s.dtype == object or pd.api.types.is_string_dtype(s):
+            df[c] = s.map(
+                lambda v: json.dumps(list(v))
+                if isinstance(v, (list, np.ndarray))
+                else (None if v is None or v is pd.NA else str(v))
+            )
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def _vhash(df: pd.DataFrame) -> str:
+    h = hashlib.md5()
+    h.update(df.to_csv(index=False, float_format="%.9g").encode())
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False)
+    import duckdb
+
+    import __ray_entry__ as m
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, osql = m.queries(), m.oracle_sql()
+    bad: list[str] = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            ray_df = _to_pandas(fn(sf_dir))
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: ray error {type(e).__name__}: {e}")
+            bad.append(name)
+            continue
+        wall = time.time() - t0
+        if name not in osql:
+            print(f"  ok {name}: rows={len(ray_df)} (no oracle) [{wall:.1f}s]")
+            continue
+        try:
+            o_df = con.execute(osql[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: oracle error {e}")
+            bad.append(name)
+            continue
+        rows = len(ray_df) == len(o_df)
+        schema = sorted(map(str, ray_df.columns)) == sorted(map(str, o_df.columns))
+        vh = False
+        if rows and schema:
+            a, b = _canon(ray_df), _canon(o_df)
+            vh = _vhash(a) == _vhash(b)
+            if not vh:
+                neq = [
+                    c for c in a.columns
+                    if not a[c].fillna("~N~").equals(b[c].fillna("~N~"))
+                ]
+                print(f"     diff cols: {neq}")
+                for c in neq[:2]:
+                    mask = ~(a[c].fillna("~N~") == b[c].fillna("~N~"))
+                    print(f"     {c}: ray={a.loc[mask, c].head(3).tolist()} "
+                          f"oracle={b.loc[mask, c].head(3).tolist()}")
+        status = "  ok" if (rows and schema and vh) else "FAIL"
+        if status == "FAIL":
+            bad.append(name)
+        print(f"{status} {name}: rows={len(ray_df)}/{len(o_df)} "
+              f"schema={schema} hash={vh} [{wall:.1f}s]")
+
+    print(f"\n{len(qs) - len(bad)}/{len(qs)} green; failures: {bad}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
