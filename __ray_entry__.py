@@ -700,6 +700,28 @@ def _q_kmeans_clusters(sf_dir: str):
     return kmeans_assign(emb, cents)
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup: distributed k-means assignment buckets the embedding
+    space (clustering = blocking), within-cluster round-4 cosine >= 0.4
+    drops every vector with a lower-(md5, id)-ranked neighbor.  Oracle
+    re-derives assignment (reference centroids), rank, and the NOT
+    EXISTS survivor rule — the exact kept set."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.cluster import (
+        kmeans_fit,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.dedup import (
+        semantic_dedup,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sources.fixture_export import (
+        KMEANS_ITERS,
+        KMEANS_K,
+    )
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = kmeans_fit(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    return semantic_dedup(emb, cents, threshold=0.4)
+
+
 def _q_cluster_sampled(sf_dir: str):
     """Cluster-balanced subsample (SemDeDup shape): distributed k-means
     assignment, then at most 20 rows per cluster by deterministic md5
@@ -1791,6 +1813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_top10": _q_knn_top10,
         "kmeans_clusters": _q_kmeans_clusters,
         "cluster_sampled": _q_cluster_sampled,
+        "semantic_dedup": _q_semantic_dedup,
         "minhash_dup_docs": _q_minhash_dup_docs,
         "ngram_dup_docs": _q_ngram_dup_docs,
         "embedding_dup_exact": _q_embedding_dup_exact,
@@ -1835,6 +1858,16 @@ def _kmv_oracle() -> str:
     )
 
     return kmv_oracle_sql("lineitem", "l_partkey", "l_returnflag", 128)
+
+
+def _semantic_dedup_oracle() -> str:
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.dedup import (
+        semantic_dedup_oracle_sql,
+    )
+
+    return semantic_dedup_oracle_sql(
+        f"{_FIX01}/kmeans_centroids.parquet", threshold=0.4
+    )
 
 
 def _lm_oracle_sql() -> str:
@@ -1923,6 +1956,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, cluster FROM r WHERE rn <= 20
         """,
+        # SemDeDup kept-set re-derivation: argmin assignment over the
+        # reference centroids + md5 rank + NOT EXISTS lower-rank
+        # neighbor at round-4 cosine >= 0.4
+        "semantic_dedup": _semantic_dedup_oracle(),
         "domain_stats": f"""
             SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS domain,
                    CAST(count(*) AS BIGINT) AS n_pages,

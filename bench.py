@@ -126,6 +126,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "curated_corpus",
         "doc_quality",
         "quality_classifier",
+        "lm_perplexity",
         "kmeans_clusters",
         "knn_top10",
         "sql_demo_agg",

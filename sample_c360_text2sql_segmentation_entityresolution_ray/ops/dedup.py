@@ -1155,6 +1155,129 @@ FROM split s LEFT JOIN (
 """
 
 
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup: k-means bucket, within-cluster cosine)
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(
+    ds: "ray.data.Dataset",
+    centroids: np.ndarray,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    round_nd: int = 4,
+    salt: str = "semd",
+) -> "ray.data.Dataset":
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): assign every vector
+    to its nearest k-means centroid, then compare pairs ONLY within a
+    cluster and drop every vector that has a within-cluster neighbor at
+    ``cos >= threshold`` with a smaller ``(md5(salt+id), id)`` rank.
+    Returns the kept ``(id_col, cluster)`` rows.
+
+    The survivor rule is EXISTS-lower-rank (not transitive components):
+    deterministic, order-free, and re-derivable in SQL as a NOT EXISTS
+    — the oracle checks the exact kept set.
+
+    SCALE: the clustering IS the blocking — the O(N²) pair space decays
+    to Σ c_i² over cluster sizes, the paper's contract (k is chosen so
+    clusters stay small, e.g. 50k clusters for LAION-scale).  One
+    cluster-key shuffle moves each embedding once; the per-cluster
+    sweep is a single unit-matmul.  A degenerate giant cluster is the
+    caller's k-choice problem; the LSH path
+    (:func:`embedding_dup_pairs`) is the fallback when no good k
+    exists."""
+    import hashlib
+
+    cents_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+    scale = 10.0**round_nd
+
+    def _label(batch: pa.Table) -> pd.DataFrame:
+        from .cluster import _as_matrix, _assign
+
+        X = _as_matrix(batch[emb_col])
+        lab = _assign(X, ray.get(cents_ref))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        rk = np.fromiter(
+            (
+                int(hashlib.md5((salt + str(int(i))).encode()).hexdigest()[:15], 16)
+                for i in ids
+            ),
+            np.int64,
+            len(ids),
+        )
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        unit = X / np.where(norms == 0, 1.0, norms)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster": lab.astype(np.int64),
+                "_rk": rk,
+                "_unit": list(unit),
+            }
+        )
+
+    def _sweep(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g[id_col].to_numpy(), g["_rk"].to_numpy()))
+        g = g.iloc[order]
+        U = np.stack(g["_unit"].to_numpy())
+        sims = U @ U.T
+        r = np.trunc(sims * scale + np.copysign(0.5, sims)) / scale
+        adj = r >= threshold
+        dropped = np.any(np.triu(adj, k=1), axis=0)
+        kept = g.loc[~dropped, [id_col, "cluster"]]
+        return kept.reset_index(drop=True)
+
+    return (
+        ds.select_columns([id_col, emb_col])
+        .map_batches(_label, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(_sweep, batch_format="pandas")
+    )
+
+
+def semantic_dedup_oracle_sql(
+    centroids_parquet: str,
+    threshold: float = 0.4,
+    salt: str = "semd",
+) -> str:
+    """DuckDB re-derivation of :func:`semantic_dedup` over the
+    ``embeddings`` view: argmin assignment against the reference
+    centroids, the same md5 rank, NOT EXISTS lower-rank neighbor at
+    round-4 cosine >= threshold."""
+    return f"""
+WITH assign AS (
+    SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, c.cluster_id AS cluster,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding, c.centroid),
+                            c.cluster_id
+               ) AS rn
+        FROM embeddings e
+        CROSS JOIN read_parquet('{centroids_parquet}') c
+    ) WHERE rn = 1
+),
+r AS (
+    SELECT vec_id, cluster,
+           ('0x' || left(md5('{salt}' || CAST(vec_id AS VARCHAR)), 15))::BIGINT AS rk
+    FROM assign
+)
+SELECT a.vec_id, a.cluster
+FROM r a
+WHERE NOT EXISTS (
+    SELECT 1
+    FROM r b
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = b.vec_id
+    WHERE b.cluster = a.cluster
+      AND (b.rk < a.rk OR (b.rk = a.rk AND b.vec_id < a.vec_id))
+      AND round(list_cosine_similarity(ea.embedding, eb.embedding)::DOUBLE, 4)
+          >= {threshold}
+)
+"""
+
+
 __all__ = [
     "exact_dedup",
     "minhash_dup_pairs",
@@ -1165,6 +1288,8 @@ __all__ = [
     "ngram_dup_all_pairs",
     "embedding_dup_pairs",
     "embedding_dup_pairs_exact",
+    "semantic_dedup",
+    "semantic_dedup_oracle_sql",
     "span_dup_stats",
     "strip_duplicate_spans",
     "line_dedup",

@@ -104,6 +104,35 @@ def test_embedding_dup_pairs():
     assert found == {(0, 1)}
 
 
+def test_semantic_dedup_drops_within_cluster_only():
+    # two tight clusters far apart; near-dup pairs exist inside each.
+    # centroids placed ON the clusters so assignment is unambiguous.
+    rng = np.random.default_rng(11)
+    a = rng.standard_normal(16)
+    b = -a  # opposite direction -> different cluster, cosine -1
+    rows = []
+    for i in range(4):  # ids 0..3 near a
+        rows.append({"vec_id": i, "embedding": (a + 1e-4 * rng.standard_normal(16)).tolist()})
+    for i in range(4, 8):  # ids 4..7 near b
+        rows.append({"vec_id": i, "embedding": (b + 1e-4 * rng.standard_normal(16)).tolist()})
+    cents = np.stack([a, b])
+    kept = dedup.semantic_dedup(
+        ray.data.from_items(rows), cents, threshold=0.99
+    ).to_pandas()
+    # each cluster collapses to exactly one survivor
+    assert sorted(kept["cluster"].tolist()) == [0, 1]
+    # survivors are the md5-min-ranked member of each cluster
+    import hashlib
+
+    def rk(i):
+        return int(hashlib.md5(f"semd{i}".encode()).hexdigest()[:15], 16)
+
+    assert set(kept["vec_id"]) == {
+        min(range(4), key=rk),
+        min(range(4, 8), key=rk),
+    }
+
+
 def _span_corpus():
     # doc 0/1 share the 6-token phrase; doc 2 is disjoint
     shared = "alpha beta gamma delta epsilon zeta"
