@@ -368,6 +368,27 @@ def _q_lineitem_distinct_parts_kmv(sf_dir: str):
     ], 4)
 
 
+def _q_events_hopping_windows(sf_dir: str):
+    """Hopping event-time windows (2 h wide, 1 h hop — every event in
+    exactly two overlapping windows, `ops/window.py::hopping_window`):
+    per-user count + value sum.  Oracle replicates each event across
+    its windows with generate_series."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.window import (
+        hopping_window,
+    )
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    agg = hopping_window(
+        ev,
+        ts_col="ts",
+        width_s=7200,
+        hop_s=3600,
+        keys=["user_id"],
+        aggs={"n_events": ("count", None), "sum_value": ("sum", "value")},
+    )
+    return _round_cols(agg, ["sum_value"])
+
+
 def _q_events_hourly_windows(sf_dir: str):
     """Tumbling event-time windows (streaming-window shape,
     `ops/window.py::tumbling_window`): per-user hourly event count +
@@ -1793,6 +1814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_seq": _q_customer_order_seq,
         "lineitem_qty_ranks": _q_lineitem_qty_ranks,
         "events_hourly_windows": _q_events_hourly_windows,
+        "events_hopping_windows": _q_events_hopping_windows,
         "lineitem_distinct_parts_kmv": _q_lineitem_distinct_parts_kmv,
         # training-data ops — oracle-checked where SQL-expressible
         "exact_dedup_docs": _q_exact_dedup_docs,
@@ -2238,6 +2260,16 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS sum_value
             FROM events
             GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        "events_hopping_windows": """
+            SELECT user_id,
+                   (CAST(floor(epoch(ts)) AS BIGINT) // 3600 - j.j) * 3600
+                       AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+            CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS j) j
+            GROUP BY user_id, window_start
         """,
         "exact_dedup_docs": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text

@@ -219,4 +219,51 @@ def tumbling_window(
     )
 
 
-__all__ = ["window", "tumbling_window"]
+def hopping_window(
+    ds: "ray.data.Dataset",
+    ts_col: str,
+    width_s: int,
+    hop_s: int,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str | None]],
+) -> "ray.data.Dataset":
+    """Hopping (sliding) event-time windows: width ``width_s``, advance
+    ``hop_s`` — every event lands in exactly ``width_s // hop_s``
+    overlapping windows (``width_s`` must be a multiple of ``hop_s``).
+    One output row per (keys..., window_start); same partial-agg
+    contract as :func:`tumbling_window`.
+
+    SCALE: the replication factor is width/hop (a small constant chosen
+    by the caller), applied per batch BEFORE Ray's groupby partial
+    aggregation — the shuffle still moves one row per (key, window)
+    per block, never per replicated event."""
+    if width_s % hop_s:
+        raise ValueError("width_s must be a multiple of hop_s")
+    m = width_s // hop_s
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[list(keys)].copy()
+        for name, (fn, col) in aggs.items():
+            if col is not None:
+                out[name] = df[col]
+        epoch = df[ts_col].astype("datetime64[ns]").astype("int64") // 1_000_000_000
+        out = out.loc[out.index.repeat(m)].reset_index(drop=True)
+        j = np.tile(np.arange(m, dtype=np.int64), len(df))
+        e = np.repeat(epoch.to_numpy(), m)
+        out["window_start"] = (e // hop_s - j) * hop_s
+        return out
+
+    agg_objs = []
+    for name, (fn, col) in aggs.items():
+        if fn == "count":
+            agg_objs.append(Count(alias_name=name))
+        else:
+            agg_objs.append(_AGGS[fn](name, alias_name=name))
+    return (
+        ds.map_batches(_bucket, batch_format="pandas")
+        .groupby(list(keys) + ["window_start"])
+        .aggregate(*agg_objs)
+    )
+
+
+__all__ = ["window", "tumbling_window", "hopping_window"]

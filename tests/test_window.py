@@ -93,3 +93,41 @@ def test_tumbling_window_buckets(ray_session):
         {"u": 1, "window_start": base + 3600, "n": 1, "s": 4.0},
         {"u": 2, "window_start": base, "n": 1, "s": 8.0},
     ]
+
+
+def test_hopping_window_replicates_events_across_overlaps():
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.window import (
+        hopping_window,
+    )
+
+    df = pd.DataFrame(
+        {
+            "u": [1, 1],
+            "ts": pd.to_datetime(["2024-01-01 00:30:00", "2024-01-01 01:30:00"]),
+            "v": [1.0, 2.0],
+        }
+    )
+    out = (
+        hopping_window(
+            ray.data.from_pandas(df).repartition(2),
+            "ts", 7200, 3600, ["u"],
+            {"n": ("count", None), "s": ("sum", "v")},
+        )
+        .to_pandas()
+        .sort_values(["u", "window_start"])
+        .reset_index(drop=True)
+    )
+    base = int(pd.Timestamp("2024-01-01 00:00:00").timestamp())
+    # event@00:30 -> windows starting 23:00, 00:00; event@01:30 -> 00:00, 01:00
+    assert out.to_dict("records") == [
+        {"u": 1, "window_start": base - 3600, "n": 1, "s": 1.0},
+        {"u": 1, "window_start": base, "n": 2, "s": 3.0},
+        {"u": 1, "window_start": base + 3600, "n": 1, "s": 2.0},
+    ]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hopping_window(
+            ray.data.from_pandas(df), "ts", 7000, 3600, ["u"], {"n": ("count", None)}
+        )
