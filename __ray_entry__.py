@@ -1157,6 +1157,12 @@ def _q_doc_quality(sf_dir: str):
     )
 
 
+def _q_source_quality_gate(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    out = textops.source_quality_gate(docs, threshold=0.65)
+    return _round_cols(out, ["quality", "src_mean_quality"], 6)
+
+
 def _q_lm_perplexity(sf_dir: str):
     """Corpus bigram-LM perplexity scoring (CCNet quality-filter shape):
     fit an add-one-smoothed bigram LM on the corpus (two slim combiner
@@ -1718,6 +1724,28 @@ def _sql_doc_quality() -> str:
     """
 
 
+def _sql_source_quality_gate(threshold: float = 0.65, min_docs: int = 1) -> str:
+    return f"""
+        WITH t AS (
+            SELECT doc_id, source, text,
+                   regexp_extract_all(lower(text), '\\w+') AS toks
+            FROM documents
+        ), f AS ({{fields}} FROM t),
+        q AS (
+            SELECT f.doc_id, t.source, {{expr}} AS quality
+            FROM f JOIN t USING (doc_id)
+        ),
+        s AS (
+            SELECT source, avg(quality) AS m, count(*) AS n
+            FROM q GROUP BY source
+        )
+        SELECT q.doc_id, q.source, round(q.quality, 6) AS quality,
+               round(s.m, 6) AS src_mean_quality, s.n AS src_n_docs
+        FROM q JOIN s USING (source)
+        WHERE s.m >= {threshold} AND s.n >= {min_docs}
+    """.format(fields=_SQL_QUALITY_FIELDS, expr=_SQL_QUALITY_EXPR)
+
+
 def _sql_curated_corpus(min_quality: float = 0.2, near_thr: float = 0.85) -> str:
     """The full curation composition in SQL: quality filter → exact
     dedup (min id per text) → 3-shingle Jaccard pairs at ``near_thr`` →
@@ -1855,6 +1883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_top10": _q_knn_ivf_top10,
         "langid_docs": _q_langid_docs,
         "doc_quality": _q_doc_quality,
+        "source_quality_gate": _q_source_quality_gate,
         "quality_classifier": _q_quality_classifier,
         "tfidf_keywords": _q_tfidf_keywords,
         "decontaminate_docs": _q_decontaminate_docs,
@@ -2013,6 +2042,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "langid_docs": _sql_langid(),
         "doc_quality": _sql_doc_quality(),
+        "source_quality_gate": _sql_source_quality_gate(),
         "tfidf_keywords": r"""
             WITH toks AS (
                 SELECT doc_id,

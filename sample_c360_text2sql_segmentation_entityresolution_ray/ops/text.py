@@ -461,6 +461,7 @@ __all__ = [
     "pii_scrub_stage",
     "PII_PATTERNS",
     "token_freq_topk",
+    "source_quality_gate",
     "benchmark_ngram_ref",
     "decontaminate_stage",
     "tfidf_doc_keywords",
@@ -638,3 +639,71 @@ def tfidf_doc_keywords(
         )
     )
     return ranked
+
+
+# ---------------------------------------------------------------------------
+# domain-level quality gate
+# ---------------------------------------------------------------------------
+
+def source_quality_gate(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.65,
+    min_docs: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> "ray.data.Dataset":
+    """Domain-level quality gate: keep every document whose GROUP
+    (source / crawl host) has mean :func:`quality_of` ≥ ``threshold``
+    and at least ``min_docs`` documents.
+
+    The web-pipeline "drop bad domains" stage (RefinedWeb/Gopher drop
+    whole hosts when their sampled pages score poorly) — a per-group
+    HAVING filter applied back to the row stream, composing the M4
+    filter + A1 grouped-HAVING shapes over the corpus.
+
+    Scale posture: per-doc quality is one streaming map whose slim
+    ``(id, group, quality)`` projection is materialized ONCE so the
+    expensive text pass never runs twice; the per-group reduction is a
+    combiner aggregate (one partial row per block × group — a hot
+    domain ships partials, never pages); the passing-group table is
+    O(#domains) rows, collected to the driver and broadcast via
+    ``ray.put`` into one final streaming merge.  Document text never
+    shuffles and never reaches the driver.
+
+    Output: ``(id, group, quality, src_mean_quality, src_n_docs)`` for
+    surviving documents.
+    """
+    import ray
+
+    from .relational import grouped_aggregate
+
+    def _score(batch: pa.Table) -> pa.Table:
+        q = [quality_of(t)[0] for t in batch[text_col].to_pylist()]
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                group_col: batch[group_col],
+                "quality": pa.array(q, pa.float64()),
+            }
+        )
+
+    scored = ds.map_batches(_score, batch_format="pyarrow").materialize()
+    agg = grouped_aggregate(
+        scored.select_columns([group_col, "quality"]),
+        keys=[group_col],
+        specs=[("sum", "quality", "q_sum"), ("count_star", None, "src_n_docs")],
+    )
+    small = agg.to_pandas()  # O(#domains) rows — the gate table, not docs
+    small["src_mean_quality"] = small["q_sum"] / small["src_n_docs"]
+    passing = small.loc[
+        (small["src_mean_quality"] >= threshold)
+        & (small["src_n_docs"] >= min_docs),
+        [group_col, "src_mean_quality", "src_n_docs"],
+    ].reset_index(drop=True)
+    pass_ref = ray.put(passing)
+
+    def _gate(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(ray.get(pass_ref), on=group_col, how="inner")
+
+    return scored.map_batches(_gate, batch_format="pandas")

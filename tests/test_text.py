@@ -174,3 +174,29 @@ def test_tfidf_keywords_join_path_equals_broadcast(sf_dir):
     pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
     assert (fast.groupby("doc_id")["rank"].max() <= 5).all()
     assert (fast["rank"] >= 1).all()
+
+
+def test_source_quality_gate_drops_bad_group():
+    good = (
+        "The quick brown fox jumps over the lazy dog and it was a fine day. "
+        * 12
+    )
+    junk = "@@## 1234 %%^^ && !!"
+    rows = [
+        {"doc_id": i, "source": "good", "text": good} for i in range(4)
+    ] + [{"doc_id": 10 + i, "source": "junk", "text": junk} for i in range(4)]
+    ds = ray.data.from_items(rows)
+    out = (
+        textops.source_quality_gate(ds, threshold=0.5, min_docs=1)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert set(out["source"]) == {"good"}
+    assert len(out) == 4
+    assert (out["src_n_docs"] == 4).all()
+    q_good, _, _ = textops.quality_of(good)
+    assert abs(out["src_mean_quality"].iloc[0] - q_good) < 1e-12
+
+    # min_docs gates out groups below the census floor even if clean
+    out2 = textops.source_quality_gate(ds, threshold=0.5, min_docs=5)
+    assert out2.count() == 0
