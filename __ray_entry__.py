@@ -1163,6 +1163,15 @@ def _q_source_quality_gate(sf_dir: str):
     return _round_cols(out, ["quality", "src_mean_quality"], 6)
 
 
+def _q_clean_lines(sf_dir: str):
+    """The fixture corpus is single-line and punctuation-free, so the
+    driver query exercises the word-minimum rule (the terminal-punct
+    rule is exercised on planted multi-line text in
+    ``tests/test_text.py``)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return textops.clean_lines_stage(docs, min_words=30, require_terminal=False)
+
+
 def _q_lm_perplexity(sf_dir: str):
     """Corpus bigram-LM perplexity scoring (CCNet quality-filter shape):
     fit an add-one-smoothed bigram LM on the corpus (two slim combiner
@@ -1746,6 +1755,33 @@ def _sql_source_quality_gate(threshold: float = 0.65, min_docs: int = 1) -> str:
     """.format(fields=_SQL_QUALITY_FIELDS, expr=_SQL_QUALITY_EXPR)
 
 
+def _sql_clean_lines(min_words: int = 30, require_terminal: bool = False) -> str:
+    # trim char set mirrors Python str.strip(): space \t \r \f \v
+    ws = "' ' || chr(9) || chr(13) || chr(12) || chr(11)"
+    term = (
+        rf" AND regexp_matches(rtrim(x, {ws}), '[.!?\"]$')"
+        if require_terminal
+        else ""
+    )
+    return rf"""
+        WITH l AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, chr(10)),
+                               x -> trim(x, {ws}) <> '') AS lines
+            FROM documents
+        ), f AS (
+            SELECT doc_id, lines,
+                   list_filter(lines,
+                       x -> len(regexp_extract_all(lower(x), '\w+')) >= {min_words}{term}) AS kept
+            FROM l
+        )
+        SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+               len(kept) AS n_kept, len(lines) - len(kept) AS n_dropped
+        FROM f
+        WHERE len(kept) > 0
+    """
+
+
 def _sql_curated_corpus(min_quality: float = 0.2, near_thr: float = 0.85) -> str:
     """The full curation composition in SQL: quality filter → exact
     dedup (min id per text) → 3-shingle Jaccard pairs at ``near_thr`` →
@@ -1884,6 +1920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_docs": _q_langid_docs,
         "doc_quality": _q_doc_quality,
         "source_quality_gate": _q_source_quality_gate,
+        "clean_lines": _q_clean_lines,
         "quality_classifier": _q_quality_classifier,
         "tfidf_keywords": _q_tfidf_keywords,
         "decontaminate_docs": _q_decontaminate_docs,
@@ -2043,6 +2080,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_docs": _sql_langid(),
         "doc_quality": _sql_doc_quality(),
         "source_quality_gate": _sql_source_quality_gate(),
+        "clean_lines": _sql_clean_lines(),
         "tfidf_keywords": r"""
             WITH toks AS (
                 SELECT doc_id,

@@ -707,3 +707,67 @@ def source_quality_gate(
         return batch.merge(ray.get(pass_ref), on=group_col, how="inner")
 
     return scored.map_batches(_gate, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# C4-style within-doc line filtering
+# ---------------------------------------------------------------------------
+
+_LINE_TERMINALS = ('.', '!', '?', '"')
+
+
+def clean_lines_stage(
+    ds: "ray.data.Dataset",
+    min_words: int = 3,
+    require_terminal: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """C4-style within-document line filtering: keep only lines with at
+    least ``min_words`` words that (when ``require_terminal``) end after
+    right-trim in a terminal mark (``. ! ? "``); drop documents left
+    with no surviving lines.  ``require_terminal=False`` degrades to the
+    pure word-minimum rule for corpora without sentence punctuation.
+
+    The classic boilerplate-line cleanup (C4, Raffel et al. 2020 §2.2 —
+    "retained lines that ended in a terminal punctuation mark" / word
+    minimum), complementing the corpus-level paragraph dedup in
+    :func:`..ops.dedup.line_dedup`: that stage removes lines repeated
+    ACROSS documents, this one removes nav/menu fragments WITHIN each.
+
+    One stateless streaming map — no shuffle, no state, text visits one
+    worker once.  Output:
+    ``(id, clean_text, n_kept, n_dropped)`` where ``n_dropped`` counts
+    non-blank lines removed (blank lines are structural, not counted).
+    """
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        ids, texts = batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        out_id, out_txt, out_k, out_d = [], [], [], []
+        for i, t in zip(ids, texts):
+            lines = [ln for ln in t.split("\n") if ln.strip()]
+            kept = [
+                ln
+                for ln in lines
+                if len(TOKEN_RE.findall(ln.lower())) >= min_words
+                and (
+                    not require_terminal
+                    or ln.rstrip().endswith(_LINE_TERMINALS)
+                )
+            ]
+            if not kept:
+                continue
+            out_id.append(i)
+            out_txt.append("\n".join(kept))
+            out_k.append(len(kept))
+            out_d.append(len(lines) - len(kept))
+        return pa.table(
+            {
+                id_col: pa.array(out_id, batch[id_col].type),
+                "clean_text": pa.array(out_txt, pa.string()),
+                "n_kept": pa.array(out_k, pa.int64()),
+                "n_dropped": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_fn, batch_format="pyarrow")

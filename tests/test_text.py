@@ -200,3 +200,35 @@ def test_source_quality_gate_drops_bad_group():
     # min_docs gates out groups below the census floor even if clean
     out2 = textops.source_quality_gate(ds, threshold=0.5, min_docs=5)
     assert out2.count() == 0
+
+
+def test_clean_lines_c4_semantics():
+    doc = "\n".join(
+        [
+            "Short line",                              # <3 words
+            "This is a good long sentence.",           # kept
+            "menu | nav | bar",                        # 3 words, no terminal
+            'He said the word was "quoted"',           # kept: " is terminal
+            "Another proper sentence ends here!   ",   # kept (rstrip)
+            "   ",                                     # blank — structural
+            "no terminal punctuation on this line",
+        ]
+    )
+    ds = ray.data.from_items(
+        [{"doc_id": 1, "text": doc}, {"doc_id": 2, "text": "nav bar"}]
+    )
+    out = textops.clean_lines_stage(ds, min_words=3).to_pandas()
+    assert list(out["doc_id"]) == [1]  # doc 2 keeps nothing and is dropped
+    row = out.iloc[0]
+    assert row["clean_text"] == (
+        "This is a good long sentence.\n"
+        'He said the word was "quoted"\n'
+        "Another proper sentence ends here!   "
+    )
+    assert row["n_kept"] == 3 and row["n_dropped"] == 3
+
+    # word-minimum-only mode for punctuation-free corpora
+    out2 = textops.clean_lines_stage(
+        ds, min_words=3, require_terminal=False
+    ).to_pandas()
+    assert out2.loc[out2["doc_id"] == 1, "n_kept"].iloc[0] == 5
