@@ -1163,6 +1163,23 @@ def _q_source_quality_gate(sf_dir: str):
     return _round_cols(out, ["quality", "src_mean_quality"], 6)
 
 
+_BLOCKED_DOMAINS = ("alt.example.com", "blocked.example.net")
+
+
+def _q_url_blocklist(sf_dir: str):
+    """Domain-blocklist crawl filter over the url_variants fixture:
+    blocking the parent ``alt.example.com`` removes every
+    ``m-srcN.alt.example.com`` subdomain host (dot-boundary suffix
+    rule) while ``hot.example.com`` pages survive."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sources.fixture_export import (
+        ensure_fixtures,
+    )
+
+    fix = ensure_fixtures(sf_dir)
+    ds = ray.data.read_parquet(f"{fix}/url_variants.parquet", columns=["url"])
+    return urlops.blocklist_filter(ds, _BLOCKED_DOMAINS)
+
+
 def _q_clean_lines(sf_dir: str):
     """The fixture corpus is single-line and punctuation-free, so the
     driver query exercises the word-minimum rule (the terminal-punct
@@ -1755,6 +1772,23 @@ def _sql_source_quality_gate(threshold: float = 0.65, min_docs: int = 1) -> str:
     """.format(fields=_SQL_QUALITY_FIELDS, expr=_SQL_QUALITY_EXPR)
 
 
+def _sql_url_blocklist(fix: str, blocked: tuple) -> str:
+    """Re-derives the host extraction + dot-boundary suffix rule in SQL
+    over the same url_variants fixture bytes."""
+    pred = " OR ".join(
+        f"host = '{d}' OR host LIKE '%.{d}'" for d in blocked
+    )
+    return f"""
+        WITH h AS (
+            SELECT url,
+                   lower(regexp_extract(url, '(?i)^https?://([^/:?#]+)', 1)) AS host
+            FROM read_parquet('{fix}/url_variants.parquet')
+        )
+        SELECT url, host FROM h
+        WHERE NOT ({pred})
+    """
+
+
 def _sql_clean_lines(min_words: int = 30, require_terminal: bool = False) -> str:
     # trim char set mirrors Python str.strip(): space \t \r \f \v
     ws = "' ' || chr(9) || chr(13) || chr(12) || chr(11)"
@@ -1921,6 +1955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _q_doc_quality,
         "source_quality_gate": _q_source_quality_gate,
         "clean_lines": _q_clean_lines,
+        "url_blocklist": _q_url_blocklist,
         "quality_classifier": _q_quality_classifier,
         "tfidf_keywords": _q_tfidf_keywords,
         "decontaminate_docs": _q_decontaminate_docs,
@@ -2081,6 +2116,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _sql_doc_quality(),
         "source_quality_gate": _sql_source_quality_gate(),
         "clean_lines": _sql_clean_lines(),
+        "url_blocklist": _sql_url_blocklist(_FIX01, _BLOCKED_DOMAINS),
         "tfidf_keywords": r"""
             WITH toks AS (
                 SELECT doc_id,

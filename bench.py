@@ -125,6 +125,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "embedding_dup_pairs",
         "curated_corpus",
         "doc_quality",
+        "source_quality_gate",
+        "clean_lines",
         "quality_classifier",
         "lm_perplexity",
         "kmeans_clusters",

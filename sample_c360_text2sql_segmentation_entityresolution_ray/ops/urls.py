@@ -176,4 +176,68 @@ __all__ = [
     "canonicalize_stage",
     "url_dedup",
     "domain_stats",
+    "blocklist_filter",
 ]
+
+
+# ---------------------------------------------------------------------------
+# domain blocklist filter
+# ---------------------------------------------------------------------------
+
+_HOST_RE = re.compile(r"^https?://([^/:?#]+)", re.IGNORECASE)
+
+
+def blocklist_filter(
+    ds: "ray.data.Dataset",
+    blocked,
+    url_col: str = "url",
+) -> "ray.data.Dataset":
+    """Drop pages whose host is a blocked domain or any subdomain of
+    one (dot-boundary suffix match): blocking ``alt.example.com``
+    removes ``m-src3.alt.example.com`` but not ``nonalt.example.com``.
+
+    The standard crawl-curation blocklist stage (adult/spam/SEO-farm
+    host lists); the reference's analog is the anti-membership filter
+    (SURVEY §2.2 M5) applied to crawl provenance instead of ids.
+
+    ``blocked`` is an iterable of lowercase domains, or a
+    ``ray.ObjectRef`` to one — for real blocklists (millions of hosts)
+    ``ray.put`` the set ONCE and pass the ref so every task reads it
+    zero-copy from its node's object store instead of re-shipping it
+    inside the task closure per batch.
+
+    One stateless streaming map — no shuffle; emits the surviving rows
+    plus the extracted ``host`` (port/userinfo-free, lowercased).
+    """
+    import ray
+
+    is_ref = isinstance(blocked, ray.ObjectRef)
+    blocked_set = None if is_ref else frozenset(blocked)
+
+    def _host_blocked(host: str, bset) -> bool:
+        # walk dot-boundary suffixes: a.b.c.d → a.b.c.d, b.c.d, c.d, d
+        while host:
+            if host in bset:
+                return True
+            dot = host.find(".")
+            if dot < 0:
+                return False
+            host = host[dot + 1 :]
+        return False
+
+    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+        bset = ray.get(blocked) if is_ref else blocked_set
+        hosts = (
+            batch[url_col]
+            .str.extract(_HOST_RE, expand=False)
+            .str.lower()
+            .fillna("")
+        )
+        # dedupe per batch: crawl batches repeat hosts heavily
+        verdict = {h: _host_blocked(h, bset) for h in hosts.unique()}
+        keep = ~hosts.map(verdict).to_numpy(bool)
+        out = batch.loc[keep].copy()
+        out["host"] = hosts[keep]
+        return out
+
+    return ds.map_batches(_fn, batch_format="pandas")

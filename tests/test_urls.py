@@ -58,3 +58,38 @@ def test_url_dedup_latest_wins():
     assert out.loc["https://a.com/x", "n_variants"] == 3
     assert out.loc["https://a.com/x", "kept_url"] == "https://a.com/x?utm_source=f"
     assert out.loc["https://b.com/y", "kept_url"] == "https://b.com/y"
+
+
+def test_blocklist_filter_dot_boundary_and_ref():
+    import ray
+
+    rows = [
+        {"url": "https://bad.example.com/a"},        # exact block
+        {"url": "http://sub.bad.example.com/b"},     # subdomain block
+        {"url": "https://NOTbad.example.com/c"},     # NOT dot-boundary: kept
+        {"url": "https://good.example.org/d"},       # kept
+        {"url": "not a url at all"},                 # no host: kept, host ""
+    ]
+    blocked = ["bad.example.com"]
+    out = (
+        urls.blocklist_filter(ray.data.from_items(rows), blocked)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert list(out["url"]) == [
+        "https://NOTbad.example.com/c",
+        "https://good.example.org/d",
+        "not a url at all",
+    ]
+    assert list(out["host"]) == ["notbad.example.com", "good.example.org", ""]
+
+    # broadcast-ref path (the 100-TB posture) gives identical output
+    ref = ray.put(frozenset(blocked))
+    out2 = (
+        urls.blocklist_filter(ray.data.from_items(rows), ref)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
