@@ -1189,6 +1189,11 @@ def _q_clean_lines(sf_dir: str):
     return textops.clean_lines_stage(docs, min_words=30, require_terminal=False)
 
 
+def _q_gopher_rules(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return textops.gopher_rules_stage(docs)
+
+
 def _q_lm_perplexity(sf_dir: str):
     """Corpus bigram-LM perplexity scoring (CCNet quality-filter shape):
     fit an add-one-smoothed bigram LM on the corpus (two slim combiner
@@ -1816,6 +1821,64 @@ def _sql_clean_lines(min_words: int = 30, require_terminal: bool = False) -> str
     """
 
 
+def _sql_gopher_rules() -> str:
+    """Re-derives every Gopher rule (Rae et al. 2021 App. A1.1) from raw
+    text: tokenization, counts, line censuses, distinct-stopword set."""
+    ws = "' ' || chr(9) || chr(13) || chr(12) || chr(11)"
+    return rf"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   regexp_extract_all(lower(text), '\w+') AS toks,
+                   list_filter(string_split(text, chr(10)),
+                               x -> trim(x, {ws}) <> '') AS lines
+            FROM documents
+        ), f AS (
+            SELECT doc_id, text, toks, lines, len(toks) AS n,
+                   len(lines) AS nl,
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE list_aggregate(
+                                 list_transform(toks, x -> len(x)), 'sum'
+                             )::DOUBLE / len(toks) END AS mwl,
+                   CASE WHEN len(toks) = 0 THEN 1.0
+                        ELSE ((length(text) - length(replace(text, '#', '')))
+                              + (length(text) - length(replace(text, '...', ''))) / 3
+                             )::DOUBLE / len(toks) END AS sym,
+                   CASE WHEN len(lines) = 0 THEN 0.0
+                        ELSE len(list_filter(lines,
+                                 x -> starts_with(ltrim(x, {ws}), '•')
+                                   OR starts_with(ltrim(x, {ws}), '- ')
+                                   OR starts_with(ltrim(x, {ws}), '* ')
+                             ))::DOUBLE / len(lines) END AS bullet,
+                   CASE WHEN len(lines) = 0 THEN 0.0
+                        ELSE len(list_filter(lines,
+                                 x -> ends_with(rtrim(x, {ws}), '...')
+                                   OR ends_with(rtrim(x, {ws}), '…')
+                             ))::DOUBLE / len(lines) END AS ellipsis,
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE len(list_filter(toks,
+                                 x -> regexp_matches(x, '[a-z]')
+                             ))::DOUBLE / len(toks) END AS alpha_frac,
+                   len(list_intersect(list_distinct(toks),
+                       ['the','be','to','of','and','that','have','with']
+                   )) AS n_stop
+            FROM t
+        ), r AS (
+            SELECT doc_id,
+                   CAST(n BETWEEN 50 AND 100000 AS BIGINT) AS r_wc,
+                   CAST(mwl BETWEEN 3.0 AND 10.0 AS BIGINT) AS r_mwl,
+                   CAST(sym <= 0.1 AS BIGINT) AS r_sym,
+                   CAST(bullet <= 0.9 AS BIGINT) AS r_bullet,
+                   CAST(ellipsis <= 0.3 AS BIGINT) AS r_ellipsis,
+                   CAST(alpha_frac >= 0.8 AS BIGINT) AS r_alpha,
+                   CAST(n_stop >= 2 AS BIGINT) AS r_stop
+            FROM f
+        )
+        SELECT *, r_wc * r_mwl * r_sym * r_bullet * r_ellipsis
+                  * r_alpha * r_stop AS "pass"
+        FROM r
+    """
+
+
 def _sql_curated_corpus(min_quality: float = 0.2, near_thr: float = 0.85) -> str:
     """The full curation composition in SQL: quality filter → exact
     dedup (min id per text) → 3-shingle Jaccard pairs at ``near_thr`` →
@@ -1956,6 +2019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quality_gate": _q_source_quality_gate,
         "clean_lines": _q_clean_lines,
         "url_blocklist": _q_url_blocklist,
+        "gopher_rules": _q_gopher_rules,
         "quality_classifier": _q_quality_classifier,
         "tfidf_keywords": _q_tfidf_keywords,
         "decontaminate_docs": _q_decontaminate_docs,
@@ -2117,6 +2181,7 @@ def oracle_sql() -> dict[str, str]:
         "source_quality_gate": _sql_source_quality_gate(),
         "clean_lines": _sql_clean_lines(),
         "url_blocklist": _sql_url_blocklist(_FIX01, _BLOCKED_DOMAINS),
+        "gopher_rules": _sql_gopher_rules(),
         "tfidf_keywords": r"""
             WITH toks AS (
                 SELECT doc_id,

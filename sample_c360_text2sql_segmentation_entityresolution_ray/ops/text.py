@@ -462,6 +462,7 @@ __all__ = [
     "PII_PATTERNS",
     "token_freq_topk",
     "source_quality_gate",
+    "gopher_rules_stage",
     "benchmark_ngram_ref",
     "decontaminate_stage",
     "tfidf_doc_keywords",
@@ -769,5 +770,93 @@ def clean_lines_stage(
                 "n_dropped": pa.array(out_d, pa.int64()),
             }
         )
+
+    return ds.map_batches(_fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Gopher rules filter
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPWORDS = frozenset(
+    ["the", "be", "to", "of", "and", "that", "have", "with"]
+)
+_ALPHA_WORD_RE = re.compile(r"[a-z]")
+
+
+def gopher_rules_of(text: str) -> dict:
+    """Per-document Gopher quality-rule flags (Rae et al. 2021 App. A1.1),
+    each rule exposed individually plus the composite ``pass`` verdict:
+
+    - ``r_wc``: word count in [50, 100000]
+    - ``r_mwl``: mean word length in [3, 10]
+    - ``r_sym``: (count('#') + count('...')) / words ≤ 0.1
+    - ``r_bullet``: ≤ 90% of non-blank lines start with a bullet
+    - ``r_ellipsis``: ≤ 30% of non-blank lines end with an ellipsis
+    - ``r_alpha``: ≥ 80% of words contain an alphabetic character
+    - ``r_stop``: contains ≥ 2 distinct Gopher stopwords
+      (the / be / to / of / and / that / have / with)
+
+    Words are ``\\w+`` runs of the lowercased text — the same
+    tokenization every oracle in this repo re-derives in SQL.
+    """
+    toks = TOKEN_RE.findall(text.lower())
+    n = len(toks)
+    r_wc = 50 <= n <= 100_000
+    mwl = (sum(len(t) for t in toks) / n) if n else 0.0
+    r_mwl = 3.0 <= mwl <= 10.0
+    sym = (text.count("#") + text.count("...")) / n if n else 1.0
+    r_sym = sym <= 0.1
+    lines = [ln for ln in text.split("\n") if ln.strip()]
+    if lines:
+        bullet = sum(
+            1 for ln in lines if ln.lstrip().startswith(("•", "- ", "* "))
+        ) / len(lines)
+        ellipsis = sum(
+            1 for ln in lines if ln.rstrip().endswith(("...", "…"))
+        ) / len(lines)
+    else:
+        bullet = ellipsis = 0.0
+    r_bullet = bullet <= 0.9
+    r_ellipsis = ellipsis <= 0.3
+    alpha_frac = (
+        sum(1 for t in toks if _ALPHA_WORD_RE.search(t)) / n if n else 0.0
+    )
+    r_alpha = alpha_frac >= 0.8
+    r_stop = len(_GOPHER_STOPWORDS.intersection(toks)) >= 2
+    flags = {
+        "r_wc": r_wc,
+        "r_mwl": r_mwl,
+        "r_sym": r_sym,
+        "r_bullet": r_bullet,
+        "r_ellipsis": r_ellipsis,
+        "r_alpha": r_alpha,
+        "r_stop": r_stop,
+    }
+    flags["pass"] = all(flags.values())
+    return flags
+
+
+GOPHER_FLAGS = [
+    "r_wc", "r_mwl", "r_sym", "r_bullet", "r_ellipsis", "r_alpha",
+    "r_stop", "pass",
+]
+
+
+def gopher_rules_stage(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """(id, r_*…, pass) via :func:`gopher_rules_of` — one stateless
+    streaming map, the per-rule census a curation run reports before
+    deciding thresholds (complements the weighted composite in
+    :func:`quality_stage`)."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        flags = [gopher_rules_of(t) for t in batch[text_col].to_pylist()]
+        cols: dict = {id_col: batch[id_col]}
+        for k in GOPHER_FLAGS:
+            # int64 not bool: SQL-oracle hash parity across engines
+            cols[k] = pa.array([int(f[k]) for f in flags], pa.int64())
+        return pa.table(cols)
 
     return ds.map_batches(_fn, batch_format="pyarrow")

@@ -232,3 +232,30 @@ def test_clean_lines_c4_semantics():
         ds, min_words=3, require_terminal=False
     ).to_pandas()
     assert out2.loc[out2["doc_id"] == 1, "n_kept"].iloc[0] == 5
+
+
+def test_gopher_rules_planted():
+    passing = (
+        "The results of the study show that models have improved with "
+        "scale and that data quality matters a great deal to the final "
+        "outcome of the training run. " * 3
+    )
+    bullets = "\n".join(["- item one here", "- item two here", "* item three"])
+    dots = "\n".join(["to be continued...", "and that of more...", "have with..."])
+    symbols = "## " * 60 + "the of"
+    f = textops.gopher_rules_of(passing)
+    assert f["pass"] and all(f.values())
+    f = textops.gopher_rules_of(bullets)            # 100% bullet lines
+    assert not f["r_bullet"] and not f["pass"]
+    f = textops.gopher_rules_of(dots)               # 100% ellipsis lines
+    assert not f["r_ellipsis"]
+    f = textops.gopher_rules_of(symbols)            # symbol ratio > 0.1
+    assert not f["r_sym"]
+    f = textops.gopher_rules_of("word " * 10)       # too short, no stopwords
+    assert not f["r_wc"] and not f["r_stop"]
+    f = textops.gopher_rules_of("")                 # degenerate
+    assert not f["pass"]
+
+    ds = ray.data.from_items([{"doc_id": 1, "text": passing}])
+    out = textops.gopher_rules_stage(ds).to_pandas()
+    assert out.loc[0, "pass"] == 1 and out.loc[0, "r_stop"] == 1
