@@ -1189,6 +1189,21 @@ def _q_clean_lines(sf_dir: str):
     return textops.clean_lines_stage(docs, min_words=30, require_terminal=False)
 
 
+def _q_standardize_prices(sf_dir: str):
+    """Per-group z-score feature scaling: lineitem extended price
+    standardized within each return flag (grouped moments via the
+    combiner shuffle, O(#groups) broadcast attach)."""
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"],
+    )
+    out = rel.standardize(
+        li, value_col="l_extendedprice", group_cols=["l_returnflag"]
+    )
+    return _round_cols(out, ["zscore"], 6)
+
+
 def _q_gopher_rules(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return textops.gopher_rules_stage(docs)
@@ -2020,6 +2035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_lines": _q_clean_lines,
         "url_blocklist": _q_url_blocklist,
         "gopher_rules": _q_gopher_rules,
+        "standardize_prices": _q_standardize_prices,
         "quality_classifier": _q_quality_classifier,
         "tfidf_keywords": _q_tfidf_keywords,
         "decontaminate_docs": _q_decontaminate_docs,
@@ -2182,6 +2198,16 @@ def oracle_sql() -> dict[str, str]:
         "clean_lines": _sql_clean_lines(),
         "url_blocklist": _sql_url_blocklist(_FIX01, _BLOCKED_DOMAINS),
         "gopher_rules": _sql_gopher_rules(),
+        "standardize_prices": """
+            SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+                   round(CASE WHEN stddev_pop(l_extendedprice) OVER w = 0
+                              THEN 0.0
+                              ELSE (l_extendedprice
+                                    - avg(l_extendedprice) OVER w)
+                                   / stddev_pop(l_extendedprice) OVER w
+                         END, 6) AS zscore
+            FROM lineitem WINDOW w AS (PARTITION BY l_returnflag)
+        """,
         "tfidf_keywords": r"""
             WITH toks AS (
                 SELECT doc_id,

@@ -1059,6 +1059,7 @@ __all__ = [
     "distinct",
     "grouped_count_having",
     "grouped_aggregate",
+    "standardize",
     "grouped_topk",
     "topn_per_group",
     "sort_limit",
@@ -1069,3 +1070,71 @@ __all__ = [
     "Mean",
     "AggregateFn",
 ]
+
+
+def standardize(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    group_cols: Sequence[str],
+    out_col: str = "zscore",
+    partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-group z-score standardization: attach
+    ``(value - group_mean) / group_pop_std`` to every row (0.0 when a
+    group's std is 0 — constant groups standardize to zero, not NaN).
+
+    The feature-scaling pass an ML-feature pipeline runs before model
+    fitting (`ops/model.py`) — grouped statistics applied BACK to the
+    row stream, the same shape as the domain quality gate.
+
+    Scale posture: the group moments (Σv, Σv², n) travel through the
+    :func:`grouped_aggregate` combiner — one partial row per
+    block × group, rows never shuffle — and come back as an
+    O(#groups) broadcast table merged in one streaming map.  The input
+    is consumed twice (moments, then attach), both streaming passes.
+    """
+    group_cols = list(group_cols)
+
+    def _sq(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch[value_col], pa.float64())
+        return pa.table(
+            {
+                **{g: batch[g] for g in group_cols},
+                "_v": v,
+                "_v2": pc.multiply(v, v),
+            }
+        )
+
+    moments = grouped_aggregate(
+        ds.select_columns(group_cols + [value_col]).map_batches(
+            _sq, batch_format="pyarrow"
+        ),
+        keys=group_cols,
+        specs=[
+            ("sum", "_v", "_s"),
+            ("sum", "_v2", "_s2"),
+            ("count_star", None, "_n"),
+        ],
+        partitions=partitions,
+    )
+    stats = moments.to_pandas()  # O(#groups)
+    stats["_mean"] = stats["_s"] / stats["_n"]
+    var = stats["_s2"] / stats["_n"] - stats["_mean"] ** 2
+    stats["_std"] = np.sqrt(np.maximum(var, 0.0))
+    ref = ray.put(stats[group_cols + ["_mean", "_std"]])
+
+    def _attach(batch: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(ref)
+        out = batch.merge(st, on=group_cols, how="left")
+        std = out["_std"].to_numpy()
+        z = np.where(
+            std > 0.0,
+            (out[value_col].to_numpy(np.float64) - out["_mean"].to_numpy())
+            / np.where(std > 0.0, std, 1.0),
+            0.0,
+        )
+        out = out.drop(columns=["_mean", "_std"])
+        out[out_col] = z
+        return out
+
+    return ds.map_batches(_attach, batch_format="pandas")

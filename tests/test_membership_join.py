@@ -62,3 +62,29 @@ def test_anti_shuffle_duplicate_right_keys():
     assert sorted(sh["v"].tolist()) == ["b", "d"]
     an = anti_join(left, right, on="k", broadcast_limit=1).to_pandas()
     assert sorted(an["v"].tolist()) == ["a", "c"]
+
+
+def test_standardize_groups_and_constant_group():
+    import numpy as np
+    import ray.data
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
+        standardize,
+    )
+
+    rows = (
+        [{"g": "a", "v": float(x)} for x in (1, 2, 3, 4)]
+        + [{"g": "b", "v": 7.0}] * 3  # constant group: std 0 → z 0
+    )
+    out = (
+        standardize(ray.data.from_items(rows), value_col="v", group_cols=["g"])
+        .to_pandas()
+        .sort_values(["g", "v"])
+        .reset_index(drop=True)
+    )
+    a = out[out["g"] == "a"]
+    mean, std = 2.5, np.sqrt(np.mean((np.arange(1, 5) - 2.5) ** 2))
+    np.testing.assert_allclose(
+        a["zscore"], (a["v"] - mean) / std, rtol=1e-12
+    )
+    assert (out.loc[out["g"] == "b", "zscore"] == 0.0).all()
