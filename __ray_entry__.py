@@ -1189,6 +1189,21 @@ def _q_clean_lines(sf_dir: str):
     return textops.clean_lines_stage(docs, min_words=30, require_terminal=False)
 
 
+def _q_winsorize_prices(sf_dir: str):
+    """Quantile clipping at [p01, p99] over lineitem prices — sketch
+    grid ≥ rows at sandbox scale ⇒ cut points bit-match DuckDB
+    quantile_cont (same argument as `price_quantiles`)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.sketch import (
+        winsorize,
+    )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"]
+    )
+    out = winsorize(li, "l_extendedprice", lo=0.01, hi=0.99, grid=1_000_000)
+    return _round_cols(out, ["l_extendedprice_wins"], 4)
+
+
 def _q_standardize_prices(sf_dir: str):
     """Per-group z-score feature scaling: lineitem extended price
     standardized within each return flag (grouped moments via the
@@ -2036,6 +2051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_blocklist": _q_url_blocklist,
         "gopher_rules": _q_gopher_rules,
         "standardize_prices": _q_standardize_prices,
+        "winsorize_prices": _q_winsorize_prices,
         "quality_classifier": _q_quality_classifier,
         "tfidf_keywords": _q_tfidf_keywords,
         "decontaminate_docs": _q_decontaminate_docs,
@@ -2207,6 +2223,17 @@ def oracle_sql() -> dict[str, str]:
                                    / stddev_pop(l_extendedprice) OVER w
                          END, 6) AS zscore
             FROM lineitem WINDOW w AS (PARTITION BY l_returnflag)
+        """,
+        "winsorize_prices": """
+            WITH q AS (
+                SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+                       quantile_cont(l_extendedprice, 0.99) AS hi
+                FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber, l_extendedprice,
+                   round(least(greatest(l_extendedprice, lo), hi), 4)
+                       AS l_extendedprice_wins
+            FROM lineitem, q
         """,
         "tfidf_keywords": r"""
             WITH toks AS (

@@ -325,12 +325,43 @@ def bloom_semi_join(
     )
 
 
+
+
+def winsorize(
+    ds: "ray.data.Dataset",
+    col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    out_col: str | None = None,
+    grid: int = 256,
+) -> "ray.data.Dataset":
+    """Clip ``col`` to its [``lo``, ``hi``] quantiles — the standard
+    outlier-taming pass before feature scaling (`relational.standardize`).
+
+    One :func:`quantile_sketch` pass fixes the two cut points (exact
+    type-7 when ``grid`` ≥ block rows, bounded ~1/grid rank error on a
+    production grid), then one stateless streaming map clips — the data
+    never shuffles and only blocks × grid summary points reach the
+    driver.  Adds ``out_col`` (default ``{col}_wins``) as float64."""
+    out_col = out_col or f"{col}_wins"
+    qlo, qhi = quantile_sketch(ds, col, [lo, hi], grid=grid)
+
+    def _clip(batch: pd.DataFrame) -> pd.DataFrame:
+        batch[out_col] = np.clip(
+            batch[col].to_numpy(dtype=np.float64), qlo, qhi
+        )
+        return batch
+
+    return ds.map_batches(_clip, batch_format="pandas")
+
+
 __all__ = [
     "kmv_distinct",
     "kmv_estimate",
     "kmv_oracle_sql",
     "quantile_sketch",
     "quantile_oracle_sql",
+    "winsorize",
     "build_bloom",
     "bloom_semi_join",
 ]

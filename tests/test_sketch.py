@@ -168,3 +168,26 @@ def test_bloom_no_false_negatives_and_exact_semi_join():
     want = rel.semi_join(large, small, "k").to_pandas()
     assert sorted(got["k"]) == sorted(want["k"])
     assert len(got) == 1000
+
+
+def test_winsorize_clips_to_quantiles():
+    import numpy as np
+    import ray.data
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.sketch import (
+        winsorize,
+    )
+
+    vals = np.arange(1.0, 101.0)  # 1..100
+    ds = ray.data.from_items([{"v": float(x)} for x in vals])
+    out = (
+        winsorize(ds, "v", lo=0.10, hi=0.90, grid=1000)
+        .to_pandas()
+        .sort_values("v")
+    )
+    # type-7 quantiles of 1..100 at .1/.9 are 10.9 and 90.1
+    lo, hi = np.quantile(vals, 0.10), np.quantile(vals, 0.90)
+    np.testing.assert_allclose(out["v_wins"].min(), lo, rtol=1e-12)
+    np.testing.assert_allclose(out["v_wins"].max(), hi, rtol=1e-12)
+    mid = out[(out["v"] > lo) & (out["v"] < hi)]
+    np.testing.assert_allclose(mid["v_wins"], mid["v"])
