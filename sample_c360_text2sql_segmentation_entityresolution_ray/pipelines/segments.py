@@ -262,6 +262,7 @@ def item_based_segments(
     target_items: list[str],
     n: int = USER_PER_SEGMENT,
     max_items_per_user: int | None = MAX_ITEMS_PER_USER,
+    driver_max_rows: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """Top-``n`` users per target item by co-occurrence affinity,
     excluding prior purchasers.  Returns (item_id, user_id, affinity).
@@ -269,7 +270,16 @@ def item_based_segments(
     The co-occurrence table is TARGET-restricted inside the pair sweep,
     so the only driver-collected table is ≤ |items| × |targets| rows;
     scoring is one vectorized merge + one grouped sum over the
-    distinct user-item stream."""
+    distinct user-item stream.
+
+    Measured-size switch (the `resolve_labels` pattern): the shrunk
+    user-item table is already materialized, so its row count is free —
+    when it is ≤ ``driver_max_rows`` the two partition passes run as
+    ONE pandas pass on the driver (the per-partition kernels are exact
+    on any user-complete slice, and "all users" is one), skipping two
+    Ray sort-shuffle barriers that cost seconds regardless of data
+    size.  Above the threshold the user-hash partitioned path runs
+    unchanged."""
     targets = frozenset(target_items)
     cap = max_items_per_user
     # per-batch distinct/cap shrink + user-hash partition id BEFORE
@@ -284,17 +294,23 @@ def item_based_segments(
         .materialize()
     )
 
+    small = shrunk.count() <= driver_max_rows
+    local_df = shrunk.to_pandas() if small else None
+
     # pass A — target-restricted co-occurrence partials; driver combine
     # (bounded: only pairs touching a target survive the sweep)
     def _pass_a(g: pd.DataFrame) -> pd.DataFrame:
         return _pairs_partial(_ui_finish(g, cap), targets)
 
-    pieces = [
-        b
-        for b in shrunk.groupby("_part")
-        .map_groups(_pass_a, batch_format="pandas")
-        .iter_batches(batch_size=None, batch_format="pandas")
-    ]
+    if small:
+        pieces = [_pass_a(local_df)] if len(local_df) else []
+    else:
+        pieces = [
+            b
+            for b in shrunk.groupby("_part")
+            .map_groups(_pass_a, batch_format="pandas")
+            .iter_batches(batch_size=None, batch_format="pandas")
+        ]
     cooc_raw = pd.concat(pieces, ignore_index=True) if pieces else _PAIRS_EMPTY
     cooc = (
         cooc_raw.groupby(["item_x", "item_y"], sort=False)["cnt"]
@@ -329,7 +345,7 @@ def item_based_segments(
             }
         )
     )
-    aff_ref = ray.put(aff)
+    aff_ref = None if small else ray.put(aff)
 
     # pass B — scoring + prior-purchaser exclusion + per-target top-n,
     # fused into ONE user-hash partitioned pass (replaces a
@@ -349,9 +365,8 @@ def item_based_segments(
         }
     )
 
-    def _score_part(g: pd.DataFrame) -> pd.DataFrame:
+    def _score_slice(g: pd.DataFrame, aff_t: pd.DataFrame) -> pd.DataFrame:
         g = _ui_finish(g, cap)
-        aff_t = ray.get(aff_ref)
         if not len(g) or not len(aff_t):
             return _empty
         m = g.merge(aff_t, left_on="ITEM_ID", right_on="item", how="inner")
@@ -377,13 +392,20 @@ def item_based_segments(
             }
         )
 
-    partials = shrunk.groupby("_part").map_groups(
-        _score_part, batch_format="pandas"
-    )
-    pieces = [
-        b for b in partials.iter_batches(batch_size=None, batch_format="pandas")
-    ]
-    out = pd.concat(pieces, ignore_index=True) if pieces else _empty
+    if small:
+        out = _score_slice(local_df, aff) if len(local_df) else _empty
+    else:
+        partials = shrunk.groupby("_part").map_groups(
+            lambda g: _score_slice(g, ray.get(aff_ref)),
+            batch_format="pandas",
+        )
+        pieces = [
+            b
+            for b in partials.iter_batches(
+                batch_size=None, batch_format="pandas"
+            )
+        ]
+        out = pd.concat(pieces, ignore_index=True) if pieces else _empty
     out = out.sort_values(
         ["item_id", "affinity", "user_id"],
         ascending=[True, False, True],

@@ -119,3 +119,25 @@ def test_customer_er_join_attach_parity(sf_dir):
     j = a_join.to_pandas()[cols].sort_values("RecordId").reset_index(drop=True)
     b = a_bcast.to_pandas()[cols].sort_values("RecordId").reset_index(drop=True)
     pd.testing.assert_frame_equal(j, b)
+
+
+def test_item_based_segments_driver_path_equals_partitioned(sf_dir):
+    assignment, _ = resolve_customers(
+        lambda: c360.customer_master(sf_dir),
+        lambda: c360.subbrand_customer_master(sf_dir),
+    )
+    inter = build_interactions(
+        c360.purchase_history(sf_dir),
+        c360.subbrand_purchase_history(sf_dir),
+        assignment,
+    ).materialize()
+    targets = [str(i) for i in range(1, 6)]
+    fast = item_based_segments(inter, targets, n=20).to_pandas()
+    slow = item_based_segments(
+        inter, targets, n=20, driver_max_rows=0  # force partitioned path
+    ).to_pandas()
+    key = ["item_id", "affinity", "user_id"]
+    pd.testing.assert_frame_equal(
+        fast.sort_values(key).reset_index(drop=True),
+        slow.sort_values(key).reset_index(drop=True),
+    )
