@@ -542,6 +542,17 @@ def _q_doc_split(sf_dir: str):
     return sampling.assign_split(docs, by_modulo=True)
 
 
+def _q_group_split_orders(sf_dir: str):
+    """Entity-level (group-aware) train/valid/test split: the split key
+    is the CUSTOMER, not the row, so no customer's orders straddle
+    train and eval — the leakage-hygiene variant of `doc_split`
+    (same `sampling.assign_split`, keyed on the group column)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import sampling
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    return sampling.assign_split(orders, id_col="o_custkey", by_modulo=True)
+
+
 def _q_doc_mix_sample(sf_dir: str):
     """Corpus-mix rebalancing: deterministic per-language sampling
     rates via the SQL-reproducible md5-60bit uniform."""
@@ -2022,6 +2033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_freq_top50": _q_token_freq_top50,
         "domain_stats": _q_domain_stats,
         "doc_mix_sample": _q_doc_mix_sample,
+        "group_split_orders": _q_group_split_orders,
         "canonical_url_dedup": _q_canonical_url_dedup,
         "knn_top10": _q_knn_top10,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -2607,6 +2619,13 @@ def oracle_sql() -> dict[str, str]:
                         WHEN doc_id % 100 < 95 THEN 'valid'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "group_split_orders": """
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_custkey % 100 < 90 THEN 'train'
+                        WHEN o_custkey % 100 < 95 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM orders
         """,
         "knn_top10": """
             SELECT vec_id FROM embeddings

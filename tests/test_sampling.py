@@ -104,3 +104,24 @@ def test_cluster_balanced_sample_caps_and_is_deterministic():
     # a different salt draws a different (still capped) subset
     c = cluster_balanced_sample(ds, m=7, salt="other").to_pandas()
     assert set(map(tuple, c.to_numpy())) != set(map(tuple, a.to_numpy()))
+
+
+def test_group_split_no_entity_straddles(sf_dir):
+    import ray.data
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import (
+        sampling,
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    out = sampling.assign_split(
+        orders, id_col="o_custkey", by_modulo=True
+    ).to_pandas()
+    # leakage hygiene: every customer's orders land in exactly one split
+    assert (out.groupby("o_custkey")["split"].nunique() == 1).all()
+    assert set(out["split"].unique()) <= {"train", "valid", "test"}
+    # hash-key variant holds the same invariant
+    out2 = sampling.assign_split(orders, id_col="o_custkey").to_pandas()
+    assert (out2.groupby("o_custkey")["split"].nunique() == 1).all()
