@@ -732,6 +732,28 @@ def _q_kmeans_clusters(sf_dir: str):
     return kmeans_assign(emb, cents)
 
 
+def _q_pca_embeddings(sf_dir: str):
+    """Distributed PCA (one moment pass → driver eigh) then projection
+    onto the top components — the dimensionality-reduction precursor to
+    ANN / clustering.  Oracle: DuckDB projects every vector onto the
+    pure-numpy reference components (fixture parquet) via
+    list_inner_product — the distributed fit must land on the same
+    sign-fixed components for the round-4 projections to match."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.cluster import (
+        pca_fit,
+        pca_transform,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sources.fixture_export import (
+        PCA_K,
+    )
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    mu, comps = pca_fit(emb, k=PCA_K)
+    return _round_cols(
+        pca_transform(emb, mu, comps), [f"pc{i}" for i in range(PCA_K)], 4
+    )
+
+
 def _q_semantic_dedup(sf_dir: str):
     """SemDeDup: distributed k-means assignment buckets the embedding
     space (clustering = blocking), within-cluster round-4 cosine >= 0.4
@@ -2037,6 +2059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_url_dedup": _q_canonical_url_dedup,
         "knn_top10": _q_knn_top10,
         "kmeans_clusters": _q_kmeans_clusters,
+        "pca_embeddings": _q_pca_embeddings,
         "cluster_sampled": _q_cluster_sampled,
         "semantic_dedup": _q_semantic_dedup,
         "minhash_dup_docs": _q_minhash_dup_docs,
@@ -2162,6 +2185,19 @@ def oracle_sql() -> dict[str, str]:
                 CROSS JOIN read_parquet('{_FIX01}/kmeans_centroids.parquet') c
             ) WHERE rn = 1
         """,
+        "pca_embeddings": "SELECT e.vec_id, "
+        + ", ".join(
+            f"""round(list_inner_product(e.embedding,
+                   (SELECT weights FROM read_parquet('{_FIX01}/pca_components.parquet')
+                    WHERE component_id = {i}))
+               - list_inner_product(
+                   (SELECT mean FROM read_parquet('{_FIX01}/pca_components.parquet')
+                    WHERE component_id = {i}),
+                   (SELECT weights FROM read_parquet('{_FIX01}/pca_components.parquet')
+                    WHERE component_id = {i})), 4) AS pc{i}"""
+            for i in range(4)
+        )
+        + " FROM embeddings e",
         "cluster_sampled": f"""
             WITH assign AS (
                 SELECT vec_id, cluster FROM (

@@ -227,3 +227,121 @@ def kmeans_reference(
 
 
 __all__ = ["kmeans_fit", "kmeans_assign", "kmeans_reference"]
+
+
+# ---------------------------------------------------------------------------
+# PCA (distributed covariance → driver eigh)
+# ---------------------------------------------------------------------------
+
+PCA_DRIVER_LIMIT = 200_000
+
+
+def pca_reference(X: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Single-process PCA mirror: top-``k`` eigenvectors of the
+    population covariance, deterministic sign (each component's
+    largest-|w| coordinate made positive).  Returns (mean(d),
+    components(k, d))."""
+    X = np.asarray(X, dtype=np.float64)
+    mu = X.mean(axis=0)
+    Xc = X - mu
+    C = Xc.T @ Xc / len(X)
+    w, V = np.linalg.eigh(C)
+    order = np.argsort(w)[::-1][:k]
+    comps = V[:, order].T.copy()
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mu, comps
+
+
+def pca_fit(
+    ds: "ray.data.Dataset",
+    k: int,
+    vec_col: str = "embedding",
+    driver_limit: int = PCA_DRIVER_LIMIT,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Distributed PCA fit: ONE streaming pass ships (Σv, Σvvᵀ, n) —
+    one ~d² float row per batch through a plain sum — and the driver
+    runs the d×d ``eigh``.  Vectors never shuffle and never collect
+    (above ``driver_limit``; under it the bit-equal numpy reference
+    runs on one collect, the `kmeans_fit` measured-size switch —
+    parity pinned by ``test_cluster.py``).  Returns (mean, components)
+    as :func:`pca_reference`.
+
+    Covariance from raw moments (C = S₂/n − μμᵀ) loses ~½ the float
+    mantissa when ‖μ‖ ≫ σ — fine for embedding-space inputs (zero-ish
+    means by construction); mean-center upstream if not.
+    """
+    probe = ds.select_columns([vec_col]).limit(driver_limit + 1).take_all()
+    if len(probe) <= driver_limit:
+        X = np.asarray([r[vec_col] for r in probe], dtype=np.float64)
+        return pca_reference(X, k)
+    del probe
+
+    first = ds.select_columns([vec_col]).limit(1).take_all()
+    d = len(first[0][vec_col])
+    tri = [(i, j) for i in range(d) for j in range(i, d)]
+    s_cols = [f"_s{i}" for i in range(d)]
+    g_cols = [f"_g{i}" for i in range(len(tri))]
+
+    def _partials(batch: pa.Table) -> pd.DataFrame:
+        X = _as_matrix(batch[vec_col])
+        G = X.T @ X
+        row = {"_n": float(len(X))}
+        for c, v in zip(s_cols, X.sum(axis=0)):
+            row[c] = v
+        iu = np.triu_indices(d)
+        for c, v in zip(g_cols, G[iu]):
+            row[c] = v
+        return pd.DataFrame([row])
+
+    agg = grouped_aggregate(
+        ds.select_columns([vec_col])
+        .map_batches(_partials, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.append_column("_k", pa.array([0] * len(t), pa.int64())),
+            batch_format="pyarrow",
+        ),
+        keys=["_k"],
+        specs=[("sum", c, c) for c in ["_n"] + s_cols + g_cols],
+    ).to_pandas()
+    n = float(agg["_n"].iloc[0])
+    mu = agg[s_cols].to_numpy(np.float64)[0] / n
+    S2 = np.zeros((d, d))
+    S2[np.triu_indices(d)] = agg[g_cols].to_numpy(np.float64)[0]
+    S2 = S2 + np.triu(S2, 1).T
+    C = S2 / n - np.outer(mu, mu)
+    w, V = np.linalg.eigh(C)
+    order = np.argsort(w)[::-1][:k]
+    comps = V[:, order].T.copy()
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mu, comps
+
+
+def pca_transform(
+    ds: "ray.data.Dataset",
+    mean: np.ndarray,
+    components: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_prefix: str = "pc",
+) -> "ray.data.Dataset":
+    """Project every vector onto the fitted components — one stateless
+    streaming map (matmul per batch against the broadcast (k, d)
+    matrix); emits (id, pc0..pc{k-1})."""
+    mu = np.asarray(mean, dtype=np.float64)
+    W = np.asarray(components, dtype=np.float64)
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        X = _as_matrix(batch[vec_col])
+        P = (X - mu) @ W.T
+        cols = {id_col: batch[id_col]}
+        for i in range(W.shape[0]):
+            cols[f"{out_prefix}{i}"] = pa.array(P[:, i], pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(_fn, batch_format="pyarrow")

@@ -34,7 +34,7 @@ FIXTURE_ROOT = "/tmp/graft_oracle_fixtures/v1"
 # content revision written into the _SUCCESS marker: bumping forces a
 # regeneration of already-materialized fixture dirs (e.g. when a new
 # fixture table is added) without changing the oracle-visible paths
-FIXTURE_REV = "5"
+FIXTURE_REV = "6"
 
 
 def fixture_dir(sf_dir: str) -> str:
@@ -95,6 +95,8 @@ def ensure_fixtures(sf_dir: str) -> str:
     _export_pii_docs(docs, out)
 
     _export_kmeans_centroids(sf_dir, out)
+
+    _export_pca_components(sf_dir, out)
 
     _export_quality_coefs(docs, out)
 
@@ -217,6 +219,40 @@ def _export_kmeans_centroids(sf_dir: str, out: str) -> None:
             }
         ),
         f"{out}/kmeans_centroids.parquet",
+    )
+
+
+PCA_K = 4
+
+
+def _export_pca_components(sf_dir: str, out: str) -> None:
+    """(component_id BIGINT, mean DOUBLE[], weights DOUBLE[]): top-PCA_K
+    principal components of the pure-numpy PCA reference
+    (`ops/cluster.py::pca_reference`) over the embeddings table.  The
+    oracle projects every vector onto these via `list_inner_product`;
+    the distributed moment fit must land on the same components
+    (sign-fixed, round-4) for the projections to match."""
+    from ..ops.cluster import pca_reference
+
+    emb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    n = emb.num_rows
+    X = np.asarray(
+        emb["embedding"].combine_chunks().flatten(), dtype=np.float64
+    ).reshape(n, -1)
+    mu, comps = pca_reference(X, k=PCA_K)
+    pq.write_table(
+        pa.table(
+            {
+                "component_id": pa.array(range(PCA_K), pa.int64()),
+                "mean": pa.array([list(mu)] * PCA_K, pa.list_(pa.float64())),
+                "weights": pa.array(
+                    [list(c) for c in comps], pa.list_(pa.float64())
+                ),
+            }
+        ),
+        f"{out}/pca_components.parquet",
     )
 
 

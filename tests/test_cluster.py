@@ -64,3 +64,32 @@ def test_reference_empty_cluster_keeps_centroid():
     cents, labels = kmeans_reference(ids, X, k=2, iters=2)
     assert not np.isnan(cents).any()
     assert (labels == 0).all()  # ties break to the lowest cluster id
+
+
+def test_pca_distributed_matches_reference(sf_dir):
+    import numpy as np
+    import ray.data
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.cluster import (
+        pca_fit,
+        pca_reference,
+        pca_transform,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    rows = ds.take_all()
+    X = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    mu_r, W_r = pca_reference(X, 4)
+    mu_d, W_d = pca_fit(ds, 4, driver_limit=0)  # force the moment shuffle
+    np.testing.assert_allclose(mu_d, mu_r, atol=1e-9)
+    np.testing.assert_allclose(W_d, W_r, atol=1e-7)
+
+    # projections: component variances are non-increasing and dominate
+    # the residual dimensions' average
+    proj = pca_transform(ds, mu_d, W_d).to_pandas()
+    v = [proj[f"pc{i}"].var(ddof=0) for i in range(4)]
+    assert v[0] >= v[1] >= v[2] >= v[3] > 0
+    total_var = ((X - X.mean(0)) ** 2).sum(1).mean()
+    assert v[0] >= total_var / X.shape[1]
