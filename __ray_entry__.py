@@ -1252,6 +1252,16 @@ def _q_standardize_prices(sf_dir: str):
     return _round_cols(out, ["zscore"], 6)
 
 
+_BM25_TERMS = ("spark", "merge", "window")
+
+
+def _q_bm25_search(sf_dir: str):
+    """BM25 top-10 retrieval for a 3-term query over the corpus."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = textops.bm25_search(docs, list(_BM25_TERMS), k=10)
+    return _round_cols(out, ["score"], 6)
+
+
 def _q_gopher_rules(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return textops.gopher_rules_stage(docs)
@@ -1884,6 +1894,40 @@ def _sql_clean_lines(min_words: int = 30, require_terminal: bool = False) -> str
     """
 
 
+def _sql_bm25_search(
+    terms: tuple = _BM25_TERMS, k: int = 10, k1: float = 1.2, b: float = 0.75
+) -> str:
+    tf_exprs = ",\n                   ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_exprs = ", ".join(
+        f"sum(CAST(tf{i} > 0 AS BIGINT)) AS df{i}" for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"ln(1 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * tf{i} * ({k1} + 1) / (tf{i} + {k1} * (1 - {b} + {b} * dl / avgdl))"
+        for i in range(len(terms))
+    )
+    return rf"""
+        WITH t AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+            FROM documents
+        ), f AS (
+            SELECT doc_id, len(toks) AS dl,
+                   {tf_exprs}
+            FROM t
+        ), g AS (
+            SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl, {df_exprs}
+            FROM f
+        )
+        SELECT doc_id, round({score}, 6) AS score
+        FROM f, g
+        ORDER BY {score} DESC, doc_id
+        LIMIT {k}
+    """
+
+
 def _sql_gopher_rules() -> str:
     """Re-derives every Gopher rule (Rae et al. 2021 App. A1.1) from raw
     text: tokenization, counts, line censuses, distinct-stopword set."""
@@ -2085,6 +2129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_lines": _q_clean_lines,
         "url_blocklist": _q_url_blocklist,
         "gopher_rules": _q_gopher_rules,
+        "bm25_search": _q_bm25_search,
         "standardize_prices": _q_standardize_prices,
         "winsorize_prices": _q_winsorize_prices,
         "quality_classifier": _q_quality_classifier,
@@ -2262,6 +2307,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_lines": _sql_clean_lines(),
         "url_blocklist": _sql_url_blocklist(_FIX01, _BLOCKED_DOMAINS),
         "gopher_rules": _sql_gopher_rules(),
+        "bm25_search": _sql_bm25_search(),
         "standardize_prices": """
             SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
                    round(CASE WHEN stddev_pop(l_extendedprice) OVER w = 0

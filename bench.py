@@ -130,6 +130,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "quality_classifier",
         "lm_perplexity",
         "kmeans_clusters",
+        "pca_embeddings",
+        "gopher_rules",
         "knn_top10",
         "sql_demo_agg",
     ]

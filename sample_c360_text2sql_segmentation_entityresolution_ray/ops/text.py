@@ -463,6 +463,7 @@ __all__ = [
     "token_freq_topk",
     "source_quality_gate",
     "gopher_rules_stage",
+    "bm25_search",
     "benchmark_ngram_ref",
     "decontaminate_stage",
     "tfidf_doc_keywords",
@@ -860,3 +861,91 @@ def gopher_rules_stage(
         return pa.table(cols)
 
     return ds.map_batches(_fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k search
+# ---------------------------------------------------------------------------
+
+def bm25_search(
+    ds: "ray.data.Dataset",
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """BM25 top-``k`` document retrieval for a bag of query terms
+    (Robertson-Spärck Jones; the Lucene idf variant
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` — always ≥ 0).
+
+    Scale posture: ONE tokenize pass materializes the slim per-doc
+    ``(id, dl, tf_t…)`` projection (|terms| + 2 numbers per doc — the
+    text is read once and never again); corpus stats (N, Σdl, df_t) are
+    a single-row combiner aggregate over it; scoring is a stateless map
+    with the idf constants baked into the closure; the global top-k is
+    the per-block-partial + driver-combine kernel (`relational.topk`)
+    — no sort shuffle.  Output: (id, score) ordered by
+    (score DESC, id ASC).
+    """
+    from .relational import grouped_aggregate, topk
+
+    terms = list(dict.fromkeys(query_terms))
+    tf_cols = [f"_tf{i}" for i in range(len(terms))]
+
+    def _tf(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        toks_all = [TOKEN_RE.findall(t.lower()) for t in texts]
+        cols = {
+            id_col: batch[id_col],
+            "_dl": pa.array([len(tk) for tk in toks_all], pa.int64()),
+        }
+        for term, c in zip(terms, tf_cols):
+            cols[c] = pa.array(
+                [sum(1 for x in tk if x == term) for tk in toks_all],
+                pa.int64(),
+            )
+        return pa.table(cols)
+
+    slim = ds.map_batches(_tf, batch_format="pyarrow").materialize()
+
+    def _df_flags(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cols = {"_dl": batch["_dl"]}
+        for c in tf_cols:
+            cols[f"{c}_df"] = pc.cast(
+                pc.greater(batch[c], 0), pa.int64()
+            )
+        return pa.table(cols)
+
+    stats = grouped_aggregate(
+        slim.map_batches(_df_flags, batch_format="pyarrow").map_batches(
+            lambda t: t.append_column(
+                "_k", pa.array([0] * len(t), pa.int64())
+            ),
+            batch_format="pyarrow",
+        ),
+        keys=["_k"],
+        specs=[("count_star", None, "_n"), ("sum", "_dl", "_sdl")]
+        + [("sum", f"{c}_df", f"{c}_df") for c in tf_cols],
+    ).to_pandas()
+    N = float(stats["_n"].iloc[0])
+    avgdl = float(stats["_sdl"].iloc[0]) / N if N else 1.0
+    idf = {
+        c: float(np.log(1.0 + (N - d + 0.5) / (d + 0.5)))
+        for c, d in ((c, float(stats[f"{c}_df"].iloc[0])) for c in tf_cols)
+    }
+
+    def _score(batch: pd.DataFrame) -> pd.DataFrame:
+        dl = batch["_dl"].to_numpy(np.float64)
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        s = np.zeros(len(batch))
+        for c in tf_cols:
+            tf = batch[c].to_numpy(np.float64)
+            s += idf[c] * tf * (k1 + 1.0) / (tf + norm)
+        return pd.DataFrame({id_col: batch[id_col], "score": s})
+
+    scored = slim.map_batches(_score, batch_format="pandas")
+    return topk(scored, keys=["score", id_col], descending=[True, False], n=k)

@@ -259,3 +259,20 @@ def test_gopher_rules_planted():
     ds = ray.data.from_items([{"doc_id": 1, "text": passing}])
     out = textops.gopher_rules_stage(ds).to_pandas()
     assert out.loc[0, "pass"] == 1 and out.loc[0, "r_stop"] == 1
+
+
+def test_bm25_ranks_relevant_docs_first():
+    import numpy as np
+
+    rows = [
+        {"doc_id": 1, "text": "spark spark spark merge window and more words"},
+        {"doc_id": 2, "text": "spark appears once in this longer padded doc " + "pad " * 40},
+        {"doc_id": 3, "text": "nothing relevant here at all just filler words"},
+        {"doc_id": 4, "text": "merge window merge window"},
+    ]
+    out = textops.bm25_search(
+        ray.data.from_items(rows), ["spark", "merge", "window"], k=3
+    ).to_pandas()
+    assert list(out["doc_id"])[:2] == [1, 4]       # doc 3 never ranks
+    assert 3 not in set(out["doc_id"])
+    assert (np.diff(out["score"].to_numpy()) <= 1e-12).all()  # desc order
