@@ -1237,6 +1237,17 @@ def _q_winsorize_prices(sf_dir: str):
     return _round_cols(out, ["l_extendedprice_wins"], 4)
 
 
+def _q_price_histogram(sf_dir: str):
+    """Equi-width 10-bucket histogram of lineitem prices (the M6
+    profiler's distribution census)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.profile import (
+        histogram,
+    )
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    return _round_cols(histogram(li, "l_extendedprice", bins=10), ["lo", "hi"], 4)
+
+
 def _q_standardize_prices(sf_dir: str):
     """Per-group z-score feature scaling: lineitem extended price
     standardized within each return flag (grouped moments via the
@@ -2131,6 +2142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules": _q_gopher_rules,
         "bm25_search": _q_bm25_search,
         "standardize_prices": _q_standardize_prices,
+        "price_histogram": _q_price_histogram,
         "winsorize_prices": _q_winsorize_prices,
         "quality_classifier": _q_quality_classifier,
         "tfidf_keywords": _q_tfidf_keywords,
@@ -2317,6 +2329,22 @@ def oracle_sql() -> dict[str, str]:
                                    / stddev_pop(l_extendedprice) OVER w
                          END, 6) AS zscore
             FROM lineitem WINDOW w AS (PARTITION BY l_returnflag)
+        """,
+        "price_histogram": """
+            WITH b AS (
+                SELECT min(l_extendedprice) AS lo,
+                       (max(l_extendedprice) - min(l_extendedprice)) / 10
+                           AS width
+                FROM lineitem
+            ), h AS (
+                SELECT CAST(least(floor((l_extendedprice - b.lo) / b.width),
+                                  9) AS BIGINT) AS bucket,
+                       count(*) AS n
+                FROM lineitem, b GROUP BY 1
+            )
+            SELECT h.bucket, round(b.lo + h.bucket * b.width, 4) AS lo,
+                   round(b.lo + (h.bucket + 1) * b.width, 4) AS hi, h.n
+            FROM h, b ORDER BY h.bucket
         """,
         "winsorize_prices": """
             WITH q AS (

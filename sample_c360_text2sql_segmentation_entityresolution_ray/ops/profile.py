@@ -29,6 +29,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
+import numpy as np
 import pandas as pd
 
 import ray.data
@@ -302,6 +303,7 @@ class SchemaRegistry:
 
 
 __all__ = [
+    "histogram",
     "profile_columns",
     "infer_type",
     "humanize_column",
@@ -310,3 +312,52 @@ __all__ = [
     "SchemaRegistry",
     "TableMeta",
 ]
+
+
+def histogram(
+    ds: "ray.data.Dataset",
+    col: str,
+    bins: int = 10,
+) -> "ray.data.Dataset":
+    """Equi-width histogram census of a numeric column:
+    ``(bucket, lo, hi, n)`` with the max value clamped into the last
+    bucket — the distribution profile the column profiler (M6) reports
+    alongside its scalar stats.
+
+    Two slim passes: global min/max ride the combiner aggregate as one
+    row, then bucket indices are a stateless map feeding a ≤ ``bins``-row
+    grouped count.  Rows never shuffle; only (bucket, partial-count)
+    pairs do."""
+    from .relational import grouped_aggregate
+
+    import pyarrow as _pa
+
+    bounds = grouped_aggregate(
+        ds.select_columns([col]).map_batches(
+            lambda t: t.append_column(
+                "_k", _pa.array([0] * len(t), _pa.int64())
+            ),
+            batch_format="pyarrow",
+        ),
+        keys=["_k"],
+        specs=[("min", col, "_lo"), ("max", col, "_hi")],
+    ).to_pandas()
+    lo, hi = float(bounds["_lo"].iloc[0]), float(bounds["_hi"].iloc[0])
+    width = (hi - lo) / bins if hi > lo else 1.0
+
+    def _bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[col].to_numpy(dtype=np.float64)
+        b = np.minimum(np.floor((v - lo) / width), bins - 1).astype(np.int64)
+        return pd.DataFrame({"bucket": b})
+
+    counts = grouped_aggregate(
+        ds.select_columns([col]).map_batches(_bucket, batch_format="pandas"),
+        keys=["bucket"],
+        specs=[("count_star", None, "n")],
+    ).to_pandas()
+    counts = counts.sort_values("bucket").reset_index(drop=True)
+    counts["lo"] = lo + counts["bucket"] * width
+    counts["hi"] = lo + (counts["bucket"] + 1) * width
+    import ray.data as _rd
+
+    return _rd.from_pandas(counts[["bucket", "lo", "hi", "n"]])

@@ -167,3 +167,21 @@ def test_annotate_table_feeds_sql_prompt(ray_session):
     block = reg.prompt_block()
     assert "Table: orders" in block
     assert "o_orderstatus" in block and "distinct" in block
+
+
+def test_histogram_buckets_and_clamp():
+    import numpy as np
+    import ray.data
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.profile import (
+        histogram,
+    )
+
+    # 0..100: width 10; the max value (100) clamps into bucket 9
+    ds = ray.data.from_items([{"v": float(x)} for x in range(101)])
+    out = histogram(ds, "v", bins=10).to_pandas()
+    assert list(out["bucket"]) == list(range(10))
+    assert out["n"].sum() == 101
+    assert out.loc[out["bucket"] == 9, "n"].iloc[0] == 11  # 90..100
+    np.testing.assert_allclose(out["lo"], np.arange(10) * 10.0)
+    np.testing.assert_allclose(out["hi"], np.arange(1, 11) * 10.0)
