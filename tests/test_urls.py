@@ -93,3 +93,22 @@ def test_blocklist_filter_dot_boundary_and_ref():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_url_dedup_driver_path_equals_partitioned():
+    import ray
+
+    rows = [
+        {"url": f"https://a.com/x?utm_source={i}", "warc_ts": i}
+        for i in range(20)
+    ] + [{"url": "https://b.com/y", "warc_ts": 5}]
+    ds = ray.data.from_items(rows)
+    fast = urls.url_dedup(ds).to_pandas().sort_values("canon_url").reset_index(drop=True)
+    slow = (
+        urls.url_dedup(ds, driver_max_rows=0)  # force the partitioned path
+        .to_pandas()
+        .sort_values("canon_url")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, slow)
+    assert fast.loc[fast["canon_url"] == "https://a.com/x", "n_variants"].iloc[0] == 20
