@@ -1237,6 +1237,14 @@ def _q_winsorize_prices(sf_dir: str):
     return _round_cols(out, ["l_extendedprice_wins"], 4)
 
 
+def _q_freq_encode_orders(sf_dir: str):
+    """Categorical frequency encoding of order priority (count + rate
+    attached back to every row — the high-cardinality-safe encoding)."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    out = rel.frequency_encode(orders, "o_orderpriority")
+    return _round_cols(out, ["o_orderpriority_rate"], 6)
+
+
 def _q_price_histogram(sf_dir: str):
     """Equi-width 10-bucket histogram of lineitem prices (the M6
     profiler's distribution census)."""
@@ -2143,6 +2151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": _q_bm25_search,
         "standardize_prices": _q_standardize_prices,
         "price_histogram": _q_price_histogram,
+        "freq_encode_orders": _q_freq_encode_orders,
         "winsorize_prices": _q_winsorize_prices,
         "quality_classifier": _q_quality_classifier,
         "tfidf_keywords": _q_tfidf_keywords,
@@ -2329,6 +2338,14 @@ def oracle_sql() -> dict[str, str]:
                                    / stddev_pop(l_extendedprice) OVER w
                          END, 6) AS zscore
             FROM lineitem WINDOW w AS (PARTITION BY l_returnflag)
+        """,
+        "freq_encode_orders": """
+            SELECT o_orderkey, o_orderpriority,
+                   count(*) OVER w AS o_orderpriority_count,
+                   round(count(*) OVER w
+                         / (count(*) OVER ())::DOUBLE, 6)
+                       AS o_orderpriority_rate
+            FROM orders WINDOW w AS (PARTITION BY o_orderpriority)
         """,
         "price_histogram": """
             WITH b AS (

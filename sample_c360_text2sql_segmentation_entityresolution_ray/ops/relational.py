@@ -1060,6 +1060,7 @@ __all__ = [
     "grouped_count_having",
     "grouped_aggregate",
     "standardize",
+    "frequency_encode",
     "grouped_topk",
     "topn_per_group",
     "sort_limit",
@@ -1136,5 +1137,36 @@ def standardize(
         out = out.drop(columns=["_mean", "_std"])
         out[out_col] = z
         return out
+
+    return ds.map_batches(_attach, batch_format="pandas")
+
+
+def frequency_encode(
+    ds: "ray.data.Dataset",
+    cat_col: str,
+    out_prefix: str | None = None,
+    partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Categorical frequency encoding: attach each row's category count
+    and rate (count / N) — the leakage-free encoding feature pipelines
+    use where one-hot explodes (high-cardinality categories).
+
+    Same shape as :func:`standardize`: category counts ride the
+    combiner shuffle (one partial row per block × category), come back
+    as an O(#categories) broadcast table, and attach in one streaming
+    merge.  Output adds ``{cat}_count`` (int64) and ``{cat}_rate``
+    (float64)."""
+    pre = out_prefix or cat_col
+    counts = grouped_aggregate(
+        ds.select_columns([cat_col]),
+        keys=[cat_col],
+        specs=[("count_star", None, f"{pre}_count")],
+    ).to_pandas()
+    total = float(counts[f"{pre}_count"].sum())
+    counts[f"{pre}_rate"] = counts[f"{pre}_count"] / total
+    ref = ray.put(counts)
+
+    def _attach(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(ray.get(ref), on=cat_col, how="left")
 
     return ds.map_batches(_attach, batch_format="pandas")

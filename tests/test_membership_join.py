@@ -88,3 +88,24 @@ def test_standardize_groups_and_constant_group():
         a["zscore"], (a["v"] - mean) / std, rtol=1e-12
     )
     assert (out.loc[out["g"] == "b", "zscore"] == 0.0).all()
+
+
+def test_frequency_encode_counts_and_rates():
+    import numpy as np
+    import ray.data
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
+        frequency_encode,
+    )
+
+    rows = [{"id": i, "cat": c} for i, c in enumerate("aaabbc")]
+    out = (
+        frequency_encode(ray.data.from_items(rows), "cat")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert list(out["cat_count"]) == [3, 3, 3, 2, 2, 1]
+    np.testing.assert_allclose(
+        out["cat_rate"], np.array([3, 3, 3, 2, 2, 1]) / 6.0
+    )
