@@ -46,6 +46,14 @@ def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _table_rows(sf_dir: str, table: str) -> int:
+    """Parquet-footer row count — the cheap size signal auto_join's
+    broadcast-vs-shuffle plan choice runs on (no data read)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+
+
 def _sql_round(x: np.ndarray, nd: int = 2) -> np.ndarray:
     """DuckDB-compatible round (half away from zero, C `round` style) —
     numpy/pyarrow default half-to-even diverges on exact .xx5 values."""
@@ -125,11 +133,18 @@ def _q_pricing_summary(sf_dir: str):
 
 
 def _q_orders_customer_join(sf_dir: str):
-    """Hash equi-join (SURVEY J1): orders ⋈ customer."""
+    """Equi-join (SURVEY J1): orders ⋈ customer, planned by measured
+    size — `auto_join` reads both parquet footers and broadcasts the
+    known-small customer side (`ray.put` once, probe per batch); a
+    genuinely large build side takes the hash-partition shuffle the
+    same call plans (shuffle path exercised by
+    `tests/test_auto_join.py::test_forced_hash_path`)."""
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    return rel.hash_join(
-        orders, cust, on=("o_custkey",), right_on=("c_custkey",)
+    return rel.auto_join(
+        orders, cust, on=("o_custkey",), right_on=("c_custkey",),
+        left_rows=_table_rows(sf_dir, "orders"),
+        right_rows=_table_rows(sf_dir, "customer"),
     ).select_columns(["o_orderkey", "c_name", "o_totalprice"])
 
 
@@ -2349,9 +2364,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "price_histogram": """
             WITH b AS (
+                -- width clamped to 1.0 on a constant column, mirroring
+                -- profile.histogram's `if hi > lo else 1.0` guard
+                -- (floor(x/0) would diverge engine-vs-oracle)
                 SELECT min(l_extendedprice) AS lo,
-                       (max(l_extendedprice) - min(l_extendedprice)) / 10
-                           AS width
+                       CASE WHEN max(l_extendedprice) > min(l_extendedprice)
+                            THEN (max(l_extendedprice)
+                                  - min(l_extendedprice)) / 10
+                            ELSE 1.0
+                       END AS width
                 FROM lineitem
             ), h AS (
                 SELECT CAST(least(floor((l_extendedprice - b.lo) / b.width),

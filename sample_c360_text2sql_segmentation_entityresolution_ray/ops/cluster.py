@@ -273,14 +273,19 @@ def pca_fit(
     mantissa when ‖μ‖ ≫ σ — fine for embedding-space inputs (zero-ish
     means by construction); mean-center upstream if not.
     """
-    probe = ds.select_columns([vec_col]).limit(driver_limit + 1).take_all()
+    # limit(n+1).to_pandas(), not take_all(): per-row dict conversion
+    # is ~17x slower than the Arrow->pandas block path on list columns
+    # (the url_dedup probe pitfall, SCALE.md)
+    probe = ds.select_columns([vec_col]).limit(driver_limit + 1).to_pandas()
+    if len(probe) == 0:
+        raise ValueError("pca_fit: input dataset has no rows")
     if len(probe) <= driver_limit:
-        X = np.asarray([r[vec_col] for r in probe], dtype=np.float64)
+        X = np.asarray([np.asarray(v) for v in probe[vec_col]], dtype=np.float64)
         return pca_reference(X, k)
+    # the truncated probe's first row also serves as the dimensionality
+    # witness — no second collect
+    d = len(np.asarray(probe[vec_col].iloc[0]))
     del probe
-
-    first = ds.select_columns([vec_col]).limit(1).take_all()
-    d = len(first[0][vec_col])
     tri = [(i, j) for i in range(d) for j in range(i, d)]
     s_cols = [f"_s{i}" for i in range(d)]
     g_cols = [f"_g{i}" for i in range(len(tri))]

@@ -717,6 +717,15 @@ def source_quality_gate(
 
 _LINE_TERMINALS = ('.', '!', '?', '"')
 
+# Explicit ASCII trim set for line rules: bare str.strip() removes ALL
+# Unicode whitespace (\xa0,  , ...), but the DuckDB oracles trim
+# exactly space/\t/\r/\f/\v — so a document containing Unicode
+# whitespace would diverge from the oracle.  Lines are produced by
+# splitting on \n, so \n never needs trimming.  Caveat: a line whose
+# only content is Unicode whitespace counts as non-blank under this
+# rule (on both engines, consistently).
+_ASCII_WS = " \t\r\f\v"
+
 
 def clean_lines_stage(
     ds: "ray.data.Dataset",
@@ -747,14 +756,14 @@ def clean_lines_stage(
         ids, texts = batch[id_col].to_pylist(), batch[text_col].to_pylist()
         out_id, out_txt, out_k, out_d = [], [], [], []
         for i, t in zip(ids, texts):
-            lines = [ln for ln in t.split("\n") if ln.strip()]
+            lines = [ln for ln in t.split("\n") if ln.strip(_ASCII_WS)]
             kept = [
                 ln
                 for ln in lines
                 if len(TOKEN_RE.findall(ln.lower())) >= min_words
                 and (
                     not require_terminal
-                    or ln.rstrip().endswith(_LINE_TERMINALS)
+                    or ln.rstrip(_ASCII_WS).endswith(_LINE_TERMINALS)
                 )
             ]
             if not kept:
@@ -808,13 +817,13 @@ def gopher_rules_of(text: str) -> dict:
     r_mwl = 3.0 <= mwl <= 10.0
     sym = (text.count("#") + text.count("...")) / n if n else 1.0
     r_sym = sym <= 0.1
-    lines = [ln for ln in text.split("\n") if ln.strip()]
+    lines = [ln for ln in text.split("\n") if ln.strip(_ASCII_WS)]
     if lines:
         bullet = sum(
-            1 for ln in lines if ln.lstrip().startswith(("•", "- ", "* "))
+            1 for ln in lines if ln.lstrip(_ASCII_WS).startswith(("•", "- ", "* "))
         ) / len(lines)
         ellipsis = sum(
-            1 for ln in lines if ln.rstrip().endswith(("...", "…"))
+            1 for ln in lines if ln.rstrip(_ASCII_WS).endswith(("...", "…"))
         ) / len(lines)
     else:
         bullet = ellipsis = 0.0

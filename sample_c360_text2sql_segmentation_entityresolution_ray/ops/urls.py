@@ -107,21 +107,35 @@ def url_dedup(
     """
     canon = canonicalize_stage(ds, url_col=url_col, out_col="canon_url")
 
-    # measured-size switch (the kmeans_fit probe pattern): ONE truncated
-    # streaming execution doubles as the collect when the url table fits
-    # the driver, replacing a sort-shuffle barrier that costs seconds at
-    # any size; the partitioned path below is unchanged above the cap.
-    # limit(n+1).to_pandas(), NOT take_all(): Ray's per-row dict
-    # conversion measures ~17x slower than the Arrow->pandas block path
-    # on object-dtype url blocks (32 s vs 1.9 s at 25k rows).
-    g = canon.limit(driver_max_rows + 1).to_pandas()
-    if len(g) <= driver_max_rows:
+    # measured-size switch (the kmeans_fit probe pattern): materialize
+    # the slim canon projection ONCE — count() on a materialized
+    # dataset is metadata-free, so the plan choice costs no collect —
+    # then either pull the blocks to the driver (small table; no
+    # recompute, unlike a discarded limit(n+1) probe) or feed the SAME
+    # materialized blocks to the partitioned path (canonicalization
+    # never runs twice).  to_pandas(), NOT take_all(): Ray's per-row
+    # dict conversion measures ~17x slower than the Arrow->pandas block
+    # path on object-dtype url blocks (32 s vs 1.9 s at 25k rows).
+    canon = canon.materialize()
+    n_rows = canon.count()
+    if n_rows == 0:
         import ray.data as _rd
 
-        if not len(g):
-            return canon.limit(0)
-        return _rd.from_pandas(_sweep_local(g, url_col, ts_col))
-    del g
+        # empty input still carries the documented OUTPUT schema
+        # (canon_url, n_variants, kept_url), not the input projection
+        return _rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "canon_url": pd.Series(dtype=object),
+                    "n_variants": pd.Series(dtype=np.int64),
+                    "kept_url": pd.Series(dtype=object),
+                }
+            )
+        )
+    if n_rows <= driver_max_rows:
+        import ray.data as _rd
+
+        return _rd.from_pandas(_sweep_local(canon.to_pandas(), url_col, ts_col))
 
     def _part(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()

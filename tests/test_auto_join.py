@@ -86,3 +86,24 @@ def test_unknown_sizes_shuffle(ray_session):
 def test_both_small_builds_on_smaller(ray_session):
     _run("inner", left_rows=5, right_rows=4)
     _run("inner", left_rows=4, right_rows=5)
+
+
+def test_forced_hash_path(ray_session):
+    # both sizes KNOWN but above the broadcast limit → the same call
+    # plans the hash-partition shuffle (the J1 fact⋈fact scale path;
+    # `orders_customer_join` in __ray_entry__ rides this plan choice)
+    left, right = _tables()
+    got = auto_join(
+        ray.data.from_pandas(left).repartition(2),
+        ray.data.from_pandas(right).repartition(2),
+        on=("k",), right_on=("rk",), how="inner",
+        left_rows=5, right_rows=4, broadcast_limit=0,
+    )
+    ref = hash_join(
+        ray.data.from_pandas(left).repartition(2),
+        ray.data.from_pandas(right).repartition(2),
+        on=("k",), right_on=("rk",), how="inner", num_partitions=2,
+    )
+    g, e = _norm(got), _norm(ref)
+    assert list(g.columns) == list(e.columns)
+    pd.testing.assert_frame_equal(g.astype(str), e.astype(str), check_dtype=False)
