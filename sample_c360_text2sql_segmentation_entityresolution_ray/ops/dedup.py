@@ -681,6 +681,89 @@ def _collect_span_keys(dup: "ray.data.Dataset", limit: int):
     return np.sort(np.concatenate(parts))
 
 
+def _join_parts_for(rows: int) -> int:
+    """Hash-join partitions sized to the measured small side: an empty
+    hash-join partition reaches Acero as a schema-less block and
+    crashes finalize (Ray 2.49) — tiny sides get ONE partition."""
+    from .relational import DEDUP_PARTITIONS
+
+    return 1 if rows <= 1000 else min(DEDUP_PARTITIONS, rows // 1000 + 2)
+
+
+def _span_position_emitter(width: int, text_col: str, id_col: str):
+    """Per-batch ``(id, pos, h)`` span-row emitter for the join paths
+    (one row per width-token window; text itself never leaves here)."""
+
+    def _emit_positions(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, poss, hss = [], [], []
+        for i, t in zip(
+            batch[id_col].to_numpy(), batch[text_col].to_numpy(object)
+        ):
+            hs = _doc_span_hashes(t, width)
+            ids.extend([i] * len(hs))
+            poss.append(np.arange(len(hs), dtype=np.int64))
+            hss.append(hs.view(np.int64))
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "pos": np.concatenate(poss) if poss else np.empty(0, np.int64),
+                "h": np.concatenate(hss) if hss else np.empty(0, np.int64),
+            }
+        )
+
+    return _emit_positions
+
+
+def _dup_starts_per_doc(
+    slim: "ray.data.Dataset",
+    dup: "ray.data.Dataset",
+    width: int,
+    text_col: str,
+    id_col: str,
+):
+    """Join path core shared by :func:`span_dup_stats` and
+    :func:`strip_duplicate_spans`: span positions hash-joined against
+    the (materialized) dup table → per-doc sorted start positions,
+    PACKED int64 bytes per doc (Acero rejects list payload columns;
+    the consumer unpacks with zero-copy np.frombuffer).  Returns the
+    materialized ``(id, starts_bin)`` dataset — one row per doc that
+    has at least one duplicate span, far smaller than the corpus."""
+    from .relational import DEDUP_PARTITIONS, hash_join
+
+    spans = slim.map_batches(
+        _span_position_emitter(width, text_col, id_col),
+        batch_format="pandas",
+    )
+    hits = (
+        hash_join(spans, dup, on=("h",), num_partitions=_join_parts_for(dup.count()))
+        .select_columns([id_col, "pos"])
+        .materialize()
+    )
+
+    def _part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_part"] = (
+            pd.util.hash_pandas_object(batch[id_col], index=False).to_numpy()
+            % DEDUP_PARTITIONS
+        ).astype("int32")
+        return batch
+
+    def _pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "pos"], kind="mergesort")
+        out_id, out_bin = [], []
+        for i, grp in g.groupby(id_col, sort=False):
+            out_id.append(i)
+            out_bin.append(grp["pos"].to_numpy(np.int64).tobytes())
+        return pd.DataFrame({id_col: out_id, "starts_bin": out_bin})
+
+    return (
+        hits.map_batches(_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(_pack, batch_format="pandas")
+        .materialize()
+    )
+
+
 def _covered_union(starts: np.ndarray, width: int) -> int:
     """|∪ [s, s+width)| for sorted start positions."""
     if len(starts) == 0:
@@ -746,76 +829,18 @@ def span_dup_stats(
         return slim.map_batches(_stats, batch_format="pandas")
 
     # join path: ship (doc, pos, h) span rows through one equi-join with
-    # the dup table, then sweep per doc-hash partition — scale-safe
-    from .relational import DEDUP_PARTITIONS, hash_join
+    # the dup table, pack per-doc start positions, and join them back to
+    # the per-doc span counts — scale-safe, no heap ever holds the set.
+    # The joins are SEQUENCED (materialize between them): each join's
+    # aggregator-actor pool must own the cluster alone while it drains
+    # (two concurrent pools + their feeding map stages livelock small
+    # clusters — see ops/relational.py JOIN_AGGREGATOR_CPUS).  The
+    # materialized sets are the dup-key table and per-doc starts — both
+    # far smaller than the corpus.
+    from .relational import hash_join
 
-    def _emit_positions(batch: pd.DataFrame) -> pd.DataFrame:
-        ids, poss, hss = [], [], []
-        for i, t in zip(
-            batch[id_col].to_numpy(), batch[text_col].to_numpy(object)
-        ):
-            hs = _doc_span_hashes(t, width)
-            ids.extend([i] * len(hs))
-            poss.append(np.arange(len(hs), dtype=np.int64))
-            hss.append(hs.view(np.int64))
-        return pd.DataFrame(
-            {
-                id_col: ids,
-                "pos": np.concatenate(poss) if poss else np.empty(0, np.int64),
-                "h": np.concatenate(hss) if hss else np.empty(0, np.int64),
-            }
-        )
-
-    # sequence the two joins: each join's aggregator-actor pool must own
-    # the cluster alone while it drains (two concurrent pools + their
-    # feeding map stages livelock small clusters — see ops/relational.py
-    # JOIN_AGGREGATOR_CPUS).  The materialized sets are the dup-key
-    # table and per-doc stats — both far smaller than the corpus.
     dup = dup.materialize()
-    # partitions sized to the measured small side: an empty hash-join
-    # partition reaches Acero as a schema-less block and crashes
-    # finalize (Ray 2.49) — tiny sides get ONE partition
-    def _parts_for(rows: int) -> int:
-        return 1 if rows <= 1000 else min(DEDUP_PARTITIONS, rows // 1000 + 2)
-
-    n_parts = _parts_for(dup.count())
-    spans = slim.map_batches(_emit_positions, batch_format="pandas")
-    hits = (
-        hash_join(spans, dup, on=("h",), num_partitions=n_parts)
-        .select_columns([id_col, "pos"])
-        .materialize()
-    )
-
-    def _part(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["_part"] = (
-            pd.util.hash_pandas_object(batch[id_col], index=False).to_numpy()
-            % DEDUP_PARTITIONS
-        ).astype("int32")
-        return batch
-
-    def _sweep(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([id_col, "pos"], kind="mergesort")
-        out_id, out_d, out_c = [], [], []
-        for i, grp in g.groupby(id_col, sort=False):
-            starts = grp["pos"].to_numpy()
-            out_id.append(i)
-            out_d.append(len(starts))
-            out_c.append(_covered_union(starts, width))
-        return pd.DataFrame(
-            {
-                id_col: out_id,
-                "dup_spans": np.asarray(out_d, np.int64),
-                "covered_tokens": np.asarray(out_c, np.int64),
-            }
-        )
-
-    dup_stats = (
-        hits.map_batches(_part, batch_format="pandas")
-        .groupby("_part")
-        .map_groups(_sweep, batch_format="pandas")
-        .materialize()
-    )
+    per_doc = _dup_starts_per_doc(slim, dup, width, text_col, id_col)
 
     def _n_spans(batch: pd.DataFrame) -> pd.DataFrame:
         ns = np.asarray(
@@ -830,18 +855,31 @@ def span_dup_stats(
     base = slim.map_batches(_n_spans, batch_format="pandas")
     joined = hash_join(
         base,
-        dup_stats,
+        per_doc,
         on=(id_col,),
         how="left_outer",
-        num_partitions=_parts_for(dup_stats.count()),
+        num_partitions=_join_parts_for(per_doc.count()),
     )
 
-    def _fill(batch: pd.DataFrame) -> pd.DataFrame:
-        for c in ("dup_spans", "covered_tokens"):
-            batch[c] = batch[c].fillna(0).astype(np.int64)
-        return batch[[id_col, "n_spans", "dup_spans", "covered_tokens"]]
+    def _finish(batch: pd.DataFrame) -> pd.DataFrame:
+        starts = [
+            np.frombuffer(b, np.int64)
+            if isinstance(b, (bytes, bytearray, memoryview))
+            else np.empty(0, np.int64)
+            for b in batch["starts_bin"]
+        ]
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(),
+                "n_spans": batch["n_spans"].to_numpy(np.int64),
+                "dup_spans": np.asarray([len(s) for s in starts], np.int64),
+                "covered_tokens": np.asarray(
+                    [_covered_union(s, width) for s in starts], np.int64
+                ),
+            }
+        )
 
-    return joined.map_batches(_fill, batch_format="pandas")
+    return joined.map_batches(_finish, batch_format="pandas")
 
 
 def strip_duplicate_spans(
@@ -856,41 +894,93 @@ def strip_duplicate_spans(
     destructive half of :func:`span_dup_stats`): output
     ``(doc_id, clean_text, removed_tokens)``.
 
-    Broadcast-set path only — the join variant would have to ship each
-    doc's positions back to its text; callers above
-    ``broadcast_span_limit`` dup spans should raise ``min_count`` or
-    ``width`` first (each dup key is 8 bytes: 2M keys ≈ 16 MB/worker).
+    Two plans by measured dup-set size (the same switch as
+    :func:`span_dup_stats` and :func:`line_dedup`):
+
+    - ≤ ``broadcast_span_limit`` dup keys (8 B each, 2M ≈ 16 MB): the
+      sorted hash array broadcasts once; each doc re-derives its spans
+      locally — zero further shuffle.
+    - above it: span positions hash-join against the dup table, pack
+      into per-doc start lists, and join back onto the doc text —
+      no worker heap ever holds the dup set; text crosses the attach
+      join exactly once (the unavoidable cost of a destructive
+      rewrite: the positions must meet the text somewhere).
     """
+
+    def _strip_one(toks: list, starts: np.ndarray):
+        cover = np.zeros(len(toks) + 1, np.int64)
+        np.add.at(cover, starts, 1)
+        np.add.at(cover, starts + width, -1)
+        keep = np.cumsum(cover[:-1]) == 0
+        return (
+            " ".join(np.asarray(toks, object)[keep]),
+            int((~keep).sum()),
+        )
+
     dup = _dup_span_keys(docs, width, min_count, text_col, id_col)
     keys = _collect_span_keys(dup, broadcast_span_limit)
-    if keys is None:
-        raise ValueError(
-            f"duplicate-span set exceeds broadcast_span_limit="
-            f"{broadcast_span_limit}; raise width/min_count or the limit"
-        )
-    ref = ray.put(keys)
+    slim = docs.select_columns([id_col, text_col])
 
-    def _strip(batch: pd.DataFrame) -> pd.DataFrame:
-        dup_keys = ray.get(ref)
+    if keys is not None:
+        ref = ray.put(keys)
+
+        def _strip(batch: pd.DataFrame) -> pd.DataFrame:
+            dup_keys = ray.get(ref)
+            ids, texts, removed = [], [], []
+            for i, t in zip(
+                batch[id_col].to_numpy(), batch[text_col].to_numpy(object)
+            ):
+                toks = t.split(" ")
+                hs = _doc_span_hashes(t, width)
+                if len(dup_keys) and len(hs):
+                    pos = np.searchsorted(dup_keys, hs)
+                    pos[pos == len(dup_keys)] = 0
+                    starts = np.flatnonzero(dup_keys[pos] == hs)
+                else:
+                    starts = np.empty(0, np.int64)
+                txt, rm = _strip_one(toks, starts)
+                ids.append(i)
+                texts.append(txt)
+                removed.append(rm)
+            return pd.DataFrame(
+                {
+                    id_col: ids,
+                    "clean_text": texts,
+                    "removed_tokens": np.asarray(removed, np.int64),
+                }
+            )
+
+        return slim.map_batches(_strip, batch_format="pandas")
+
+    # join fallback: per-doc packed start positions attach to the text
+    from .relational import hash_join
+
+    dup = dup.materialize()
+    per_doc = _dup_starts_per_doc(slim, dup, width, text_col, id_col)
+    joined = hash_join(
+        slim,
+        per_doc,
+        on=(id_col,),
+        how="left_outer",
+        num_partitions=_join_parts_for(per_doc.count()),
+    )
+
+    def _strip_joined(batch: pd.DataFrame) -> pd.DataFrame:
         ids, texts, removed = [], [], []
-        for i, t in zip(
-            batch[id_col].to_numpy(), batch[text_col].to_numpy(object)
+        for i, t, sb in zip(
+            batch[id_col].to_numpy(),
+            batch[text_col].to_numpy(object),
+            batch["starts_bin"],
         ):
-            toks = t.split(" ")
-            hs = _doc_span_hashes(t, width)
-            if len(dup_keys) and len(hs):
-                pos = np.searchsorted(dup_keys, hs)
-                pos[pos == len(dup_keys)] = 0
-                starts = np.flatnonzero(dup_keys[pos] == hs)
-            else:
-                starts = np.empty(0, np.int64)
-            cover = np.zeros(len(toks) + 1, np.int64)
-            np.add.at(cover, starts, 1)
-            np.add.at(cover, starts + width, -1)
-            keep = np.cumsum(cover[:-1]) == 0
+            starts = (
+                np.frombuffer(sb, np.int64)
+                if isinstance(sb, (bytes, bytearray, memoryview))
+                else np.empty(0, np.int64)
+            )
+            txt, rm = _strip_one(t.split(" "), starts)
             ids.append(i)
-            texts.append(" ".join(np.asarray(toks, object)[keep]))
-            removed.append(int((~keep).sum()))
+            texts.append(txt)
+            removed.append(rm)
         return pd.DataFrame(
             {
                 id_col: ids,
@@ -899,9 +989,7 @@ def strip_duplicate_spans(
             }
         )
 
-    return docs.select_columns([id_col, text_col]).map_batches(
-        _strip, batch_format="pandas"
-    )
+    return joined.map_batches(_strip_joined, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

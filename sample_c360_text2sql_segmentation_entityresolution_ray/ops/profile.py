@@ -263,6 +263,84 @@ def annotate_table(
     return registry._tables[name]
 
 
+def extract_model_json(content: str) -> dict:
+    """Pull the JSON object out of a model response — the reference's
+    two-step extraction rule (`csvtool/csv_to_glue_catalog.py:219-231`)
+    rebuilt behaviorally: (1) a ```json fenced block wins if it parses;
+    (2) otherwise the first-``{``-to-last-``}`` span; else ValueError.
+    LLMs wrap JSON in markdown fences or prose unpredictably — the
+    deterministic stand-ins never do, which is why this rule only
+    matters on the pluggable-model path."""
+    import json as _json
+    import re as _re
+
+    m = _re.search(r"```(?:json)?\s*(\{.*?\})\s*```", content, _re.DOTALL)
+    if m:
+        try:
+            return _json.loads(m.group(1))
+        except _json.JSONDecodeError:
+            pass
+    start, end = content.find("{"), content.rfind("}") + 1
+    if start != -1 and end > start:
+        try:
+            return _json.loads(content[start:end])
+        except _json.JSONDecodeError:
+            pass
+    raise ValueError(f"no parseable JSON object in model response: {content[:200]!r}")
+
+
+def annotate_table_with_model(
+    ds: "ray.data.Dataset",
+    name: str,
+    registry: "SchemaRegistry",
+    model,
+    distinct_cap: int = 10_000,
+) -> "TableMeta":
+    """LLM-backed variant of :func:`annotate_table` — the integration
+    point a production deployment plugs a real model into (the
+    reference calls Bedrock with column stats + sample rows and
+    parses the fenced-JSON schema reply,
+    `csvtool/csv_to_glue_catalog.py:159-237`).
+
+    ``model``: ``Callable[[str], str]`` — prompt in, raw completion
+    out (fences/prose tolerated; :func:`extract_model_json` applies the
+    reference's extraction rule).  Expected JSON shape, as the
+    reference prompts for it::
+
+        {"table_name": ..., "description": ...,
+         "columns": [{"name":..., "type":..., "comment":...}, ...]}
+
+    Columns missing from the reply keep the profiler's deterministic
+    comment; the profiled Arrow type always wins over the model's type
+    guess (the engine executes against real schemas, not guesses).
+    """
+    stats = summarize_columns(ds, distinct_cap=distinct_cap)
+    sch = ds.schema()
+    arrow_types = {n: str(t) for n, t in zip(sch.names, sch.types)}
+    import json as _json
+
+    prompt = (
+        f"Analyze this table and propose a catalog entry.\n"
+        f"Table: {name}\nColumns: {list(stats)}\n"
+        f"Stats: {_json.dumps({c: {k: v for k, v in st.items() if k != 'examples'} for c, st in stats.items()}, default=str)}\n"
+        'Reply as JSON: {"table_name": ..., "description": ..., '
+        '"columns": [{"name": ..., "type": ..., "comment": ...}]}'
+    )
+    reply = extract_model_json(model(prompt))
+    model_comments = {
+        c.get("name"): c.get("comment", "")
+        for c in reply.get("columns", [])
+        if isinstance(c, dict)
+    }
+    columns = {}
+    for col, st in stats.items():
+        typ = arrow_types.get(col, st["dtype"] or "string")
+        columns[col] = (typ, model_comments.get(col) or _column_comment(col, st))
+    description = reply.get("description") or f"{max((s['n_rows'] for s in stats.values()), default=0)} rows"
+    registry.register(name, description, columns)
+    return registry._tables[name]
+
+
 @dataclass
 class TableMeta:
     name: str
@@ -309,6 +387,8 @@ __all__ = [
     "humanize_column",
     "summarize_columns",
     "annotate_table",
+    "annotate_table_with_model",
+    "extract_model_json",
     "SchemaRegistry",
     "TableMeta",
 ]

@@ -109,6 +109,10 @@ def matched_edges(
         records = records_factory()
     else:
         records = normalize_stage(extract_stage(pages), cfg)
+    if cfg.feature_attach == "join":
+        return _join_feature_plan(
+            records, cfg, idf_ref, pair_filter, records_factory
+        )
     if cfg.feature_attach in ("auto", "broadcast"):
         plan = _broadcast_feature_plan(records, cfg, idf_ref, pair_filter)
         if plan is not None:
@@ -116,13 +120,21 @@ def matched_edges(
         if cfg.feature_attach == "broadcast":
             raise ValueError(
                 "feature_attach='broadcast' but the corpus exceeds "
-                "broadcast_features_limit; use 'payload' or 'auto'"
+                "broadcast_features_limit; use 'join', 'payload' or 'auto'"
             )
-        # fresh plan (the aborted broadcast pass consumed the stream)
+        # auto, above the broadcast limit → the join plan (fresh
+        # records plan — the aborted broadcast pass consumed the
+        # stream).  Measured at 200k pages/32 cpus, clean windows:
+        # payload 132.6 s vs join 111.7 s (BASELINE.md r3); payload
+        # remains an explicit opt-in for corpora where two extra joins
+        # cost more than ~53 KB/record of shuffle replication.
         records = (
             records_factory()
             if records_factory is not None
             else normalize_stage(extract_stage(pages), cfg)
+        )
+        return _join_feature_plan(
+            records, cfg, idf_ref, pair_filter, records_factory
         )
     exploded = band_emit_stage(records, cfg)
     pairs = pair_gen_stage(exploded, cfg)
@@ -130,6 +142,123 @@ def matched_edges(
         pairs = pair_filter(pairs)
     slim = score_pairs_stage(pairs, cfg, idf_ref)  # gated + deduped
     scored = string_score_stage(slim, cfg)
+    return matched_edges_stage(scored, cfg)
+
+
+def _lists_to_binary(col, dtype) -> pa.Array:
+    """``list<fixed-width>`` column → ``binary`` column, elementwise
+    ``np.asarray(lst, dtype).tobytes()`` semantics but built from the
+    Arrow buffers in two vectorized ops (values cast + offsets scale)."""
+    c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offsets = c.offsets.to_numpy().astype(np.int64)
+    flat = c.values.to_numpy(zero_copy_only=False)
+    itemsize = np.dtype(dtype).itemsize
+    # rebase: a sliced ListArray's offsets start past 0 and its child
+    # carries unreferenced values — binary offsets must start at 0
+    start, stop = int(offsets[0]), int(offsets[-1])
+    data = np.ascontiguousarray(flat[start:stop], dtype=dtype)
+    byte_off = ((offsets - start) * itemsize).astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(),
+        len(c),
+        [None, pa.py_buffer(byte_off.tobytes()), pa.py_buffer(data.tobytes())],
+    )
+
+
+def _join_feature_plan(
+    records, cfg: ERConfig, idf_ref, pair_filter=None, records_factory=None
+):
+    """Join-attach variant of the match plan — the unbounded-corpus
+    path (``ERConfig.feature_attach``): blocking shuffles only slim
+    (block_key, url, slug) rows exactly as the broadcast plan does,
+    but instead of a driver-held feature table, the DEDUPLICATED
+    candidate-pair stream hash-joins back to the normalized feature
+    table on url_a then url_b.  Nothing is ever collected to the
+    driver, so there is no ``broadcast_features_limit`` — the feature
+    replication cost of the payload plan (~1.3 KB × ~41 keys ≈ 53 KB
+    per record through Shuffle #1) becomes two bounded equi-joins of
+    the ~2-4% gated-survivor-sized unique-pair stream against a
+    once-computed feature table.
+
+    Feature-table source: the normalize output is ``materialize()``d
+    so blocking and both join probes read ONE computed copy from the
+    object store (spilling to disk beyond memory).  When
+    ``records_factory`` is provided (a Parquet feature checkpoint via
+    :func:`checkpoint_features` — the 10^12-record deployment shape),
+    the factory is re-invoked per consumer instead: three column-pruned
+    Parquet scans, zero plasma residency.
+
+    Pair dedupe runs BEFORE the joins (slim ~100 B rows), so the ×2.4
+    cross-block duplicate factor never multiplies join traffic, and
+    the gate receives exactly-once pairs (``dedupe=False``).
+
+    Reference anchor: the candidate-generation half of
+    `lib/entity-resolution-service.ts:140-183` — AWS ER's internal
+    match step equally joins candidate ids back to source records.
+    """
+    from ..ops.relational import JOIN_AGGREGATOR_CPUS, dedupe_by_key, hash_join
+
+    # Two chained joins run their aggregator pools CONCURRENTLY under
+    # streaming execution; at the default per-join partition count the
+    # reserved 2×P×JOIN_AGGREGATOR_CPUS can swallow a small cluster and
+    # starve the map stages feeding them (the attach_labels deadlock,
+    # measured at P=16 on 8 CPUs).  Cap so both pools together reserve
+    # at most half the cluster.
+    if cfg.feature_join_partitions is not None:
+        parts = cfg.feature_join_partitions
+    else:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        parts = max(2, int(ncpu / (4 * JOIN_AGGREGATOR_CPUS)))
+
+    if records_factory is None:
+        records = records.materialize()
+        feats_src = lambda: records  # noqa: E731 — shared materialized copy
+    else:
+        feats_src = records_factory
+        records = feats_src()
+    slim_records = records.select_columns(
+        ["url", "slug", "domain", "minhash", "tok_hashes"]
+    )
+    exploded = band_emit_stage(slim_records, cfg, slim=True)
+    pairs = pair_gen_stage(exploded, cfg, slim=True)
+    if pair_filter is not None:
+        pairs = pair_filter(pairs)
+    pairs = dedupe_by_key(
+        pairs, ["url_a", "url_b"], partitions=cfg.pair_dedup_partitions
+    )
+
+    def _side_feats(side: str):
+        feats = feats_src().select_columns(
+            ["url", "shingles", "shingles2", "mh8"]
+        )
+
+        def _pack(t: pa.Table) -> pa.Table:
+            # Acero (Ray's native join) rejects list-typed payload
+            # columns — transport the fixed-width feature sets as
+            # binary instead (vectorized buffer repack, no per-row
+            # Python); the gate reads them back with zero-copy
+            # np.frombuffer (`stages/scoring.py::_u32/_u8`).
+            return pa.table(
+                {
+                    f"url_{side}": t["url"],
+                    f"shingles_{side}": _lists_to_binary(t["shingles"], np.uint32),
+                    f"shingles2_{side}": _lists_to_binary(t["shingles2"], np.uint32),
+                    f"mh8_{side}": _lists_to_binary(t["mh8"], np.uint8),
+                }
+            )
+
+        return feats.map_batches(_pack, batch_format="pyarrow")
+
+    withf = hash_join(
+        pairs, _side_feats("a"), on=("url_a",),
+        num_partitions=parts,
+    )
+    withf = hash_join(
+        withf, _side_feats("b"), on=("url_b",),
+        num_partitions=parts,
+    )
+    gated = score_pairs_stage(withf, cfg, idf_ref, dedupe=False)
+    scored = string_score_stage(gated, cfg)
     return matched_edges_stage(scored, cfg)
 
 

@@ -53,6 +53,8 @@ from typing import Callable, Sequence
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
@@ -1639,10 +1641,27 @@ def _compile_select_node(node: dict, catalog: Catalog, auto_names: bool = False)
 
     where = node.get("where_clause")
     if where:
-        def _filt(df: pd.DataFrame) -> pd.DataFrame:
-            return df[np.asarray(eval_expr(where, df), dtype=bool)]
+        from .arrow_eval import arrow_ok, eval_expr_arrow
 
-        ds = ds.map_batches(_filt, batch_format="pandas")
+        if arrow_ok(where, "bool"):
+            # Arrow-native predicate: zero-copy batch in, pc kernels,
+            # no pandas round-trip.  Runtime fallback re-runs the batch
+            # through the pandas evaluator on any kernel/type-dispatch
+            # error (thrown errors are safe; see sql/arrow_eval.py).
+            def _filt_a(t: pa.Table, w=where) -> pa.Table:
+                try:
+                    return t.filter(eval_expr_arrow(w, t))
+                except Exception:
+                    df = t.to_pandas()
+                    out = df[np.asarray(eval_expr(w, df), dtype=bool)]
+                    return pa.Table.from_pandas(out, preserve_index=False)
+
+            ds = ds.map_batches(_filt_a, batch_format="pyarrow")
+        else:
+            def _filt(df: pd.DataFrame) -> pd.DataFrame:
+                return df[np.asarray(eval_expr(where, df), dtype=bool)]
+
+            ds = ds.map_batches(_filt, batch_format="pandas")
 
     if memberships:
         from ..ops.relational import anti_join, semi_join
@@ -1904,7 +1923,34 @@ def _compile_select_node(node: dict, catalog: Catalog, auto_names: bool = False)
                     )
                 return pd.DataFrame(out)
 
-            ds = ds.map_batches(_proj, batch_format="pandas")
+            from .arrow_eval import arrow_ok, as_column, eval_expr_arrow
+
+            hw = bool(win_cols)
+            if all(arrow_ok(it, "value", hw) for it in select_list) and all(
+                arrow_ok(he, "value", hw) for _h, he in hidden_orders
+            ):
+                # Arrow-native projection (see the WHERE site note)
+                def _proj_a(t: pa.Table) -> pa.Table:
+                    try:
+                        n = t.num_rows
+                        cols = {}
+                        for name, it in zip(names, select_list):
+                            cols[name] = as_column(
+                                eval_expr_arrow(it, t, win_cols or None), n
+                            )
+                        for hname, he in hidden_orders:
+                            cols[hname] = as_column(
+                                eval_expr_arrow(he, t, win_cols or None), n
+                            )
+                        return pa.table(cols)
+                    except Exception:
+                        return pa.Table.from_pandas(
+                            _proj(t.to_pandas()), preserve_index=False
+                        )
+
+                ds = ds.map_batches(_proj_a, batch_format="pyarrow")
+            else:
+                ds = ds.map_batches(_proj, batch_format="pandas")
 
     mods = node.get("modifiers", [])
     skip_next_limit = False
@@ -2242,7 +2288,54 @@ def _compile_aggregate(
             out["_one"] = pd.Series(np.ones(len(df), dtype=np.int8), index=df.index)
         return pd.DataFrame(out)
 
-    ds = ds.map_batches(_prep, batch_format="pandas")
+    from .arrow_eval import arrow_ok, as_column, eval_expr_arrow
+
+    # global (no GROUP BY) count(*) keeps the pandas path: Ray 2.49's
+    # column-less Count aggregates ARROW blocks to 0 (it counts a
+    # nonexistent column) while counting pandas rows fine — grouped
+    # Count and on-column Count are unaffected (verified both)
+    global_bare_count = not key_names and any(
+        fn == "count_star" for fn, _in, _out in agg_specs
+    )
+    if not global_bare_count and all(
+        arrow_ok(g, "value") for g in group_exprs
+    ) and all(
+        (e is None or arrow_ok(e, "value"))
+        and (f is None or arrow_ok(f, "bool"))
+        for (e, f) in input_exprs.values()
+    ):
+        # Arrow-native aggregate-input prep: group keys + agg inputs via
+        # pc kernels on the zero-copy batch (the scan→prep prefix of a
+        # GROUP BY query no longer pays the pandas round-trip); runtime
+        # fallback to the pandas _prep on any kernel error.
+        def _prep_a(t: pa.Table) -> pa.Table:
+            try:
+                n = t.num_rows
+                out = {}
+                for g, kn in zip(group_exprs, key_names):
+                    out[kn] = as_column(eval_expr_arrow(g, t), n)
+                for cn, (e, filt) in input_exprs.items():
+                    if e is None:  # count(*) FILTER mask column
+                        v = pa.repeat(pa.scalar(1.0), n)
+                    else:
+                        v = as_column(eval_expr_arrow(e, t), n)
+                    if cn in bool_inputs:
+                        v = pc.cast(v, "float64")
+                    if filt is not None:
+                        mask = eval_expr_arrow(filt, t)
+                        v = pc.if_else(mask, v, pa.scalar(None, v.type))
+                    out[cn] = v
+                if not out:
+                    out["_one"] = pa.repeat(pa.scalar(1, pa.int8()), n)
+                return pa.table(out)
+            except Exception:
+                return pa.Table.from_pandas(
+                    _prep(t.to_pandas()), preserve_index=False
+                )
+
+        ds = ds.map_batches(_prep_a, batch_format="pyarrow")
+    else:
+        ds = ds.map_batches(_prep, batch_format="pandas")
 
     # count(DISTINCT x): per-batch (key, x) dedup (combiner — shrinks the
     # shuffle to unique pairs), hash-partition dedup, then a grouped

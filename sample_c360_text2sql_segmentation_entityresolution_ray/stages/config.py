@@ -63,19 +63,33 @@ class ERConfig:
     # --- feature transport for candidate pairs ---
     feature_attach: str = "auto"  # "payload": each exploded key row
                                   # carries the record's feature arrays
-                                  # (~1.3 KB × keys — scale-safe, no
-                                  # driver state, the 10^12-doc default);
+                                  # (~1.3 KB × keys ≈ 53 KB/record
+                                  # through Shuffle #1 — no driver
+                                  # state, but pays the replication);
                                   # "broadcast": shuffle only
                                   # (key, url, slug) (~100 B) and ship
                                   # ONE feature table via ray.put —
                                   # ~10× less shuffle volume (measured
                                   # 2× wall at 8 cpus), bounded by
                                   # broadcast_features_limit;
+                                  # "join": slim shuffle like broadcast
+                                  # but the DEDUPED pair stream
+                                  # hash-joins features back on
+                                  # url_a/url_b — unbounded corpus
+                                  # size, nothing driver-resident: the
+                                  # 10^12-doc plan (pair it with a
+                                  # checkpoint_features records_factory
+                                  # so the feature table lives on
+                                  # Parquet, not plasma);
                                   # "auto": try broadcast with a
                                   # streaming row cap (abort costs only
                                   # ≤ limit rows of normalize), fall
-                                  # back to payload
+                                  # back to join above it
     broadcast_features_limit: int = 1_000_000  # records (~1.4 GB heap)
+    feature_join_partitions: int | None = None  # hash partitions for the
+                                  # two feature-attach joins ("join"
+                                  # plan); None = sized to the cluster
+                                  # (join_partitions_for_cluster)
 
     # --- scoring ---
     score_threshold: float = 0.4

@@ -43,6 +43,22 @@ SLIM_COLUMNS = ["url_a", "url_b", "slug_a", "slug_b", "jaccard", "cosine", "bloc
 EDGE_COLUMNS = ["url_a", "url_b", "jaccard", "cosine", "jw", "score", "block_n"]
 
 
+def _u32(x) -> np.ndarray:
+    """Feature set as uint32 array — accepts a list (payload plan) or
+    the packed-binary transport of the join plan (Acero joins reject
+    list payload columns, so `pipelines/entity_resolution.py` ships
+    features as fixed-width bytes; frombuffer is a zero-copy view)."""
+    if isinstance(x, (bytes, bytearray, memoryview)):
+        return np.frombuffer(x, np.uint32)
+    return np.asarray(x, dtype=np.uint32)
+
+
+def _u8(x) -> np.ndarray:
+    if isinstance(x, (bytes, bytearray, memoryview)):
+        return np.frombuffer(x, np.uint8)
+    return np.asarray(x, dtype=np.uint8)
+
+
 def _empty_slim() -> pd.DataFrame:
     return pd.DataFrame(
         {
@@ -82,8 +98,8 @@ class PairFeatureGate:
             sh_b = batch["shingles_b"].to_numpy()
             sh2_a = batch["shingles2_a"].to_numpy()
             sh2_b = batch["shingles2_b"].to_numpy()
-            sig_a = np.stack([np.asarray(s, np.uint8) for s in batch["mh8_a"]])
-            sig_b = np.stack([np.asarray(s, np.uint8) for s in batch["mh8_b"]])
+            sig_a = np.stack([_u8(s) for s in batch["mh8_a"]])
+            sig_b = np.stack([_u8(s) for s in batch["mh8_b"]])
             return sh_a, sh_b, sh2_a, sh2_b, sig_a, sig_b
         f = self.feats  # FeatureStore: zero-copy views, vectorized rows()
         cols = []
@@ -120,8 +136,8 @@ class PairFeatureGate:
             # ONE sorted-set intersection per pair feeds both metrics:
             # shingle sets are unique, so TF-cosine = |∩| / sqrt(|a||b|)
             # (identical value to the general formula at 1/3 the cost)
-            sa = np.asarray(sh_a[i], dtype=np.uint32)
-            sb = np.asarray(sh_b[i], dtype=np.uint32)
+            sa = _u32(sh_a[i])
+            sb = _u32(sh_b[i])
             if len(sa) == 0 or len(sb) == 0:
                 jac[i] = 0.0
                 continue
@@ -140,8 +156,8 @@ class PairFeatureGate:
         gate3 = jac >= cfg.min_jaccard
         gate2 = np.zeros(n, dtype=bool)
         for i in np.flatnonzero(~gate3):
-            sa = np.asarray(sh2_a[i], dtype=np.uint32)
-            sb = np.asarray(sh2_b[i], dtype=np.uint32)
+            sa = _u32(sh2_a[i])
+            sb = _u32(sh2_b[i])
             if len(sa) == 0 or len(sb) == 0:
                 continue
             if self.idf is not None:

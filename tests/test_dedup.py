@@ -188,5 +188,19 @@ def test_strip_duplicate_spans():
     # untouched docs come back verbatim
     assert out.loc[2, "removed_tokens"] == 0
     assert out.loc[3, "clean_text"] == "tiny"
-    with pytest.raises(ValueError):
-        dedup.strip_duplicate_spans(_span_corpus(), broadcast_span_limit=0)
+
+
+def test_strip_duplicate_spans_join_path_matches_broadcast():
+    """Forcing broadcast_span_limit=0 takes the join fallback (packed
+    per-doc start positions attached to the text) and must reproduce
+    the broadcast path bit-for-bit — the `line_dedup` two-path
+    contract, now on the destructive span op too."""
+    cols = ["doc_id", "clean_text", "removed_tokens"]
+    bc = dedup.strip_duplicate_spans(_span_corpus()).to_pandas()
+    jn = dedup.strip_duplicate_spans(
+        _span_corpus(), broadcast_span_limit=0
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        bc[cols].sort_values("doc_id").reset_index(drop=True),
+        jn[cols].sort_values("doc_id").reset_index(drop=True),
+    )

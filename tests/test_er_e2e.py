@@ -73,6 +73,58 @@ def test_er_payload_feature_plan_matches_broadcast(sf_dir):
     )
 
 
+def test_er_join_feature_plan_matches_broadcast(sf_dir):
+    """The join-attach plan (slim blocking + pair-stream hash-joins back
+    to the feature table — the unbounded-corpus path and the `auto`
+    fallback above broadcast_features_limit) must produce exactly the
+    same edges as the broadcast-feature plan, both when invoked
+    explicitly and when `auto` falls back to it (forced via
+    broadcast_features_limit=0)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.pipelines.entity_resolution import (
+        matched_edges,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.stages.config import (
+        DEFAULT_CONFIG, ERConfig,
+    )
+
+    cols = ["url_a", "url_b", "jaccard", "cosine", "jw", "score"]
+
+    def _norm(df):
+        return df[cols].sort_values(["url_a", "url_b"]).reset_index(drop=True)
+
+    bc = _norm(matched_edges(pages_dataset(sf_dir), DEFAULT_CONFIG).to_pandas())
+    jn = _norm(
+        matched_edges(
+            pages_dataset(sf_dir), ERConfig(feature_attach="join")
+        ).to_pandas()
+    )
+    pd.testing.assert_frame_equal(bc, jn)
+    # auto above the broadcast limit routes to the SAME join plan
+    auto = _norm(
+        matched_edges(
+            pages_dataset(sf_dir),
+            ERConfig(feature_attach="auto", broadcast_features_limit=0),
+        ).to_pandas()
+    )
+    pd.testing.assert_frame_equal(bc, auto)
+
+
+def test_er_join_plan_full_resolution(sf_dir):
+    """resolve_entities under feature_attach='join' end-to-end: same F1
+    gate and assignment invariants as the default plan."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.stages.config import (
+        ERConfig,
+    )
+
+    cfg = ERConfig(feature_attach="join")
+    assignment, _ = resolve_entities(lambda: pages_dataset(sf_dir), cfg)
+    adf = assignment.to_pandas()
+    rel = relations_dataset(sf_dir).to_pandas()
+    assert adf["RecordId"].is_unique
+    m = pairwise_f1(adf, rel)
+    assert m["f1"] >= 0.99, m
+
+
 def test_incremental_resolution_matches_full(sf_dir):
     """resolve_entities_incremental(full(A), Δ) must equal a full run on
     A ∪ Δ bit-for-bit: pair features depend only on the two records,

@@ -185,3 +185,73 @@ def test_histogram_buckets_and_clamp():
     assert out.loc[out["bucket"] == 9, "n"].iloc[0] == 11  # 90..100
     np.testing.assert_allclose(out["lo"], np.arange(10) * 10.0)
     np.testing.assert_allclose(out["hi"], np.arange(1, 11) * 10.0)
+
+
+def test_extract_model_json_fence_and_brace_rules():
+    """The reference's two-step LLM-JSON extraction
+    (`csvtool/csv_to_glue_catalog.py:219-231`): fenced block first,
+    then first-{-to-last-} span, else error."""
+    fenced = 'Here is the schema:\n```json\n{"table_name": "t", "columns": []}\n```\nHope that helps!'
+    assert prof.extract_model_json(fenced)["table_name"] == "t"
+    # fence without the json language tag
+    assert prof.extract_model_json('```\n{"a": 1}\n```')["a"] == 1
+    # no fence: brace-span fallback with surrounding prose
+    spans = 'Sure! The answer is {"a": {"b": 2}} as requested.'
+    assert prof.extract_model_json(spans)["a"]["b"] == 2
+    # broken fence contents fall through to the brace span
+    broken_fence = '```json\n{"bad": }\n``` but also {"ok": true}'
+    # first-{ .. last-} spans both objects -> unparseable -> error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        prof.extract_model_json(broken_fence)
+    with _pytest.raises(ValueError):
+        prof.extract_model_json("no json here at all")
+
+
+def test_annotate_table_with_model_fenced_reply(ray_session):
+    """Interface test for the pluggable-LLM cataloger: a scripted fake
+    model emits md-fenced JSON (the real-LLM output shape the
+    deterministic stand-in never produces); comments flow into the
+    prompt block, profiled Arrow types win over model guesses, and
+    unmentioned columns keep deterministic comments."""
+    import json
+
+    import ray.data
+
+    df = pd.DataFrame(
+        {
+            "order_id": [1, 2, 3],
+            "status": ["open", "closed", "open"],
+            "amt": [1.5, 2.0, 3.25],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    prompts = []
+
+    def fake_model(prompt: str) -> str:
+        prompts.append(prompt)
+        body = json.dumps(
+            {
+                "table_name": "orders_small",
+                "description": "Synthetic order ledger",
+                "columns": [
+                    {"name": "order_id", "type": "BIG_INT", "comment": "order key (e.g. 1001)"},
+                    {"name": "status", "type": "STRING", "comment": "order state"},
+                ],
+            }
+        )
+        return f"Sure — here is the catalog entry:\n```json\n{body}\n```\nLet me know!"
+
+    reg = prof.SchemaRegistry()
+    meta = prof.annotate_table_with_model(ds, "orders_small", reg, fake_model)
+    # the model saw a prompt containing the profiled stats
+    assert prompts and "order_id" in prompts[0]
+    assert meta.description == "Synthetic order ledger"
+    assert meta.columns["order_id"][1] == "order key (e.g. 1001)"
+    # profiled Arrow type wins over the model's BIG_INT guess
+    assert meta.columns["order_id"][0] == "int64"
+    # column the model skipped keeps the deterministic comment
+    assert "distinct" in meta.columns["amt"][1] or meta.columns["amt"][1]
+    block = reg.prompt_block()
+    assert "order key (e.g. 1001)" in block
