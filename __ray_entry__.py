@@ -717,6 +717,16 @@ def _q_span_dup_stats(sf_dir: str):
     return dedup.span_dup_stats(docs, width=5, min_count=2)
 
 
+def _q_strip_spans(sf_dir: str):
+    """Destructive substring dedup (the removal step of Lee et al. 2022
+    that `span_dup_stats` only censuses): every token covered by a
+    corpus-duplicate 5-token span is dropped from the document.  The
+    oracle re-derives the same removal in SQL (dup spans by exact
+    string; kept tokens re-joined in position order)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.strip_duplicate_spans(docs, width=5, min_count=2)
+
+
 def _q_knn_top10(sf_dir: str):
     """Exact cosine top-10 to the vec_id=0 embedding (brute force,
     broadcast query matrix)."""
@@ -2134,6 +2144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_demo_correlated": _q_sql_demo_correlated,
         "sql_demo_pct_qualify": _q_sql_demo_pct_qualify,
         "text2sql_agent": _q_text2sql_agent,
+        "strip_spans_docs": _q_strip_spans,  # new in r3 — keep in the driver's first-50 window
         "orders_customer_join": _q_orders_customer_join,
         "canonical_url_dedup": _q_canonical_url_dedup,
         "er_assignment": _q_er_assignment,
@@ -2668,6 +2679,46 @@ def oracle_sql() -> dict[str, str]:
         # exact re-derivation of the duplicate-span census from raw
         # text: span strings in SQL vs polynomial window hashes in the
         # engine — any hash collision or off-by-one breaks the match
+        "strip_spans_docs": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), pos AS (
+                SELECT doc_id, t,
+                       unnest(range(1, greatest(len(t) - 5 + 2, 1))) AS i
+                FROM toks
+            ), spans AS (
+                SELECT doc_id, i,
+                       array_to_string(list_slice(t, i, i + 5 - 1), ' ') AS span
+                FROM pos
+            ), dupkeys AS (
+                SELECT span FROM spans GROUP BY span HAVING count(*) >= 2
+            ), dup AS (
+                SELECT s.doc_id, s.i FROM spans s JOIN dupkeys USING (span)
+            ), covered AS (
+                SELECT DISTINCT doc_id, j
+                FROM (SELECT doc_id, unnest(range(i, i + 5)) AS j FROM dup)
+            ), tokv AS (
+                SELECT doc_id,
+                       unnest(range(1, len(t) + 1)) AS j,
+                       unnest(t) AS tok
+                FROM toks
+            ), kept AS (
+                SELECT tv.doc_id, tv.j, tv.tok
+                FROM tokv tv LEFT JOIN covered c
+                  ON tv.doc_id = c.doc_id AND tv.j = c.j
+                WHERE c.j IS NULL
+            ), agg AS (
+                SELECT doc_id,
+                       string_agg(tok, ' ' ORDER BY j) AS clean_text,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            )
+            SELECT tk.doc_id,
+                   coalesce(a.clean_text, '') AS clean_text,
+                   CAST(len(tk.t) - coalesce(a.n_kept, 0) AS BIGINT)
+                       AS removed_tokens
+            FROM toks tk LEFT JOIN agg a ON tk.doc_id = a.doc_id
+        """,
         "span_dup_stats": """
             WITH toks AS (
                 SELECT doc_id, string_split(text, ' ') AS t FROM documents

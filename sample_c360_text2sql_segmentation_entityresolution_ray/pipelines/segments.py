@@ -415,9 +415,40 @@ def item_based_segments(
     return ray.data.from_pandas(out)
 
 
+def write_segments_csv(
+    segments: "ray.data.Dataset", path: str, single_file: bool = True
+) -> int:
+    """Reference-byte-format CSV sink for the segment table
+    (`lambda/process_segment_results/index.py:108-143`): header row
+    ``item_id,user_id`` then one row per (item, user) — the file
+    Personalize-batch consumers ingest.  Returns the row count.
+
+    ``single_file=True`` streams batches into ONE csv in
+    (item_id, user_id) order — matching the reference, which merges
+    all shards into one object; safe because a segment table is
+    top-n-per-item = dimension-sized by construction.
+    ``single_file=False`` writes partitioned part files via
+    ``Dataset.write_csv`` (resumable layout) for callers with
+    genuinely huge segment tables; the header appears once per part,
+    as S3-select/Athena-style readers expect."""
+    import csv
+
+    cols = segments.select_columns(["item_id", "user_id"])
+    if not single_file:
+        cols.write_csv(path)
+        return cols.count()
+    df = cols.to_pandas().sort_values(["item_id", "user_id"], kind="mergesort")
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["item_id", "user_id"])
+        w.writerows(df.itertuples(index=False, name=None))
+    return len(df)
+
+
 __all__ = [
     "build_interactions",
     "user_items",
     "item_cooccurrence",
     "item_based_segments",
+    "write_segments_csv",
 ]

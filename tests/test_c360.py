@@ -141,3 +141,42 @@ def test_item_based_segments_driver_path_equals_partitioned(sf_dir):
         fast.sort_values(key).reset_index(drop=True),
         slow.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_write_segments_csv_reference_format(ray_session, tmp_path):
+    """CSV sink byte-format parity with the reference's merged segment
+    file (`process_segment_results/index.py:108-143`): header
+    item_id,user_id then one row per pair; partitioned variant writes
+    the same rows as part files."""
+    import ray.data
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.pipelines.segments import (
+        write_segments_csv,
+    )
+
+    seg = ray.data.from_items(
+        [
+            {"item_id": "i2", "user_id": "u3", "affinity": 2},
+            {"item_id": "i1", "user_id": "u2", "affinity": 5},
+            {"item_id": "i1", "user_id": "u1", "affinity": 7},
+        ]
+    )
+    out = tmp_path / "segments.csv"
+    n = write_segments_csv(seg, str(out))
+    assert n == 3
+    text = out.read_text()
+    assert text == "item_id,user_id\ni1,u1\ni1,u2\ni2,u3\n"
+
+    part_dir = tmp_path / "parts"
+    n2 = write_segments_csv(seg, str(part_dir), single_file=False)
+    assert n2 == 3
+    import glob
+
+    import pandas as pd
+
+    rows = pd.concat(
+        [pd.read_csv(p) for p in glob.glob(str(part_dir) + "/*")],
+        ignore_index=True,
+    ).sort_values(["item_id", "user_id"]).reset_index(drop=True)
+    assert list(rows.columns) == ["item_id", "user_id"]
+    assert len(rows) == 3
