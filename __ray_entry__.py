@@ -557,6 +557,18 @@ def _q_doc_split(sf_dir: str):
     return sampling.assign_split(docs, by_modulo=True)
 
 
+def _q_training_shuffle(sf_dir: str):
+    """Deterministic global training-data shuffle ORDER: each doc's
+    position under the content-defined md5 rank — reproducible across
+    runs and cluster sizes (random_shuffle's permutation is
+    topology-dependent), resumable per shard; only slim (id, hash)
+    rows cross the one exchange."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import sampling
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    return sampling.deterministic_shuffle_rank(docs, id_col="doc_id", salt="shuf")
+
+
 def _q_group_split_orders(sf_dir: str):
     """Entity-level (group-aware) train/valid/test split: the split key
     is the CUSTOMER, not the row, so no customer's orders straddle
@@ -2145,6 +2157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_demo_pct_qualify": _q_sql_demo_pct_qualify,
         "text2sql_agent": _q_text2sql_agent,
         "strip_spans_docs": _q_strip_spans,  # new in r3 — keep in the driver's first-50 window
+        "training_shuffle_docs": _q_training_shuffle,  # new in r3
         "orders_customer_join": _q_orders_customer_join,
         "canonical_url_dedup": _q_canonical_url_dedup,
         "er_assignment": _q_er_assignment,
@@ -2817,6 +2830,14 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 100 < 90 THEN 'train'
                         WHEN doc_id % 100 < 95 THEN 'valid'
                         ELSE 'test' END AS split
+            FROM documents
+        """,
+        "training_shuffle_docs": """
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY ('0x' || left(md5('shuf'
+                                 || CAST(doc_id AS VARCHAR)), 15))::BIGINT,
+                                doc_id) - 1 AS shuffle_pos
             FROM documents
         """,
         "group_split_orders": """

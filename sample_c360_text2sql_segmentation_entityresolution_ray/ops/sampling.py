@@ -17,6 +17,10 @@ SURVEY §2.6 O4); standard requirements for corpus preparation:
   ``Dataset.random_shuffle(seed=…)`` documenting the cost: a full
   all-to-all exchange; prefer per-window local shuffles downstream of
   a hash split when global order doesn't matter.
+- :func:`deterministic_shuffle_rank` — content-defined global shuffle
+  ORDER (md5 rank): reproducible across runs/cluster sizes and
+  resumable per shard, with only slim (id, hash) rows crossing the
+  exchange.
 """
 
 from __future__ import annotations
@@ -25,6 +29,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 import ray.data
 
 from ..functions.texthash import hash_str_array
@@ -102,8 +107,94 @@ def shuffle_for_training(
     ds: "ray.data.Dataset", seed: int = 42
 ) -> "ray.data.Dataset":
     """Global shuffle (FULL all-to-all exchange — every block moves).
-    Use once, at the end, on the already-filtered corpus."""
+    Use once, at the end, on the already-filtered corpus.  For a
+    reproducible, resumable ordering use
+    :func:`deterministic_shuffle_rank` instead."""
     return ds.random_shuffle(seed=seed)
+
+
+def deterministic_shuffle_rank(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    salt: str = "shuf",
+    buckets: int = 256,
+) -> "ray.data.Dataset":
+    """``(id, shuffle_pos)``: each row's position in a DETERMINISTIC
+    md5-ordered global shuffle — the training-data ordering step, made
+    content-defined.  ``random_shuffle(seed=…)`` is seeded but
+    topology-dependent (block boundaries change the permutation, so a
+    resumed or differently-sized run reads a different order); the md5
+    rank is a pure function of (salt, id): reproducible across runs and
+    cluster sizes, and a writer can emit shard ``pos // shard_size``
+    independently per bucket — a failed run re-emits only missing
+    shards.
+
+    Plan: ONE slim shuffle.  Each batch computes the 60-bit md5 draw
+    (`weighted_sample`'s SQL-reproducible construction) and its top-8-bit
+    bucket; a combiner count-per-bucket aggregate (≤ ``buckets`` rows)
+    gives driver-side prefix-sum offsets; then ``groupby(bucket)``
+    ranks (hash, id) inside each bucket and adds its offset.  Only
+    (id, hash) rows cross the exchange — never the payload; attach the
+    position back with a join/broadcast if the full row is needed.
+
+    Oracle (driver-checked):
+    ``row_number() OVER (ORDER BY ('0x' || left(md5(salt || id), 15))::BIGINT, id) - 1``
+    — ties in the 60-bit draw (~2^-60/pair) break by id on both sides,
+    so the order is total and engine-vs-SQL exact."""
+    import hashlib
+
+    nb = np.uint64(buckets)
+    shift = np.uint64(60 - int(np.log2(buckets)))
+
+    def _draw(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        h = np.array(
+            [
+                int(
+                    hashlib.md5(f"{salt}{v}".encode("utf-8")).hexdigest()[:15],
+                    16,
+                )
+                for v in ids
+            ],
+            dtype=np.uint64,
+        )
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "_h": h.view(np.int64),
+                "_b": (h >> shift).astype(np.int32),
+            }
+        )
+
+    slim = ds.select_columns([id_col]).map_batches(
+        _draw, batch_format="pandas"
+    ).materialize()
+
+    from .relational import grouped_aggregate
+
+    counts = grouped_aggregate(
+        slim, keys=["_b"], specs=[("count_star", None, "n")]
+    ).to_pandas().sort_values("_b")
+    offsets = dict(
+        zip(
+            counts["_b"].to_numpy(),
+            np.concatenate([[0], np.cumsum(counts["n"].to_numpy())[:-1]]),
+        )
+    )
+    off_ref = ray.put(offsets)
+
+    def _rank(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        g = g.sort_values(["_h", id_col], kind="mergesort")
+        b = int(g["_b"].iloc[0])
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "shuffle_pos": np.arange(len(g), dtype=np.int64) + int(off[b]),
+            }
+        )
+
+    return slim.groupby("_b").map_groups(_rank, batch_format="pandas")
 
 
 _MD5_SPACE = 1 << 60  # 15 hex chars, the KMV-style SQL-reproducible hash

@@ -125,3 +125,25 @@ def test_group_split_no_entity_straddles(sf_dir):
     # hash-key variant holds the same invariant
     out2 = sampling.assign_split(orders, id_col="o_custkey").to_pandas()
     assert (out2.groupby("o_custkey")["split"].nunique() == 1).all()
+
+
+def test_deterministic_shuffle_rank_permutation(ray_session):
+    """Positions are exactly 0..n-1, identical across runs AND across
+    partitionings (the reproducibility random_shuffle can't give)."""
+    import numpy as np
+    import ray.data
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.sampling import (
+        deterministic_shuffle_rank,
+    )
+
+    ids = list(range(500))
+    ds1 = ray.data.from_items([{"doc_id": i} for i in ids]).repartition(7)
+    ds2 = ray.data.from_items([{"doc_id": i} for i in ids]).repartition(2)
+    a = deterministic_shuffle_rank(ds1).to_pandas().sort_values("doc_id")
+    b = deterministic_shuffle_rank(ds2).to_pandas().sort_values("doc_id")
+    assert sorted(a["shuffle_pos"]) == ids  # a permutation of 0..n-1
+    assert (a["shuffle_pos"].to_numpy() == b["shuffle_pos"].to_numpy()).all()
+    # genuinely shuffled: the identity order survives with ~1/n! odds
+    assert not (a.sort_values("shuffle_pos")["doc_id"].to_numpy()
+                == np.arange(500)).all()
