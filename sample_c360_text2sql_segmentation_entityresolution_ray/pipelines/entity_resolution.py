@@ -173,12 +173,14 @@ def _join_feature_plan(
     (block_key, url, slug) rows exactly as the broadcast plan does,
     but instead of a driver-held feature table, the DEDUPLICATED
     candidate-pair stream hash-joins back to the normalized feature
-    table on url_a then url_b.  Nothing is ever collected to the
+    table on url_a then url_b — in TWO phases: a light attach (64 B
+    MinHash sig + short-doc flag per side) feeds the vectorized
+    estimate pre-gate, and only its few-% survivors join the heavy
+    shingle payloads (~1.3 KB/side).  Nothing is ever collected to the
     driver, so there is no ``broadcast_features_limit`` — the feature
     replication cost of the payload plan (~1.3 KB × ~41 keys ≈ 53 KB
-    per record through Shuffle #1) becomes two bounded equi-joins of
-    the ~2-4% gated-survivor-sized unique-pair stream against a
-    once-computed feature table.
+    per record through Shuffle #1) becomes four bounded equi-joins of
+    which only the survivor-sized pair carry heavy bytes.
 
     Feature-table source: the normalize output is ``materialize()``d
     so blocking and both join probes read ONE computed copy from the
@@ -198,17 +200,17 @@ def _join_feature_plan(
     """
     from ..ops.relational import JOIN_AGGREGATOR_CPUS, dedupe_by_key, hash_join
 
-    # Two chained joins run their aggregator pools CONCURRENTLY under
+    # Chained joins run their aggregator pools CONCURRENTLY under
     # streaming execution; at the default per-join partition count the
-    # reserved 2×P×JOIN_AGGREGATOR_CPUS can swallow a small cluster and
-    # starve the map stages feeding them (the attach_labels deadlock,
-    # measured at P=16 on 8 CPUs).  Cap so both pools together reserve
-    # at most half the cluster.
+    # reserved n_joins×P×JOIN_AGGREGATOR_CPUS can swallow a small
+    # cluster and starve the map stages feeding them (the attach_labels
+    # deadlock, measured at P=16 on 8 CPUs).  Cap so the four pools
+    # together reserve at most half the cluster.
     if cfg.feature_join_partitions is not None:
         parts = cfg.feature_join_partitions
     else:
         ncpu = int(ray.cluster_resources().get("CPU", 8))
-        parts = max(2, int(ncpu / (4 * JOIN_AGGREGATOR_CPUS)))
+        parts = max(2, int(ncpu / (8 * JOIN_AGGREGATOR_CPUS)))
 
     if records_factory is None:
         records = records.materialize()
@@ -227,36 +229,80 @@ def _join_feature_plan(
         pairs, ["url_a", "url_b"], partitions=cfg.pair_dedup_partitions
     )
 
-    def _side_feats(side: str):
-        feats = feats_src().select_columns(
-            ["url", "shingles", "shingles2", "mh8"]
-        )
+    # --- phase 1: LIGHT attach — 64 B MinHash sig + 1 B short-doc
+    # flag per side (Acero rejects list payloads; fixed-width features
+    # ship as binary and the consumers np.frombuffer them zero-copy) —
+    # then the vectorized estimate pre-gate drops the vast majority of
+    # pairs BEFORE any heavy payload moves.
+    def _light(side: str):
+        feats = feats_src().select_columns(["url", "mh8", "shingles2"])
 
         def _pack(t: pa.Table) -> pa.Table:
-            # Acero (Ray's native join) rejects list-typed payload
-            # columns — transport the fixed-width feature sets as
-            # binary instead (vectorized buffer repack, no per-row
-            # Python); the gate reads them back with zero-copy
-            # np.frombuffer (`stages/scoring.py::_u32/_u8`).
+            sh2 = t["shingles2"].combine_chunks()
+            lens = np.diff(sh2.offsets.to_numpy().astype(np.int64))
             return pa.table(
                 {
                     f"url_{side}": t["url"],
-                    f"shingles_{side}": _lists_to_binary(t["shingles"], np.uint32),
-                    f"shingles2_{side}": _lists_to_binary(t["shingles2"], np.uint32),
                     f"mh8_{side}": _lists_to_binary(t["mh8"], np.uint8),
+                    f"short_{side}": pa.array(
+                        (lens > 0).astype(np.int8), pa.int8()
+                    ),
                 }
             )
 
         return feats.map_batches(_pack, batch_format="pyarrow")
 
-    withf = hash_join(
-        pairs, _side_feats("a"), on=("url_a",),
-        num_partitions=parts,
-    )
-    withf = hash_join(
-        withf, _side_feats("b"), on=("url_b",),
-        num_partitions=parts,
-    )
+    lp = hash_join(pairs, _light("a"), on=("url_a",), num_partitions=parts)
+    lp = hash_join(lp, _light("b"), on=("url_b",), num_partitions=parts)
+
+    # EXACT-equivalence pre-gate: a pair whose sig estimate fails the
+    # (min_jaccard - margin) floor keeps jac = est < min_jaccard in the
+    # full gate, so it can only match through the short-doc bigram path
+    # — which requires BOTH sides to carry a bigram set.  Dropping
+    # (est < floor) ∧ ¬(short_a ∧ short_b) pairs here is therefore
+    # bit-equal to running the full gate on everything (tested against
+    # the broadcast plan), and the heavy shingle payloads below ship
+    # only for the few-% survivors.
+    floor = cfg.min_jaccard - cfg.est_gate_margin
+
+    def _est_gate(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return t.drop_columns(["short_a", "short_b"])
+        sig_a = np.stack(
+            [np.frombuffer(x, np.uint8) for x in t["mh8_a"].to_pylist()]
+        )
+        sig_b = np.stack(
+            [np.frombuffer(x, np.uint8) for x in t["mh8_b"].to_pylist()]
+        )
+        est = (sig_a == sig_b).mean(axis=1)
+        both_short = np.logical_and(
+            t["short_a"].to_numpy(zero_copy_only=False) > 0,
+            t["short_b"].to_numpy(zero_copy_only=False) > 0,
+        )
+        keep = (est >= floor) | both_short
+        return t.filter(pa.array(keep)).drop_columns(["short_a", "short_b"])
+
+    survivors = lp.map_batches(_est_gate, batch_format="pyarrow")
+
+    # --- phase 2: HEAVY attach (shingle sets, ~1.3 KB/side) for the
+    # survivors only; mh8 already rides the pair rows from phase 1.
+    def _heavy(side: str):
+        feats = feats_src().select_columns(["url", "shingles", "shingles2"])
+
+        def _pack(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    f"url_{side}": t["url"],
+                    f"shingles_{side}": _lists_to_binary(t["shingles"], np.uint32),
+                    f"shingles2_{side}": _lists_to_binary(t["shingles2"], np.uint32),
+                }
+            )
+
+        return feats.map_batches(_pack, batch_format="pyarrow")
+
+    withf = hash_join(survivors, _heavy("a"), on=("url_a",), num_partitions=parts)
+    withf = hash_join(withf, _heavy("b"), on=("url_b",), num_partitions=parts)
     gated = score_pairs_stage(withf, cfg, idf_ref, dedupe=False)
     scored = string_score_stage(gated, cfg)
     return matched_edges_stage(scored, cfg)
