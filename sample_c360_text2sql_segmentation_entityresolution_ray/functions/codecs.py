@@ -11,8 +11,13 @@ stubs:
   ``b"RVID" | u16 n_frames | u16 height | u16 width | frames`` with
   each frame ``height*width*3`` RGB24 bytes, little-endian header.
 
-Compressed codecs (JPEG/PNG/MP3/H.264) genuinely require external
-libraries and stay gated behind ``NotImplementedError`` in
+- PNG (8-bit gray/RGB/RGBA, non-interlaced) — a COMPRESSED format
+  that needs no external library: DEFLATE is stdlib ``zlib``, and the
+  five scanline filters are spec-simple.  Decode handles every filter
+  type (0-4, so real-world files work); the encoder emits filter 0.
+
+Compressed codecs that genuinely require external libraries
+(JPEG/MP3/H.264) stay gated behind ``NotImplementedError`` in
 ``ops.multimodal``.
 
 Encoders exist so fixtures can synthesize REAL payloads
@@ -24,6 +29,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 
@@ -111,6 +117,122 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # WAV — PCM16 via stdlib wave
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# PNG — 8-bit gray / RGB / RGBA, non-interlaced (stdlib zlib DEFLATE)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_COLOR_OF_CHANNELS = {1: 0, 3: 2, 4: 6}
+_PNG_CHANNELS_OF_COLOR = {0: 1, 2: 3, 6: 4}
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(h, w[, c]) uint8 (gray / RGB / RGBA) → PNG bytes (8-bit,
+    non-interlaced, filter 0 scanlines, stdlib-zlib DEFLATE)."""
+    arr = np.ascontiguousarray(arr)
+    if arr.dtype != np.uint8:
+        raise ValueError("encode_png expects uint8")
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    if c not in _PNG_COLOR_OF_CHANNELS:
+        raise ValueError(f"encode_png expects 1/3/4 channels, got {c}")
+    rows = np.zeros((h, 1 + w * c), dtype=np.uint8)  # filter byte 0 + data
+    rows[:, 1:] = arr.reshape(h, w * c)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _PNG_COLOR_OF_CHANNELS[c], 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(rows.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa_ <= pb and pa_ <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3|4) uint8 (RGB/RGBA) or (h, w) for gray.
+
+    Supports the common web-corpus shape: 8-bit depth, color types
+    0/2/6, non-interlaced, with ALL five scanline filters unfiltered
+    (Sub via a vectorized per-lane cumulative sum; Up vectorized;
+    Average/Paeth per-pixel, as their recurrences are sequential).
+    Palette (3), 16-bit and interlaced images raise ValueError — real
+    limitations stated, not silently wrong output."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, hdr = 8, [], None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if hdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = hdr
+    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS_OF_COLOR:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={color}, "
+            f"interlace={interlace}); this decoder handles 8-bit "
+            "gray/RGB/RGBA non-interlaced"
+        )
+    c = _PNG_CHANNELS_OF_COLOR[color]
+    stride = w * c
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG scanline data has wrong length")
+    rows = np.frombuffer(raw, np.uint8).reshape(h, 1 + stride)
+    ftypes = rows[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = int(ftypes[y])
+        cur = rows[y, 1:].astype(np.int32)
+        prior = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if f == 0:
+            rec = cur
+        elif f == 1:  # Sub: per-channel-lane prefix sum (mod 256)
+            rec = np.cumsum(cur.reshape(w, c), axis=0).reshape(stride) & 255
+        elif f == 2:  # Up
+            rec = (cur + prior) & 255
+        elif f == 3:  # Average — sequential in x
+            rec = cur
+            for x in range(stride):
+                left = rec[x - c] if x >= c else 0
+                rec[x] = (rec[x] + ((left + prior[x]) >> 1)) & 255
+        elif f == 4:  # Paeth — sequential in x
+            rec = cur
+            for x in range(stride):
+                left = int(rec[x - c]) if x >= c else 0
+                ul = int(prior[x - c]) if x >= c else 0
+                rec[x] = (rec[x] + _paeth(left, int(prior[x]), ul)) & 255
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = rec
+    img = out.reshape(h, w, c)
+    return img[:, :, 0] if c == 1 else img
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:

@@ -6,10 +6,11 @@ with decode / feature-extract / frame-sample as actor-pool
 ``map_batches`` stages.
 
 Decode is REAL for every format a pure-numpy/stdlib codec can handle
-(``functions.codecs``): BMP 24-bit, PPM P6, WAV PCM16, and the
-documented RVID raw-video layout.  Compressed codecs (JPEG/PNG/MP3/
-H.264) genuinely require external libraries absent from this container
-and raise ``NotImplementedError`` — unless ``deterministic_fake=True``
+(``functions.codecs``): BMP 24-bit, PPM P6, PNG (8-bit gray/RGB/RGBA
+— DEFLATE is stdlib zlib), WAV PCM16, and the documented RVID
+raw-video layout.  Codecs that genuinely require external libraries
+absent from this container (JPEG/MP3/H.264) raise
+``NotImplementedError`` — unless ``deterministic_fake=True``
 substitutes a pure function of the bytes so pipeline shape stays
 testable for those types too.
 
@@ -46,11 +47,23 @@ MULTIMODAL_SCHEMA = pa.schema(
     ]
 )
 
+def _decode_png_rgb(payload: bytes) -> np.ndarray:
+    """PNG → (h, w, 3) RGB for the feature kernel: gray broadcast to
+    three channels, RGBA alpha dropped."""
+    img = codecs.decode_png(payload)
+    if img.ndim == 2:
+        return np.repeat(img[:, :, None], 3, axis=2)
+    if img.shape[2] == 4:
+        return np.ascontiguousarray(img[:, :, :3])
+    return img
+
+
 # media types the container can decode without external libraries
 _IMAGE_DECODERS = {
     "image/bmp": codecs.decode_bmp,
     "image/x-portable-pixmap": codecs.decode_ppm,
     "image/ppm": codecs.decode_ppm,
+    "image/png": _decode_png_rgb,  # REAL decode — stdlib zlib DEFLATE
 }
 
 
@@ -220,16 +233,21 @@ def synth_multimodal_dataset(
     rows = []
     for i in range(n):
         rng = np.random.default_rng(1000 + i)
-        kind = i % 3
-        if kind == 0:
+        kind = i % 4
+        if kind in (0, 3):
             img = (
                 rng.integers(0, 256, (img_side, img_side, 3)).astype(np.uint8)
+            )
+            enc, mt = (
+                (codecs.encode_bmp, "image/bmp")
+                if kind == 0
+                else (codecs.encode_png, "image/png")
             )
             rows.append(
                 {
                     "item_id": f"item-{i:05d}",
-                    "payload": codecs.encode_bmp(img),
-                    "media_type": "image/bmp",
+                    "payload": enc(img),
+                    "media_type": mt,
                     "width": img_side,
                     "height": img_side,
                     "duration_ms": 0,

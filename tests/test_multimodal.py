@@ -1,6 +1,6 @@
 """Multimodal: real uncompressed-format decode + actor-pool plumbing.
 
-BMP/PPM/WAV/RVID decode natively (functions/codecs.py — numpy/stdlib
+BMP/PPM/PNG/WAV/RVID decode natively (functions/codecs.py — numpy/stdlib
 only); compressed formats stay honestly gated behind
 NotImplementedError unless deterministic_fake substitutes a pure
 function of the bytes.
@@ -51,7 +51,7 @@ def test_image_stage_real_decode():
     out = decode_stage(
         _only(ds, "image/bmp"), ImageDecodeStage, concurrency=2, batch_size=4
     ).to_pandas()
-    assert len(out) == 4  # every 3rd row is an image
+    assert len(out) == 3  # kind 0 of 4 is a BMP image
     assert (out["width"] == 24).all() and (out["height"] == 24).all()
     # feature equals the kernel applied to the decoded payload directly
     row = out.sort_values("item_id").iloc[0]
@@ -68,10 +68,10 @@ def test_audio_stage_real_decode():
     out = decode_stage(
         _only(ds, "audio/wav"), AudioFeatureStage, concurrency=1, batch_size=4
     ).to_pandas()
-    assert len(out) == 4
+    assert len(out) == 3
     assert (out["duration_ms"] == 80).all()
     m = np.stack(out["mfcc"].to_numpy())
-    assert m.shape == (4, 13) and np.isfinite(m).all()
+    assert m.shape == (3, 13) and np.isfinite(m).all()
     # different tones → different band energies
     assert not np.allclose(m[0], m[1])
 
@@ -85,7 +85,7 @@ def test_video_stage_real_frame_sampling():
         batch_size=4,
         frames_per_item=3,
     ).to_pandas()
-    assert len(out) == 12  # 4 videos × 3 sampled frames
+    assert len(out) == 9  # 3 videos × 3 sampled frames
     assert set(out.columns) == {"item_id", "frame_idx", "frame_feature"}
     # evenly spaced over 6 frames: 0, 2 (rounded), 5
     one = out[out["item_id"] == out["item_id"].iloc[0]]
@@ -115,4 +115,91 @@ def test_compressed_formats_stay_gated():
     ).to_pandas()
     np.testing.assert_array_equal(
         np.asarray(out1["feature"].iloc[0]), np.asarray(out2["feature"].iloc[0])
+    )
+
+
+def test_png_roundtrip_and_filters():
+    """PNG is a REAL compressed codec here (stdlib zlib): roundtrip for
+    gray/RGB/RGBA, plus decode of every spec filter type built by
+    applying the spec's forward filters in the test."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, (9, 7, 3)).astype(np.uint8)
+    rgba = rng.integers(0, 256, (5, 6, 4)).astype(np.uint8)
+    gray = rng.integers(0, 256, (8, 8)).astype(np.uint8)
+    np.testing.assert_array_equal(codecs.decode_png(codecs.encode_png(rgb)), rgb)
+    np.testing.assert_array_equal(codecs.decode_png(codecs.encode_png(rgba)), rgba)
+    np.testing.assert_array_equal(codecs.decode_png(codecs.encode_png(gray)), gray)
+
+    # forward-filter a known image with each filter type per scanline
+    # (the spec's inverse of what decode_png undoes)
+    img = rng.integers(0, 256, (5, 4, 3)).astype(np.uint8)
+    h, w, c = img.shape
+    stride = w * c
+    flat = img.reshape(h, stride).astype(np.int32)
+
+    def paeth(a, b, cc):
+        p = a + b - cc
+        pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+        if pa_ <= pb and pa_ <= pc_:
+            return a
+        return b if pb <= pc_ else cc
+
+    lines = []
+    for y, f in zip(range(h), [0, 1, 2, 3, 4]):
+        cur = flat[y]
+        prior = flat[y - 1] if y else np.zeros(stride, np.int32)
+        filt = np.zeros(stride, np.int32)
+        for x in range(stride):
+            left = cur[x - c] if x >= c else 0
+            ul = prior[x - c] if x >= c else 0
+            if f == 0:
+                filt[x] = cur[x]
+            elif f == 1:
+                filt[x] = cur[x] - left
+            elif f == 2:
+                filt[x] = cur[x] - prior[x]
+            elif f == 3:
+                filt[x] = cur[x] - ((left + prior[x]) >> 1)
+            else:
+                filt[x] = cur[x] - paeth(int(left), int(prior[x]), int(ul))
+        lines.append(bytes([f]) + (filt & 255).astype(np.uint8).tobytes())
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+               + chunk(b"IEND", b""))
+    np.testing.assert_array_equal(codecs.decode_png(payload), img)
+
+    # honest limitations raise, never silently mis-decode
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        codecs.decode_png(bad)
+
+
+def test_png_image_stage():
+    """image/png rides the same actor-pool decode stage with REAL
+    decode (no fake): features equal the kernel on the decoded bytes."""
+    ds = synth_multimodal_dataset(n=12, img_side=16)
+    out = decode_stage(
+        _only(ds, "image/png"), ImageDecodeStage, concurrency=1, batch_size=4
+    ).to_pandas()
+    assert len(out) == 3  # kind 3 of 4 is a PNG image
+    assert (out["width"] == 16).all() and (out["height"] == 16).all()
+    src = [r for r in synth_multimodal_dataset(n=12, img_side=16).take_all()
+           if r["media_type"] == "image/png"]
+    row = out.sort_values("item_id").iloc[0]
+    first = sorted(src, key=lambda r: r["item_id"])[0]
+    img = codecs.decode_png(first["payload"])
+    np.testing.assert_allclose(
+        np.asarray(row["feature"]), codecs.image_feature(img, 8), rtol=1e-6
     )
