@@ -739,6 +739,45 @@ def _q_strip_spans(sf_dir: str):
     return dedup.strip_duplicate_spans(docs, width=5, min_count=2)
 
 
+def _q_quantize_embeddings(sf_dir: str):
+    """Per-vector symmetric int8 quantization of the embedding store
+    (the 4× memory/IO shrink an ANN index rides at 100 TB), exploded to
+    scalar (vec_id, scale, j, q) rows for the driver's value-hash
+    compare; the packed (id, scale, q:list<int8>) form is the
+    operator's real output."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import ann
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    packed = ann.quantize_embeddings(emb)
+
+    def _explode(t: pa.Table) -> pa.Table:
+        qc = t["q"].combine_chunks()
+        offs = qc.offsets.to_numpy().astype(np.int64)
+        lens = np.diff(offs)
+        start, stop = int(offs[0]), int(offs[-1])
+        vals = qc.values.to_numpy(zero_copy_only=False)[start:stop]
+        total = int(lens.sum())
+        j = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(offs[:-1] - start, lens)
+            + 1
+        )
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    np.repeat(t["vec_id"].to_numpy(), lens), pa.int64()
+                ),
+                "scale": pa.array(
+                    np.repeat(t["scale"].to_numpy(), lens), pa.float64()
+                ),
+                "j": pa.array(j, pa.int64()),
+                "q": pa.array(vals.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return packed.map_batches(_explode, batch_format="pyarrow")
+
+
 def _q_knn_top10(sf_dir: str):
     """Exact cosine top-10 to the vec_id=0 embedding (brute force,
     broadcast query matrix)."""
@@ -2158,6 +2197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text2sql_agent": _q_text2sql_agent,
         "strip_spans_docs": _q_strip_spans,  # new in r3 — keep in the driver's first-50 window
         "training_shuffle_docs": _q_training_shuffle,  # new in r3
+        "quantize_embeddings": _q_quantize_embeddings,  # new in r3
         "orders_customer_join": _q_orders_customer_join,
         "canonical_url_dedup": _q_canonical_url_dedup,
         "er_assignment": _q_er_assignment,
@@ -2831,6 +2871,23 @@ def oracle_sql() -> dict[str, str]:
                         WHEN doc_id % 100 < 95 THEN 'valid'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "quantize_embeddings": """
+            WITH s AS (
+                SELECT vec_id, embedding,
+                       CAST(CASE WHEN list_max(list_transform(embedding,
+                                     x -> abs(x))) > 0
+                                 THEN list_max(list_transform(embedding,
+                                     x -> abs(x)))
+                                 ELSE 1.0 END AS DOUBLE) AS scale
+                FROM embeddings
+            )
+            SELECT vec_id, scale, i AS j,
+                   CAST(round(CAST(embedding[i] AS DOUBLE) / scale * 127)
+                        AS BIGINT) AS q
+            FROM (SELECT vec_id, embedding, scale,
+                         unnest(range(1, len(embedding) + 1)) AS i
+                  FROM s)
         """,
         "training_shuffle_docs": """
             SELECT doc_id,

@@ -31,6 +31,47 @@ def _unit(m: np.ndarray) -> np.ndarray:
     return m / np.where(n == 0, 1.0, n)
 
 
+def quantize_embeddings(
+    ds: "ray.data.Dataset",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "ray.data.Dataset":
+    """Symmetric per-vector int8 quantization:
+    ``(id, scale, q:list<int8>)`` with ``q = round(v / scale * 127)``
+    (half away from zero — DuckDB `round`, so the construction is
+    oracle-checkable) and ``scale = max|v|`` (1.0 for a zero vector).
+
+    The standard 4× memory/IO shrink for a 100-TB embedding store:
+    dequant ``v̂ = q·scale/127`` bounds per-dimension error at
+    ``scale/254``, so int8 IVF probes rank candidates and the exact
+    float vectors re-score only the short list.  Stateless streaming
+    map — zero shuffle, no state."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        X = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        if X.size == 0:
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "scale": pa.array([], pa.float64()),
+                    "q": pa.array([], pa.list_(pa.int8())),
+                }
+            )
+        scale = np.abs(X).max(axis=1)
+        scale = np.where(scale > 0, scale, 1.0)
+        y = X / scale[:, None] * 127.0
+        q = np.trunc(y + np.copysign(0.5, y)).astype(np.int8)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "scale": pa.array(scale, pa.float64()),
+                "q": pa.array(list(q), pa.list_(pa.int8())),
+            }
+        )
+
+    return ds.map_batches(_fn, batch_format="pyarrow")
+
+
 def knn_brute_force(
     ds: "ray.data.Dataset",
     queries: np.ndarray,

@@ -107,3 +107,37 @@ def test_ivf_parquet_prunes_at_read(tmp_path):
             if f.endswith(".parquet")
         ]
         assert ray.data.read_parquet(files).count() < 120
+
+
+def test_quantize_embeddings_roundtrip(ray_session):
+    """int8 quantization: exact numpy-reference q values, dequant error
+    within scale/254 per dimension, zero-vector guard."""
+    import numpy as np
+    import ray.data
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.ann import (
+        quantize_embeddings,
+    )
+
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((40, 16)).astype(np.float32)
+    X[7] = 0.0  # zero vector
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": X[i].tolist()} for i in range(len(X))]
+    ).repartition(3)
+    out = quantize_embeddings(ds).to_pandas().sort_values("vec_id")
+    assert len(out) == 40
+    for _, row in out.iterrows():
+        v = X[int(row["vec_id"])].astype(np.float64)
+        s = float(row["scale"])
+        q = np.asarray(row["q"], dtype=np.int64)
+        exp_s = max(np.abs(v).max(), 0.0) or 1.0
+        assert s == exp_s
+        y = v / s * 127.0
+        np.testing.assert_array_equal(
+            q, np.trunc(y + np.copysign(0.5, y)).astype(np.int64)
+        )
+        assert np.abs(q.astype(np.float64) * s / 127.0 - v).max() <= s / 254 + 1e-12
+    # zero vector: scale 1.0, all-zero q
+    z = out[out["vec_id"] == 7].iloc[0]
+    assert z["scale"] == 1.0 and not np.any(np.asarray(z["q"]))
