@@ -788,6 +788,20 @@ def _q_knn_top10(sf_dir: str):
     return out.select_columns(["vec_id"])
 
 
+def _q_knn_quantized_top10(sf_dir: str):
+    """Quantized-scan + exact-rescore ANN (the int8-store search path):
+    same query as `knn_top10`; the oracle is the EXACT SQL top-k —
+    passing means int8 error never reordered across the rescore
+    boundary on this corpus (the designed guarantee at the default
+    rescore factor)."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = emb.filter(expr="vec_id == 0").take(1)[0]["embedding"]
+    corpus = emb.filter(expr="vec_id != 0")
+    quant = ann.quantize_embeddings(corpus)
+    out = ann.knn_quantized(quant, corpus, np.asarray([q]), k=10)
+    return out.select_columns(["vec_id"])
+
+
 def _q_kmeans_clusters(sf_dir: str):
     """Distributed k-means (k=10, 10 Lloyd iterations, combiner-shuffle
     partials) over the embeddings table → (vec_id, cluster).  Oracle:
@@ -2198,6 +2212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_spans_docs": _q_strip_spans,  # new in r3 — keep in the driver's first-50 window
         "training_shuffle_docs": _q_training_shuffle,  # new in r3
         "quantize_embeddings": _q_quantize_embeddings,  # new in r3
+        "knn_quantized_top10": _q_knn_quantized_top10,  # new in r3
         "orders_customer_join": _q_orders_customer_join,
         "canonical_url_dedup": _q_canonical_url_dedup,
         "er_assignment": _q_er_assignment,
@@ -2905,6 +2920,14 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         "knn_top10": """
+            SELECT vec_id FROM embeddings
+            WHERE vec_id <> 0
+            ORDER BY list_cosine_similarity(
+                embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)
+            ) DESC, vec_id
+            LIMIT 10
+        """,
+        "knn_quantized_top10": """
             SELECT vec_id FROM embeddings
             WHERE vec_id <> 0
             ORDER BY list_cosine_similarity(

@@ -111,6 +111,104 @@ def knn_brute_force(
     )
 
 
+def knn_quantized(
+    quant_ds: "ray.data.Dataset",
+    float_ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    rescore_factor: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "ray.data.Dataset":
+    """Two-stage ANN over the int8 store: scan the QUANTIZED table
+    (``quantize_embeddings`` output — 4× less storage/transport than
+    float32), keep ``rescore_factor·k`` candidates per query, then
+    re-score only that short list against the exact float vectors.
+    Output matches :func:`knn_brute_force` (query_id, vec_id, cos).
+
+    At 100 TB the quantized table is what streams off storage on every
+    search; the float table is touched for ``Q·rescore_factor·k`` rows
+    (point lookups / an `is_in`-pruned scan).  Exactness: equal to the
+    brute-force top-k whenever int8 error (≤ scale/254 per dim) does
+    not push a true top-k member below the rescore boundary — the
+    baseline path stays the correctness oracle (tested equal on the
+    fixture at the default factor)."""
+    qm = _unit(np.asarray(queries, dtype=np.float64))
+    ref = ray.put(qm)
+    kk_target = rescore_factor * k
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        q = ray.get(ref)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        scale = np.asarray(batch["scale"].to_pylist(), dtype=np.float64)
+        Q8 = np.asarray(batch["q"].to_pylist(), dtype=np.float64)
+        Xhat = Q8 * (scale / 127.0)[:, None]  # dequant
+        sims = _unit(Xhat) @ q.T
+        n, Q = sims.shape
+        kk = min(kk_target, n)
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        qids = np.repeat(np.arange(Q), kk)
+        rows = part.T.reshape(-1)
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.int64()),
+                id_col: pa.array(ids[rows], pa.int64()),
+                "acos": pa.array(sims[rows, qids], pa.float64()),
+            }
+        )
+
+    cands = topn_per_group(
+        quant_ds.map_batches(_scan, batch_format="pyarrow"),
+        "query_id", "acos", kk_target, descending=True, tiebreak=[id_col],
+    ).to_pandas()
+    # candidate pair set is Q·rescore_factor·k rows — dimension-sized;
+    # broadcast it and prune the float scan to member rows only
+    pair_set = set(zip(cands["query_id"], cands[id_col]))
+    id_arr = pa.array(sorted(set(cands[id_col])), pa.int64())
+    pair_ref = ray.put(pair_set)
+
+    def _rescore(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.is_in(batch[id_col], value_set=id_arr))
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
+        q = ray.get(ref)
+        pairs = ray.get(pair_ref)
+        embs = _unit(np.asarray(batch[emb_col].to_pylist(), dtype=np.float64))
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        sims = embs @ q.T
+        n, Q = sims.shape
+        qids = np.repeat(np.arange(Q), n)
+        vids = np.tile(ids, Q)
+        keep = np.fromiter(
+            ((qq, vv) in pairs for qq, vv in zip(qids, vids)),
+            bool, len(qids),
+        )
+        return pa.table(
+            {
+                "query_id": pa.array(qids[keep], pa.int64()),
+                id_col: pa.array(vids[keep], pa.int64()),
+                "cos": pa.array(
+                    sims.T.reshape(-1)[keep], pa.float64()
+                ),
+            }
+        )
+
+    rescored = float_ds.select_columns([id_col, emb_col]).map_batches(
+        _rescore, batch_format="pyarrow"
+    )
+    return topn_per_group(
+        rescored, "query_id", "cos", k, descending=True, tiebreak=[id_col]
+    )
+
+
 def fit_centroids(
     ds: "ray.data.Dataset",
     n_centroids: int = 16,

@@ -141,3 +141,28 @@ def test_quantize_embeddings_roundtrip(ray_session):
     # zero vector: scale 1.0, all-zero q
     z = out[out["vec_id"] == 7].iloc[0]
     assert z["scale"] == 1.0 and not np.any(np.asarray(z["q"]))
+
+
+def test_knn_quantized_matches_brute_force(ray_session):
+    """int8 scan + exact rescore equals the exact top-k at the default
+    rescore factor on the fixture corpus (the brute-force path stays
+    the correctness oracle for the quantized one)."""
+    import pandas as pd
+
+    ds, m = _corpus(n=300, dim=24, seed=9)
+    rng = np.random.default_rng(10)
+    queries = rng.standard_normal((4, 24))
+    quant = ann.quantize_embeddings(ds)
+    exact = (
+        ann.knn_brute_force(ds, queries, k=8)
+        .to_pandas()
+        .sort_values(["query_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+    fast = (
+        ann.knn_quantized(quant, ds, queries, k=8)
+        .to_pandas()
+        .sort_values(["query_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(exact, fast)
