@@ -1871,13 +1871,34 @@ def _compile_select_node(node: dict, catalog: Catalog, auto_names: bool = False)
             ds = _window_op(ds, list(parts), list(orders), specs)
 
     if qualify is not None:
+        from .arrow_eval import arrow_ok as _aok
+        from .arrow_eval import eval_expr_arrow as _aeval
 
-        def _qfilt(df: pd.DataFrame, q=qualify) -> pd.DataFrame:
-            return df[
-                np.asarray(eval_expr(q, df, win_cols=win_cols or None), dtype=bool)
-            ]
+        if _aok(qualify, "bool", has_windows=True):
+            # QUALIFY filters the FULL windowed table (often rank <= N
+            # over a fact stream) — same Arrow path as WHERE; window
+            # nodes resolve to their computed columns
+            def _qfilt_a(t: pa.Table, q=qualify) -> pa.Table:
+                try:
+                    return t.filter(_aeval(q, t, win_cols or None))
+                except Exception:
+                    df = t.to_pandas()
+                    out = df[
+                        np.asarray(
+                            eval_expr(q, df, win_cols=win_cols or None),
+                            dtype=bool,
+                        )
+                    ]
+                    return pa.Table.from_pandas(out, preserve_index=False)
 
-        ds = ds.map_batches(_qfilt, batch_format="pandas")
+            ds = ds.map_batches(_qfilt_a, batch_format="pyarrow")
+        else:
+            def _qfilt(df: pd.DataFrame, q=qualify) -> pd.DataFrame:
+                return df[
+                    np.asarray(eval_expr(q, df, win_cols=win_cols or None), dtype=bool)
+                ]
+
+            ds = ds.map_batches(_qfilt, batch_format="pandas")
 
     if group_exprs or has_agg:
         group_sets = node.get("group_sets") or []

@@ -206,3 +206,44 @@ def test_incremental_resolution_matches_full(sf_dir):
         mtime = os.path.getmtime(manifest)
         checkpoint_features(old_only, ckpt, "fp-old-corpus")
         assert os.path.getmtime(manifest) == mtime
+
+
+def test_incremental_resolution_join_plan(sf_dir):
+    """resolve_entities_incremental under feature_attach='join' (the
+    unbounded-corpus plan): the delta pair_filter applies to the slim
+    pair stream BEFORE the attach joins, and the result must still be
+    bit-equal to a full run under the same plan."""
+    import zlib
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.pipelines.entity_resolution import (
+        build_idf_ref,
+        resolve_entities_incremental,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.stages.config import (
+        ERConfig,
+    )
+
+    cfg = ERConfig(feature_attach="join")
+    all_urls = pages_dataset(sf_dir).select_columns(["url"]).to_pandas()["url"]
+    new_set = {u for u in all_urls if (zlib.crc32(u.encode()) % 5) == 0}
+
+    def old_only():
+        import pyarrow.compute as pc
+
+        arr = __import__("pyarrow").array(sorted(new_set))
+
+        def _f(b):
+            return b.filter(pc.invert(pc.is_in(b["url"], value_set=arr)))
+
+        return pages_dataset(sf_dir).map_batches(_f, batch_format="pyarrow")
+
+    idf = build_idf_ref(pages_dataset(sf_dir))
+    prev, _ = resolve_entities(old_only, cfg, idf_ref=idf)
+    inc, _ = resolve_entities_incremental(
+        lambda: pages_dataset(sf_dir), prev.to_pandas(), new_set,
+        cfg=cfg, idf_ref=idf,
+    )
+    full, _ = resolve_entities(lambda: pages_dataset(sf_dir), cfg, idf_ref=idf)
+    a = inc.to_pandas().sort_values("RecordId").reset_index(drop=True)
+    b = full.to_pandas().sort_values("RecordId").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
