@@ -134,6 +134,11 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "gopher_rules",
         "knn_top10",
         "sql_demo_agg",
+        # r3 additions
+        "strip_spans_docs",
+        "training_shuffle_docs",
+        "quantize_embeddings",
+        "knn_quantized_top10",
     ]
     for name in bench_queries:
         t0 = time.time()
