@@ -85,3 +85,62 @@ def test_covered_union_matches_set_union(starts, width):
     for s in starts:
         brute.update(range(s, s + width))
     assert _covered_union(starts, width) == len(brute)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),   # height
+    st.integers(min_value=1, max_value=12),   # width
+    st.sampled_from([1, 3, 4]),               # channels
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_png_roundtrip_property(h, w, c, seed):
+    """PNG encode→decode is identity for every 8-bit gray/RGB/RGBA
+    shape (the zlib path plus filter-0 unfiltering)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.functions import codecs
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if c == 1 else (h, w, c)
+    img = rng.integers(0, 256, shape).astype(np.uint8)
+    np.testing.assert_array_equal(codecs.decode_png(codecs.encode_png(img)), img)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+        min_size=1, max_size=24,
+    )
+)
+def test_int8_quantization_property(vec):
+    """Quantization invariants on arbitrary finite vectors: |q| ≤ 127,
+    dequant error ≤ scale/254 (+ float slack), zero vector safe."""
+    v = np.asarray(vec, dtype=np.float64)
+    scale = max(np.abs(v).max(), 0.0) or 1.0
+    y = v / scale * 127.0
+    q = np.trunc(y + np.copysign(0.5, y))
+    assert np.abs(q).max() <= 127
+    err = np.abs(q * scale / 127.0 - v)
+    assert err.max() <= scale / 254 + 1e-9 * scale
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=0,
+                max_size=60, unique=True))
+def test_sorted_membership_equals_intersect1d(vals):
+    """The gate's searchsorted membership count must equal
+    np.intersect1d on sorted-unique uint32 sets (the rewrite's
+    equivalence, pinned independently of the ER fixtures)."""
+    a = np.sort(np.asarray(vals, np.uint32))
+    rng = np.random.default_rng(len(vals))
+    b = np.sort(rng.choice(np.arange(0, 10**6, dtype=np.uint32),
+                           size=min(40, len(vals) + 1), replace=False))
+    want = len(np.intersect1d(a, b, assume_unique=True))
+    if len(a) and len(b):
+        small, big = (a, b) if len(a) <= len(b) else (b, a)
+        pos = np.searchsorted(big, small)
+        pos[pos == len(big)] = 0
+        got = int((big[pos] == small).sum())
+    else:
+        got = 0
+    assert got == want
