@@ -29,6 +29,8 @@ class FeatureStore:
         sh2_off: np.ndarray,
         sh2_val: np.ndarray,
         mh8: np.ndarray,          # (n, num_perm) uint8
+        urls_b: np.ndarray | None = None,   # fixed-width bytes (S dtype)
+        slugs_b: np.ndarray | None = None,  # fixed-width bytes (S dtype)
     ):
         self.key_hashes = key_hashes
         self.sh_off = sh_off
@@ -36,6 +38,21 @@ class FeatureStore:
         self.sh2_off = sh2_off
         self.sh2_val = sh2_val
         self.mh8 = mh8
+        # identity columns as FIXED-WIDTH bytes: numpy S-arrays ship
+        # zero-copy like the numeric columns (an object-dtype string
+        # array would re-pickle per task — the exact overhead this
+        # store exists to avoid).  Lets the gate emit int row ids and
+        # the string stage restore (url, slug) after the slim dedupe
+        # exchange.
+        self.urls_b = urls_b
+        self.slugs_b = slugs_b
+
+    def url_strs(self, idx: np.ndarray) -> np.ndarray:
+        """Decoded url strings for row indices (vectorized)."""
+        return np.char.decode(self.urls_b[idx], "utf-8").astype(object)
+
+    def slug_strs(self, idx: np.ndarray) -> np.ndarray:
+        return np.char.decode(self.slugs_b[idx], "utf-8").astype(object)
 
     @staticmethod
     def build(urls, sh_list, sh2_list, mh8_list) -> "FeatureStore":
@@ -76,8 +93,12 @@ class FeatureStore:
         if not batches:
             return FeatureStore.build([], [], [], [])
         url_parts, sh_v, sh_l, sh2_v, sh2_l, mh_parts = [], [], [], [], [], []
+        slug_parts = []
+        has_slug = "slug" in batches[0].column_names
         for b in batches:
             url_parts.append(b["url"].to_pandas().to_numpy(object))
+            if has_slug:
+                slug_parts.append(b["slug"].to_pandas().to_numpy(object))
             for col, vs, ls in (("shingles", sh_v, sh_l), ("shingles2", sh2_v, sh2_l)):
                 la = b[col].combine_chunks()
                 off = np.asarray(la.offsets)
@@ -118,7 +139,15 @@ class FeatureStore:
         sh_off, sh_val = gather(sh_v, sh_l)
         sh2_off, sh2_val = gather(sh2_v, sh2_l)
         mh8 = np.concatenate(mh_parts)[order]
-        return FeatureStore(kh[order], sh_off, sh_val, sh2_off, sh2_val, mh8)
+        urls_b = np.char.encode(urls[order].astype("U"), "utf-8")
+        slugs_b = None
+        if has_slug:
+            slugs = np.concatenate(slug_parts)
+            slugs_b = np.char.encode(slugs[order].astype("U"), "utf-8")
+        return FeatureStore(
+            kh[order], sh_off, sh_val, sh2_off, sh2_val, mh8,
+            urls_b=urls_b, slugs_b=slugs_b,
+        )
 
     def rows(self, urls: np.ndarray) -> np.ndarray:
         """Row indices for an array of url strings."""

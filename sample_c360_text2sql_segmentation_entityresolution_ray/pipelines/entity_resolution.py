@@ -329,7 +329,7 @@ def _broadcast_feature_plan(records, cfg: ERConfig, idf_ref, pair_filter=None):
         n += b.num_rows
         if n > cfg.broadcast_features_limit:
             return None
-        feat_batches.append(b.select(["url", "shingles", "shingles2", "mh8"]))
+        feat_batches.append(b.select(["url", "slug", "shingles", "shingles2", "mh8"]))
         slim_tables.append(
             b.select(["url", "slug", "domain", "minhash", "tok_hashes"])
         )
@@ -356,8 +356,13 @@ def _broadcast_feature_plan(records, cfg: ERConfig, idf_ref, pair_filter=None):
     # stream looks cheaper (×17 duplicate true pairs) but its extra
     # shuffle BARRIER costs more wall than the duplicated vectorized
     # set checks save (measured 55 s vs 31 s at 32 cpus, 66k pages)
-    gated = score_pairs_stage(pairs, cfg, idf_ref, feats_ref, dedupe=True)
-    scored = string_score_stage(gated, cfg)
+    # rid_output: the gate emits store row ids, so the dedupe exchange
+    # moves ~30 B/row; urls/slugs come back from the store's zero-copy
+    # bytes columns AFTER the dedupe (strings never cross a shuffle)
+    gated = score_pairs_stage(
+        pairs, cfg, idf_ref, feats_ref, dedupe=True, rid_output=True
+    )
+    scored = string_score_stage(gated, cfg, feats_ref=feats_ref)
     return matched_edges_stage(scored, cfg)
 
 

@@ -40,6 +40,11 @@ from ..functions.strings import jaro_winkler_batch, levenshtein_sim_batch
 from .config import DEFAULT_CONFIG, ERConfig
 
 SLIM_COLUMNS = ["url_a", "url_b", "slug_a", "slug_b", "jaccard", "cosine", "block_n"]
+# broadcast-store mode: the gate emits store ROW IDS instead of
+# url/slug strings — the dedupe exchange then moves ~30 B/row instead
+# of ~230 B, and the string stage restores identity columns from the
+# store's zero-copy bytes arrays
+SLIM_RID_COLUMNS = ["ra", "rb", "jaccard", "cosine", "block_n"]
 EDGE_COLUMNS = ["url_a", "url_b", "jaccard", "cosine", "jw", "score", "block_n"]
 
 
@@ -70,6 +75,17 @@ def _empty_slim() -> pd.DataFrame:
     )
 
 
+def _empty_slim_rid() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            c: pd.Series(dtype=t)
+            for c, t in zip(
+                SLIM_RID_COLUMNS, [np.int64, np.int64, float, float, np.int32]
+            )
+        }
+    )
+
+
 class PairFeatureGate:
     """Stage-1 callable actor class for ``map_batches``.
 
@@ -82,16 +98,30 @@ class PairFeatureGate:
     — the precision-preserving weighting, fed from a corpus sample by
     ``pipelines.entity_resolution``."""
 
-    def __init__(self, cfg: ERConfig = DEFAULT_CONFIG, idf_ref=None, feats_ref=None):
+    def __init__(
+        self,
+        cfg: ERConfig = DEFAULT_CONFIG,
+        idf_ref=None,
+        feats_ref=None,
+        rid_output: bool = False,
+    ):
         self.cfg = cfg
         self.idf = ray.get(idf_ref) if idf_ref is not None else None
         # broadcast-feature mode: {url: (shingles, shingles2, mh8)} —
         # present when the pair stream is slim (no feature columns)
         self.feats = ray.get(feats_ref) if feats_ref is not None else None
+        # rid_output (store mode only): emit store ROW IDS instead of
+        # url/slug strings — the downstream dedupe exchange moves
+        # ~30 B/row instead of ~230 B; `string_score_stage(feats_ref=…)`
+        # restores the identity columns after the dedupe
+        self.rid_output = rid_output
+        if rid_output and feats_ref is None:
+            raise ValueError("rid_output requires a FeatureStore (feats_ref)")
 
     def _features(self, batch: pd.DataFrame):
-        """(sh_a, sh_b, sh2_a, sh2_b, sig_a, sig_b) from the batch's
-        payload columns or from the broadcast feature table."""
+        """(sh_a, sh_b, sh2_a, sh2_b, sig_a, sig_b, idx_a, idx_b) from
+        the batch's payload columns or from the broadcast feature table
+        (idx_* are store row ids, None in payload mode)."""
         n = len(batch)
         if self.feats is None:
             sh_a = batch["shingles_a"].to_numpy()
@@ -100,7 +130,7 @@ class PairFeatureGate:
             sh2_b = batch["shingles2_b"].to_numpy()
             sig_a = np.stack([_u8(s) for s in batch["mh8_a"]])
             sig_b = np.stack([_u8(s) for s in batch["mh8_b"]])
-            return sh_a, sh_b, sh2_a, sh2_b, sig_a, sig_b
+            return sh_a, sh_b, sh2_a, sh2_b, sig_a, sig_b, None, None
         f = self.feats  # FeatureStore: zero-copy views, vectorized rows()
         cols = []
         for side in ("url_a", "url_b"):
@@ -111,20 +141,25 @@ class PairFeatureGate:
             for k, i in enumerate(idx):
                 sh[k] = f.shingles(i)
                 sh2[k] = f.shingles2(i)
-            cols.append((sh, sh2, sig))
-        (sh_a, sh2_a, sig_a), (sh_b, sh2_b, sig_b) = cols
-        return sh_a, sh_b, sh2_a, sh2_b, sig_a, sig_b
+            cols.append((sh, sh2, sig, idx))
+        (sh_a, sh2_a, sig_a, idx_a), (sh_b, sh2_b, sig_b, idx_b) = cols
+        return sh_a, sh_b, sh2_a, sh2_b, sig_a, sig_b, idx_a, idx_b
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         cfg = self.cfg
         n = len(batch)
         if n == 0:
-            return _empty_slim()
+            return _empty_slim_rid() if self.rid_output else _empty_slim()
         jac = np.zeros(n)
         cos = np.zeros(n)
-        sh_a, sh_b, sh2_a, sh2_b, sig_a, sig_b = self._features(batch)
-        urls_a = batch["url_a"].to_numpy()
-        urls_b = batch["url_b"].to_numpy()
+        sh_a, sh_b, sh2_a, sh2_b, sig_a, sig_b, idx_a, idx_b = self._features(batch)
+        # cache keys: store row ids (cheap int hashing) when available,
+        # else the url strings
+        if idx_a is not None:
+            urls_a, urls_b = idx_a, idx_b
+        else:
+            urls_a = batch["url_a"].to_numpy()
+            urls_b = batch["url_b"].to_numpy()
         # MinHash pre-gate: one vectorized (n, num_perm) signature
         # comparison estimates Jaccard for the WHOLE batch; only pairs
         # whose estimate clears (min_jaccard - est_gate_margin) pay the
@@ -208,6 +243,16 @@ class PairFeatureGate:
                 jac[i] = j2
                 cos[i] = wi / np.sqrt(swa * swb) if swa and swb else 0.0
         gate = gate3 | gate2
+        if self.rid_output:
+            return pd.DataFrame(
+                {
+                    "ra": idx_a[gate].astype(np.int64),
+                    "rb": idx_b[gate].astype(np.int64),
+                    "jaccard": jac[gate],
+                    "cosine": cos[gate],
+                    "block_n": batch["block_n"].to_numpy()[gate],
+                }
+            )
         sub = batch[gate]
         return pd.DataFrame(
             {
@@ -228,6 +273,7 @@ def score_pairs_stage(
     idf_ref=None,
     feats_ref=None,
     dedupe: bool = True,
+    rid_output: bool = False,
 ):
     """Stage 1 (+ dedupe): gated slim pairs, exactly once each.
 
@@ -248,20 +294,26 @@ def score_pairs_stage(
         kw["batch_size"] = cfg.scorer_batch_size
 
     def _gate(batch: pd.DataFrame) -> pd.DataFrame:
-        return PairFeatureGate(cfg, idf_ref, feats_ref)(batch)
+        return PairFeatureGate(cfg, idf_ref, feats_ref, rid_output)(batch)
 
     gated = pairs.map_batches(_gate, batch_format="pandas", **kw)
     if not dedupe:
         return gated
     from ..ops.relational import dedupe_by_key
 
-    return dedupe_by_key(gated, ["url_a", "url_b"], partitions=cfg.pair_dedup_partitions)
+    keys = ["ra", "rb"] if rid_output else ["url_a", "url_b"]
+    return dedupe_by_key(gated, keys, partitions=cfg.pair_dedup_partitions)
 
 
-def string_score_stage(slim_pairs, cfg: ERConfig = DEFAULT_CONFIG):
+def string_score_stage(slim_pairs, cfg: ERConfig = DEFAULT_CONFIG, feats_ref=None):
     """Stage 2: batched string metrics on the (unique) gated pairs +
     the final weighted score.  Plain task stage — stateless and cheap
-    relative to stage 1."""
+    relative to stage 1.
+
+    ``feats_ref``: set when stage 1 ran with ``rid_output`` — the slim
+    rows carry store row ids; urls and slugs are restored here from the
+    store's zero-copy bytes columns (after the dedupe exchange, so the
+    strings never cross a shuffle)."""
 
     def _fn(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
@@ -273,6 +325,21 @@ def string_score_stage(slim_pairs, cfg: ERConfig = DEFAULT_CONFIG):
                         EDGE_COLUMNS,
                         [object, object, float, float, float, float, np.int32],
                     )
+                }
+            )
+        if feats_ref is not None:
+            f = ray.get(feats_ref)
+            ra = df["ra"].to_numpy()
+            rb = df["rb"].to_numpy()
+            df = pd.DataFrame(
+                {
+                    "url_a": f.url_strs(ra),
+                    "url_b": f.url_strs(rb),
+                    "slug_a": f.slug_strs(ra),
+                    "slug_b": f.slug_strs(rb),
+                    "jaccard": df["jaccard"].to_numpy(),
+                    "cosine": df["cosine"].to_numpy(),
+                    "block_n": df["block_n"].to_numpy(),
                 }
             )
         sl_a = df["slug_a"].to_numpy()
