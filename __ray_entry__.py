@@ -729,6 +729,17 @@ def _q_span_dup_stats(sf_dir: str):
     return dedup.span_dup_stats(docs, width=5, min_count=2)
 
 
+def _q_pmi_collocations(sf_dir: str):
+    """Top-50 adjacent-token collocations by PMI (min bigram count 5)
+    — phrase mining / tokenizer-merge candidates over the corpus; both
+    count tables flow as combiner partials, unigram counts fetched for
+    candidate tokens only."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import text as text_ops
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return text_ops.pmi_collocations(docs, k=50, min_count=5)
+
+
 def _q_strip_spans(sf_dir: str):
     """Destructive substring dedup (the removal step of Lee et al. 2022
     that `span_dup_stats` only censuses): every token covered by a
@@ -2213,6 +2224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_shuffle_docs": _q_training_shuffle,  # new in r3
         "quantize_embeddings": _q_quantize_embeddings,  # new in r3
         "knn_quantized_top10": _q_knn_quantized_top10,  # new in r3
+        "pmi_collocations": _q_pmi_collocations,  # new in r3
         "orders_customer_join": _q_orders_customer_join,
         "canonical_url_dedup": _q_canonical_url_dedup,
         "er_assignment": _q_er_assignment,
@@ -2747,6 +2759,36 @@ def oracle_sql() -> dict[str, str]:
         # exact re-derivation of the duplicate-span census from raw
         # text: span strings in SQL vs polynomial window hashes in the
         # engine — any hash collision or off-by-one breaks the match
+        "pmi_collocations": r"""
+            WITH tok AS (
+                SELECT regexp_extract_all(lower(text), '\w+') AS t
+                FROM documents
+            ), uni AS (
+                SELECT unnest(t) AS tk FROM tok
+            ), uc AS (
+                SELECT tk, count(*) AS c FROM uni GROUP BY tk
+            ), nu AS (SELECT count(*) AS n FROM uni),
+            bi AS (
+                SELECT t[i] AS a, t[i + 1] AS b
+                FROM (SELECT t, unnest(range(1, greatest(len(t), 1))) AS i
+                      FROM tok)
+            ), nb AS (SELECT count(*) AS n FROM bi),
+            bc AS (
+                SELECT a, b, count(*) AS c_ab FROM bi
+                GROUP BY a, b HAVING count(*) >= 5
+            )
+            SELECT bc.a AS tok_a, bc.b AS tok_b,
+                   CAST(bc.c_ab AS BIGINT) AS c_ab,
+                   round(ln((bc.c_ab::DOUBLE / nb.n)
+                            / ((ua.c::DOUBLE / nu.n)
+                               * (ub.c::DOUBLE / nu.n))), 6) AS pmi
+            FROM bc
+            CROSS JOIN nb CROSS JOIN nu
+            JOIN uc ua ON ua.tk = bc.a
+            JOIN uc ub ON ub.tk = bc.b
+            ORDER BY pmi DESC, tok_a, tok_b
+            LIMIT 50
+        """,
         "strip_spans_docs": """
             WITH toks AS (
                 SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -958,3 +958,121 @@ def bm25_search(
 
     scored = slim.map_batches(_score, batch_format="pandas")
     return topk(scored, keys=["score", id_col], descending=[True, False], n=k)
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining
+# ---------------------------------------------------------------------------
+
+def pmi_collocations(
+    ds: "ray.data.Dataset",
+    k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Top-``k`` adjacent-token collocations by pointwise mutual
+    information — the classic corpus-analysis step for phrase mining
+    and tokenizer-merge candidates.
+
+    ``pmi(a,b) = ln( (c_ab / N_bi) / ((c_a/N_uni) · (c_b/N_uni)) )``
+    over ``\\w+`` tokens of the lowercased text (the repo-standard
+    tokenization every oracle re-derives), bigrams below ``min_count``
+    dropped before any log is taken.
+
+    Scale plan: per-batch ``np.unique`` partials make BOTH count
+    shuffles carry (key, partial-count) rows — bounded by
+    distinct-vocab × blocks, never corpus size (the `token_freq_topk`
+    combiner shape).  The min_count-filtered bigram table is
+    candidate-sized and collects to the driver; unigram counts are
+    then fetched for ONLY the candidate tokens via a vectorized
+    ``is_in`` scan of the unigram table (O(candidate vocab) driver
+    heap — the full unigram table never collects).
+
+    Output: ``(tok_a, tok_b, c_ab, pmi)`` sorted by
+    (pmi desc, tok_a, tok_b); ``pmi`` rounded half-away to 6 (DuckDB
+    parity; also makes the top-k tiebreak identical on both engines).
+    """
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from .relational import grouped_aggregate
+
+    def _uni_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        tok_lists = [
+            TOKEN_RE.findall(t.lower())
+            for t in batch[text_col].to_numpy(object)
+        ]
+        flat = (
+            np.concatenate([np.asarray(t, object) for t in tok_lists if t])
+            if any(tok_lists)
+            else np.empty(0, object)
+        )
+        uniq, cnt = np.unique(flat, return_counts=True)
+        return pd.DataFrame(
+            {"tok": uniq.astype(object), "cnt": cnt.astype(np.int64)}
+        )
+
+    def _bi_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        pairs = []
+        for t in batch[text_col].to_numpy(object):
+            toks = TOKEN_RE.findall(t.lower())
+            pairs.extend(
+                f"{a}\x1f{b}" for a, b in zip(toks, toks[1:])
+            )
+        uniq, cnt = np.unique(np.asarray(pairs, object), return_counts=True)
+        return pd.DataFrame(
+            {"pair": uniq.astype(object), "cnt": cnt.astype(np.int64)}
+        )
+
+    slim = ds.select_columns([text_col])
+    uni = grouped_aggregate(
+        slim.map_batches(_uni_partials, batch_format="pandas"),
+        keys=["tok"], specs=[("sum", "cnt", "cnt")],
+    ).materialize()
+    bi = grouped_aggregate(
+        slim.map_batches(_bi_partials, batch_format="pandas"),
+        keys=["pair"], specs=[("sum", "cnt", "cnt")],
+    ).materialize()
+
+    n_uni = uni.aggregate(ray.data.aggregate.Sum("cnt"))["sum(cnt)"]
+    n_bi = bi.aggregate(ray.data.aggregate.Sum("cnt"))["sum(cnt)"]
+
+    cand = bi.filter(expr=f"cnt >= {int(min_count)}").to_pandas()
+    if not len(cand):
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "tok_a": pd.Series(dtype=object),
+                    "tok_b": pd.Series(dtype=object),
+                    "c_ab": pd.Series(dtype=np.int64),
+                    "pmi": pd.Series(dtype=float),
+                }
+            )
+        )
+    ab = cand["pair"].str.split("\x1f", expand=True)
+    cand = cand.assign(tok_a=ab[0], tok_b=ab[1])
+    need = _pa.array(sorted(set(cand["tok_a"]) | set(cand["tok_b"])))
+
+    def _pick(t: _pa.Table) -> _pa.Table:
+        return t.filter(_pc.is_in(t["tok"], value_set=need))
+
+    uc = uni.map_batches(_pick, batch_format="pyarrow").to_pandas()
+    cmap = dict(zip(uc["tok"], uc["cnt"]))
+    c_a = cand["tok_a"].map(cmap).to_numpy(np.float64)
+    c_b = cand["tok_b"].map(cmap).to_numpy(np.float64)
+    c_ab = cand["cnt"].to_numpy(np.float64)
+    pmi = np.log((c_ab / n_bi) / ((c_a / n_uni) * (c_b / n_uni)))
+    scale = 1e6
+    pmi_r = np.trunc(pmi * scale + np.copysign(0.5, pmi)) / scale
+    out = pd.DataFrame(
+        {
+            "tok_a": cand["tok_a"].to_numpy(object),
+            "tok_b": cand["tok_b"].to_numpy(object),
+            "c_ab": cand["cnt"].to_numpy(np.int64),
+            "pmi": pmi_r,
+        }
+    ).sort_values(
+        ["pmi", "tok_a", "tok_b"], ascending=[False, True, True],
+        kind="mergesort",
+    ).head(k).reset_index(drop=True)
+    return ray.data.from_pandas(out)

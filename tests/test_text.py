@@ -276,3 +276,31 @@ def test_bm25_ranks_relevant_docs_first():
     assert list(out["doc_id"])[:2] == [1, 4]       # doc 3 never ranks
     assert 3 not in set(out["doc_id"])
     assert (np.diff(out["score"].to_numpy()) <= 1e-12).all()  # desc order
+
+
+def test_pmi_collocations_planted(ray_session):
+    """A planted always-adjacent pair must out-PMI frequent-but-
+    independent tokens; min_count drops rare noise."""
+    import numpy as np
+    import ray.data
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.text import (
+        pmi_collocations,
+    )
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(20)]
+    docs = []
+    for d in range(30):
+        toks = list(rng.choice(vocab, size=30))
+        # plant 'neural network' as an inseparable bigram
+        toks.insert(int(rng.integers(0, len(toks))), "neural")
+        toks.insert(toks.index("neural") + 1, "network")
+        docs.append({"doc_id": d, "text": " ".join(toks)})
+    out = pmi_collocations(
+        ray.data.from_items(docs), k=10, min_count=5
+    ).to_pandas()
+    assert out.iloc[0]["tok_a"] == "neural" and out.iloc[0]["tok_b"] == "network"
+    assert (out["c_ab"] >= 5).all()
+    # pmi sorted descending with deterministic tiebreak
+    assert (out["pmi"].to_numpy()[:-1] >= out["pmi"].to_numpy()[1:]).all()
