@@ -740,6 +740,76 @@ def _q_pmi_collocations(sf_dir: str):
     return text_ops.pmi_collocations(docs, k=50, min_count=5)
 
 
+def _q_heavy_hitter_bigrams(sf_dir: str):
+    """Exact top-40 adjacent-token bigrams via the Misra-Gries
+    candidates + exact-recount plan (`ops/sketch.py`): the shuffle
+    ships ≤ capacity rows per block regardless of the bigram domain —
+    the open-vocabulary census `token_freq_topk`'s distinct×blocks
+    partial can't bound.  Exact here (per-block distinct ≤ capacity,
+    so no MG decrement fires — the KMV 'exact when distinct ≤ k'
+    regime the oracle checks)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import sketch as sketch_ops
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import text as text_ops
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    grams = text_ops.explode_bigrams(docs)
+    return sketch_ops.heavy_hitters_topk(grams, "bigram", k=40, capacity=4096)
+
+
+def _q_orders_upsert(sf_dir: str):
+    """SCD-1 MERGE: a CDC delta (every open 'P' order re-flagged
+    '0-URGENT-UPSERT') folds into the base orders table — update rows
+    win, untouched rows survive.  The delta's keys broadcast once; the
+    base table streams with zero shuffle (`relational.merge_upsert`)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import relational as rel
+
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    ]
+    orders = _read(sf_dir, "orders", cols)
+
+    def _flag(t: pa.Table) -> pa.Table:
+        idx = t.column_names.index("o_orderpriority")
+        return t.set_column(
+            idx, "o_orderpriority",
+            pa.array(["0-URGENT-UPSERT"] * len(t), pa.string()),
+        )
+
+    updates = orders.filter(expr="o_orderstatus == 'P'").map_batches(
+        _flag, batch_format="pyarrow"
+    )
+    return rel.merge_upsert(orders, updates, on="o_orderkey")
+
+
+def _q_skew_join_lineitem(sf_dir: str):
+    """Skew-aware lineitem⋈orders: the top-64 hottest order keys (≥ 5
+    lineitems — forced low so the fixture exercises BOTH streams) skip
+    the hash exchange via a broadcast probe; the cold remainder takes
+    the now-skew-free shuffle join.  Output equals the plain join —
+    the oracle checks exactly that."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import relational as rel
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    right = orders.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+    return rel.skew_join(li, right, on="l_orderkey", hot_threshold=5)
+
+
+def _q_inverted_index(sf_dir: str):
+    """Corpus inverted index: per token the exact document frequency
+    plus the first 16 posting doc ids (ascending, comma-joined).  The
+    (token-hash, int64) pair exchange is the index build's irreducible
+    shuffle; document text never crosses the wire."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import text as text_ops
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return text_ops.inverted_index(docs, postings_cap=16)
+
+
 def _q_strip_spans(sf_dir: str):
     """Destructive substring dedup (the removal step of Lee et al. 2022
     that `span_dup_stats` only censuses): every token covered by a
@@ -2225,6 +2295,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embeddings": _q_quantize_embeddings,  # new in r3
         "knn_quantized_top10": _q_knn_quantized_top10,  # new in r3
         "pmi_collocations": _q_pmi_collocations,  # new in r3
+        "heavy_hitter_bigrams": _q_heavy_hitter_bigrams,  # new in r3
+        "orders_upsert": _q_orders_upsert,  # new in r3
+        "skew_join_lineitem": _q_skew_join_lineitem,  # new in r3
+        "inverted_index_docs": _q_inverted_index,  # new in r3
         "orders_customer_join": _q_orders_customer_join,
         "canonical_url_dedup": _q_canonical_url_dedup,
         "er_assignment": _q_er_assignment,
@@ -2788,6 +2862,53 @@ def oracle_sql() -> dict[str, str]:
             JOIN uc ub ON ub.tk = bc.b
             ORDER BY pmi DESC, tok_a, tok_b
             LIMIT 50
+        """,
+        "heavy_hitter_bigrams": r"""
+            WITH tok AS (
+                SELECT regexp_extract_all(lower(text), '\w+') AS t
+                FROM documents
+            ), bi AS (
+                SELECT t[i] || ' ' || t[i + 1] AS bigram
+                FROM (SELECT t, unnest(range(1, greatest(len(t), 1))) AS i
+                      FROM tok)
+            )
+            SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+            FROM bi GROUP BY bigram
+            ORDER BY cnt DESC, bigram
+            LIMIT 40
+        """,
+        "orders_upsert": """
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, '0-URGENT-UPSERT' AS o_orderpriority
+            FROM orders WHERE o_orderstatus = 'P'
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderstatus <> 'P'
+        """,
+        "skew_join_lineitem": """
+            SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+                   o.o_orderpriority
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        """,
+        "inverted_index_docs": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '\w+')) AS token
+                FROM documents
+            ), pairs AS (
+                SELECT DISTINCT doc_id, token FROM tok
+            ), ranked AS (
+                SELECT token, doc_id,
+                       row_number() OVER (PARTITION BY token
+                                          ORDER BY doc_id) AS rn
+                FROM pairs
+            )
+            SELECT token, CAST(count(*) AS BIGINT) AS df,
+                   string_agg(CASE WHEN rn <= 16
+                                   THEN CAST(doc_id AS VARCHAR) END,
+                              ',' ORDER BY doc_id) AS postings
+            FROM ranked GROUP BY token ORDER BY token
         """,
         "strip_spans_docs": """
             WITH toks AS (

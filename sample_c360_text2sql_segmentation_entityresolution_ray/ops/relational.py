@@ -1064,6 +1064,8 @@ __all__ = [
     "grouped_topk",
     "topn_per_group",
     "sort_limit",
+    "merge_upsert",
+    "skew_join",
     "Count",
     "Sum",
     "Min",
@@ -1170,3 +1172,104 @@ def frequency_encode(
         return batch.merge(ray.get(ref), on=cat_col, how="left")
 
     return ds.map_batches(_attach, batch_format="pandas")
+
+
+def merge_upsert(
+    target: "ray.data.Dataset",
+    updates: "ray.data.Dataset",
+    on: str,
+    broadcast_limit: int | None = SEMI_BROADCAST_LIMIT,
+) -> "ray.data.Dataset":
+    """SCD-1 ``MERGE INTO``: every key present in ``updates`` takes the
+    update row; every other target row survives unchanged — the CDC
+    fold-in every incremental warehouse load runs (the incremental
+    analog of the reference's full-refresh overwrite sink,
+    `lambda/process_segment_results/index.py:84-107`, which rewrites
+    the whole prefix instead).
+
+    Plan: ``updates ∪ (target ANTI JOIN updates ON key)``.  The anti
+    join inherits :func:`anti_join`'s measured switch — update keys
+    broadcast once while the (huge) target side streams without a
+    shuffle; above ``broadcast_limit`` distinct keys both sides take
+    one hash exchange.  A typical CDC delta is ≪ the base table, so
+    the scale path is the broadcast one.  Schemas must match
+    (column-name union semantics are a modeling error, not a plan).
+    """
+    if set(target.columns()) != set(updates.columns()):
+        raise ValueError(
+            "merge_upsert needs identical schemas: "
+            f"{sorted(target.columns())} vs {sorted(updates.columns())}"
+        )
+    kept = anti_join(target, updates, on=on, broadcast_limit=broadcast_limit)
+    return updates.union(kept)
+
+
+# skew_join: a key with at least this many left-side rows is "hot" by
+# default — roughly the row count where one Acero join partition's
+# build+probe for a single key rivals a whole average partition.
+SKEW_HOT_THRESHOLD = 100_000
+
+
+def skew_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    hot_threshold: int = SKEW_HOT_THRESHOLD,
+    hot_key_limit: int = 64,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Skew-aware inner equi-join: hot left keys (≥ ``hot_threshold``
+    rows) are routed around the hash exchange.
+
+    A plain hash join sends every row of a hot key to ONE aggregator —
+    the straggler that defines wall-clock on zipfian web keys (domain,
+    user-agent, empty-string).  Plan:
+
+    1. Hot-key census: Misra-Gries candidates over the left key column
+       (:func:`..ops.sketch.heavy_hitter_candidates` — ≤ capacity rows
+       per block cross the wire) keep keys whose exact recount ≥
+       ``hot_threshold``; at most ``hot_key_limit`` keys qualify.
+    2. Hot stream: left rows with hot keys never shuffle — the right
+       side's hot-key rows (dimension-sided by assumption, guarded by
+       ``BROADCAST_ROW_LIMIT``) broadcast once and probe per batch.
+    3. Cold stream: both sides filter the hot keys OUT and take the
+       normal hash exchange, now skew-free.
+
+    Output = hot ∪ cold, column-compatible with :func:`hash_join`
+    (both sides must share the key NAME; the right key column is
+    consumed).  Requires ``how='inner'`` semantics."""
+    from .sketch import heavy_hitter_candidates, heavy_hitters_topk
+
+    cand = heavy_hitters_topk(
+        left, on, k=hot_key_limit, capacity=max(4 * hot_key_limit, 256)
+    ).to_pandas()
+    hot = cand[cand["cnt"] >= int(hot_threshold)][on]
+    if not len(hot):
+        return hash_join(left, right, on=(on,), num_partitions=num_partitions)
+    hot_arr = pa.array(sorted(hot.tolist()))
+    ref = ray.put(hot_arr)
+
+    def _keep_hot(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[on], value_set=ray.get(ref)))
+
+    def _keep_cold(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.is_in(t[on], value_set=ray.get(ref))))
+
+    right_hot = right.map_batches(_keep_hot, batch_format="pyarrow")
+    hot_joined = broadcast_join(
+        left.map_batches(_keep_hot, batch_format="pyarrow"),
+        right_hot,
+        on=(on,),
+    )
+    cold_joined = hash_join(
+        left.map_batches(_keep_cold, batch_format="pyarrow"),
+        right.map_batches(_keep_cold, batch_format="pyarrow"),
+        on=(on,),
+        num_partitions=num_partitions,
+    )
+    # union needs bit-identical schemas: pin both branches to the
+    # hash_join column order (left cols, then right cols minus the key)
+    cols = list(left.columns()) + [c for c in right.columns() if c != on]
+    return hot_joined.select_columns(cols).union(
+        cold_joined.select_columns(cols)
+    )

@@ -355,6 +355,121 @@ def winsorize(
     return ds.map_batches(_clip, batch_format="pandas")
 
 
+# ---------------------------------------------------------------------------
+# heavy hitters (Misra-Gries candidates + exact recount)
+# ---------------------------------------------------------------------------
+
+def heavy_hitter_candidates(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    capacity: int,
+) -> pd.DataFrame:
+    """Misra-Gries ("Frequent") candidate generation: per-block MG
+    summaries of at most ``capacity`` (key, lower-bound) rows, merged by
+    a combiner-sum shuffle, cut back to the top ``capacity`` by summed
+    lower bound.
+
+    The shuffle ships ≤ ``capacity`` rows PER BLOCK no matter how large
+    the key domain is — this is what distinguishes it from the
+    ``grouped_aggregate`` census (distinct-domain × blocks rows): over a
+    web-scale open vocabulary (URLs, n-grams, user agents) the census
+    partial is itself corpus-sized while the MG partial stays fixed.
+
+    Guarantees (standard MG, Misra & Gries 1982): every key with true
+    count > N/``capacity`` appears in the merged summary, and each
+    summed lower bound undercounts by at most N/``capacity``.  When no
+    block ever exceeds ``capacity`` distinct keys the decrement never
+    fires and the candidate counts are EXACT — the small-scale regime
+    the oracle checks (the KMV "exact when distinct ≤ k" pattern).
+
+    Returns a driver-side DataFrame (≤ ``capacity`` rows) of
+    ``(key_col, lb)`` sorted by (lb desc, key asc).
+    """
+    from .relational import grouped_aggregate
+
+    def _mg(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df[key_col].to_numpy(object)
+        uniq, cnt = np.unique(vals, return_counts=True)
+        if len(uniq) > capacity:
+            order = np.argsort(-cnt, kind="stable")
+            thresh = cnt[order[capacity]]
+            keep = order[:capacity]
+            dec = cnt[keep] - thresh
+            pos = dec > 0
+            uniq, cnt = uniq[keep][pos], dec[pos]
+        return pd.DataFrame(
+            {key_col: uniq.astype(object), "lb": cnt.astype(np.int64)}
+        )
+
+    merged = grouped_aggregate(
+        ds.select_columns([key_col]).map_batches(_mg, batch_format="pandas"),
+        keys=[key_col],
+        specs=[("sum", "lb", "lb")],
+    )
+    # merged has ≤ capacity × blocks rows (candidate union) — small by
+    # construction; the top-capacity cut happens driver-side
+    cand = merged.to_pandas()
+    return (
+        cand.sort_values(
+            ["lb", key_col], ascending=[False, True], kind="mergesort"
+        )
+        .head(capacity)
+        .reset_index(drop=True)
+    )
+
+
+def heavy_hitters_topk(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    k: int = 50,
+    capacity: int = 4096,
+) -> "ray.data.Dataset":
+    """Exact top-``k`` most frequent keys via a two-pass
+    candidates-then-recount plan: Misra-Gries candidates
+    (:func:`heavy_hitter_candidates`, bounded shuffle), then ONE exact
+    counting pass restricted to the broadcast candidate set.
+
+    The recount makes the reported counts exact regardless of MG
+    decrements; top-``k`` membership is exact whenever the true top-k
+    all exceed N/``capacity`` (the MG recall guarantee) — size
+    ``capacity`` ≥ a few × the expected head.  Output:
+    ``(key_col, cnt)`` sorted by (cnt desc, key asc), ``k`` rows.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .relational import grouped_aggregate
+
+    cand = heavy_hitter_candidates(ds, key_col, capacity)
+    if not len(cand):
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {key_col: pd.Series(dtype=object),
+                 "cnt": pd.Series(dtype=np.int64)}
+            )
+        )
+    ref = ray.put(pa.array(sorted(cand[key_col].tolist())))
+
+    def _recount(t: "pa.Table") -> pd.DataFrame:
+        col = t[key_col]
+        kept = t.filter(pc.is_in(col, value_set=ray.get(ref)))
+        uniq, cnt = np.unique(
+            kept[key_col].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pd.DataFrame(
+            {key_col: uniq.astype(object), "cnt": cnt.astype(np.int64)}
+        )
+
+    exact = grouped_aggregate(
+        ds.select_columns([key_col]).map_batches(
+            _recount, batch_format="pyarrow"
+        ),
+        keys=[key_col],
+        specs=[("sum", "cnt", "cnt")],
+    )
+    return exact.sort(["cnt", key_col], descending=[True, False]).limit(k)
+
+
 __all__ = [
     "kmv_distinct",
     "kmv_estimate",
@@ -364,4 +479,6 @@ __all__ = [
     "winsorize",
     "build_bloom",
     "bloom_semi_join",
+    "heavy_hitter_candidates",
+    "heavy_hitters_topk",
 ]

@@ -467,6 +467,8 @@ __all__ = [
     "benchmark_ngram_ref",
     "decontaminate_stage",
     "tfidf_doc_keywords",
+    "explode_bigrams",
+    "inverted_index",
 ]
 
 
@@ -1076,3 +1078,99 @@ def pmi_collocations(
         kind="mergesort",
     ).head(k).reset_index(drop=True)
     return ray.data.from_pandas(out)
+
+
+# ---------------------------------------------------------------------------
+# adjacent-bigram explode + inverted index construction
+# ---------------------------------------------------------------------------
+
+def explode_bigrams(
+    ds: "ray.data.Dataset", text_col: str = "text"
+) -> "ray.data.Dataset":
+    """One row per adjacent token bigram ("a b", TOKEN_RE over the
+    lowercased text — the repo-standard tokenization) — the raw item
+    stream a frequency sketch consumes.  Stateless streaming map; at
+    100 TB this is never materialized, it feeds a combiner/sketch."""
+
+    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+        grams: list = []
+        for t in batch[text_col].to_numpy(object):
+            toks = TOKEN_RE.findall(t.lower())
+            grams.extend(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+        return pd.DataFrame({"bigram": np.asarray(grams, object)})
+
+    return ds.select_columns([text_col]).map_batches(
+        _fn, batch_format="pandas"
+    )
+
+
+def inverted_index(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    postings_cap: int = 16,
+    partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Corpus inverted index: per token, exact document frequency plus
+    the first ``postings_cap`` posting doc ids (ascending, comma-joined
+    string) — the retrieval-side artifact `bm25_search` recomputes
+    per query and a 100-TB corpus builds ONCE.
+
+    Plan: per-batch distinct (token, doc_id) pairs (each document lives
+    in exactly one batch, so batch-distinct ⇒ globally distinct — no
+    pre-shuffle dedup pass), hash-partitioned by token, per-partition
+    pandas group finalize.  The pair shuffle is the index build's
+    irreducible exchange (the postings ARE the output); what stays
+    bounded is the payload — (hash, int64) pairs, never document text.
+    ``postings_cap`` bounds the emitted list so a stopword's row stays
+    O(cap) while ``df`` remains exact.
+
+    Output: ``(token, df, postings)`` sorted by token.
+    """
+    from .relational import DEDUP_PARTITIONS
+
+    P = partitions or DEDUP_PARTITIONS
+
+    def _pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        toks: list = []
+        ids: list = []
+        for i, t in zip(
+            batch[id_col].to_numpy(), batch[text_col].to_numpy(object)
+        ):
+            uniq = set(TOKEN_RE.findall(t.lower()))
+            toks.extend(uniq)
+            ids.extend([i] * len(uniq))
+        out = pd.DataFrame(
+            {
+                "token": np.asarray(toks, object),
+                id_col: np.asarray(ids, np.int64),
+            }
+        )
+        out["_part"] = (
+            pd.util.hash_pandas_object(out["token"], index=False).to_numpy()
+            % P
+        ).astype("int32")
+        return out
+
+    def _finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["token", id_col], kind="mergesort")
+        gb = g.groupby("token", sort=False)
+        df_cnt = gb.size()
+        postings = gb[id_col].agg(
+            lambda s: ",".join(str(int(v)) for v in s.head(postings_cap))
+        )
+        return pd.DataFrame(
+            {
+                "token": df_cnt.index.to_numpy(object),
+                "df": df_cnt.to_numpy(np.int64),
+                "postings": postings.to_numpy(object),
+            }
+        )
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(_pairs, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(_finalize, batch_format="pandas")
+        .sort("token")
+    )
