@@ -139,6 +139,10 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "training_shuffle_docs",
         "quantize_embeddings",
         "knn_quantized_top10",
+        "heavy_hitter_bigrams",
+        "orders_upsert",
+        "skew_join_lineitem",
+        "inverted_index_docs",
     ]
     for name in bench_queries:
         t0 = time.time()

@@ -1,0 +1,173 @@
+"""Behavioral analytics over event streams: funnel conversion and
+cohort retention — the two queries every "customer 360" warehouse
+serves daily (the reference's text2sql workload is exactly this class
+of question over the purchase/interaction tables, `README.md:13-15`).
+
+Scale shape shared by both: the raw event stream only ever crosses a
+combiner shuffle as (user, partial) rows; the per-user state table
+(funnel frontier / cohort date) is O(#users) slim and attaches back
+via the measured broadcast-vs-hash-join switch every other attach in
+this repo uses.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from .relational import SEMI_BROADCAST_LIMIT, grouped_aggregate, hash_join
+
+# frontier/cohort tables above this many users switch from a broadcast
+# pandas merge to a hash-partition join (same break-even argument as
+# SEMI_BROADCAST_LIMIT: ~16 B/user re-shipped per worker vs one
+# exchange of the slim state table)
+USER_STATE_BROADCAST_LIMIT = SEMI_BROADCAST_LIMIT
+
+
+def _attach_state(
+    events: "ray.data.Dataset",
+    state: "ray.data.Dataset",
+    user_col: str,
+    broadcast_limit: int,
+) -> "ray.data.Dataset":
+    """events ⋈ state on user — broadcast the O(#users) state table
+    when it measures small, else one hash exchange.  ``state`` must be
+    materialized (count is then metadata-only)."""
+    n = state.count()
+    if n <= broadcast_limit:
+        sdf = state.to_pandas()
+        ref = ray.put(sdf)
+
+        def _probe(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(ray.get(ref), on=user_col, how="inner")
+
+        return events.map_batches(_probe, batch_format="pandas")
+    return hash_join(events, state, on=(user_col,))
+
+
+def funnel_counts(
+    events: "ray.data.Dataset",
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    broadcast_limit: int = USER_STATE_BROADCAST_LIMIT,
+) -> "ray.data.Dataset":
+    """Ordered funnel: how many users performed ``steps[0]``, then
+    ``steps[1]`` STRICTLY AFTER it, then ``steps[2]`` after that, …
+
+    Plan: iterate steps keeping a *frontier* (user, earliest time the
+    user completed the prefix).  Each step filters the stream to one
+    event type (predicate pushed into an Arrow scan filter), attaches
+    the frontier, keeps events after the user's frontier time, and
+    grouped-mins a new frontier — one combiner shuffle of (user,
+    partial-min) rows per step, never raw events.
+
+    Output: ``(step, event_type, n_users)`` — int64/str/int64, one row
+    per step, in funnel order.
+    """
+    frontier = None
+    out_rows = []
+    for i, step in enumerate(steps):
+
+        def _only(t: pa.Table, _s=step) -> pa.Table:
+            return t.filter(pc.equal(t[type_col], _s))
+
+        ev = events.select_columns(
+            [user_col, ts_col, type_col]
+        ).map_batches(_only, batch_format="pyarrow")
+        if frontier is None:
+            qualified = ev
+        else:
+
+            def _after(df: pd.DataFrame) -> pd.DataFrame:
+                return df[df[ts_col] > df["_t"]]
+
+            qualified = _attach_state(
+                ev, frontier, user_col, broadcast_limit
+            ).map_batches(_after, batch_format="pandas")
+
+        def _slim(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {user_col: df[user_col], "_t": df[ts_col]}
+            )
+
+        frontier = grouped_aggregate(
+            qualified.map_batches(_slim, batch_format="pandas"),
+            keys=[user_col],
+            specs=[("min", "_t", "_t")],
+        ).materialize()
+        out_rows.append(
+            {"step": np.int64(i + 1), "event_type": step,
+             "n_users": np.int64(frontier.count())}
+        )
+    return ray.data.from_pandas(pd.DataFrame(out_rows))
+
+
+def cohort_retention(
+    events: "ray.data.Dataset",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    broadcast_limit: int = USER_STATE_BROADCAST_LIMIT,
+) -> "ray.data.Dataset":
+    """Daily cohort retention matrix: cohort = a user's first-event
+    date, ``day_offset`` = days since it; cell = distinct users of that
+    cohort active at that offset.
+
+    Two combiner shuffles ((user, min-date) then the distinct
+    (cohort, offset, user) dedup) plus the measured state attach —
+    event payloads never cross a shuffle.  Output:
+    ``(cohort_date 'YYYY-MM-DD', day_offset int64, n_users int64)``
+    sorted by (cohort_date, day_offset).
+    """
+    from .relational import dedupe_by_key
+
+    def _dates(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                user_col: df[user_col],
+                "_d": df[ts_col].dt.strftime("%Y-%m-%d"),
+            }
+        )
+
+    days = events.select_columns([user_col, ts_col]).map_batches(
+        _dates, batch_format="pandas"
+    )
+    # min over 'YYYY-MM-DD' strings == min date (lexicographic order)
+    first = grouped_aggregate(
+        days, keys=[user_col], specs=[("min", "_d", "cohort_date")]
+    ).materialize()
+
+    def _offset(df: pd.DataFrame) -> pd.DataFrame:
+        off = (
+            pd.to_datetime(df["_d"]) - pd.to_datetime(df["cohort_date"])
+        ).dt.days.astype(np.int64)
+        return pd.DataFrame(
+            {
+                user_col: df[user_col],
+                "cohort_date": df["cohort_date"],
+                "day_offset": off,
+            }
+        )
+
+    cells = _attach_state(days, first, user_col, broadcast_limit).map_batches(
+        _offset, batch_format="pandas"
+    )
+    distinct_cells = dedupe_by_key(
+        cells, [user_col, "cohort_date", "day_offset"]
+    )
+    return grouped_aggregate(
+        distinct_cells,
+        keys=["cohort_date", "day_offset"],
+        specs=[("count_star", None, "n_users")],
+    ).sort(["cohort_date", "day_offset"])
+
+
+__all__ = ["funnel_counts", "cohort_retention"]

@@ -1267,9 +1267,21 @@ def skew_join(
         on=(on,),
         num_partitions=num_partitions,
     )
-    # union needs bit-identical schemas: pin both branches to the
-    # hash_join column order (left cols, then right cols minus the key)
+    # union needs bit-identical schemas AND homogeneous block types:
+    # the broadcast probe emits pandas blocks while Acero emits Arrow —
+    # a mixed union crashes downstream iter_batches (DelegatingBlock-
+    # Builder asserts one block type).  Pin both branches to the
+    # hash_join column order and coerce to Arrow blocks.
     cols = list(left.columns()) + [c for c in right.columns() if c != on]
-    return hot_joined.select_columns(cols).union(
-        cold_joined.select_columns(cols)
+
+    def _arrow(t: pa.Table) -> pa.Table:
+        return t
+
+    return (
+        hot_joined.select_columns(cols)
+        .map_batches(_arrow, batch_format="pyarrow")
+        .union(
+            cold_joined.select_columns(cols)
+            .map_batches(_arrow, batch_format="pyarrow")
+        )
     )
