@@ -740,6 +740,43 @@ def _q_pmi_collocations(sf_dir: str):
     return text_ops.pmi_collocations(docs, k=50, min_count=5)
 
 
+def _q_event_funnel(sf_dir: str):
+    """Ordered conversion funnel signup→view→click→purchase over the
+    event stream: each step keeps users whose event is strictly after
+    their previous-step time (`ops/analytics.py` — one combiner shuffle
+    of (user, min-ts) partials per step, measured state attach)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import analytics
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return analytics.funnel_counts(
+        ev, steps=("signup", "view", "click", "purchase")
+    )
+
+
+def _q_cohort_retention(sf_dir: str):
+    """Daily cohort retention matrix (cohort = first-event date;
+    cell = distinct users active at each day offset)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import analytics
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return analytics.cohort_retention(ev)
+
+
+def _q_robust_scale_prices(sf_dir: str):
+    """Median/MAD robust z-score of lineitem prices — grid ≥ rows at
+    sandbox scale ⇒ both medians bit-match DuckDB quantile_cont (the
+    `price_quantiles` argument); zero shuffle, two sketch passes."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.sketch import (
+        robust_scale,
+    )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"]
+    )
+    out = robust_scale(li, "l_extendedprice", grid=1_000_000)
+    return _round_cols(out, ["l_extendedprice_robust_z"], 6)
+
+
 def _q_heavy_hitter_bigrams(sf_dir: str):
     """Exact top-40 adjacent-token bigrams via the Misra-Gries
     candidates + exact-recount plan (`ops/sketch.py`): the shuffle
@@ -2296,6 +2333,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_quantized_top10": _q_knn_quantized_top10,  # new in r3
         "pmi_collocations": _q_pmi_collocations,  # new in r3
         "heavy_hitter_bigrams": _q_heavy_hitter_bigrams,  # new in r3
+        "event_funnel": _q_event_funnel,  # new in r3
+        "cohort_retention": _q_cohort_retention,  # new in r3
+        "robust_scale_prices": _q_robust_scale_prices,  # new in r3
         "orders_upsert": _q_orders_upsert,  # new in r3
         "skew_join_lineitem": _q_skew_join_lineitem,  # new in r3
         "inverted_index_docs": _q_inverted_index,  # new in r3
@@ -2862,6 +2902,63 @@ def oracle_sql() -> dict[str, str]:
             JOIN uc ub ON ub.tk = bc.b
             ORDER BY pmi DESC, tok_a, tok_b
             LIMIT 50
+        """,
+        "event_funnel": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'signup' GROUP BY user_id
+            ), s2 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'view' AND e.ts > s1.t
+                GROUP BY e.user_id
+            ), s3 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'click' AND e.ts > s2.t
+                GROUP BY e.user_id
+            ), s4 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s3 ON e.user_id = s3.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s3.t
+                GROUP BY e.user_id
+            )
+            SELECT * FROM (
+                SELECT 1 AS step, 'signup' AS event_type,
+                       (SELECT count(*) FROM s1) AS n_users
+                UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+                UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+                UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)
+            ) ORDER BY step
+        """,
+        "cohort_retention": """
+            WITH first AS (
+                SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS cohort_date
+                FROM events GROUP BY user_id
+            ), cells AS (
+                SELECT DISTINCT e.user_id, f.cohort_date,
+                       datediff('day', CAST(f.cohort_date AS DATE),
+                                CAST(e.ts AS DATE)) AS day_offset
+                FROM events e JOIN first f ON e.user_id = f.user_id
+            )
+            SELECT cohort_date, day_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM cells GROUP BY cohort_date, day_offset
+            ORDER BY cohort_date, day_offset
+        """,
+        "robust_scale_prices": """
+            WITH m AS (
+                SELECT quantile_cont(l_extendedprice, 0.5) AS med
+                FROM lineitem
+            ), d AS (
+                SELECT quantile_cont(abs(l_extendedprice - m.med), 0.5) AS mad
+                FROM lineitem, m
+            )
+            SELECT l_orderkey, l_linenumber, l_extendedprice,
+                   round((l_extendedprice - m.med)
+                         / (CASE WHEN d.mad > 0 THEN d.mad ELSE 1.0 END),
+                         6) AS l_extendedprice_robust_z
+            FROM lineitem, m, d
         """,
         "heavy_hitter_bigrams": r"""
             WITH tok AS (

@@ -143,6 +143,9 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "orders_upsert",
         "skew_join_lineitem",
         "inverted_index_docs",
+        "event_funnel",
+        "cohort_retention",
+        "robust_scale_prices",
     ]
     for name in bench_queries:
         t0 = time.time()

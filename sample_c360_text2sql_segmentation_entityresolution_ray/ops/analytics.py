@@ -49,7 +49,13 @@ def _attach_state(
             return batch.merge(ray.get(ref), on=user_col, how="inner")
 
         return events.map_batches(_probe, batch_format="pandas")
-    return hash_join(events, state, on=(user_col,))
+    # partitions sized to the state table: a partition with zero shards
+    # from one side reaches Acero schema-less and crashes the finalizer
+    # (Ray 2.49, same guard as stages/clustering.py)
+    return hash_join(
+        events, state, on=(user_col,),
+        num_partitions=max(2, min(64, n // 1000 + 2)),
+    )
 
 
 def funnel_counts(

@@ -1,0 +1,96 @@
+"""Funnel / cohort analytics (`ops/analytics.py`) and robust scaling
+(`ops/sketch.robust_scale`): planted-semantics checks plus the forced
+hash-join state-attach path.  DuckDB parity is covered by
+test_queries_oracle.py[event_funnel / cohort_retention /
+robust_scale_prices]."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from sample_c360_text2sql_segmentation_entityresolution_ray.ops.analytics import (
+    cohort_retention,
+    funnel_counts,
+)
+from sample_c360_text2sql_segmentation_entityresolution_ray.ops.sketch import (
+    robust_scale,
+)
+
+
+def _events() -> pd.DataFrame:
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        # user 1 completes the whole funnel in order
+        (1, "signup", 0), (1, "view", 1), (1, "purchase", 2),
+        # user 2 views BEFORE signing up — the view must not count
+        (2, "view", 0), (2, "signup", 1),
+        # user 3 signs up only
+        (3, "signup", 5),
+        # user 4 never signs up
+        (4, "view", 0), (4, "purchase", 1),
+    ]
+    return pd.DataFrame(
+        {
+            "user_id": [r[0] for r in rows],
+            "event_type": [r[1] for r in rows],
+            "ts": [t0 + pd.Timedelta(days=r[2]) for r in rows],
+        }
+    )
+
+
+def test_funnel_strict_ordering(ray_session):
+    ds = ray.data.from_pandas(_events()).repartition(3)
+    out = (
+        funnel_counts(ds, steps=("signup", "view", "purchase"))
+        .to_pandas().set_index("event_type")["n_users"]
+    )
+    assert out["signup"] == 3   # users 1, 2, 3
+    assert out["view"] == 1     # only user 1 viewed after signup
+    assert out["purchase"] == 1
+
+
+def test_funnel_hash_join_path_equal(ray_session):
+    ds = ray.data.from_pandas(_events()).repartition(3)
+    a = funnel_counts(ds, steps=("signup", "view")).to_pandas()
+    b = funnel_counts(
+        ds, steps=("signup", "view"), broadcast_limit=0
+    ).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_cohort_offsets(ray_session):
+    t0 = pd.Timestamp("2024-03-01")
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2],
+            "ts": [
+                t0,                                # day 0   (cohort 03-01)
+                t0 + pd.Timedelta(days=2),         # offset 2
+                t0 + pd.Timedelta(days=2, hours=5),  # same cell, deduped
+                t0 + pd.Timedelta(days=1),         # cohort 03-02, offset 0
+                t0 + pd.Timedelta(days=3),         # offset 2
+            ],
+        }
+    )
+    out = cohort_retention(ray.data.from_pandas(df).repartition(2)).to_pandas()
+    want = pd.DataFrame(
+        {
+            "cohort_date": ["2024-03-01", "2024-03-01", "2024-03-02",
+                            "2024-03-02"],
+            "day_offset": np.array([0, 2, 0, 2], np.int64),
+            "n_users": np.array([1, 1, 1, 1], np.int64),
+        }
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_robust_scale_zero_mad(ray_session):
+    # >50% of rows constant → MAD = 0 → divide by 1.0, never inf
+    df = pd.DataFrame({"x": [5.0] * 8 + [1.0, 9.0]})
+    out = robust_scale(
+        ray.data.from_pandas(df), "x", grid=1_000_000
+    ).to_pandas()
+    z = out["x_robust_z"].to_numpy()
+    assert np.isfinite(z).all()
+    assert (z[:8] == 0.0).all() and z[8] == -4.0 and z[9] == 4.0
