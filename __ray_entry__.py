@@ -740,6 +740,89 @@ def _q_pmi_collocations(sf_dir: str):
     return text_ops.pmi_collocations(docs, k=50, min_count=5)
 
 
+def _q_grouped_median_price(sf_dir: str):
+    """Per-group quantiles (median + p90 of lineitem price per return
+    flag) via the grouped equi-depth grid sketch — groups × grid × blocks
+    summary rows cross the wire, never raw values; grid ≥ rows here ⇒
+    bit-exact type-7 vs quantile_cont."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.sketch import (
+        grouped_quantile,
+    )
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    out = grouped_quantile(
+        li, "l_extendedprice", ["l_returnflag"], [0.5, 0.9], grid=1_000_000
+    )
+    return _round_cols(out, ["v"], 4)
+
+
+def _q_incremental_order_counts(sf_dir: str):
+    """Incremental aggregate maintenance: the pre-1998 order history is
+    aggregated once (the PRIOR materialized view); the 1998+ delta then
+    folds in WITHOUT rescanning history.  Oracle = full recompute over
+    everything — the fold must be bit-equal."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import relational as rel
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderstatus", "o_orderdate", "o_totalprice"]
+    )
+    split = "1998-01-01"
+
+    def _before(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["o_orderdate"], pa.scalar(
+            pd.Timestamp(split), pa.timestamp("us"))))
+
+    def _since(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["o_orderdate"], pa.scalar(
+            pd.Timestamp(split), pa.timestamp("us"))))
+
+    specs = [
+        ("count_star", None, "n_orders"),
+        ("sum", "o_totalprice", "sum_price"),
+    ]
+    prior = rel.grouped_aggregate(
+        orders.map_batches(_before, batch_format="pyarrow"),
+        ["o_orderstatus"], specs,
+    )
+    out = rel.incremental_aggregate(
+        prior,
+        orders.map_batches(_since, batch_format="pyarrow"),
+        ["o_orderstatus"], specs,
+    )
+    return _round_cols(out.sort("o_orderstatus"), ["sum_price"], 2)
+
+
+def _q_multimodal_resize(sf_dir: str):
+    """Thumbnail/normalize pass over the synthetic multimodal table:
+    decode (BMP/PPM/PNG, real codecs) → nearest-neighbor 16×16 →
+    re-encode PPM.  Binary payloads ⇒ rows-only driver check (like
+    `multimodal_features`); byte-exactness is pinned by
+    test_multimodal.py against the pure-numpy reference kernel."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import multimodal as mm
+
+    items = mm.synth_multimodal_dataset(n=64)
+
+    def _images(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(
+            t["media_type"],
+            value_set=pa.array(["image/bmp", "image/png", "image/ppm"]),
+        )
+        return t.filter(mask)
+
+    imgs = items.map_batches(_images, batch_format="pyarrow")
+    resized = mm.decode_stage(imgs, mm.ImageResizeStage, out_h=16, out_w=16)
+
+    def _meta(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        sizes = pa.array(
+            [len(p) for p in t["payload"].to_pylist()], pa.int64()
+        )
+        return t.drop_columns(["payload"]).append_column("payload_bytes", sizes)
+
+    return resized.map_batches(_meta, batch_format="pyarrow")
+
+
 def _q_event_funnel(sf_dir: str):
     """Ordered conversion funnel signup→view→click→purchase over the
     event stream: each step keeps users whose event is strictly after
@@ -2334,6 +2417,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_collocations": _q_pmi_collocations,  # new in r3
         "heavy_hitter_bigrams": _q_heavy_hitter_bigrams,  # new in r3
         "event_funnel": _q_event_funnel,  # new in r3
+        "grouped_median_price": _q_grouped_median_price,  # new in r3
+        "incremental_order_counts": _q_incremental_order_counts,  # new in r3
+        "multimodal_resize": _q_multimodal_resize,  # new in r3 (rows-only)
         "cohort_retention": _q_cohort_retention,  # new in r3
         "robust_scale_prices": _q_robust_scale_prices,  # new in r3
         "orders_upsert": _q_orders_upsert,  # new in r3
@@ -2902,6 +2988,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN uc ub ON ub.tk = bc.b
             ORDER BY pmi DESC, tok_a, tok_b
             LIMIT 50
+        """,
+        "grouped_median_price": """
+            SELECT * FROM (
+                SELECT l_returnflag, 0.5 AS q,
+                       round(quantile_cont(l_extendedprice, 0.5), 4) AS v
+                FROM lineitem GROUP BY l_returnflag
+                UNION ALL
+                SELECT l_returnflag, 0.9,
+                       round(quantile_cont(l_extendedprice, 0.9), 4)
+                FROM lineitem GROUP BY l_returnflag
+            ) ORDER BY l_returnflag, q
+        """,
+        "incremental_order_counts": """
+            SELECT o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
         "event_funnel": """
             WITH s1 AS (

@@ -146,6 +146,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "event_funnel",
         "cohort_retention",
         "robust_scale_prices",
+        "grouped_median_price",
+        "incremental_order_counts",
     ]
     for name in bench_queries:
         t0 = time.time()

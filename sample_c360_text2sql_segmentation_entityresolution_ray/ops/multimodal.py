@@ -121,6 +121,60 @@ class ImageDecodeStage:
         )
 
 
+class ImageResizeStage:
+    """binary → (item_id, payload, media_type, width, height): decode,
+    nearest-neighbor resize to ``out_h`` × ``out_w``, re-encode as
+    uncompressed PPM (P6) — the thumbnail/normalize pass a multimodal
+    training pipeline runs before feature extraction.
+
+    Real kernels end-to-end for BMP/PPM/PNG (numpy resize, stdlib
+    codecs); compressed inputs outside the registry raise unless
+    ``deterministic_fake`` (which passes the payload through
+    untouched with null dims).  Output payloads are PPM because the
+    re-encode must not need an external library; a production build
+    swaps the encoder in ``__init__`` (once per actor), not per batch.
+    """
+
+    def __init__(self, out_h: int = 16, out_w: int = 16,
+                 deterministic_fake: bool = False):
+        self.out_h = int(out_h)
+        self.out_w = int(out_w)
+        self.fake = deterministic_fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        mtypes = batch["media_type"].to_pylist()
+        out_p, out_mt, widths, heights = [], [], [], []
+        for p, mt in zip(payloads, mtypes):
+            dec = _IMAGE_DECODERS.get(mt)
+            if dec is not None:
+                img = codecs.resize_nearest(dec(p), self.out_h, self.out_w)
+                out_p.append(codecs.encode_ppm(img))
+                out_mt.append("image/ppm")
+                heights.append(self.out_h)
+                widths.append(self.out_w)
+            elif self.fake:
+                out_p.append(p)
+                out_mt.append(mt)
+                widths.append(None)
+                heights.append(None)
+            else:
+                raise NotImplementedError(
+                    f"decoding {mt} requires an external codec library "
+                    "(not in this container); BMP/PPM/PNG resize natively, "
+                    "or construct with deterministic_fake=True"
+                )
+        return pa.table(
+            {
+                "item_id": batch["item_id"],
+                "payload": pa.array(out_p, pa.binary()),
+                "media_type": pa.array(out_mt, pa.string()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+            }
+        )
+
+
 class AudioFeatureStage:
     """binary → (item_id, duration_ms, mfcc:list<float>).  WAV PCM16
     decode + log-mel energies are real numpy DSP; compressed audio
@@ -287,6 +341,7 @@ def synth_multimodal_dataset(
 __all__ = [
     "MULTIMODAL_SCHEMA",
     "ImageDecodeStage",
+    "ImageResizeStage",
     "AudioFeatureStage",
     "VideoFrameSampleStage",
     "decode_stage",

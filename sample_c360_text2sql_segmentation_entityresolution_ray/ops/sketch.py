@@ -174,9 +174,17 @@ def quantile_sketch(
     )
     if not len(merged):
         return [float("nan")] * len(qs)
-    merged = merged.sort_values("val", kind="mergesort")
-    vals = merged["val"].to_numpy()
-    w = merged["w"].to_numpy()
+    return _weighted_type7(
+        merged["val"].to_numpy(), merged["w"].to_numpy(), qs
+    )
+
+
+def _weighted_type7(vals: np.ndarray, w: np.ndarray, qs) -> "list[float]":
+    """Type-7 quantiles over weighted grid points (exact when all
+    weights are 1 — the grid ≥ block rows regime).  ``vals`` need not
+    be pre-sorted."""
+    order = np.argsort(vals, kind="mergesort")
+    vals, w = vals[order], w[order]
     start_rank = np.cumsum(w) - w  # rank of each point's first row
     total = float(w.sum())
     out = []
@@ -507,6 +515,120 @@ def heavy_hitters_topk(
         partials, keys=[key_col], specs=[("sum", "cnt", "cnt")]
     )
     return exact.sort(["cnt", key_col], descending=[True, False]).limit(k)
+
+
+def grouped_quantile(
+    ds: "ray.data.Dataset",
+    col: str,
+    group_cols: "list[str]",
+    qs: "list[float]",
+    grid: int = 256,
+    driver_max_rows: int = HH_DRIVER_MERGE_ROWS,
+    partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-group quantiles (grouped median, p99 latency per service, …)
+    via the same mergeable equi-depth grid as :func:`quantile_sketch`.
+
+    Per batch each group compresses to ≤ ``grid`` (value, weight)
+    points, so the exchange carries groups × grid × blocks summary
+    rows, never raw values.  Below ``driver_max_rows`` the partials
+    merge on the driver (no barrier); above it they hash-partition by
+    group and finalize per partition — raw data never shuffles either
+    way.  Exact type-7 (bit-matching ``quantile_cont``) when ``grid``
+    ≥ a group's rows per block.
+
+    Output: ``group_cols + (q float64, v float64)`` rows, sorted by
+    (group, q)."""
+    from .relational import DEDUP_PARTITIONS
+
+    group_cols = list(group_cols)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        pieces = []
+        for key, g in df.groupby(group_cols, sort=False, dropna=False):
+            v = np.sort(g[col].dropna().to_numpy(dtype=np.float64))
+            n = len(v)
+            if n == 0:
+                continue
+            if n <= grid:
+                val, w = v, np.ones(n)
+            else:
+                idx = np.unique(
+                    np.round(np.linspace(0, n - 1, grid)).astype(int)
+                )
+                w = np.diff(np.append(idx, n)).astype(np.float64)
+                val = v[idx]
+            part = pd.DataFrame({"val": val, "w": w})
+            if len(group_cols) == 1:
+                part[group_cols[0]] = key if not isinstance(key, tuple) else key[0]
+            else:
+                for c, kv in zip(group_cols, key):
+                    part[c] = kv
+            pieces.append(part)
+        if not pieces:
+            return pd.DataFrame(
+                {"val": pd.Series(dtype=np.float64),
+                 "w": pd.Series(dtype=np.float64),
+                 **{c: pd.Series(dtype=object) for c in group_cols}}
+            )
+        return pd.concat(pieces, ignore_index=True)
+
+    def _finalize(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, grp in g.groupby(group_cols, sort=False, dropna=False):
+            vs = _weighted_type7(
+                grp["val"].to_numpy(), grp["w"].to_numpy(), qs
+            )
+            kvals = (key,) if not isinstance(key, tuple) else key
+            for q, v in zip(qs, vs):
+                rows.append(dict(zip(group_cols, kvals), q=float(q), v=v))
+        return pd.DataFrame(rows)
+
+    partials = ds.select_columns(group_cols + [col]).map_batches(
+        _partial, batch_format="pandas"
+    )
+    # driver fast path below the cap; group-hash partition merge above
+    pieces, n = [], 0
+    collected = True
+    for b in partials.iter_batches(batch_size=65536, batch_format="pandas"):
+        n += len(b)
+        if n > driver_max_rows:
+            collected = False
+            break
+        pieces.append(b)
+    if collected:
+        merged = (
+            pd.concat(pieces, ignore_index=True)
+            if pieces
+            else _partial(pd.DataFrame({col: [], **{c: [] for c in group_cols}}))
+        )
+        out = _finalize(merged) if len(merged) else pd.DataFrame(
+            {**{c: pd.Series(dtype=object) for c in group_cols},
+             "q": pd.Series(dtype=np.float64),
+             "v": pd.Series(dtype=np.float64)}
+        )
+        out = out.sort_values(group_cols + ["q"], kind="mergesort").reset_index(
+            drop=True
+        )
+        return ray.data.from_pandas(out)
+    P = partitions or DEDUP_PARTITIONS
+
+    def _part_col(df: pd.DataFrame) -> pd.DataFrame:
+        df["_part"] = (
+            pd.util.hash_pandas_object(df[group_cols], index=False).to_numpy()
+            % P
+        ).astype("int32")
+        return df
+
+    return (
+        partials.map_batches(_part_col, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(
+            lambda g: _finalize(g.drop(columns=["_part"])),
+            batch_format="pandas",
+        )
+        .sort(group_cols + ["q"])
+    )
 
 
 def robust_scale(

@@ -203,3 +203,49 @@ def test_png_image_stage():
     np.testing.assert_allclose(
         np.asarray(row["feature"]), codecs.image_feature(img, 8), rtol=1e-6
     )
+
+
+def test_image_resize_stage_byte_exact():
+    """Resize stage output is byte-identical to the pure-numpy
+    reference (decode → resize_nearest → encode_ppm) for every real
+    image codec, and dims are pinned."""
+    ds = synth_multimodal_dataset(n=16, img_side=24)
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.multimodal import ImageResizeStage
+
+    imgs = _only(ds, "image/bmp")
+    out = decode_stage(
+        imgs, ImageResizeStage, concurrency=1, batch_size=4,
+        out_h=8, out_w=12,
+    ).to_pandas().sort_values("item_id").reset_index(drop=True)
+    assert (out["width"] == 12).all() and (out["height"] == 8).all()
+    assert (out["media_type"] == "image/ppm").all()
+    src = sorted(
+        (r for r in synth_multimodal_dataset(n=16, img_side=24).take_all()
+         if r["media_type"] == "image/bmp"),
+        key=lambda r: r["item_id"],
+    )
+    for row, ref in zip(out.itertuples(), src):
+        want = codecs.encode_ppm(
+            codecs.resize_nearest(codecs.decode_bmp(ref["payload"]), 8, 12)
+        )
+        assert bytes(row.payload) == want
+
+
+def test_image_resize_stage_gates_compressed():
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.multimodal import ImageResizeStage
+
+    jpeg = ray.data.from_arrow(pa.table({
+        "item_id": ["x"], "payload": [b"\xff\xd8\xff"],
+        "media_type": ["image/jpeg"],
+    }))
+    with pytest.raises(Exception, match="codec library"):
+        decode_stage(jpeg, ImageResizeStage, concurrency=1).to_pandas()
+    # deterministic_fake passes payloads through with null dims
+    out = decode_stage(
+        jpeg, ImageResizeStage, concurrency=1, deterministic_fake=True
+    ).to_pandas()
+    assert bytes(out["payload"][0]) == b"\xff\xd8\xff"
+    assert pd.isna(out["width"][0])

@@ -191,3 +191,74 @@ def test_winsorize_clips_to_quantiles():
     np.testing.assert_allclose(out["v_wins"].max(), hi, rtol=1e-12)
     mid = out[(out["v"] > lo) & (out["v"] < hi)]
     np.testing.assert_allclose(mid["v_wins"], mid["v"])
+
+
+def test_grouped_quantile_exact_and_fallback(ray_session):
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "g": np.repeat(["a", "b", "c"], 400),
+            "x": rng.normal(0, 10, 1200),
+        }
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.sketch import grouped_quantile
+
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = grouped_quantile(
+        ds, "x", ["g"], [0.25, 0.5, 0.75], grid=1_000_000
+    ).to_pandas()
+    want = []
+    for g in ["a", "b", "c"]:
+        v = df.loc[df["g"] == g, "x"]
+        for q in [0.25, 0.5, 0.75]:
+            want.append((g, q, float(np.quantile(v, q))))  # type-7 default
+    want = pd.DataFrame(want, columns=["g", "q", "v"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
+    # forced distributed finalize (driver cap 0) must agree exactly
+    far = grouped_quantile(
+        ds, "x", ["g"], [0.25, 0.5, 0.75], grid=1_000_000, driver_max_rows=0
+    ).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        far[["g", "q", "v"]], want, check_dtype=False, atol=1e-9
+    )
+
+
+def test_incremental_aggregate_min_max_sum(ray_session):
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
+        grouped_aggregate,
+        incremental_aggregate,
+    )
+
+    rng = np.random.default_rng(9)
+    full = pd.DataFrame(
+        {
+            "k": rng.integers(0, 7, 3000),
+            "v": rng.normal(100, 30, 3000),
+        }
+    )
+    specs = [
+        ("count_star", None, "n"),
+        ("sum", "v", "s"),
+        ("min", "v", "lo"),
+        ("max", "v", "hi"),
+    ]
+    old, new = full.iloc[:2000], full.iloc[2000:]
+    prior = grouped_aggregate(ray.data.from_pandas(old).repartition(4),
+                              ["k"], specs)
+    got = (
+        incremental_aggregate(
+            prior, ray.data.from_pandas(new).repartition(3), ["k"], specs
+        )
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    want = (
+        grouped_aggregate(ray.data.from_pandas(full).repartition(6),
+                          ["k"], specs)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[want.columns], want, check_dtype=False, atol=1e-9
+    )
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="foldable"):
+        incremental_aggregate(prior, prior, ["k"], [("mean", "v", "m")])
