@@ -740,6 +740,37 @@ def _q_pmi_collocations(sf_dir: str):
     return text_ops.pmi_collocations(docs, k=50, min_count=5)
 
 
+def _q_fuzzy_lookup_link(sf_dir: str):
+    """Two-table fuzzy record linkage: a dirty probe feed (customer
+    names with the zero-run collapsed — a deterministic, SQL-
+    reproducible perturbation) links back to the canonical customer
+    master by best Jaro-Winkler ≥ 0.9 within digit-tail blocks.  The
+    kernel is bit-exact vs DuckDB jaro_winkler_similarity, so even the
+    fuzzy scores value-hash against the oracle."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.linkage import lookup_link
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def _dirty(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "probe_id": t["c_custkey"],
+                "probe_name": pc.replace_substring(
+                    t["c_name"], pattern="#00000", replacement="#"
+                ),
+            }
+        )
+
+    probes = cust.map_batches(_dirty, batch_format="pyarrow")
+    out = lookup_link(
+        probes, cust,
+        probe_id="probe_id", probe_name="probe_name",
+        master_id="c_custkey", master_name="c_name",
+        threshold=0.9, block_suffix=2,
+    )
+    return _round_cols(out.sort("probe_id"), ["score"], 6)
+
+
 def _q_grouped_median_price(sf_dir: str):
     """Per-group quantiles (median + p90 of lineitem price per return
     flag) via the grouped equi-depth grid sketch — groups × grid × blocks
@@ -2417,6 +2448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_collocations": _q_pmi_collocations,  # new in r3
         "heavy_hitter_bigrams": _q_heavy_hitter_bigrams,  # new in r3
         "event_funnel": _q_event_funnel,  # new in r3
+        "fuzzy_lookup_link": _q_fuzzy_lookup_link,  # new in r3
         "grouped_median_price": _q_grouped_median_price,  # new in r3
         "incremental_order_counts": _q_incremental_order_counts,  # new in r3
         "multimodal_resize": _q_multimodal_resize,  # new in r3 (rows-only)
@@ -2988,6 +3020,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN uc ub ON ub.tk = bc.b
             ORDER BY pmi DESC, tok_a, tok_b
             LIMIT 50
+        """,
+        "fuzzy_lookup_link": """
+            WITH probe AS (
+                SELECT c_custkey AS probe_id,
+                       replace(c_name, '#00000', '#') AS probe_name
+                FROM customer
+            ), scored AS (
+                SELECT p.probe_id, p.probe_name,
+                       c.c_custkey, c.c_name,
+                       jaro_winkler_similarity(p.probe_name, c.c_name)
+                           AS s
+                FROM probe p JOIN customer c
+                  ON right(p.probe_name, 2) = right(c.c_name, 2)
+            ), best AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY probe_id ORDER BY s DESC, c_custkey
+                ) AS rn
+                FROM scored WHERE s >= 0.9
+            )
+            SELECT probe_id, probe_name, c_custkey, c_name,
+                   round(s, 6) AS score
+            FROM best WHERE rn = 1 ORDER BY probe_id
         """,
         "grouped_median_price": """
             SELECT * FROM (

@@ -148,6 +148,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "robust_scale_prices",
         "grouped_median_price",
         "incremental_order_counts",
+        "fuzzy_lookup_link",
     ]
     for name in bench_queries:
         t0 = time.time()

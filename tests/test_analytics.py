@@ -94,3 +94,56 @@ def test_robust_scale_zero_mad(ray_session):
     z = out["x_robust_z"].to_numpy()
     assert np.isfinite(z).all()
     assert (z[:8] == 0.0).all() and z[8] == -4.0 and z[9] == 4.0
+
+
+def test_lookup_link_planted(ray_session):
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.linkage import lookup_link
+
+    master = pd.DataFrame(
+        {
+            "mid": np.array([1, 2, 3], np.int64),
+            "mname": ["acme corporation", "globex inc", "initech llc"],
+        }
+    )
+    probes = pd.DataFrame(
+        {
+            "pid": np.array([10, 11, 12], np.int64),
+            # same 2-char suffixes as their true masters; 'zzz...' has
+            # no block partner and must be dropped
+            "pname": ["acme corporaton", "globex,inc", "zzzzzzzznc"],
+        }
+    )
+    out = (
+        lookup_link(
+            ray.data.from_pandas(probes), ray.data.from_pandas(master),
+            probe_id="pid", probe_name="pname",
+            master_id="mid", master_name="mname",
+            threshold=0.85, block_suffix=2,
+        )
+        .to_pandas().sort_values("pid").reset_index(drop=True)
+    )
+    assert out["pid"].tolist() == [10, 11]
+    assert out["mid"].tolist() == [1, 2]
+    assert (out["score"] >= 0.85).all()
+
+
+def test_lookup_link_master_guard(ray_session):
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import linkage
+    import pytest as _pytest
+
+    big = ray.data.range(10).map_batches(
+        lambda df: pd.DataFrame(
+            {"mid": df["id"], "mname": df["id"].astype(str)}
+        ),
+        batch_format="pandas",
+    )
+    old = linkage.BROADCAST_ROW_LIMIT
+    linkage.BROADCAST_ROW_LIMIT = 5
+    try:
+        with _pytest.raises(ValueError, match="ER blocking pipeline"):
+            linkage.lookup_link(
+                big, big, probe_id="mid", probe_name="mname",
+                master_id="mid", master_name="mname",
+            )
+    finally:
+        linkage.BROADCAST_ROW_LIMIT = old
