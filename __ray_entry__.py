@@ -2406,17 +2406,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # first, then this round's touched queries — r2 already has
         # driver-green rows for the remainder, and ALL 85 run against
         # their oracles every pytest session (test_queries_oracle.py).
-        "customer_er_assignment": _q_customer_er,
-        "c360_interactions": _q_c360_interactions,
-        "c360_segments": _q_c360_segments,
+        # ---- never driver-sampled (r1/r2) + r3-new: keep these
+        # ---- inside the driver's first-50 window
+        "inverted_index_docs": _q_inverted_index,  # new in r3
         "c360_segments_als": _q_c360_segments_als,
-        "simhash_dup_docs": _q_simhash_dup_docs,
-        "embedding_dup_pairs": _q_embedding_dup_pairs,
         "multimodal_features": _q_multimodal_features,
         "price_quantiles": _q_price_quantiles,
-        "knn_ivf_top10": _q_knn_ivf_top10,
-        "langid_docs": _q_langid_docs,
-        "doc_quality": _q_doc_quality,
         "source_quality_gate": _q_source_quality_gate,
         "clean_lines": _q_clean_lines,
         "url_blocklist": _q_url_blocklist,
@@ -2430,7 +2425,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_keywords": _q_tfidf_keywords,
         "decontaminate_docs": _q_decontaminate_docs,
         "lm_perplexity": _q_lm_perplexity,
-        "curated_corpus": _q_curated_corpus,
         "sql_demo_agg": _q_sql_demo_agg,
         "sql_demo_union": _q_sql_demo_union,
         "sql_demo_window": _q_sql_demo_window,
@@ -2456,7 +2450,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robust_scale_prices": _q_robust_scale_prices,  # new in r3
         "orders_upsert": _q_orders_upsert,  # new in r3
         "skew_join_lineitem": _q_skew_join_lineitem,  # new in r3
-        "inverted_index_docs": _q_inverted_index,  # new in r3
+        # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
+        "customer_er_assignment": _q_customer_er,
+        "c360_interactions": _q_c360_interactions,
+        "c360_segments": _q_c360_segments,
+        "simhash_dup_docs": _q_simhash_dup_docs,
+        "embedding_dup_pairs": _q_embedding_dup_pairs,
+        "knn_ivf_top10": _q_knn_ivf_top10,
+        "langid_docs": _q_langid_docs,
+        "doc_quality": _q_doc_quality,
+        "curated_corpus": _q_curated_corpus,
         "orders_customer_join": _q_orders_customer_join,
         "canonical_url_dedup": _q_canonical_url_dedup,
         "er_assignment": _q_er_assignment,
