@@ -740,6 +740,78 @@ def _q_pmi_collocations(sf_dir: str):
     return text_ops.pmi_collocations(docs, k=50, min_count=5)
 
 
+def _q_golden_records(sf_dir: str):
+    """Golden-record survivorship over the customer ER clusters: per
+    MatchID, source priority (main > subbrand) then recency then
+    RecordId picks the surviving profile; cluster stats aggregate over
+    all members.  One cluster-hash exchange (`ops/survivorship.py`) —
+    the C360 'integrated customer' the reference's flow serves."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.survivorship import (
+        golden_records,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.pipelines.customer_er import (
+        resolve_customers,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sources import c360
+
+    assignment, _ = resolve_customers(
+        lambda: c360.customer_master(sf_dir),
+        lambda: c360.subbrand_customer_master(sf_dir),
+    )
+    return golden_records(
+        assignment.drop_columns(["ConfidenceLevel", "lang"])
+        if "lang" in assignment.columns()
+        else assignment.drop_columns(["ConfidenceLevel"]),
+        cluster_col="MatchID",
+        field_cols=["email", "name", "gender", "age"],
+        priority_col="source",
+        priority_value="main",
+        recency_col="created_at",
+        id_col="RecordId",
+    )
+
+
+def _sql_golden_records(fix: str) -> str:
+    return f"""
+        WITH {_sql_lab_cte(fix)},
+        rec AS (
+            SELECT customer_id, 'main' AS source, lower(trim(email)) AS email,
+                   lower(trim(firstname)) || ' ' || lower(trim(lastname)) AS name,
+                   gender, age, created_at
+            FROM read_parquet('{fix}/customer_master.parquet')
+            UNION ALL
+            SELECT customer_id, 'subbrand', lower(trim(email)),
+                   lower(trim(firstname)) || ' ' || lower(trim(lastname)),
+                   gender, age, created_at
+            FROM read_parquet('{fix}/subbrand_customer_master.parquet')
+        ),
+        asg AS (
+            SELECT r.source, r.customer_id AS RecordId,
+                   coalesce(l.lab, r.customer_id) AS MatchID,
+                   r.email, r.name, r.gender, r.age, r.created_at
+            FROM rec r LEFT JOIN lab l ON r.customer_id = l.id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY MatchID
+                ORDER BY (source = 'main') DESC, created_at DESC, RecordId
+            ) AS rn
+            FROM asg
+        ),
+        stats AS (
+            SELECT MatchID, CAST(count(*) AS BIGINT) AS n_records,
+                   min(created_at) AS first_seen,
+                   max(created_at) AS last_seen
+            FROM asg GROUP BY MatchID
+        )
+        SELECT r.MatchID, r.source, r.RecordId, r.email, r.name,
+               r.gender, r.age, r.created_at,
+               s.n_records, s.first_seen, s.last_seen
+        FROM ranked r JOIN stats s ON r.MatchID = s.MatchID
+        WHERE rn = 1 ORDER BY r.MatchID
+    """
+
+
 def _q_fuzzy_lookup_link(sf_dir: str):
     """Two-table fuzzy record linkage: a dirty probe feed (customer
     names with the zero-run collapsed — a deterministic, SQL-
@@ -2443,6 +2515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_bigrams": _q_heavy_hitter_bigrams,  # new in r3
         "event_funnel": _q_event_funnel,  # new in r3
         "fuzzy_lookup_link": _q_fuzzy_lookup_link,  # new in r3
+        "golden_records": _q_golden_records,  # new in r3
         "grouped_median_price": _q_grouped_median_price,  # new in r3
         "incremental_order_counts": _q_incremental_order_counts,  # new in r3
         "multimodal_resize": _q_multimodal_resize,  # new in r3 (rows-only)
@@ -3024,6 +3097,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY pmi DESC, tok_a, tok_b
             LIMIT 50
         """,
+        "golden_records": _sql_golden_records(_FIX01),
         "fuzzy_lookup_link": """
             WITH probe AS (
                 SELECT c_custkey AS probe_id,

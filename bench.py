@@ -149,6 +149,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "grouped_median_price",
         "incremental_order_counts",
         "fuzzy_lookup_link",
+        "golden_records",
     ]
     for name in bench_queries:
         t0 = time.time()

@@ -147,3 +147,33 @@ def test_lookup_link_master_guard(ray_session):
             )
     finally:
         linkage.BROADCAST_ROW_LIMIT = old
+
+
+def test_golden_records_survivorship(ray_session):
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.survivorship import golden_records
+
+    df = pd.DataFrame(
+        {
+            "cluster": ["c1", "c1", "c1", "c2"],
+            "src": ["sub", "main", "sub", "sub"],
+            # the sub record is NEWER than main — priority must win
+            "ts": np.array([5, 3, 9, 7], np.int64),
+            "rid": ["r3", "r1", "r2", "r9"],
+            "email": ["e3", "e1", "e2", "e9"],
+        }
+    )
+    out = (
+        golden_records(
+            ray.data.from_pandas(df).repartition(2),
+            cluster_col="cluster", field_cols=["email"],
+            priority_col="src", priority_value="main",
+            recency_col="ts", id_col="rid",
+        )
+        .to_pandas().set_index("cluster")
+    )
+    # c1: main wins despite being oldest; stats span all three members
+    assert out.loc["c1", "email"] == "e1" and out.loc["c1", "rid"] == "r1"
+    assert out.loc["c1", "n_records"] == 3
+    assert out.loc["c1", "first_seen"] == 3 and out.loc["c1", "last_seen"] == 9
+    # c2: single member survives as-is
+    assert out.loc["c2", "email"] == "e9" and out.loc["c2", "n_records"] == 1
