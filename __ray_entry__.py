@@ -740,6 +740,19 @@ def _q_pmi_collocations(sf_dir: str):
     return text_ops.pmi_collocations(docs, k=50, min_count=5)
 
 
+def _q_zorder_orders(sf_dir: str):
+    """Z-order layout key over (o_custkey, o_totalprice): linear
+    16-bit quantization + Morton bit interleave (`ops/layout.py`) —
+    the table-rewrite that keeps BOTH columns' row-group min/max tight
+    so multi-predicate reads prune files.  The key construction is
+    arithmetic, so the oracle re-derives every z-value in SQL."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.layout import zorder_key
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    out = zorder_key(orders, "o_custkey", "o_totalprice", bits=16)
+    return out.select_columns(["o_orderkey", "zval"])
+
+
 def _q_golden_records(sf_dir: str):
     """Golden-record survivorship over the customer ER clusters: per
     MatchID, source priority (main > subbrand) then recency then
@@ -2516,6 +2529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel": _q_event_funnel,  # new in r3
         "fuzzy_lookup_link": _q_fuzzy_lookup_link,  # new in r3
         "golden_records": _q_golden_records,  # new in r3
+        "zorder_orders": _q_zorder_orders,  # new in r3
         "grouped_median_price": _q_grouped_median_price,  # new in r3
         "incremental_order_counts": _q_incremental_order_counts,  # new in r3
         "multimodal_resize": _q_multimodal_resize,  # new in r3 (rows-only)
@@ -3098,6 +3112,31 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 50
         """,
         "golden_records": _sql_golden_records(_FIX01),
+        "zorder_orders": """
+            WITH b AS (
+                SELECT min(o_custkey)::DOUBLE AS xlo,
+                       max(o_custkey)::DOUBLE AS xhi,
+                       min(o_totalprice)::DOUBLE AS ylo,
+                       max(o_totalprice)::DOUBLE AS yhi
+                FROM orders
+            ), q AS (
+                SELECT o_orderkey,
+                       CAST(least(greatest(floor((o_custkey::DOUBLE - b.xlo)
+                            / (b.xhi - b.xlo) * 65535), 0), 65535) AS BIGINT)
+                           AS qx,
+                       CAST(least(greatest(floor((o_totalprice - b.ylo)
+                            / (b.yhi - b.ylo) * 65535), 0), 65535) AS BIGINT)
+                           AS qy
+                FROM orders, b
+            )
+            SELECT o_orderkey,
+                   CAST(list_sum(list_transform(range(0, 16), i ->
+                        ((qx // (1::BIGINT << i)) % 2)
+                            * (1::BIGINT << (2 * i + 1))
+                      + ((qy // (1::BIGINT << i)) % 2)
+                            * (1::BIGINT << (2 * i)))) AS BIGINT) AS zval
+            FROM q
+        """,
         "fuzzy_lookup_link": """
             WITH probe AS (
                 SELECT c_custkey AS probe_id,

@@ -150,6 +150,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "incremental_order_counts",
         "fuzzy_lookup_link",
         "golden_records",
+        "zorder_orders",
     ]
     for name in bench_queries:
         t0 = time.time()

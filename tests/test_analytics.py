@@ -177,3 +177,41 @@ def test_golden_records_survivorship(ray_session):
     assert out.loc["c1", "first_seen"] == 3 and out.loc["c1", "last_seen"] == 9
     # c2: single member survives as-is
     assert out.loc["c2", "email"] == "e9" and out.loc["c2", "n_records"] == 1
+
+
+def test_zorder_improves_two_dim_locality(ray_session):
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.layout import (
+        zorder_locality,
+        zorder_sort,
+    )
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"x": rng.uniform(0, 1, 4000),
+                       "y": rng.uniform(0, 1, 4000)})
+    base = zorder_locality(df, ["x", "y"], n_chunks=16)           # random order
+    zdf = (
+        zorder_sort(ray.data.from_pandas(df).repartition(4), "x", "y")
+        .to_pandas()
+    )
+    z = zorder_locality(zdf, ["x", "y"], 16)
+    # z-order shrinks the combined bounding box vs random order
+    assert z < 0.5 * base
+
+    def chunks_scanned(frame, col, lo, hi, n_chunks=16):
+        """files a reader must touch for `col BETWEEN lo AND hi` given
+        per-chunk min/max stats — the parquet row-group pruning model"""
+        hits = 0
+        for idx in np.array_split(np.arange(len(frame)), n_chunks):
+            v = frame[col].to_numpy()[idx]
+            if v.min() <= hi and v.max() >= lo:
+                hits += 1
+        return hits
+
+    xsorted = df.sort_values("x").reset_index(drop=True)
+    # single-column layout prunes x-predicates but scans EVERYTHING for
+    # a y-predicate; z-order prunes meaningfully on BOTH dimensions
+    assert chunks_scanned(xsorted, "y", 0.4, 0.45) == 16
+    assert chunks_scanned(zdf, "x", 0.4, 0.45) <= 8
+    assert chunks_scanned(zdf, "y", 0.4, 0.45) <= 8
+    # key is deterministic and sort is total on zval
+    assert (np.diff(zdf["zval"].to_numpy()) >= 0).all()
