@@ -740,6 +740,34 @@ def _q_pmi_collocations(sf_dir: str):
     return text_ops.pmi_collocations(docs, k=50, min_count=5)
 
 
+def _q_profile_drift(sf_dir: str):
+    """Snapshot drift gate: pre-1998 orders vs the 1998+ load — per
+    column null counts, exact distinct cardinality, numeric range and
+    mean, plus the table row-count row.  The nightly publish check;
+    exact distinct here (oracle regime), KMV at 100 TB (documented)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.profile import profile_drift
+
+    orders = _read(
+        sf_dir, "orders",
+        ["o_orderstatus", "o_orderpriority", "o_orderdate", "o_totalprice"],
+    )
+    split = pd.Timestamp("1998-01-01")
+
+    def _before(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["o_orderdate"], pa.scalar(split, pa.timestamp("us"))))
+
+    def _since(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["o_orderdate"], pa.scalar(split, pa.timestamp("us"))))
+
+    out = profile_drift(
+        orders.map_batches(_before, batch_format="pyarrow"),
+        orders.map_batches(_since, batch_format="pyarrow"),
+        num_cols=["o_totalprice"],
+        cat_cols=["o_orderstatus", "o_orderpriority"],
+    )
+    return _round_cols(out, ["old_v", "new_v"], 4)
+
+
 def _q_zorder_orders(sf_dir: str):
     """Z-order layout key over (o_custkey, o_totalprice): linear
     16-bit quantization + Morton bit interleave (`ops/layout.py`) —
@@ -2530,6 +2558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_lookup_link": _q_fuzzy_lookup_link,  # new in r3
         "golden_records": _q_golden_records,  # new in r3
         "zorder_orders": _q_zorder_orders,  # new in r3
+        "profile_drift_orders": _q_profile_drift,  # new in r3
         "grouped_median_price": _q_grouped_median_price,  # new in r3
         "incremental_order_counts": _q_incremental_order_counts,  # new in r3
         "multimodal_resize": _q_multimodal_resize,  # new in r3 (rows-only)
@@ -3112,6 +3141,44 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 50
         """,
         "golden_records": _sql_golden_records(_FIX01),
+        "profile_drift_orders": """
+            WITH o AS (SELECT * FROM orders
+                       WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+                 n AS (SELECT * FROM orders
+                       WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+            SELECT * FROM (
+              SELECT '_table_' AS "column", 'n_rows' AS metric,
+                     (SELECT count(*) FROM o)::DOUBLE AS old_v,
+                     (SELECT count(*) FROM n)::DOUBLE AS new_v
+              UNION ALL SELECT 'o_orderpriority', 'n_distinct',
+                     (SELECT count(DISTINCT o_orderpriority) FROM o)::DOUBLE,
+                     (SELECT count(DISTINCT o_orderpriority) FROM n)::DOUBLE
+              UNION ALL SELECT 'o_orderpriority', 'n_null',
+                     (SELECT count(*) - count(o_orderpriority) FROM o)::DOUBLE,
+                     (SELECT count(*) - count(o_orderpriority) FROM n)::DOUBLE
+              UNION ALL SELECT 'o_orderstatus', 'n_distinct',
+                     (SELECT count(DISTINCT o_orderstatus) FROM o)::DOUBLE,
+                     (SELECT count(DISTINCT o_orderstatus) FROM n)::DOUBLE
+              UNION ALL SELECT 'o_orderstatus', 'n_null',
+                     (SELECT count(*) - count(o_orderstatus) FROM o)::DOUBLE,
+                     (SELECT count(*) - count(o_orderstatus) FROM n)::DOUBLE
+              UNION ALL SELECT 'o_totalprice', 'max',
+                     (SELECT max(o_totalprice) FROM o),
+                     (SELECT max(o_totalprice) FROM n)
+              UNION ALL SELECT 'o_totalprice', 'mean',
+                     (SELECT round(avg(o_totalprice), 4) FROM o),
+                     (SELECT round(avg(o_totalprice), 4) FROM n)
+              UNION ALL SELECT 'o_totalprice', 'min',
+                     (SELECT min(o_totalprice) FROM o),
+                     (SELECT min(o_totalprice) FROM n)
+              UNION ALL SELECT 'o_totalprice', 'n_distinct',
+                     (SELECT count(DISTINCT o_totalprice) FROM o)::DOUBLE,
+                     (SELECT count(DISTINCT o_totalprice) FROM n)::DOUBLE
+              UNION ALL SELECT 'o_totalprice', 'n_null',
+                     (SELECT count(*) - count(o_totalprice) FROM o)::DOUBLE,
+                     (SELECT count(*) - count(o_totalprice) FROM n)::DOUBLE
+            ) ORDER BY "column", metric
+        """,
         "zorder_orders": """
             WITH b AS (
                 SELECT min(o_custkey)::DOUBLE AS xlo,

@@ -151,6 +151,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "fuzzy_lookup_link",
         "golden_records",
         "zorder_orders",
+        "profile_drift_orders",
     ]
     for name in bench_queries:
         t0 = time.time()

@@ -441,3 +441,88 @@ def histogram(
     import ray.data as _rd
 
     return _rd.from_pandas(counts[["bucket", "lo", "hi", "n"]])
+
+
+# ---------------------------------------------------------------------------
+# snapshot profile drift (data-quality gate between table versions)
+# ---------------------------------------------------------------------------
+
+def _snapshot_stats(
+    ds: "ray.data.Dataset",
+    num_cols: "list[str]",
+    cat_cols: "list[str]",
+) -> dict:
+    """One profile snapshot: n_rows; per column n_null + exact
+    n_distinct; per numeric column min/max/mean.
+
+    Numeric moments ride ``Dataset.aggregate`` on-column (one combiner
+    pass); distinct counts go through the dedup combiner ONCE per
+    column — exact, the regime the SQL oracle checks.  At 100 TB swap
+    the distinct pass for the KMV sketch (`ops/sketch.kmv_distinct`)
+    and the oracle for a tolerance check — the drift OUTPUT shape is
+    unchanged, which is what downstream gates key on."""
+    from ray.data.aggregate import Count, Max, Mean, Min
+
+    from .relational import dedupe_by_key
+
+    ds = ds.materialize()
+    n_rows = ds.count()
+    out = {"n_rows": n_rows, "cols": {}}
+    aggs = []
+    for c in num_cols:
+        aggs += [Count(c, alias_name=f"cnt_{c}"), Min(c, alias_name=f"min_{c}"),
+                 Max(c, alias_name=f"max_{c}"), Mean(c, alias_name=f"mean_{c}")]
+    for c in cat_cols:
+        aggs += [Count(c, alias_name=f"cnt_{c}")]
+    agg = ds.aggregate(*aggs)
+    for c in num_cols + cat_cols:
+        st = {
+            "n_null": n_rows - int(agg[f"cnt_{c}"]),
+            "n_distinct": dedupe_by_key(
+                ds.select_columns([c]), [c]
+            ).count(),
+        }
+        if c in num_cols:
+            st["min"] = float(agg[f"min_{c}"])
+            st["max"] = float(agg[f"max_{c}"])
+            st["mean"] = float(agg[f"mean_{c}"])
+        out["cols"][c] = st
+    return out
+
+
+def profile_drift(
+    old_ds: "ray.data.Dataset",
+    new_ds: "ray.data.Dataset",
+    num_cols: "list[str]",
+    cat_cols: "list[str]",
+) -> "ray.data.Dataset":
+    """Column-level drift report between two table snapshots — the
+    data-quality gate a nightly load runs before publishing (schema
+    drift, null-rate spikes, cardinality collapse, range shifts).
+
+    Output: one row per (column, metric) with ``old_v`` / ``new_v``
+    (float64): metrics ``n_null`` / ``n_distinct`` for every column
+    plus ``min`` / ``max`` / ``mean`` for numeric ones, and one
+    ``(_table_, n_rows)`` row.  Sorted by (column, metric)."""
+    import ray.data as _rd
+
+    old = _snapshot_stats(old_ds, num_cols, cat_cols)
+    new = _snapshot_stats(new_ds, num_cols, cat_cols)
+    rows = [
+        {"column": "_table_", "metric": "n_rows",
+         "old_v": float(old["n_rows"]), "new_v": float(new["n_rows"])}
+    ]
+    for c in sorted(num_cols + cat_cols):
+        for metric in sorted(old["cols"][c]):
+            rows.append(
+                {
+                    "column": c,
+                    "metric": metric,
+                    "old_v": float(old["cols"][c][metric]),
+                    "new_v": float(new["cols"][c][metric]),
+                }
+            )
+    df = pd.DataFrame(rows).sort_values(
+        ["column", "metric"], kind="mergesort"
+    ).reset_index(drop=True)
+    return _rd.from_pandas(df)
