@@ -456,15 +456,18 @@ def _snapshot_stats(
     n_distinct; per numeric column min/max/mean.
 
     Numeric moments ride ``Dataset.aggregate`` on-column (one combiner
-    pass); distinct counts go through the dedup combiner ONCE per
-    column — exact, the regime the SQL oracle checks.  At 100 TB swap
-    the distinct pass for the KMV sketch (`ops/sketch.kmv_distinct`)
-    and the oracle for a tolerance check — the drift OUTPUT shape is
-    unchanged, which is what downstream gates key on."""
+    pass); distinct counts for ALL columns share ONE long-form
+    (col, value) dedup-combiner exchange (str() of a float64 is its
+    shortest unique repr, so stringified distinctness is exact) — one
+    shuffle instead of one per column.  At 100 TB swap the distinct
+    pass for the KMV sketch (`ops/sketch.kmv_distinct`) and the oracle
+    for a tolerance check — the drift OUTPUT shape is unchanged, which
+    is what downstream gates key on."""
     from ray.data.aggregate import Count, Max, Mean, Min
 
-    from .relational import dedupe_by_key
+    from .relational import dedupe_by_key, grouped_aggregate
 
+    all_cols = list(num_cols) + list(cat_cols)
     ds = ds.materialize()
     n_rows = ds.count()
     out = {"n_rows": n_rows, "cols": {}}
@@ -475,12 +478,28 @@ def _snapshot_stats(
     for c in cat_cols:
         aggs += [Count(c, alias_name=f"cnt_{c}")]
     agg = ds.aggregate(*aggs)
-    for c in num_cols + cat_cols:
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        frames = [
+            pd.DataFrame(
+                {"col": c,
+                 "val": df[c].dropna().unique().astype(str)}
+            )
+            for c in all_cols
+        ]
+        return pd.concat(frames, ignore_index=True)
+
+    counts = grouped_aggregate(
+        dedupe_by_key(
+            ds.map_batches(_pairs, batch_format="pandas"), ["col", "val"]
+        ),
+        ["col"],
+        [("count_star", None, "n")],
+    ).to_pandas().set_index("col")["n"]
+    for c in all_cols:
         st = {
             "n_null": n_rows - int(agg[f"cnt_{c}"]),
-            "n_distinct": dedupe_by_key(
-                ds.select_columns([c]), [c]
-            ).count(),
+            "n_distinct": int(counts.get(c, 0)),
         }
         if c in num_cols:
             st["min"] = float(agg[f"min_{c}"])
