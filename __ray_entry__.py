@@ -740,6 +740,18 @@ def _q_pmi_collocations(sf_dir: str):
     return text_ops.pmi_collocations(docs, k=50, min_count=5)
 
 
+def _q_discretize_prices(sf_dir: str):
+    """Equal-frequency 4-bin discretization of lineitem prices at the
+    exact quartile cuts (grid >= rows regime) — one sketch pass + one
+    stateless assign, zero shuffle."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.sketch import discretize
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"]
+    )
+    return discretize(li, "l_extendedprice", n_bins=4, grid=1_000_000)
+
+
 def _q_profile_drift(sf_dir: str):
     """Snapshot drift gate: pre-1998 orders vs the 1998+ load — per
     column null counts, exact distinct cardinality, numeric range and
@@ -2559,6 +2571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "golden_records": _q_golden_records,  # new in r3
         "zorder_orders": _q_zorder_orders,  # new in r3
         "profile_drift_orders": _q_profile_drift,  # new in r3
+        "discretize_prices": _q_discretize_prices,  # new in r3
         "grouped_median_price": _q_grouped_median_price,  # new in r3
         "incremental_order_counts": _q_incremental_order_counts,  # new in r3
         "multimodal_resize": _q_multimodal_resize,  # new in r3 (rows-only)
@@ -3141,6 +3154,19 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 50
         """,
         "golden_records": _sql_golden_records(_FIX01),
+        "discretize_prices": """
+            WITH c AS (
+                SELECT quantile_cont(l_extendedprice, 0.25) AS v FROM lineitem
+                UNION ALL
+                SELECT quantile_cont(l_extendedprice, 0.5) FROM lineitem
+                UNION ALL
+                SELECT quantile_cont(l_extendedprice, 0.75) FROM lineitem
+            )
+            SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+                   CAST((SELECT count(*) FROM c WHERE c.v <= l.l_extendedprice)
+                        AS BIGINT) AS l_extendedprice_bin
+            FROM lineitem l
+        """,
         "profile_drift_orders": """
             WITH o AS (SELECT * FROM orders
                        WHERE o_orderdate < TIMESTAMP '1998-01-01'),

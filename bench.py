@@ -152,6 +152,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "golden_records",
         "zorder_orders",
         "profile_drift_orders",
+        "discretize_prices",
     ]
     for name in bench_queries:
         t0 = time.time()

@@ -631,6 +631,36 @@ def grouped_quantile(
     )
 
 
+def discretize(
+    ds: "ray.data.Dataset",
+    col: str,
+    n_bins: int = 4,
+    out_col: str | None = None,
+    grid: int = 256,
+) -> "ray.data.Dataset":
+    """Equal-frequency (quantile) discretization: bucket ``col`` into
+    ``n_bins`` bins at the 1/n … (n−1)/n quantile cut points — the
+    leakage-free numeric binning feature pipelines use where equal-
+    width bins collapse under skew (`profile.histogram` is the
+    equal-width sibling).
+
+    One :func:`quantile_sketch` pass fixes the n−1 cuts, one stateless
+    map assigns ``bin = #cuts ≤ x`` (``searchsorted(..., 'right')``,
+    int64 in [0, n_bins−1]) — the data never shuffles.  Exact cuts in
+    the grid ≥ block rows regime (the oracle-checked one)."""
+    out_col = out_col or f"{col}_bin"
+    qs = [i / n_bins for i in range(1, n_bins)]
+    cuts = np.asarray(quantile_sketch(ds, col, qs, grid=grid), np.float64)
+
+    def _assign(batch: pd.DataFrame) -> pd.DataFrame:
+        batch[out_col] = np.searchsorted(
+            cuts, batch[col].to_numpy(np.float64), side="right"
+        ).astype(np.int64)
+        return batch
+
+    return ds.map_batches(_assign, batch_format="pandas")
+
+
 def robust_scale(
     ds: "ray.data.Dataset",
     col: str,
@@ -680,6 +710,8 @@ __all__ = [
     "quantile_oracle_sql",
     "winsorize",
     "robust_scale",
+    "discretize",
+    "grouped_quantile",
     "build_bloom",
     "bloom_semi_join",
     "heavy_hitter_candidates",

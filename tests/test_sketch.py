@@ -262,3 +262,21 @@ def test_incremental_aggregate_min_max_sum(ray_session):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="foldable"):
         incremental_aggregate(prior, prior, ["k"], [("mean", "v", "m")])
+
+
+def test_discretize_equal_frequency(ray_session):
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.sketch import discretize
+
+    rng = np.random.default_rng(2)
+    # heavy skew: equal-width binning would put ~everything in bin 0
+    df = pd.DataFrame({"x": np.exp(rng.normal(0, 2, 2000))})
+    out = discretize(
+        ray.data.from_pandas(df).repartition(4), "x", n_bins=4,
+        grid=1_000_000,
+    ).to_pandas()
+    counts = out["x_bin"].value_counts().sort_index()
+    assert list(counts.index) == [0, 1, 2, 3]
+    # quartile cuts ⇒ near-equal occupancy (exact up to cut ties)
+    assert counts.max() - counts.min() <= 2
+    # bin order respects value order
+    assert out.sort_values("x")["x_bin"].is_monotonic_increasing
