@@ -1058,6 +1058,49 @@ def _q_orders_upsert(sf_dir: str):
     return rel.merge_upsert(orders, updates, on="o_orderkey")
 
 
+def _q_scd2_customers(sf_dir: str):
+    """SCD-2 MERGE (`ops/scd.py`): a CDC delta folds into a
+    type-2 customer dimension without rewriting history — changed
+    attrs close the open version at the effective ts and append a new
+    open one; unchanged delta rows are no-ops; unseen keys append.
+    The delta (every 3rd customer re-segmented when even, plus synth
+    new +10M keys for every 10th) is derived deterministically from
+    the customer table so the oracle can re-build it in SQL.  The
+    dimension streams through ONE closing map — no shuffle."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import scd
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+
+    def _dim(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["valid_from"] = pd.Series(
+            pd.Timestamp("1995-01-01"), index=df.index
+        ).astype("datetime64[us]")
+        df["valid_to"] = pd.Series(
+            pd.NaT, index=df.index, dtype="datetime64[us]"
+        )
+        return df
+
+    current = cust.map_batches(_dim, batch_format="pandas")
+
+    def _delta(df: pd.DataFrame) -> pd.DataFrame:
+        d1 = df[df.c_custkey % 3 == 0].copy()
+        d1.loc[d1.c_custkey % 2 == 0, "c_mktsegment"] = "RESEGMENTED"
+        d2 = df[df.c_custkey % 10 == 0].copy()
+        d2["c_custkey"] = d2["c_custkey"] + 10_000_000
+        d2["c_mktsegment"] = "NEWSEG"
+        out = pd.concat([d1, d2], ignore_index=True)
+        out["eff"] = pd.Series(
+            pd.Timestamp("1998-06-01"), index=out.index
+        ).astype("datetime64[us]")
+        return out
+
+    delta = cust.map_batches(_delta, batch_format="pandas")
+    return scd.scd2_apply(
+        current, delta, key="c_custkey", attrs=["c_name", "c_mktsegment"]
+    )
+
+
 def _q_skew_join_lineitem(sf_dir: str):
     """Skew-aware lineitem⋈orders: the top-64 hottest order keys (≥ 5
     lineitems — forced low so the fixture exercises BOTH streams) skip
@@ -2578,6 +2621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": _q_cohort_retention,  # new in r3
         "robust_scale_prices": _q_robust_scale_prices,  # new in r3
         "orders_upsert": _q_orders_upsert,  # new in r3
+        "scd2_customers": _q_scd2_customers,  # new in r3
         "skew_join_lineitem": _q_skew_join_lineitem,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
@@ -3348,6 +3392,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                    o_orderdate, o_orderpriority
             FROM orders WHERE o_orderstatus <> 'P'
+        """,
+        "scd2_customers": """
+            -- SCD-2 fold: base rows (changed keys close at the
+            -- effective ts), + new open versions for changed keys,
+            -- + new open rows for the synthesized +10M keys.
+            -- changed == (c_custkey % 6 = 0): the delta touches every
+            -- 3rd key but only re-segments the even ones.
+            SELECT c_custkey, c_name, c_mktsegment,
+                   TIMESTAMP '1995-01-01' AS valid_from,
+                   CASE WHEN c_custkey % 6 = 0
+                        THEN TIMESTAMP '1998-06-01' END AS valid_to
+            FROM customer
+            UNION ALL
+            SELECT c_custkey, c_name, 'RESEGMENTED',
+                   TIMESTAMP '1998-06-01', NULL
+            FROM customer WHERE c_custkey % 6 = 0
+            UNION ALL
+            SELECT c_custkey + 10000000, c_name, 'NEWSEG',
+                   TIMESTAMP '1998-06-01', NULL
+            FROM customer WHERE c_custkey % 10 = 0
         """,
         "skew_join_lineitem": """
             SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,

@@ -141,6 +141,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "knn_quantized_top10",
         "heavy_hitter_bigrams",
         "orders_upsert",
+        "scd2_customers",
         "skew_join_lineitem",
         "inverted_index_docs",
         "event_funnel",
