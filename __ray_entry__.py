@@ -1101,6 +1101,60 @@ def _q_scd2_customers(sf_dir: str):
     )
 
 
+def _q_orders_diff(sf_dir: str):
+    """CDC snapshot diff (`relational.table_diff`): recover the delta
+    between two full-refresh versions of the orders table.  v2 is
+    derived deterministically from v1 — every 13th key deleted, open
+    ('P') orders repriced +10, every 17th key cloned to a fresh +20M
+    key — so the oracle can re-derive the classification in SQL.
+    Compared columns only cross the one shared key-hash exchange;
+    output is O(|delta|)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import relational as rel
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    v1 = _read(sf_dir, "orders", cols)
+
+    def _v2(df: pd.DataFrame) -> pd.DataFrame:
+        kept = df[df.o_orderkey % 13 != 0].copy()
+        kept.loc[kept.o_orderstatus == "P", "o_totalprice"] += 10.0
+        added = df[df.o_orderkey % 17 == 0].copy()
+        added["o_orderkey"] = added["o_orderkey"] + 20_000_000
+        return pd.concat([kept, added], ignore_index=True)
+
+    v2 = _read(sf_dir, "orders", cols).map_batches(_v2, batch_format="pandas")
+    return rel.table_diff(
+        v1, v2, key="o_orderkey",
+        compare_cols=["o_orderstatus", "o_totalprice"],
+    )
+
+
+def _q_customer_components(sf_dir: str):
+    """Generic connected components (`ops/graph.py` — the ER
+    transitive-clustering machinery exposed for arbitrary edge
+    tables): a planted identity graph over customer keys (chains of
+    ~7 broken at multiples of 7, cross-linked every 50th key to key
+    +350) labels every node with its component's minimum id.  The
+    oracle re-derives the labels with a recursive min-label CTE —
+    arbitrary graph structure, no arithmetic shortcut."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import graph
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def _edges(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["c_custkey"].to_numpy()
+        a = c[c % 7 != 0]
+        b = c[c % 50 == 0]
+        return pd.DataFrame(
+            {
+                "src": np.concatenate([a, b]),
+                "dst": np.concatenate([a + 1, b + 350]),
+            }
+        )
+
+    edges = cust.map_batches(_edges, batch_format="pandas")
+    return graph.connected_components(edges)
+
+
 def _q_skew_join_lineitem(sf_dir: str):
     """Skew-aware lineitem⋈orders: the top-64 hottest order keys (≥ 5
     lineitems — forced low so the fixture exercises BOTH streams) skip
@@ -2622,6 +2676,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robust_scale_prices": _q_robust_scale_prices,  # new in r3
         "orders_upsert": _q_orders_upsert,  # new in r3
         "scd2_customers": _q_scd2_customers,  # new in r3
+        "orders_diff": _q_orders_diff,  # new in r3
+        "customer_components": _q_customer_components,  # new in r3
         "skew_join_lineitem": _q_skew_join_lineitem,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
@@ -3412,6 +3468,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey + 10000000, c_name, 'NEWSEG',
                    TIMESTAMP '1998-06-01', NULL
             FROM customer WHERE c_custkey % 10 = 0
+        """,
+        "orders_diff": """
+            -- the planted v1→v2 delta, re-derived: %13 keys removed,
+            -- surviving open ('P') orders repriced (o_totalprice
+            -- changed), %17 keys cloned to fresh +20M keys (added)
+            SELECT o_orderkey, 'removed' AS change, '' AS changed_cols
+            FROM orders WHERE o_orderkey % 13 = 0
+            UNION ALL
+            SELECT o_orderkey, 'changed', 'o_totalprice'
+            FROM orders
+            WHERE o_orderstatus = 'P' AND o_orderkey % 13 <> 0
+            UNION ALL
+            SELECT o_orderkey + 20000000, 'added', ''
+            FROM orders WHERE o_orderkey % 17 = 0
+        """,
+        "customer_components": """
+            WITH RECURSIVE e AS (
+                SELECT c_custkey AS src, c_custkey + 1 AS dst
+                FROM customer WHERE c_custkey % 7 <> 0
+                UNION ALL
+                SELECT c_custkey, c_custkey + 350
+                FROM customer WHERE c_custkey % 50 = 0
+            ), sym AS (
+                SELECT src, dst FROM e UNION SELECT dst, src FROM e
+            ), reach(node, label) AS (
+                SELECT src, src FROM sym
+                UNION
+                SELECT s.dst, r.label
+                FROM reach r JOIN sym s ON s.src = r.node
+            )
+            SELECT node, min(label) AS component FROM reach GROUP BY node
         """,
         "skew_join_lineitem": """
             SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,

@@ -142,6 +142,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "heavy_hitter_bigrams",
         "orders_upsert",
         "scd2_customers",
+        "orders_diff",
+        "customer_components",
         "skew_join_lineitem",
         "inverted_index_docs",
         "event_funnel",

@@ -1341,3 +1341,81 @@ def incremental_aggregate(
         d_agg.map_batches(_pd, batch_format="pandas")
     )
     return grouped_aggregate(both, keys, combine_specs, partitions)
+
+
+def table_diff(
+    old: "ray.data.Dataset",
+    new: "ray.data.Dataset",
+    key: str,
+    compare_cols: Sequence[str],
+    partitions: int = 32,
+) -> "ray.data.Dataset":
+    """CDC diff between two versions of a key-unique table: one row per
+    DIFFERING key — ``change`` ∈ {added, removed, changed} plus the
+    comma-joined names of the columns that changed (empty for
+    added/removed).  The reverse of :func:`merge_upsert` /
+    `scd.scd2_apply`: those APPLY a delta, this RECOVERS the delta two
+    full-refresh snapshots imply (the reference only ever has the
+    snapshots, `lambda/process_segment_results/index.py:84-107`).
+
+    Plan: each side projects to ``key`` + ``compare_cols`` + a 1-byte
+    side tag — payload columns outside the compare set never leave the
+    scan — then ONE shared hash exchange on the key's hash co-locates
+    the ≤ 2 rows per key, and a vectorized per-partition merge
+    classifies.  Output is O(|delta|), not O(|table|).
+    """
+    compare_cols = list(compare_cols)
+    cols = [key] + compare_cols
+
+    def _tag(side: int):
+        def _fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[cols].copy()
+            df["_side"] = np.int8(side)
+            df["_part"] = (
+                pd.util.hash_pandas_object(df[key], index=False).to_numpy()
+                % partitions
+            ).astype("int32")
+            return df
+
+        return _fn
+
+    both = old.map_batches(_tag(0), batch_format="pandas").union(
+        new.map_batches(_tag(1), batch_format="pandas")
+    )
+
+    def _classify(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["_side"] == 0]
+        b = g[g["_side"] == 1]
+        if a[key].duplicated().any() or b[key].duplicated().any():
+            raise ValueError("table_diff requires key-unique sides")
+        m = a.merge(b, on=key, how="outer", suffixes=("_old", "_new"),
+                    indicator=True)
+        added = m["_merge"].eq("right_only").to_numpy()
+        removed = m["_merge"].eq("left_only").to_numpy()
+        names = np.full(len(m), "", dtype=object)
+        any_diff = np.zeros(len(m), bool)
+        in_both = m["_merge"].eq("both").to_numpy()
+        for c in compare_cols:
+            o, n = m[f"{c}_old"], m[f"{c}_new"]
+            d = in_both & ~((o == n) | (o.isna() & n.isna())).to_numpy()
+            names = np.where(d, names + (c + ","), names)
+            any_diff |= d
+        out = pd.DataFrame(
+            {
+                key: m[key],
+                "change": np.select(
+                    [added, removed, any_diff],
+                    ["added", "removed", "changed"],
+                    default="",
+                ),
+                "changed_cols": pd.Series(names, index=m.index)
+                .str.rstrip(",")
+                .to_numpy(object),
+            }
+        )
+        return out[out["change"] != ""]
+
+    return both.groupby("_part").map_groups(_classify, batch_format="pandas")
+
+
+__all__.append("table_diff")

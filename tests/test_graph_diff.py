@@ -1,0 +1,110 @@
+"""Generic graph CC (`ops/graph.py`) and CDC snapshot diff
+(`relational.table_diff`): planted structure + forced-path equality."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+import ray.data
+
+from sample_c360_text2sql_segmentation_entityresolution_ray.ops.graph import (
+    component_sizes,
+    connected_components,
+)
+from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
+    table_diff,
+)
+
+
+def _labels(ds):
+    return (
+        ds.to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+        .astype({"node": "int64", "component": "int64"})
+    )
+
+
+def test_cc_planted_components(ray_session):
+    # {1,2,3} triangle, {4,5} pair (reversed direction + dup edge),
+    # {9} self-loop singleton
+    e = pd.DataFrame(
+        {"src": [1, 2, 3, 5, 5, 9], "dst": [2, 3, 1, 4, 4, 9]}
+    )
+    out = _labels(connected_components(ray.data.from_pandas(e)))
+    want = pd.DataFrame(
+        {"node": [1, 2, 3, 4, 5, 9], "component": [1, 1, 1, 4, 4, 9]}
+    )
+    pd.testing.assert_frame_equal(out, want)
+    sizes = (
+        component_sizes(connected_components(ray.data.from_pandas(e)))
+        .to_pandas()
+        .sort_values("component")
+        .reset_index(drop=True)
+    )
+    assert sizes["n_nodes"].tolist() == [3, 2, 1]
+
+
+def test_cc_distributed_path_equals_local(ray_session):
+    # small-diameter random-ish graph: 60 nodes, ring of 20 + spokes
+    rng = np.random.RandomState(7)
+    ring = pd.DataFrame({"src": np.arange(20), "dst": (np.arange(20) + 1) % 20})
+    spokes = pd.DataFrame(
+        {"src": rng.randint(0, 20, 40), "dst": np.arange(100, 140)}
+    )
+    e = pd.concat([ring, spokes], ignore_index=True)
+    ds = ray.data.from_pandas(e)
+    local = _labels(connected_components(ds))
+    dist = _labels(connected_components(ds, local_max_edges=0))
+    pd.testing.assert_frame_equal(local, dist)
+
+
+def test_table_diff_classification(ray_session):
+    old = pd.DataFrame(
+        {"k": [1, 2, 3, 4], "x": [10, 20, 30, 40], "y": ["a", "b", "c", "d"]}
+    )
+    new = pd.DataFrame(
+        # 1 unchanged; 2 changes x; 3 changes both; 4 removed; 5 added
+        {"k": [1, 2, 3, 5], "x": [10, 99, 31, 50], "y": ["a", "b", "C", "e"]}
+    )
+    out = (
+        table_diff(
+            ray.data.from_pandas(old), ray.data.from_pandas(new),
+            key="k", compare_cols=["x", "y"],
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+        .astype({"k": "int64"})
+    )
+    want = pd.DataFrame(
+        {
+            "k": [2, 3, 4, 5],
+            "change": ["changed", "changed", "removed", "added"],
+            "changed_cols": ["x", "x,y", "", ""],
+        }
+    )
+    pd.testing.assert_frame_equal(out, want)
+
+
+def test_table_diff_nan_safe_and_unique_guard(ray_session):
+    old = pd.DataFrame({"k": [1, 2], "x": [np.nan, 1.0]})
+    new = pd.DataFrame({"k": [1, 2], "x": [np.nan, np.nan]})
+    out = (
+        table_diff(
+            ray.data.from_pandas(old), ray.data.from_pandas(new),
+            key="k", compare_cols=["x"],
+        )
+        .to_pandas()
+    )
+    # NaN == NaN counts as unchanged; 1.0 -> NaN is a change
+    assert out["k"].tolist() == [2] and out["change"].tolist() == ["changed"]
+    dup = pd.DataFrame({"k": [1, 1], "x": [1.0, 2.0]})
+    with pytest.raises(Exception, match="key-unique"):
+        table_diff(
+            ray.data.from_pandas(dup), ray.data.from_pandas(new),
+            key="k", compare_cols=["x"],
+        ).materialize()
