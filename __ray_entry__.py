@@ -1155,6 +1155,139 @@ def _q_customer_components(sf_dir: str):
     return graph.connected_components(edges)
 
 
+def _q_validate_orders(sf_dir: str):
+    """Declarative data-quality gate (`ops/validate.py`): six
+    constraint rules over orders — null / unique / range / set /
+    regex / referential integrity — reduced to a (rule, n_violations)
+    census.  Row-local rules share ONE streaming pass; `unique` ships
+    a slim key census through the combiner shuffle; `ref` counts
+    anti-join survivors against the customer dimension (broadcast
+    switch).  range/in_set/regex are tightened so the fixture yields
+    non-zero counts the oracle value-hashes."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import validate
+
+    orders = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderstatus",
+         "o_totalprice", "o_orderpriority"],
+    )
+    customer = _read(sf_dir, "customer", ["c_custkey"])
+    return validate.validate_table(
+        orders,
+        [
+            ("not_null", "o_custkey"),
+            ("unique", "o_orderkey"),
+            ("range", "o_totalprice", 0.0, 200_000.0),
+            ("in_set", "o_orderstatus", ("O", "F")),
+            ("regex", "o_orderpriority", "^[1-3]-"),
+            ("ref", "o_custkey", customer, "c_custkey"),
+        ],
+    )
+
+
+def _q_orders_status_pivot(sf_dir: str):
+    """Pivot, long → wide (`ops/reshape.py`): revenue by priority ×
+    status as one row per priority with a column per status.  Each
+    batch pre-aggregates to the wide partial, so the shuffle ships
+    ≤ #priorities rows per block; the status domain is declared, not
+    discovered.  Missing combos aggregate to 0 (the coalesce the
+    oracle mirrors)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import reshape
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    )
+    wide = reshape.pivot(
+        orders,
+        index=["o_orderpriority"],
+        pivot_col="o_orderstatus",
+        value_col="o_totalprice",
+        values=["O", "F", "P"],
+    )
+    return _round_cols(
+        wide, ["o_orderstatus_O", "o_orderstatus_F", "o_orderstatus_P"], 4
+    )
+
+
+def _q_pivot_roundtrip_orders(sf_dir: str):
+    """Unpivot, wide → long (`ops/reshape.py`): melting the pivoted
+    revenue table back yields the plain two-key grouped aggregate —
+    which is exactly what the oracle computes (complete combo grid,
+    coalesce-0).  Unpivot itself is a stateless per-batch melt."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import reshape
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    )
+    wide = reshape.pivot(
+        orders,
+        index=["o_orderpriority"],
+        pivot_col="o_orderstatus",
+        value_col="o_totalprice",
+        values=["O", "F", "P"],
+    )
+    long = reshape.unpivot(
+        wide,
+        id_cols=["o_orderpriority"],
+        value_cols=["o_orderstatus_O", "o_orderstatus_F", "o_orderstatus_P"],
+        var_name="status",
+        value_name="revenue",
+    )
+    return _round_cols(long, ["revenue"], 4)
+
+
+def _q_revenue_by_nation(sf_dir: str):
+    """Star-schema rollup: orders ⋈ customer ⋈ nation ⋈ region →
+    revenue per (region, nation).  The textbook plan: the dimension
+    CHAIN collapses first (customer⋈nation⋈region — all
+    footer-measured broadcast joins), then the fact stream takes ONE
+    broadcast probe and pre-aggregates through the combiner shuffle.
+    The orders table never hash-exchanges."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import relational as rel
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+    dim = rel.auto_join(
+        cust, nat, on=("c_nationkey",), right_on=("n_nationkey",),
+        left_rows=_table_rows(sf_dir, "customer"),
+        right_rows=_table_rows(sf_dir, "nation"),
+    )
+    dim = rel.auto_join(
+        dim, reg, on=("n_regionkey",), right_on=("r_regionkey",),
+        right_rows=_table_rows(sf_dir, "region"),
+    )
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    fact = rel.auto_join(
+        orders, dim, on=("o_custkey",), right_on=("c_custkey",),
+        left_rows=_table_rows(sf_dir, "orders"),
+        right_rows=_table_rows(sf_dir, "customer"),
+    )
+    agg = rel.grouped_aggregate(
+        fact,
+        ["r_name", "n_name"],
+        [("sum", "o_totalprice", "revenue"),
+         ("count", "o_totalprice", "n_orders")],
+    )
+    return _round_cols(agg, ["revenue"], 4)
+
+
+def _q_price_iqr_outliers(sf_dir: str):
+    """Tukey-fence outliers (`sketch.iqr_outliers`): order totals
+    outside [q1 − 0.4·IQR, q3 + 0.4·IQR] — k forced to 0.4 because
+    the fixture's near-uniform bulk puts the classic 1.5 fence (and
+    anything ≥ 0.5) beyond min/max, i.e. zero rows; 0.4 exposes the
+    thin single-cheap-lineitem tail at every sf.  One quantile-sketch
+    pass fixes the fences, one Arrow-native streaming filter; the
+    data never shuffles."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.sketch import (
+        iqr_outliers,
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return iqr_outliers(orders, "o_totalprice", k=0.4, grid=1_000_000)
+
+
 def _q_skew_join_lineitem(sf_dir: str):
     """Skew-aware lineitem⋈orders: the top-64 hottest order keys (≥ 5
     lineitems — forced low so the fixture exercises BOTH streams) skip
@@ -2678,6 +2811,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_customers": _q_scd2_customers,  # new in r3
         "orders_diff": _q_orders_diff,  # new in r3
         "customer_components": _q_customer_components,  # new in r3
+        "validate_orders": _q_validate_orders,  # new in r3
+        "orders_status_pivot": _q_orders_status_pivot,  # new in r3
+        "pivot_roundtrip_orders": _q_pivot_roundtrip_orders,  # new in r3
+        "revenue_by_nation": _q_revenue_by_nation,  # new in r3
+        "price_iqr_outliers": _q_price_iqr_outliers,  # new in r3
         "skew_join_lineitem": _q_skew_join_lineitem,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
@@ -3482,6 +3620,81 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT o_orderkey + 20000000, 'added', ''
             FROM orders WHERE o_orderkey % 17 = 0
+        """,
+        "orders_status_pivot": """
+            SELECT o_orderpriority,
+                   round(coalesce(sum(o_totalprice)
+                       FILTER (WHERE o_orderstatus = 'O'), 0), 4)
+                       AS o_orderstatus_O,
+                   round(coalesce(sum(o_totalprice)
+                       FILTER (WHERE o_orderstatus = 'F'), 0), 4)
+                       AS o_orderstatus_F,
+                   round(coalesce(sum(o_totalprice)
+                       FILTER (WHERE o_orderstatus = 'P'), 0), 4)
+                       AS o_orderstatus_P
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "pivot_roundtrip_orders": """
+            -- complete priority x status grid with coalesce-0: the
+            -- melt of the wide pivot keeps every declared status cell
+            SELECT p.o_orderpriority,
+                   'o_orderstatus_' || s.st AS status,
+                   round(coalesce(sum(o.o_totalprice), 0), 4) AS revenue
+            FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+            CROSS JOIN (VALUES ('O'), ('F'), ('P')) s(st)
+            LEFT JOIN orders o
+              ON o.o_orderpriority = p.o_orderpriority
+             AND o.o_orderstatus = s.st
+            GROUP BY 1, 2
+        """,
+        "revenue_by_nation": """
+            SELECT r_name, n_name,
+                   round(sum(o_totalprice), 4) AS revenue,
+                   count(o_totalprice) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "price_iqr_outliers": """
+            WITH q AS (
+                SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+                       quantile_cont(o_totalprice, 0.75) AS q3
+                FROM orders
+            )
+            SELECT o_orderkey, o_totalprice
+            FROM orders, q
+            WHERE o_totalprice < q1 - 0.4 * (q3 - q1)
+               OR o_totalprice > q3 + 0.4 * (q3 - q1)
+        """,
+        "validate_orders": """
+            SELECT 'not_null(o_custkey)' AS rule,
+                   count(*) FILTER (WHERE o_custkey IS NULL)
+                       AS n_violations
+            FROM orders
+            UNION ALL
+            SELECT 'unique(o_orderkey)',
+                   count(*) - count(DISTINCT o_orderkey) FROM orders
+            UNION ALL
+            SELECT 'range(o_totalprice)',
+                   count(*) FILTER (WHERE o_totalprice < 0
+                                       OR o_totalprice > 200000)
+            FROM orders
+            UNION ALL
+            SELECT 'in_set(o_orderstatus)',
+                   count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F'))
+            FROM orders
+            UNION ALL
+            SELECT 'regex(o_orderpriority)',
+                   count(*) FILTER (
+                       WHERE NOT regexp_matches(o_orderpriority, '^[1-3]-'))
+            FROM orders
+            UNION ALL
+            SELECT 'ref(o_custkey)',
+                   (SELECT count(*) FROM orders o
+                    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+                    WHERE c.c_custkey IS NULL)
         """,
         "customer_components": """
             WITH RECURSIVE e AS (

@@ -144,6 +144,10 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "scd2_customers",
         "orders_diff",
         "customer_components",
+        "validate_orders",
+        "orders_status_pivot",
+        "revenue_by_nation",
+        "price_iqr_outliers",
         "skew_join_lineitem",
         "inverted_index_docs",
         "event_funnel",

@@ -717,3 +717,34 @@ __all__ = [
     "heavy_hitter_candidates",
     "heavy_hitters_topk",
 ]
+
+
+def iqr_outliers(
+    ds: "ray.data.Dataset",
+    col: str,
+    k: float = 1.5,
+    grid: int = 256,
+) -> "ray.data.Dataset":
+    """Tukey-fence outlier filter: keep rows where ``col`` falls
+    outside ``[q1 − k·IQR, q3 + k·IQR]`` (k = 1.5 is the classic
+    fence; smaller k tightens it).  One :func:`quantile_sketch` pass
+    fixes the two scalars, then ONE stateless streaming filter — the
+    data never shuffles.  Exact quantiles when ``grid`` ≥ block rows;
+    on a fixed production grid the fence moves by ≤ ~1/grid rank."""
+    import pyarrow as pa  # noqa: F401 — batch type
+    import pyarrow.compute as pc
+
+    q1, q3 = quantile_sketch(ds, col, [0.25, 0.75], grid=grid)
+    iqr = q3 - q1
+    lo, hi = q1 - k * iqr, q3 + k * iqr
+
+    def _flag(batch):
+        v = batch[col]
+        return batch.filter(
+            pc.or_(pc.less(v, lo), pc.greater(v, hi))
+        )
+
+    return ds.map_batches(_flag, batch_format="pyarrow")
+
+
+__all__.append("iqr_outliers")
