@@ -1288,6 +1288,46 @@ def _q_price_iqr_outliers(sf_dir: str):
     return iqr_outliers(orders, "o_totalprice", k=0.4, grid=1_000_000)
 
 
+def _q_priority_distinct_custs(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT) (`relational.grouped_count_distinct`):
+    distinct ordering customers per priority band.  Two combiner
+    shuffles of slim (priority, custkey) pairs — a hot customer costs
+    one partial row per block, never a row per order."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import relational as rel
+
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_custkey"])
+    return rel.grouped_count_distinct(
+        orders, ["o_orderpriority"], "o_custkey", out_col="n_custs"
+    )
+
+
+def _q_events_daily_filled(sf_dir: str):
+    """Calendar gap-fill (`analytics.fill_date_gaps`): per-user daily
+    event counts densified so every day between a user's first and
+    last activity has a row (0 on silent days) — the dense series a
+    per-user forecasting feature needs.  One slim key-hash exchange;
+    the fill cost is the output size."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import analytics
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import relational as rel
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _days(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "day": df["ts"].dt.strftime("%Y-%m-%d"),
+            }
+        )
+
+    daily = rel.grouped_aggregate(
+        ev.map_batches(_days, batch_format="pandas"),
+        ["user_id", "day"],
+        [("count", "day", "n_events")],
+    )
+    return analytics.fill_date_gaps(daily, "user_id", "day", ["n_events"])
+
+
 def _q_skew_join_lineitem(sf_dir: str):
     """Skew-aware lineitem⋈orders: the top-64 hottest order keys (≥ 5
     lineitems — forced low so the fixture exercises BOTH streams) skip
@@ -2816,6 +2856,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_roundtrip_orders": _q_pivot_roundtrip_orders,  # new in r3
         "revenue_by_nation": _q_revenue_by_nation,  # new in r3
         "price_iqr_outliers": _q_price_iqr_outliers,  # new in r3
+        "priority_distinct_custs": _q_priority_distinct_custs,  # new in r3
+        "events_daily_filled": _q_events_daily_filled,  # new in r3
         "skew_join_lineitem": _q_skew_join_lineitem,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
@@ -3667,6 +3709,31 @@ def oracle_sql() -> dict[str, str]:
             FROM orders, q
             WHERE o_totalprice < q1 - 0.4 * (q3 - q1)
                OR o_totalprice > q3 + 0.4 * (q3 - q1)
+        """,
+        "priority_distinct_custs": """
+            SELECT o_orderpriority,
+                   count(DISTINCT o_custkey) AS n_custs
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "events_daily_filled": """
+            WITH d AS (
+                SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1, 2
+            ), span AS (
+                SELECT user_id, min(day) AS lo, max(day) AS hi
+                FROM d GROUP BY 1
+            ), spine AS (
+                SELECT user_id,
+                       strftime(unnest(generate_series(
+                           CAST(lo AS DATE), CAST(hi AS DATE),
+                           INTERVAL 1 DAY)), '%Y-%m-%d') AS day
+                FROM span
+            )
+            SELECT s.user_id, s.day,
+                   coalesce(d.n_events, 0) AS n_events
+            FROM spine s
+            LEFT JOIN d ON s.user_id = d.user_id AND s.day = d.day
         """,
         "validate_orders": """
             SELECT 'not_null(o_custkey)' AS rule,

@@ -148,6 +148,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "orders_status_pivot",
         "revenue_by_nation",
         "price_iqr_outliers",
+        "priority_distinct_custs",
+        "events_daily_filled",
         "skew_join_lineitem",
         "inverted_index_docs",
         "event_funnel",

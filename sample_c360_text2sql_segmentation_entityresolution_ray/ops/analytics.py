@@ -177,3 +177,62 @@ def cohort_retention(
 
 
 __all__ = ["funnel_counts", "cohort_retention"]
+
+
+def fill_date_gaps(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    date_col: str,
+    value_cols: Sequence[str],
+    fill_value=0,
+    partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Calendar gap-fill for a per-(key, day) aggregate table: emit one
+    row for EVERY day between each key's first and last observed date
+    ('YYYY-MM-DD' strings, the repo's date convention), with
+    ``value_cols`` set to ``fill_value`` on the inserted days — the
+    dense series a forecasting/feature job needs where a groupby only
+    yields observed days.
+
+    One key-hash exchange of the slim (key, day, values) rows; the
+    per-partition fill is a per-key ``date_range`` reindex (cost
+    O(span), which IS the output size).  Keys never straddle
+    partitions, so the min/max span is exact."""
+    value_cols = list(value_cols)
+    cols = [key_col, date_col] + value_cols
+
+    def _part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[cols].copy()
+        df["_part"] = (
+            pd.util.hash_pandas_object(df[key_col], index=False).to_numpy()
+            % partitions
+        ).astype("int32")
+        return df
+
+    def _fill(g: pd.DataFrame) -> pd.DataFrame:
+        pieces = []
+        for key, sub in g.groupby(key_col, sort=False):
+            idx = pd.to_datetime(sub[date_col])
+            if idx.duplicated().any():
+                raise ValueError(
+                    f"fill_date_gaps: duplicate days for key {key!r} — "
+                    "aggregate to one row per (key, day) first"
+                )
+            spine = pd.date_range(idx.min(), idx.max(), freq="D")
+            filled = (
+                sub.set_index(idx)[value_cols]
+                .reindex(spine, fill_value=fill_value)
+            )
+            filled.insert(0, key_col, key)
+            filled.insert(1, date_col, spine.strftime("%Y-%m-%d"))
+            pieces.append(filled.reset_index(drop=True))
+        return pd.concat(pieces, ignore_index=True)
+
+    return (
+        ds.map_batches(_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(_fill, batch_format="pandas")
+    )
+
+
+__all__.append("fill_date_gaps")

@@ -1419,3 +1419,34 @@ def table_diff(
 
 
 __all__.append("table_diff")
+
+
+def grouped_count_distinct(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    value_col: str,
+    out_col: str | None = None,
+    partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Exact ``COUNT(DISTINCT value) GROUP BY keys`` as two combiner
+    shuffles of slim pairs: (keys, value) dedups per batch, merges per
+    key-hash partition (stage 1 = :func:`grouped_aggregate` keyed on
+    the pair), then the distinct pairs count per key (stage 2).  Only
+    (keys, value) tuples ever cross the wire — once each after the
+    per-batch dedup — so a hot value repeated millions of times costs
+    one partial row per block.  For approximate at lower cost see the
+    KMV sketch (`sketch.kmv_distinct`)."""
+    out_col = out_col or f"n_distinct_{value_col}"
+    keys = list(keys)
+    pairs = grouped_aggregate(
+        ds.select_columns(keys + [value_col]),
+        keys + [value_col],
+        [("count", value_col, "_pair_n")],
+        partitions,
+    )
+    return grouped_aggregate(
+        pairs, keys, [("count", value_col, out_col)], partitions
+    )
+
+
+__all__.append("grouped_count_distinct")

@@ -1,0 +1,66 @@
+"""`relational.grouped_count_distinct` and `analytics.fill_date_gaps`:
+planted semantics + guards."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+import ray
+import ray.data
+
+from sample_c360_text2sql_segmentation_entityresolution_ray.ops.analytics import (
+    fill_date_gaps,
+)
+from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
+    grouped_count_distinct,
+)
+
+
+def test_grouped_count_distinct_planted(ray_session):
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 5 + ["b"] * 3,
+            "v": [1, 1, 2, 2, 3, 7, 7, 7],
+        }
+    )
+    out = (
+        grouped_count_distinct(
+            ray.data.from_pandas(df).repartition(4), ["g"], "v", "nd"
+        )
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    assert out["g"].tolist() == ["a", "b"]
+    assert out["nd"].astype(int).tolist() == [3, 1]
+
+
+def test_fill_date_gaps_planted(ray_session):
+    df = pd.DataFrame(
+        {
+            "k": ["u1", "u1", "u2"],
+            "day": ["2024-01-01", "2024-01-04", "2024-02-10"],
+            "n": [2, 5, 7],
+        }
+    )
+    out = (
+        fill_date_gaps(ray.data.from_pandas(df), "k", "day", ["n"])
+        .to_pandas().sort_values(["k", "day"]).reset_index(drop=True)
+    )
+    u1 = out[out.k == "u1"]
+    assert u1["day"].tolist() == [
+        "2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"
+    ]
+    assert u1["n"].astype(int).tolist() == [2, 0, 0, 5]
+    u2 = out[out.k == "u2"]
+    assert u2["day"].tolist() == ["2024-02-10"]
+    assert u2["n"].astype(int).tolist() == [7]
+
+
+def test_fill_date_gaps_duplicate_day_guard(ray_session):
+    df = pd.DataFrame(
+        {"k": ["u1", "u1"], "day": ["2024-01-01", "2024-01-01"], "n": [1, 2]}
+    )
+    with pytest.raises(Exception, match="duplicate days"):
+        fill_date_gaps(
+            ray.data.from_pandas(df), "k", "day", ["n"]
+        ).materialize()
