@@ -1328,6 +1328,25 @@ def _q_events_daily_filled(sf_dir: str):
     return analytics.fill_date_gaps(daily, "user_id", "day", ["n_events"])
 
 
+def _q_rollup_revenue(sf_dir: str):
+    """ROLLUP subtotals (`relational.grouped_rollup`): revenue +
+    order counts at (priority, status), per-priority subtotal, and
+    grand total — ONE combiner shuffle for all levels; rolled-up key
+    cells hold the '(all)' sentinel the oracle coalesces to."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import relational as rel
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    )
+    out = rel.grouped_rollup(
+        orders,
+        ["o_orderpriority", "o_orderstatus"],
+        [("sum", "o_totalprice", "revenue"),
+         ("count_star", None, "n_orders")],
+    )
+    return _round_cols(out, ["revenue"], 4)
+
+
 def _q_skew_join_lineitem(sf_dir: str):
     """Skew-aware lineitem⋈orders: the top-64 hottest order keys (≥ 5
     lineitems — forced low so the fixture exercises BOTH streams) skip
@@ -2858,6 +2877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_iqr_outliers": _q_price_iqr_outliers,  # new in r3
         "priority_distinct_custs": _q_priority_distinct_custs,  # new in r3
         "events_daily_filled": _q_events_daily_filled,  # new in r3
+        "rollup_revenue": _q_rollup_revenue,  # new in r3
         "skew_join_lineitem": _q_skew_join_lineitem,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
@@ -3709,6 +3729,14 @@ def oracle_sql() -> dict[str, str]:
             FROM orders, q
             WHERE o_totalprice < q1 - 0.4 * (q3 - q1)
                OR o_totalprice > q3 + 0.4 * (q3 - q1)
+        """,
+        "rollup_revenue": """
+            SELECT coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+                   coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+                   round(sum(o_totalprice), 4) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
         """,
         "priority_distinct_custs": """
             SELECT o_orderpriority,

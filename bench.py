@@ -150,6 +150,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "price_iqr_outliers",
         "priority_distinct_custs",
         "events_daily_filled",
+        "rollup_revenue",
         "skew_join_lineitem",
         "inverted_index_docs",
         "event_funnel",

@@ -1450,3 +1450,80 @@ def grouped_count_distinct(
 
 
 __all__.append("grouped_count_distinct")
+
+
+def grouped_rollup(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    specs: Sequence[tuple],
+    sentinel: str = "(all)",
+    partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """``GROUP BY ROLLUP(keys)`` in ONE combiner shuffle: every prefix
+    level (full detail → subtotals → grand total) aggregated together,
+    with rolled-up key columns holding ``sentinel``.
+
+    Each batch computes its full-level partial once, then folds it
+    upward level by level IN the batch — so the exchange ships
+    ≤ Σ-levels partial rows per block (the shallow levels collapse to
+    a handful of rows), never raw rows, and never one shuffle per
+    level.  ``specs`` are the incrementally-foldable aggregates
+    (sum/count/count_star/min/max); avg is sum+count maintained by the
+    caller, as everywhere in this engine.  Key columns must be strings
+    (the sentinel becomes a value in them; guarded)."""
+    keys = list(keys)
+    if not keys:
+        raise ValueError("rollup needs at least one key")
+    for fn, _in, _out in specs:
+        if fn not in _INCREMENTAL_COMBINE:
+            raise ValueError(f"{fn} is not rollup-foldable; maintain sum+count")
+    outs = [out for _fn, _in, out in specs]
+    combine = {out: _INCREMENTAL_COMBINE[fn] for fn, _in, out in specs}
+    cols = keys + outs
+
+    def _local(df: pd.DataFrame) -> pd.DataFrame:
+        for k in keys:
+            col = df[k]
+            if (col == sentinel).any():
+                raise ValueError(
+                    f"rollup sentinel {sentinel!r} occurs in column {k!r}"
+                )
+        gb = df.groupby(keys, sort=False, dropna=False)
+        part = gb.size().reset_index()[keys]
+        for fn, in_col, out in specs:
+            if fn == "count_star":
+                part[out] = gb.size().to_numpy(np.int64)
+            elif fn == "count":
+                part[out] = gb[in_col].count().to_numpy(np.int64)
+            else:
+                part[out] = getattr(gb[in_col], fn)().to_numpy()
+        frames = [part]
+        cur = part
+        for lvl in range(len(keys) - 1, -1, -1):
+            kept = keys[:lvl]
+            if kept:
+                g2 = cur.groupby(kept, sort=False, dropna=False)
+                nxt = g2.size().reset_index()[kept]
+                for out in outs:
+                    nxt[out] = getattr(g2[out], combine[out])().to_numpy()
+            else:
+                nxt = pd.DataFrame(
+                    {out: [getattr(cur[out], combine[out])()] for out in outs}
+                )
+            cur = nxt
+            lvl_rows = nxt.copy()
+            for k in keys[lvl:]:
+                lvl_rows[k] = sentinel
+            frames.append(lvl_rows[cols])
+        return pd.concat(
+            [f[cols] for f in frames], ignore_index=True
+        )
+
+    partials = ds.select_columns(
+        list(dict.fromkeys(keys + [c for _f, c, _o in specs if c]))
+    ).map_batches(_local, batch_format="pandas")
+    combine_specs = [(combine[out], out, out) for out in outs]
+    return grouped_aggregate(partials, keys, combine_specs, partitions)
+
+
+__all__.append("grouped_rollup")

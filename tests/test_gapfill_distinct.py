@@ -64,3 +64,46 @@ def test_fill_date_gaps_duplicate_day_guard(ray_session):
         fill_date_gaps(
             ray.data.from_pandas(df), "k", "day", ["n"]
         ).materialize()
+
+
+def test_grouped_rollup_planted(ray_session):
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
+        grouped_rollup,
+    )
+
+    df = pd.DataFrame(
+        {
+            "a": ["x", "x", "y"],
+            "b": ["p", "q", "p"],
+            "v": [1.0, 2.0, 4.0],
+        }
+    )
+    out = (
+        grouped_rollup(
+            ray.data.from_pandas(df).repartition(3),
+            ["a", "b"],
+            [("sum", "v", "s"), ("count_star", None, "n")],
+        )
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "a": ["(all)", "x", "x", "x", "y", "y"],
+            "b": ["(all)", "(all)", "p", "q", "(all)", "p"],
+            "s": [7.0, 3.0, 1.0, 2.0, 4.0, 4.0],
+            "n": [3, 2, 1, 1, 1, 1],
+        }
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_grouped_rollup_sentinel_guard(ray_session):
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
+        grouped_rollup,
+    )
+
+    df = pd.DataFrame({"a": ["(all)"], "v": [1.0]})
+    with pytest.raises(Exception, match="sentinel"):
+        grouped_rollup(
+            ray.data.from_pandas(df), ["a"], [("sum", "v", "s")]
+        ).materialize()
