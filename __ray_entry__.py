@@ -1328,6 +1328,18 @@ def _q_events_daily_filled(sf_dir: str):
     return analytics.fill_date_gaps(daily, "user_id", "day", ["n_events"])
 
 
+def _q_custkey_dense_ids(sf_dir: str):
+    """Deterministic dense-id remap (`relational.dense_ids`): the
+    distinct ordering customers get contiguous 0..n-1 ids in
+    content-defined md5 order — the embedding-table prep for any
+    learned model; same mapping on any cluster shape.  One distinct
+    combiner + one slim rank exchange."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import relational as rel
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    return rel.dense_ids(orders, "o_custkey")
+
+
 def _q_rollup_revenue(sf_dir: str):
     """ROLLUP subtotals (`relational.grouped_rollup`): revenue +
     order counts at (priority, status), per-priority subtotal, and
@@ -2878,6 +2890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_distinct_custs": _q_priority_distinct_custs,  # new in r3
         "events_daily_filled": _q_events_daily_filled,  # new in r3
         "rollup_revenue": _q_rollup_revenue,  # new in r3
+        "custkey_dense_ids": _q_custkey_dense_ids,  # new in r3
         "skew_join_lineitem": _q_skew_join_lineitem,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
@@ -3729,6 +3742,14 @@ def oracle_sql() -> dict[str, str]:
             FROM orders, q
             WHERE o_totalprice < q1 - 0.4 * (q3 - q1)
                OR o_totalprice > q3 + 0.4 * (q3 - q1)
+        """,
+        "custkey_dense_ids": """
+            SELECT o_custkey,
+                   row_number() OVER (
+                       ORDER BY ('0x' || left(md5('ids'
+                                 || CAST(o_custkey AS VARCHAR)), 15))::BIGINT,
+                                o_custkey) - 1 AS dense_id
+            FROM (SELECT DISTINCT o_custkey FROM orders)
         """,
         "rollup_revenue": """
             SELECT coalesce(o_orderpriority, '(all)') AS o_orderpriority,

@@ -151,6 +151,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "priority_distinct_custs",
         "events_daily_filled",
         "rollup_revenue",
+        "custkey_dense_ids",
         "skew_join_lineitem",
         "inverted_index_docs",
         "event_funnel",

@@ -1527,3 +1527,35 @@ def grouped_rollup(
 
 
 __all__.append("grouped_rollup")
+
+
+def dense_ids(
+    ds: "ray.data.Dataset",
+    col: str,
+    salt: str = "ids",
+    out_col: str = "dense_id",
+) -> "ray.data.Dataset":
+    """Contiguous deterministic ids ``0..n_distinct-1`` for the
+    distinct values of ``col`` — the embedding-table remap every
+    learned model (the ALS path, `pipelines/affinity.py`) needs before
+    its factor matrices can be dense arrays.
+
+    Order is content-defined (the md5 rank of
+    `sampling.deterministic_shuffle_rank`), NOT partition- or
+    arrival-order — the same corpus yields the same mapping on any
+    cluster shape, so a resumed run never scrambles ids.  Plan: one
+    distinct-combiner shuffle + one slim (value, hash) rank exchange;
+    attach back with a broadcast/hash join (`auto_join`).
+    """
+    from .sampling import deterministic_shuffle_rank
+
+    vals = distinct(ds, [col])
+    ranks = deterministic_shuffle_rank(vals, id_col=col, salt=salt)
+
+    def _rn(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"shuffle_pos": out_col})
+
+    return ranks.map_batches(_rn, batch_format="pandas")
+
+
+__all__.append("dense_ids")

@@ -107,3 +107,24 @@ def test_grouped_rollup_sentinel_guard(ray_session):
         grouped_rollup(
             ray.data.from_pandas(df), ["a"], [("sum", "v", "s")]
         ).materialize()
+
+
+def test_dense_ids_contiguous_and_stable(ray_session):
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
+        dense_ids,
+    )
+
+    df = pd.DataFrame({"v": [5, 3, 5, 9, 3, 3]})
+    a = (
+        dense_ids(ray.data.from_pandas(df).repartition(3), "v")
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    )
+    # contiguous 0..2, one id per distinct value
+    assert sorted(a["dense_id"].tolist()) == [0, 1, 2]
+    assert a["v"].tolist() == [3, 5, 9]
+    # content-defined: same mapping from a differently-partitioned run
+    b = (
+        dense_ids(ray.data.from_pandas(df).repartition(1), "v")
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
