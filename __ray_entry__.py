@@ -1340,6 +1340,22 @@ def _q_custkey_dense_ids(sf_dir: str):
     return rel.dense_ids(orders, "o_custkey")
 
 
+def _q_orders_stratified_sample(sf_dir: str):
+    """Exact-k stratified sample (`sampling.stratified_sample_k`): 20
+    orders per priority band by deterministic md5 draw —
+    partition-invariant, resumable, and balanced regardless of band
+    skew.  ≤ k rows per (group, block) cross the exchange via the
+    per-batch pre-shrink."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import sampling
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+    return sampling.stratified_sample_k(
+        orders, key_col="o_orderpriority", id_col="o_orderkey", k=20
+    )
+
+
 def _q_rollup_revenue(sf_dir: str):
     """ROLLUP subtotals (`relational.grouped_rollup`): revenue +
     order counts at (priority, status), per-priority subtotal, and
@@ -2891,6 +2907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_filled": _q_events_daily_filled,  # new in r3
         "rollup_revenue": _q_rollup_revenue,  # new in r3
         "custkey_dense_ids": _q_custkey_dense_ids,  # new in r3
+        "orders_stratified_sample": _q_orders_stratified_sample,  # new in r3
         "skew_join_lineitem": _q_skew_join_lineitem,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
@@ -3742,6 +3759,17 @@ def oracle_sql() -> dict[str, str]:
             FROM orders, q
             WHERE o_totalprice < q1 - 0.4 * (q3 - q1)
                OR o_totalprice > q3 + 0.4 * (q3 - q1)
+        """,
+        "orders_stratified_sample": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice FROM (
+                SELECT o_orderkey, o_orderpriority, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY ('0x' || left(md5('strat'
+                               || CAST(o_orderkey AS VARCHAR)), 15))::BIGINT,
+                                    o_orderkey) AS rn
+                FROM orders)
+            WHERE rn <= 20
         """,
         "custkey_dense_ids": """
             SELECT o_custkey,

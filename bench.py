@@ -152,6 +152,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "events_daily_filled",
         "rollup_revenue",
         "custkey_dense_ids",
+        "orders_stratified_sample",
         "skew_join_lineitem",
         "inverted_index_docs",
         "event_funnel",

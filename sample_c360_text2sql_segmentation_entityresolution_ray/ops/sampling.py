@@ -309,3 +309,61 @@ __all__ = [
     "weighted_sample",
     "cluster_balanced_sample",
 ]
+
+
+def stratified_sample_k(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "strat",
+) -> "ray.data.Dataset":
+    """EXACT-k per-group sample: the k rows with the smallest
+    deterministic md5 draw in each ``key_col`` group — the balanced
+    eval-set builder (`weighted_sample` keeps a *rate*, this keeps a
+    *count*; both draws are the same SQL-reproducible construction).
+
+    Rides :func:`..ops.relational.topn_per_group`'s pre-shuffle shrink:
+    each batch keeps its local k-smallest per group, so ≤ k rows per
+    (group, block) cross the exchange.  Ties in the 60-bit draw
+    (~2⁻⁶⁰/pair) break by id — the order is total, so the sample is
+    partition-invariant and a resumed run picks the same rows.
+
+    Oracle shape::
+
+        row_number() OVER (PARTITION BY key ORDER BY
+            ('0x' || left(md5(salt || id), 15))::BIGINT, id) <= k
+    """
+    import hashlib
+
+    from .relational import topn_per_group
+
+    def _draw(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_u"] = np.fromiter(
+            (
+                int(
+                    hashlib.md5(
+                        f"{salt}{v}".encode("utf-8")
+                    ).hexdigest()[:15],
+                    16,
+                )
+                for v in batch[id_col].to_numpy()
+            ),
+            dtype=np.int64,
+            count=len(batch),
+        )
+        return batch
+
+    picked = topn_per_group(
+        ds.map_batches(_draw, batch_format="pandas"),
+        group_key=key_col,
+        order_col="_u",
+        n=k,
+        descending=False,
+        tiebreak=[id_col],
+    )
+    return picked.drop_columns(["_u"])
+
+
+__all__.append("stratified_sample_k")

@@ -147,3 +147,33 @@ def test_deterministic_shuffle_rank_permutation(ray_session):
     # genuinely shuffled: the identity order survives with ~1/n! odds
     assert not (a.sort_values("shuffle_pos")["doc_id"].to_numpy()
                 == np.arange(500)).all()
+
+
+def test_stratified_sample_k_exact_and_stable(ray_session):
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.sampling import (
+        stratified_sample_k,
+    )
+
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 50 + ["b"] * 7 + ["c"] * 2,
+            "i": np.arange(59),
+        }
+    )
+    out = (
+        stratified_sample_k(
+            ray.data.from_pandas(df).repartition(4), "g", "i", k=5
+        )
+        .to_pandas().sort_values(["g", "i"]).reset_index(drop=True)
+    )
+    sizes = out.groupby("g").size().to_dict()
+    # exact k where the group has >= k rows, whole group otherwise
+    assert sizes == {"a": 5, "b": 5, "c": 2}
+    # partition-invariant pick
+    again = (
+        stratified_sample_k(
+            ray.data.from_pandas(df).repartition(1), "g", "i", k=5
+        )
+        .to_pandas().sort_values(["g", "i"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, again)
