@@ -1375,6 +1375,55 @@ def _q_rollup_revenue(sf_dir: str):
     return _round_cols(out, ["revenue"], 4)
 
 
+def _q_cube_revenue(sf_dir: str):
+    """CUBE over (priority, status) (`relational.grouped_cube`): all
+    four groupings — detail, each one-key margin, grand total — in ONE
+    combiner shuffle; each batch folds its full-level partial per
+    subset, so raw rows never re-aggregate and ≤ Σ-subsets partial
+    rows cross per block."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import relational as rel
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    )
+    out = rel.grouped_cube(
+        orders,
+        ["o_orderpriority", "o_orderstatus"],
+        [("sum", "o_totalprice", "revenue"),
+         ("count_star", None, "n_orders")],
+    )
+    return _round_cols(out, ["revenue"], 4)
+
+
+def _q_orders_fingerprint(sf_dir: str):
+    """Order-invariant table checksum (`profile.table_fingerprint`):
+    one (n_rows, fp_xor, fp_sum) row from 60-bit md5 row hashes —
+    XOR + modular-sum + count combiners, one tiny partial row per
+    block, zero shuffles.  The CDC/replication equality check that
+    never sorts the table."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import profile
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    return profile.table_fingerprint(
+        orders, ["o_orderkey", "o_orderstatus"]
+    )
+
+
+def _q_hll_custkeys(sf_dir: str):
+    """HyperLogLog register state over o_custkey
+    (`sketch.hll_registers`, b=8): a FIXED 256-row sketch regardless
+    of input size — ≤ 2^b (register, max-rho) partial rows per block
+    cross one max-combiner exchange.  The oracle re-derives the exact
+    same registers in SQL (md5 + bin()-length first-1-bit position),
+    so the sketch STATE is value-hash-checked, not tolerance-checked;
+    `sketch.hll_estimate` turns it into the cardinality (unit-tested
+    against the exact count)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import sketch
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    return sketch.hll_registers(orders, "o_custkey", b=8)
+
+
 def _q_skew_join_lineitem(sf_dir: str):
     """Skew-aware lineitem⋈orders: the top-64 hottest order keys (≥ 5
     lineitems — forced low so the fixture exercises BOTH streams) skip
@@ -2908,6 +2957,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_revenue": _q_rollup_revenue,  # new in r3
         "custkey_dense_ids": _q_custkey_dense_ids,  # new in r3
         "orders_stratified_sample": _q_orders_stratified_sample,  # new in r3
+        "cube_revenue": _q_cube_revenue,  # new in r3
+        "orders_fingerprint": _q_orders_fingerprint,  # new in r3
+        "hll_custkeys": _q_hll_custkeys,  # new in r3
         "skew_join_lineitem": _q_skew_join_lineitem,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
@@ -3770,6 +3822,39 @@ def oracle_sql() -> dict[str, str]:
                                     o_orderkey) AS rn
                 FROM orders)
             WHERE rn <= 20
+        """,
+        "cube_revenue": """
+            SELECT coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+                   coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+                   round(sum(o_totalprice), 4) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        """,
+        "orders_fingerprint": """
+            WITH h AS (
+                SELECT ('0x' || left(md5('fp' || CAST(o_orderkey AS VARCHAR)
+                            || '|' || CAST(o_orderstatus AS VARCHAR)),
+                        15))::BIGINT AS hv
+                FROM orders
+            )
+            SELECT count(*) AS n_rows,
+                   coalesce(bit_xor(hv), 0) AS fp_xor,
+                   CAST(coalesce(sum(hv), 0) % 9223372036854775807 AS BIGINT)
+                       AS fp_sum
+            FROM h
+        """,
+        "hll_custkeys": """
+            WITH h AS (
+                SELECT ('0x' || left(md5('hll' || CAST(o_custkey AS VARCHAR)),
+                                     15))::BIGINT AS hv
+                FROM orders WHERE o_custkey IS NOT NULL
+            )
+            SELECT hv // 4503599627370496 AS register,
+                   MAX(CASE WHEN hv % 4503599627370496 = 0 THEN 53
+                            ELSE 52 - length(bin(hv % 4503599627370496)) + 1
+                       END) AS rho_max
+            FROM h GROUP BY register
         """,
         "custkey_dense_ids": """
             SELECT o_custkey,

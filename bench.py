@@ -153,6 +153,9 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "rollup_revenue",
         "custkey_dense_ids",
         "orders_stratified_sample",
+        "cube_revenue",
+        "orders_fingerprint",
+        "hll_custkeys",
         "skew_join_lineitem",
         "inverted_index_docs",
         "event_funnel",

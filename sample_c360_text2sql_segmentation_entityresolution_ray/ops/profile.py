@@ -545,3 +545,101 @@ def profile_drift(
         ["column", "metric"], kind="mergesort"
     ).reset_index(drop=True)
     return _rd.from_pandas(df)
+
+
+# ---------------------------------------------------------------------------
+# Order-invariant table fingerprint
+# ---------------------------------------------------------------------------
+
+_FP_MOD = (1 << 63) - 1
+
+
+def table_fingerprint(
+    ds: "ray.data.Dataset",
+    cols: "list[str]",
+    salt: str = "fp",
+) -> "ray.data.Dataset":
+    """ONE-row order-invariant checksum of a column projection:
+    ``(n_rows, fp_xor, fp_sum)`` — the table-equality primitive for
+    CDC/replication verification at 100 TB, where "did the copy land
+    bit-equal?" must not cost a global sort.
+
+    Each row hashes to the usual 60-bit md5 draw over
+    ``salt || col1 || '|' || col2 ...`` (string-cast values, the same
+    construction every sampler/sketch here uses, so DuckDB reproduces
+    it exactly).  Combiners: XOR and SUM mod 2^63-1 of the row hashes
+    plus the row count — all order- and partition-invariant, merged
+    from ONE tiny partial row per block (driver fold bounded by block
+    count; no shuffle at all).  XOR alone is blind to duplicate-pair
+    insertion (a row added twice cancels); the modular-sum component
+    and the count close that hole — equality of all three is what the
+    oracle checks.
+    """
+    import hashlib
+
+    import ray.data as _rd
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        parts = [df[c].to_numpy() for c in cols]
+        h = np.fromiter(
+            (
+                int(hashlib.md5(
+                    (salt + "|".join(str(v) for v in row)).encode("utf-8")
+                ).hexdigest()[:15], 16)
+                for row in zip(*parts)
+            ),
+            dtype=np.int64,
+            count=len(df),
+        )
+        if len(h):
+            x = int(np.bitwise_xor.reduce(h))
+            # exact int sum without int64 overflow: split 60-bit hashes
+            # into 30-bit halves (each half-sum fits int64 for any
+            # realistic batch), recombine in Python ints, then mod.
+            hi = int((h >> 30).sum())
+            lo = int((h & np.int64((1 << 30) - 1)).sum())
+            s = ((hi << 30) + lo) % _FP_MOD
+        else:
+            x, s = 0, 0
+        return pd.DataFrame(
+            {"n_rows": [np.int64(len(h))],
+             "fp_xor": [np.int64(x)],
+             "fp_sum": [np.int64(s)]}
+        )
+
+    partials = (
+        ds.select_columns(cols)
+        .map_batches(_partial, batch_format="pandas")
+        .to_pandas()  # ONE row per block — bounded by block count
+    )
+    n = int(partials["n_rows"].sum())
+    x = int(np.bitwise_xor.reduce(partials["fp_xor"].to_numpy(np.int64))) if n else 0
+    s = int(partials["fp_sum"].astype(object).sum()) % _FP_MOD
+    return _rd.from_pandas(
+        pd.DataFrame(
+            {"n_rows": [np.int64(n)],
+             "fp_xor": [np.int64(x)],
+             "fp_sum": [np.int64(s)]}
+        )
+    )
+
+
+def fingerprint_oracle_sql(
+    table: str, cols: "list[str]", salt: str = "fp"
+) -> str:
+    """DuckDB SQL producing the identical (n_rows, fp_xor, fp_sum)."""
+    expr = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+    return f"""
+        WITH h AS (
+            SELECT ('0x' || left(md5('{salt}' || {expr}), 15))::BIGINT AS hv
+            FROM {table}
+        )
+        SELECT count(*) AS n_rows,
+               coalesce(bit_xor(hv), 0) AS fp_xor,
+               CAST(coalesce(sum(hv), 0) % 9223372036854775807 AS BIGINT)
+                   AS fp_sum
+        FROM h
+    """
+
+
+__all__ += ["table_fingerprint", "fingerprint_oracle_sql"]

@@ -1529,6 +1529,87 @@ def grouped_rollup(
 __all__.append("grouped_rollup")
 
 
+def grouped_cube(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    specs: Sequence[tuple],
+    sentinel: str = "(all)",
+    partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """``GROUP BY CUBE(keys)`` in ONE combiner shuffle: every key
+    subset (2^|keys| groupings) aggregated together, rolled-up key
+    cells holding ``sentinel``.
+
+    Same transport posture as :func:`grouped_rollup`: each batch
+    computes its full-level partial ONCE, then re-folds that partial
+    (never the raw rows) for every proper subset in-batch, so the
+    exchange ships ≤ Σ-subsets partial rows per block.  The subset
+    count is 2^|keys| — CUBE is for low-cardinality key tuples (2-4
+    dimension columns), which is also the only shape where the SQL
+    form is useful.  ``specs`` are the incrementally-foldable
+    aggregates; key columns must be strings (sentinel guard as in
+    rollup)."""
+    from itertools import combinations
+
+    keys = list(keys)
+    if not keys:
+        raise ValueError("cube needs at least one key")
+    if len(keys) > 6:
+        raise ValueError("cube over >6 keys explodes 2^k groupings")
+    for fn, _in, _out in specs:
+        if fn not in _INCREMENTAL_COMBINE:
+            raise ValueError(f"{fn} is not cube-foldable; maintain sum+count")
+    outs = [out for _fn, _in, out in specs]
+    combine = {out: _INCREMENTAL_COMBINE[fn] for fn, _in, out in specs}
+    cols = keys + outs
+
+    def _local(df: pd.DataFrame) -> pd.DataFrame:
+        for k in keys:
+            if (df[k] == sentinel).any():
+                raise ValueError(
+                    f"cube sentinel {sentinel!r} occurs in column {k!r}"
+                )
+        gb = df.groupby(keys, sort=False, dropna=False)
+        part = gb.size().reset_index()[keys]
+        for fn, in_col, out in specs:
+            if fn == "count_star":
+                part[out] = gb.size().to_numpy(np.int64)
+            elif fn == "count":
+                part[out] = gb[in_col].count().to_numpy(np.int64)
+            else:
+                part[out] = getattr(gb[in_col], fn)().to_numpy()
+        frames = [part[cols]]
+        for r in range(len(keys) - 1, -1, -1):
+            for kept in combinations(keys, r):
+                if kept == tuple(keys):
+                    continue
+                kept = list(kept)
+                if kept:
+                    g2 = part.groupby(kept, sort=False, dropna=False)
+                    nxt = g2.size().reset_index()[kept]
+                    for out in outs:
+                        nxt[out] = getattr(g2[out], combine[out])().to_numpy()
+                else:
+                    nxt = pd.DataFrame(
+                        {out: [getattr(part[out], combine[out])()]
+                         for out in outs}
+                    )
+                for k in keys:
+                    if k not in kept:
+                        nxt[k] = sentinel
+                frames.append(nxt[cols])
+        return pd.concat(frames, ignore_index=True)
+
+    partials = ds.select_columns(
+        list(dict.fromkeys(keys + [c for _f, c, _o in specs if c]))
+    ).map_batches(_local, batch_format="pandas")
+    combine_specs = [(combine[out], out, out) for out in outs]
+    return grouped_aggregate(partials, keys, combine_specs, partitions)
+
+
+__all__.append("grouped_cube")
+
+
 def dense_ids(
     ds: "ray.data.Dataset",
     col: str,

@@ -748,3 +748,107 @@ def iqr_outliers(
 
 
 __all__.append("iqr_outliers")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet-Fuss-Gandouet-Meunier, AofA 2007)
+# ---------------------------------------------------------------------------
+
+def hll_registers(
+    ds: "ray.data.Dataset",
+    col: str,
+    b: int = 8,
+    salt: str = "hll",
+) -> "ray.data.Dataset":
+    """HyperLogLog register state: ``(register, rho_max)`` over the
+    whole column — the FIXED-size distinct sketch (2^b rows out,
+    regardless of input size; KMV above is the per-group variant).
+
+    The hash is the usual 60-bit md5 draw: the top ``b`` bits pick the
+    register, rho = position of the first 1-bit in the remaining
+    ``60-b`` bits (``60-b+1`` if all zero).  Per batch the partial is
+    a ≤ 2^b-row (register, max rho) table, merged by a max combiner
+    shuffle — so ≤ 2^b rows per block cross the exchange and merging
+    is order/partition-insensitive.  Like KMV, the whole construction
+    is deterministic and SQL-re-derivable (md5 + bin()-length bit
+    position), so the sketch STATE is value-hash oracle-checkable;
+    :func:`hll_estimate` turns the state into the cardinality.
+    """
+    if not 4 <= b <= 16:
+        raise ValueError("b outside the sane HLL precision range 4..16")
+    W = 60 - b
+    mask = np.int64((1 << W) - 1)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        vals = pd.unique(df[col].dropna())
+        h = np.fromiter(
+            (
+                int(hashlib.md5(
+                    f"{salt}{v}".encode("utf-8")).hexdigest()[:15], 16)
+                for v in vals
+            ),
+            dtype=np.int64,
+            count=len(vals),
+        )
+        reg = h >> W
+        w = h & mask
+        # bit_length via the exact float64 exponent: w < 2^52 ≤ 2^53 is
+        # exactly representable, and frexp's exponent IS bit_length.
+        rho = np.full(len(w), W + 1, dtype=np.int64)
+        nz = w > 0
+        if nz.any():
+            _m, e = np.frexp(w[nz].astype(np.float64))
+            rho[nz] = W - e.astype(np.int64) + 1
+        part = (
+            pd.DataFrame({"register": reg.astype(np.int64), "rho_max": rho})
+            .groupby("register", sort=False)["rho_max"].max().reset_index()
+        )
+        return part
+
+    from .relational import grouped_aggregate
+
+    partials = ds.select_columns([col]).map_batches(
+        _partial, batch_format="pandas"
+    )
+    return grouped_aggregate(
+        partials, ["register"], [("max", "rho_max", "rho_max")]
+    )
+
+
+def hll_estimate(registers: pd.DataFrame, b: int = 8) -> float:
+    """Cardinality estimate from :func:`hll_registers` state (the
+    standard bias-corrected harmonic mean, with the small-range
+    linear-counting correction).  Absent registers count as rho 0."""
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m) if m >= 128 else (
+        0.673 if m == 16 else 0.697 if m == 32 else 0.709
+    )
+    rho = np.zeros(m, dtype=np.float64)
+    idx = registers["register"].to_numpy(np.int64)
+    rho[idx] = registers["rho_max"].to_numpy(np.float64)
+    est = alpha * m * m / np.sum(np.exp2(-rho))
+    zeros = int((rho == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_oracle_sql(table: str, col: str, b: int = 8, salt: str = "hll") -> str:
+    """DuckDB SQL producing the same (register, rho_max) state."""
+    W = 60 - b
+    div = 1 << W
+    return f"""
+        WITH h AS (
+            SELECT ('0x' || left(md5('{salt}' || CAST({col} AS VARCHAR)),
+                                 15))::BIGINT AS hv
+            FROM {table} WHERE {col} IS NOT NULL
+        )
+        SELECT hv // {div} AS register,
+               MAX(CASE WHEN hv % {div} = 0 THEN {W + 1}
+                        ELSE {W} - length(bin(hv % {div})) + 1
+                   END) AS rho_max
+        FROM h GROUP BY register
+    """
+
+
+__all__ += ["hll_registers", "hll_estimate", "hll_oracle_sql"]

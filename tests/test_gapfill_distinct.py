@@ -3,6 +3,7 @@ planted semantics + guards."""
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -128,3 +129,63 @@ def test_dense_ids_contiguous_and_stable(ray_session):
         .to_pandas().sort_values("v").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_grouped_cube_planted(ray_session):
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
+        grouped_cube,
+    )
+
+    df = pd.DataFrame(
+        {
+            "a": ["x", "x", "y"],
+            "b": ["p", "q", "p"],
+            "v": [1.0, 2.0, 4.0],
+        }
+    )
+    out = (
+        grouped_cube(
+            ray.data.from_pandas(df).repartition(3),
+            ["a", "b"],
+            [("sum", "v", "s"), ("count_star", None, "n")],
+        )
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    # rollup levels PLUS the b-margin rows ('(all)', p/q)
+    want = pd.DataFrame(
+        {
+            "a": ["(all)", "(all)", "(all)", "x", "x", "x", "y", "y"],
+            "b": ["(all)", "p", "q", "(all)", "p", "q", "(all)", "p"],
+            "s": [7.0, 5.0, 2.0, 3.0, 1.0, 2.0, 4.0, 4.0],
+            "n": [3, 2, 1, 2, 1, 1, 1, 1],
+        }
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_table_fingerprint_order_invariant_and_sensitive(ray_session):
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.profile import (
+        table_fingerprint,
+    )
+
+    df = pd.DataFrame({"k": np.arange(100), "s": ["v%d" % i for i in range(100)]})
+    a = table_fingerprint(
+        ray.data.from_pandas(df).repartition(5), ["k", "s"]
+    ).to_pandas()
+    # permuted + repartitioned input → identical fingerprint
+    b = table_fingerprint(
+        ray.data.from_pandas(df.sample(frac=1.0, random_state=7)).repartition(2),
+        ["k", "s"],
+    ).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    # one changed cell flips both checksums
+    df2 = df.copy(); df2.loc[17, "s"] = "vX"
+    c = table_fingerprint(ray.data.from_pandas(df2), ["k", "s"]).to_pandas()
+    assert c["n_rows"][0] == 100
+    assert c["fp_xor"][0] != a["fp_xor"][0]
+    assert c["fp_sum"][0] != a["fp_sum"][0]
+    # duplicate-pair insertion: XOR cancels, sum+count do not
+    df3 = pd.concat([df, df.iloc[[4]], df.iloc[[4]]], ignore_index=True)
+    d = table_fingerprint(ray.data.from_pandas(df3), ["k", "s"]).to_pandas()
+    assert d["fp_xor"][0] == a["fp_xor"][0]
+    assert d["fp_sum"][0] != a["fp_sum"][0] and d["n_rows"][0] == 102

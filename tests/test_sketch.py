@@ -280,3 +280,26 @@ def test_discretize_equal_frequency(ray_session):
     assert counts.max() - counts.min() <= 2
     # bin order respects value order
     assert out.sort_values("x")["x_bin"].is_monotonic_increasing
+
+
+def test_hll_registers_estimate_and_invariance(ray_session):
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.sketch import (
+        hll_registers,
+        hll_estimate,
+    )
+
+    n = 5000
+    df = pd.DataFrame({"x": np.arange(n) % 2000})  # 2000 distinct
+    regs = hll_registers(
+        ray.data.from_pandas(df).repartition(6), "x", b=8
+    ).to_pandas()
+    assert regs["register"].between(0, 255).all()
+    assert regs["rho_max"].between(1, 53).all()
+    est = hll_estimate(regs, b=8)
+    assert abs(est - 2000) / 2000 < 0.20  # ~6.5% stderr at m=256
+    # partition-invariant state
+    regs2 = hll_registers(ray.data.from_pandas(df).repartition(1), "x", b=8)
+    pd.testing.assert_frame_equal(
+        regs.sort_values("register").reset_index(drop=True),
+        regs2.to_pandas().sort_values("register").reset_index(drop=True),
+    )
