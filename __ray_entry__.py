@@ -1424,6 +1424,28 @@ def _q_hll_custkeys(sf_dir: str):
     return sketch.hll_registers(orders, "o_custkey", b=8)
 
 
+def _q_lineitem_triangles(sf_dir: str):
+    """Exact triangle census (`graph.triangle_count`, degree-ordered
+    node-iterator): the lineitem (orderkey, partkey) pairs folded onto
+    2003 nodes form a dense undirected graph; the orientation bounds
+    wedge volume at O(m^1.5) regardless of hub skew, so the same plan
+    survives a web-scale identity graph.  Oracle = the classic 3-way
+    self-join."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import graph
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def _edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"src": df["l_orderkey"].to_numpy() % 2003,
+             "dst": df["l_partkey"].to_numpy() % 2003}
+        )
+
+    return graph.triangle_count(
+        li.map_batches(_edges, batch_format="pandas")
+    )
+
+
 def _q_skew_join_lineitem(sf_dir: str):
     """Skew-aware lineitem⋈orders: the top-64 hottest order keys (≥ 5
     lineitems — forced low so the fixture exercises BOTH streams) skip
@@ -2960,6 +2982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_revenue": _q_cube_revenue,  # new in r3
         "orders_fingerprint": _q_orders_fingerprint,  # new in r3
         "hll_custkeys": _q_hll_custkeys,  # new in r3
+        "lineitem_triangles": _q_lineitem_triangles,  # new in r3
         "skew_join_lineitem": _q_skew_join_lineitem,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
@@ -3855,6 +3878,19 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 52 - length(bin(hv % 4503599627370496)) + 1
                        END) AS rho_max
             FROM h GROUP BY register
+        """,
+        "lineitem_triangles": """
+            WITH e AS (
+                SELECT DISTINCT
+                       least(l_orderkey % 2003, l_partkey % 2003) AS a,
+                       greatest(l_orderkey % 2003, l_partkey % 2003) AS b
+                FROM lineitem
+                WHERE (l_orderkey % 2003) <> (l_partkey % 2003)
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
         """,
         "custkey_dense_ids": """
             SELECT o_custkey,

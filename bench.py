@@ -156,6 +156,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "cube_revenue",
         "orders_fingerprint",
         "hll_custkeys",
+        "lineitem_triangles",
         "skew_join_lineitem",
         "inverted_index_docs",
         "event_funnel",

@@ -71,4 +71,164 @@ def component_sizes(
     )
 
 
-__all__ = ["connected_components", "component_sizes"]
+def triangle_count(
+    edges: "ray.data.Dataset",
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_limit: int = 2_000_000,
+    num_partitions: int | None = None,
+    edge_broadcast_limit: int | None = None,
+) -> "ray.data.Dataset":
+    """Exact triangle census of the undirected graph ``edges`` — ONE
+    row ``(n_triangles,)``.  The identity-graph quality signal (a
+    linkage graph whose triangle density collapses after a threshold
+    change has lost its clique structure).
+
+    Degree-ordered node-iterator (Schank-Wagner / Latapy): orient each
+    edge from the (degree, id)-smaller endpoint to the larger, emit
+    the out-neighbor pairs of every node (wedges), and count wedges
+    that are themselves oriented edges.  The orientation makes the
+    graph a DAG with max out-degree O(√m), so wedge volume is
+    O(m^1.5) TOTAL regardless of hub skew — a raw node-iterator on a
+    100-TB web graph dies on the first hub, this one provably cannot.
+
+    Exchanges: (1) edge distinct + degree census, two slim combiner
+    shuffles; (2) one sort shuffle grouping oriented edges by source
+    for wedge emission; (3) closure check — the oriented edge set
+    broadcasts as a sorted packed-int64 array under ``broadcast_limit``
+    (binary-search membership per wedge batch, zero shuffle), else the
+    wedge stream hash-joins the edge table.  Int node ids < 2^31 take
+    the packed path; anything else routes to the join.
+    """
+    import numpy as np
+
+    from .relational import grouped_aggregate, hash_join
+
+    # 1) canonical distinct undirected edges (a < b, no self-loops)
+    def _canon(df: pd.DataFrame) -> pd.DataFrame:
+        u, v = df[src].to_numpy(), df[dst].to_numpy()
+        keep = u != v
+        u, v = u[keep], v[keep]
+        a = np.minimum(u, v)
+        b = np.maximum(u, v)
+        return pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+
+    e = grouped_aggregate(
+        edges.select_columns([src, dst]).map_batches(
+            _canon, batch_format="pandas"
+        ),
+        ["a", "b"],
+        [("count_star", None, "_n")],
+        num_partitions,
+    ).drop_columns(["_n"]).materialize()
+
+    # 2) degree census (slim: one (node, partial) row per block)
+    def _ends(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()])}
+        )
+
+    deg = grouped_aggregate(
+        e.map_batches(_ends, batch_format="pandas"),
+        ["node"],
+        [("count_star", None, "deg")],
+        num_partitions,
+    ).materialize()
+
+    n_nodes = deg.count()
+    if n_nodes > broadcast_limit:
+        raise NotImplementedError(
+            "degree table above broadcast_limit: attach degrees via two "
+            "hash joins (same two-phase shape as the ER join plan); not "
+            "needed at sandbox scale — raise broadcast_limit or pre-bucket"
+        )
+    ddf = deg.to_pandas()
+    deg_map = ray.put(
+        dict(zip(ddf["node"].to_numpy(), ddf["deg"].to_numpy(np.int64)))
+    )
+
+    # 3) orient by (deg, id) total order: u -> v iff (deg_u, u) < (deg_v, v)
+    def _orient(df: pd.DataFrame) -> pd.DataFrame:
+        dm = ray.get(deg_map)
+        a, b = df["a"].to_numpy(), df["b"].to_numpy()
+        da = np.fromiter((dm[x] for x in a), np.int64, count=len(a))
+        db = np.fromiter((dm[x] for x in b), np.int64, count=len(b))
+        a_first = (da < db) | ((da == db) & (a < b))
+        return pd.DataFrame(
+            {"u": np.where(a_first, a, b), "v": np.where(a_first, b, a),
+             "dv": np.where(a_first, db, da)}
+        )
+
+    oriented = e.map_batches(_orient, batch_format="pandas").materialize()
+    n_edges = oriented.count()
+
+    # 4) wedges: all ordered out-neighbor pairs of each source node
+    def _wedges(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["v"].to_numpy()
+        d = g["dv"].to_numpy()
+        order = np.lexsort((v, d))  # the SAME total order as _orient
+        v = v[order]
+        k = len(v)
+        if k < 2:
+            return pd.DataFrame({"u": v[:0], "v": v[:0]})
+        i, j = np.triu_indices(k, 1)
+        return pd.DataFrame({"u": v[i], "v": v[j]})
+
+    wedges = oriented.groupby("u").map_groups(_wedges, batch_format="pandas")
+
+    # 5) closure: wedge (x, y) counts iff x -> y is an oriented edge
+    packed_ok = pd.api.types.is_integer_dtype(ddf["node"]) and (
+        0 <= int(ddf["node"].min()) and int(ddf["node"].max()) < (1 << 31)
+    )
+    e_limit = broadcast_limit if edge_broadcast_limit is None else edge_broadcast_limit
+    if n_edges <= e_limit and packed_ok:
+        odf = oriented.to_pandas()
+        keys = np.sort(
+            (odf["u"].to_numpy(np.int64) << 32) | odf["v"].to_numpy(np.int64)
+        )
+        keys_ref = ray.put(keys)
+
+        def _close(df: pd.DataFrame) -> pd.DataFrame:
+            ks = ray.get(keys_ref)
+            if not len(ks) or not len(df):
+                return pd.DataFrame({"n": [np.int64(0)]})
+            w = (df["u"].to_numpy(np.int64) << 32) | df["v"].to_numpy(np.int64)
+            pos = np.searchsorted(ks, w)
+            hit = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == w)
+            return pd.DataFrame({"n": [np.int64(hit.sum())]})
+
+        partials = wedges.map_batches(_close, batch_format="pandas")
+    else:
+        import pyarrow as pa
+
+        node_dtype = ddf["node"].dtype
+
+        def _typed(df: pd.DataFrame) -> "pa.Table":
+            # map_groups can emit schema-less empty blocks that crash
+            # the Acero key resolver — pin the (u, v) schema
+            if "u" not in df.columns:
+                df = pd.DataFrame(
+                    {"u": pd.Series(dtype=node_dtype),
+                     "v": pd.Series(dtype=node_dtype)}
+                )
+            return pa.Table.from_pandas(
+                df[["u", "v"]], preserve_index=False
+            )
+
+        joined = hash_join(
+            wedges.map_batches(_typed, batch_format="pandas"),
+            oriented.drop_columns(["dv"]), on=("u", "v"),
+            num_partitions=max(2, min(64, n_edges // 1000 + 2)),
+        )
+        partials = joined.map_batches(
+            lambda df: pd.DataFrame({"n": [np.int64(len(df))]}),
+            batch_format="pandas",
+        )
+
+    total = int(partials.to_pandas()["n"].sum())  # one row per block
+    return ray.data.from_pandas(
+        pd.DataFrame({"n_triangles": [np.int64(total)]})
+    )
+
+
+__all__ = ["connected_components", "component_sizes", "triangle_count"]

@@ -108,3 +108,35 @@ def test_table_diff_nan_safe_and_unique_guard(ray_session):
             ray.data.from_pandas(dup), ray.data.from_pandas(new),
             key="k", compare_cols=["x"],
         ).materialize()
+
+
+def test_triangle_count_planted_and_join_path(ray_session):
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.graph import (
+        triangle_count,
+    )
+
+    # K4 on {0,1,2,3} (4 triangles) + a pendant edge + a duplicate +
+    # a self-loop: census must see exactly 4
+    import itertools
+    e = pd.DataFrame(
+        list(itertools.combinations(range(4), 2)) + [(3, 4), (0, 1), (2, 2)],
+        columns=["src", "dst"],
+    )
+    out = triangle_count(
+        ray.data.from_pandas(e).repartition(3), "src", "dst"
+    ).to_pandas()
+    assert out["n_triangles"].tolist() == [4]
+    # forced hash-join closure path (edge_broadcast_limit=0) on a
+    # graph big enough to populate every join partition: same census
+    # as the broadcast binary-search path
+    rng = np.random.default_rng(11)
+    big = pd.DataFrame(
+        {"src": rng.integers(0, 300, 4000), "dst": rng.integers(0, 300, 4000)}
+    )
+    ds_big = ray.data.from_pandas(big).repartition(4)
+    a = triangle_count(ds_big, "src", "dst").to_pandas()
+    b = triangle_count(
+        ds_big, "src", "dst", edge_broadcast_limit=0
+    ).to_pandas()
+    assert a["n_triangles"].tolist() == b["n_triangles"].tolist()
+    assert a["n_triangles"][0] > 0
