@@ -1446,6 +1446,52 @@ def _q_lineitem_triangles(sf_dir: str):
     )
 
 
+def _q_orders_quartiles(sf_dir: str):
+    """NTILE(4) (`ops/window.py` ntile spec): price quartile of every
+    order within its priority band — the equal-count bucketing SQL
+    defines (first size%n buckets take the extra row); one hash
+    exchange per OVER signature, unique-key tiebreak for a total
+    order."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.window import window
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+    return window(
+        orders,
+        partition_by=["o_orderpriority"],
+        order_by=[("o_totalprice", False), ("o_orderkey", False)],
+        specs={"quartile": ("ntile", 4)},
+    )
+
+
+def _q_event_props_extract(sf_dir: str):
+    """JSON-blob ingest (`text.json_extract_fields`): the events
+    `props` column parsed into a typed int64 field — stateless
+    streaming map, malformed/missing keys yield nulls instead of
+    raising.  Oracle = DuckDB's native JSON extraction."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import text
+
+    ev = _read(sf_dir, "events", ["event_id", "props"])
+    return text.json_extract_fields(
+        ev, "props", {"k": "int64"}, keep=["event_id"]
+    )
+
+
+def _q_purchase_attribution(sf_dir: str):
+    """Last-touch attribution (`analytics.last_touch_attribution`):
+    every purchase paired with the user's most recent click at-or-
+    before it — a per-user AS-OF self-join on the event stream, one
+    group-by-user exchange over the type-filtered sliver.  NULL touch
+    when the purchase had no preceding click."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import analytics
+
+    ev = _read(
+        sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    return analytics.last_touch_attribution(ev, "click", "purchase")
+
+
 def _q_skew_join_lineitem(sf_dir: str):
     """Skew-aware lineitem⋈orders: the top-64 hottest order keys (≥ 5
     lineitems — forced low so the fixture exercises BOTH streams) skip
@@ -2983,6 +3029,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_fingerprint": _q_orders_fingerprint,  # new in r3
         "hll_custkeys": _q_hll_custkeys,  # new in r3
         "lineitem_triangles": _q_lineitem_triangles,  # new in r3
+        "orders_quartiles": _q_orders_quartiles,  # new in r3
+        "event_props_extract": _q_event_props_extract,  # new in r3
+        "purchase_attribution": _q_purchase_attribution,  # new in r3
         "skew_join_lineitem": _q_skew_join_lineitem,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
@@ -3891,6 +3940,31 @@ def oracle_sql() -> dict[str, str]:
             FROM e e1
             JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
             JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+        """,
+        "orders_quartiles": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   ntile(4) OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey) AS quartile
+            FROM orders
+        """,
+        "event_props_extract": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        """,
+        "purchase_attribution": """
+            SELECT event_id, user_id, value, touch_event_id FROM (
+                SELECT event_id, user_id, value, event_type,
+                       last_value(CASE WHEN event_type = 'click'
+                                       THEN event_id END IGNORE NULLS)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS touch_event_id
+                FROM events
+                WHERE event_type IN ('click', 'purchase'))
+            WHERE event_type = 'purchase'
         """,
         "custkey_dense_ids": """
             SELECT o_custkey,

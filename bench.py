@@ -157,6 +157,9 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "orders_fingerprint",
         "hll_custkeys",
         "lineitem_triangles",
+        "orders_quartiles",
+        "event_props_extract",
+        "purchase_attribution",
         "skew_join_lineitem",
         "inverted_index_docs",
         "event_funnel",

@@ -236,3 +236,63 @@ def fill_date_gaps(
 
 
 __all__.append("fill_date_gaps")
+
+
+def last_touch_attribution(
+    events: "ray.data.Dataset",
+    touch_type: str,
+    conversion_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> "ray.data.Dataset":
+    """Last-touch attribution: every ``conversion_type`` event paired
+    with the user's most recent ``touch_type`` event at-or-before it
+    (by the total order (ts, event_id)), NULL when the conversion had
+    no preceding touch.  Output: ``(event_id, user_id, value,
+    touch_event_id)`` — one row per conversion.
+
+    A per-user AS-OF self-join on the event stream: the stream is
+    pre-filtered to the two event types (predicate pushed into an
+    Arrow scan filter — at web scale touches+conversions are a sliver
+    of the stream), then ONE group-by-user exchange sorts each user's
+    sliver and forward-fills the touch id.  No state table, no second
+    pass."""
+    import pyarrow.compute as pc
+
+    def _only(t, _a=touch_type, _b=conversion_type):
+        return t.filter(
+            pc.or_(pc.equal(t[type_col], _a), pc.equal(t[type_col], _b))
+        )
+
+    slim = events.select_columns(
+        [user_col, ts_col, type_col, id_col, value_col]
+    ).map_batches(_only, batch_format="pyarrow")
+
+    def _attr(g: pd.DataFrame) -> "pa.Table":
+        g = g.sort_values([ts_col, id_col], kind="mergesort")
+        ids = g[id_col].to_numpy()
+        is_touch = g[type_col].to_numpy() == touch_type
+        # forward-fill the last touch id down the (ts, id) order
+        idx = np.where(is_touch, np.arange(len(g)), -1)
+        idx = np.maximum.accumulate(idx)
+        conv = g[type_col].to_numpy() == conversion_type
+        touch_idx = idx[conv]
+        return pa.table(
+            {
+                id_col: pa.array(ids[conv], type=pa.int64()),
+                user_col: pa.array(g[user_col].to_numpy()[conv]),
+                value_col: pa.array(g[value_col].to_numpy()[conv]),
+                "touch_event_id": pa.array(
+                    [None if i < 0 else int(ids[i]) for i in touch_idx],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return slim.groupby(user_col).map_groups(_attr, batch_format="pandas")
+
+
+__all__.append("last_touch_attribution")

@@ -51,6 +51,8 @@ from .relational import DEDUP_PARTITIONS
 #   ("cum_sum", col)
 #   ("rolling_sum", col, n) / ("rolling_mean", col, n)
 #   ("rolling_min", col, n) / ("rolling_max", col, n)
+#   ("ntile", n)                   -- SQL NTILE: first (size % n)
+#                                     buckets get the extra row
 
 
 def _change_mask(g: pd.DataFrame, cols: Sequence[str]) -> np.ndarray:
@@ -90,6 +92,17 @@ def _apply_spec(gb, g: pd.DataFrame, spec: tuple, rank_arrays: dict):
         return gb[col].transform(
             lambda s: getattr(s.rolling(n, min_periods=1), agg)()
         ).to_numpy()
+    if kind == "ntile":
+        n = spec[1]
+        i = gb.cumcount().to_numpy()
+        size = gb[g.columns[0]].transform("size").to_numpy()
+        q, r = size // n, size % n
+        cut = r * (q + 1)  # rows before cut land in the fat buckets
+        return np.where(
+            i < cut,
+            i // np.maximum(q + 1, 1) + 1,
+            r + (i - cut) // np.maximum(q, 1) + 1,
+        ).astype(np.int64)
     if kind == "part_count_star":  # count(*) OVER (PARTITION BY …)
         return gb[g.columns[0]].transform("size").to_numpy()
     if kind.startswith("part_"):

@@ -215,3 +215,61 @@ def test_zorder_improves_two_dim_locality(ray_session):
     assert chunks_scanned(zdf, "y", 0.4, 0.45) <= 8
     # key is deterministic and sort is total on zval
     assert (np.diff(zdf["zval"].to_numpy()) >= 0).all()
+
+
+def test_last_touch_attribution_nulls_and_ties(ray_session):
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.analytics import (
+        last_touch_attribution,
+    )
+
+    ts = pd.to_datetime(
+        ["2024-01-01 10:00", "2024-01-01 10:05", "2024-01-01 10:05",
+         "2024-01-01 09:00", "2024-01-02 08:00"]
+    )
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 10, 11],
+            "ts": ts,
+            "user_id": [7, 7, 7, 8, 8],
+            "event_type": ["click", "click", "purchase", "purchase", "view"],
+            "value": [0.0, 0.0, 42.0, 9.0, 0.0],
+        }
+    )
+    out = (
+        last_touch_attribution(
+            ray.data.from_pandas(ev).repartition(3), "click", "purchase"
+        )
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    # same-ts click (id 2 < 3) counts as at-or-before; user 8 has none
+    assert out["event_id"].tolist() == [3, 10]
+    assert out["touch_event_id"].tolist()[0] == 2
+    assert pd.isna(out["touch_event_id"].tolist()[1])
+
+
+def test_json_extract_fields_malformed_and_missing(ray_session):
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.text import (
+        json_extract_fields,
+    )
+
+    df = pd.DataFrame(
+        {
+            "i": [1, 2, 3, 4, 5],
+            "blob": ['{"k": 9, "s": "x"}', "not json", '{"s": "y"}',
+                     None, "[1,2]"],
+        }
+    )
+    out = (
+        json_extract_fields(
+            ray.data.from_pandas(df).repartition(2),
+            "blob",
+            {"k": "int64", "s": "str"},
+            keep=["i"],
+        )
+        .to_pandas().sort_values("i").reset_index(drop=True)
+    )
+    assert out["k"].tolist()[0] == 9
+    assert pd.isna(out["k"].tolist()[1:]).all()
+    assert out["s"].tolist()[:3] == ["x", None, "y"] or (
+        out["s"][0] == "x" and pd.isna(out["s"][1]) and out["s"][2] == "y"
+    )

@@ -131,3 +131,30 @@ def test_hopping_window_replicates_events_across_overlaps():
         hopping_window(
             ray.data.from_pandas(df), "ts", 7000, 3600, ["u"], {"n": ("count", None)}
         )
+
+
+def test_ntile_uneven_buckets(ray_session):
+    # 7 rows, ntile(3): bucket sizes 3,2,2 (first size%n buckets fat)
+    df = pd.DataFrame({"k": ["a"] * 7, "v": np.arange(7), "i": np.arange(7)})
+    out = (
+        window(
+            ray.data.from_pandas(df).repartition(3),
+            partition_by=["k"],
+            order_by=[("v", False), ("i", False)],
+            specs={"t": ("ntile", 3)},
+        )
+        .to_pandas().sort_values("v")
+    )
+    assert out["t"].tolist() == [1, 1, 1, 2, 2, 3, 3]
+    # more buckets than rows: each row its own bucket 1..n_rows
+    df2 = pd.DataFrame({"k": ["a"] * 2, "v": [5, 1], "i": [0, 1]})
+    out2 = (
+        window(
+            ray.data.from_pandas(df2),
+            partition_by=["k"],
+            order_by=[("v", False), ("i", False)],
+            specs={"t": ("ntile", 4)},
+        )
+        .to_pandas().sort_values("v")
+    )
+    assert out2["t"].tolist() == [1, 2]
