@@ -1826,6 +1826,17 @@ def _q_ngram_dup_docs(sf_dir: str):
     return _round_cols(pairs, ["ngram_jaccard"], 6)
 
 
+def _q_prefix_filter_pairs(sf_dir: str):
+    """EXACT word-token Jaccard self-join (threshold 0.9) via the
+    PPJoin/AllPairs prefix-filtering plan — no all-pairs, no
+    approximation: only records sharing a token inside each other's
+    rare-first prefix become candidates, then exact verification.
+    Oracle = DuckDB exact all-pairs distinct-word-set Jaccard."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dedup.prefix_filter_pairs(docs, threshold=0.9)
+    return _round_cols(pairs, ["jaccard"], 6)
+
+
 def _q_embedding_dup_exact(sf_dir: str):
     """Exact all-pairs cosine near-dup baseline (threshold 0.4)."""
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -3033,6 +3044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_props_extract": _q_event_props_extract,  # new in r3
         "purchase_attribution": _q_purchase_attribution,  # new in r3
         "skew_join_lineitem": _q_skew_join_lineitem,  # new in r3
+        "prefix_filter_pairs": _q_prefix_filter_pairs,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
         "c360_interactions": _q_c360_interactions,
@@ -4294,6 +4306,19 @@ def oracle_sql() -> dict[str, str]:
             FROM g a JOIN g b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.s, b.s))::DOUBLE /
                   len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        """,
+        "prefix_filter_pairs": """
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct(regexp_extract_all(lower(text), '\\w+')) AS s
+              FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.s, b.s))::DOUBLE /
+                         len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+                  len(list_distinct(list_concat(a.s, b.s))) >= 0.9
         """,
         "embedding_dup_exact": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -172,6 +172,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "zorder_orders",
         "profile_drift_orders",
         "discretize_prices",
+        "prefix_filter_pairs",
     ]
     for name in bench_queries:
         t0 = time.time()

@@ -419,8 +419,12 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_doc_limit: int = NGRAM_BROADCAST_DOC_LIMIT,
+    gramfn=None,
+    sim_col: str = "ngram_jaccard",
 ) -> "ray.data.Dataset":
-    """Re-verify candidate pairs with exact character-``n``-gram Jaccard.
+    """Re-verify candidate pairs with exact set-Jaccard — character
+    ``n``-grams by default; pass ``gramfn`` (text -> set) for any other
+    shingling (word tokens, etc.) and ``sim_col`` to rename the score.
 
     Plan choice by measured corpus size:
 
@@ -431,6 +435,10 @@ def ngram_jaccard_pairs(
       hash-partitioned joins on id_a / id_b), so no single heap ever
       holds all text — the 100-TB-safe path.
     """
+    if gramfn is None:
+        def gramfn(t, _n=n):
+            return {t[k : k + _n] for k in range(max(1, len(t) - _n + 1))}
+
     n_docs = docs.count()
     if n_docs <= broadcast_doc_limit:
         texts = {
@@ -446,8 +454,7 @@ def ngram_jaccard_pairs(
             def g(i) -> set:
                 s = memo.get(i)
                 if s is None:
-                    t = all_texts[i]
-                    s = {t[k : k + n] for k in range(max(1, len(t) - n + 1))}
+                    s = gramfn(all_texts[i])
                     memo[i] = s
                 return s
 
@@ -457,8 +464,8 @@ def ngram_jaccard_pairs(
                 u = len(ga | gb)
                 sims[x] = len(ga & gb) / u if u else 0.0
             out = batch.copy()
-            out["ngram_jaccard"] = sims
-            return out[out["ngram_jaccard"] >= threshold]
+            out[sim_col] = sims
+            return out[out[sim_col] >= threshold]
 
         return pairs.map_batches(_verify_bc, batch_format="pandas")
 
@@ -504,7 +511,7 @@ def ngram_jaccard_pairs(
         def g(i, t):
             s = memo.get(i)
             if s is None:
-                s = {t[k : k + n] for k in range(max(1, len(t) - n + 1))}
+                s = gramfn(t)
                 memo[i] = s
             return s
 
@@ -517,8 +524,8 @@ def ngram_jaccard_pairs(
         # Ray's join already consumed the right-side key columns
         drop = [c for c in ("_id_a", "_text_a", "_id_b", "_text_b") if c in batch]
         out = batch.drop(columns=drop).copy()
-        out["ngram_jaccard"] = sims
-        return out[out["ngram_jaccard"] >= threshold]
+        out[sim_col] = sims
+        return out[out[sim_col] >= threshold]
 
     return j.map_batches(_verify, batch_format="pandas")
 
@@ -1383,3 +1390,149 @@ __all__ = [
     "line_dedup",
     "line_dedup_oracle_sql",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity self-join via prefix filtering (PPJoin-lite)
+# ---------------------------------------------------------------------------
+
+DF_RANK_BROADCAST_LIMIT = 2_000_000
+
+
+def prefix_filter_pairs(
+    docs: "ray.data.Dataset",
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_rank_broadcast_limit: int = DF_RANK_BROADCAST_LIMIT,
+    broadcast_doc_limit: int = NGRAM_BROADCAST_DOC_LIMIT,
+) -> "ray.data.Dataset":
+    """EXACT word-token Jaccard-threshold self-join — no approximation,
+    no all-pairs: the prefix-filtering plan of PPJoin (Xiao et al.,
+    WWW 2008) / AllPairs (Bayardo et al., WWW 2007).
+
+    Completeness argument: fix any global total order on tokens and
+    sort each record's distinct-token set by it.  If
+    ``J(A, B) ≥ t`` then A and B must share a token inside each
+    other's first ``|S| - ceil(t·|S|) + 1`` tokens (the *prefix*) —
+    so grouping records by prefix tokens generates EVERY qualifying
+    pair, and the in-bucket size filter ``|small| ≥ ceil(t·|large|)``
+    prunes the rest before verification.
+
+    Exchanges: (1) token document-frequency census — slim combiner
+    shuffle — used only to pick the order (rare-first minimizes bucket
+    sizes); when the vocabulary exceeds ``df_rank_broadcast_limit``
+    the order falls back to the md5 hash of the token (any CONSISTENT
+    order keeps the plan exact, frequency order is purely an
+    optimization), which needs NO broadcast at all; (2) one
+    group-by-prefix-token exchange of (token, id, size) slivers;
+    (3) a distinct-pair combiner shuffle; (4) verification attaches
+    text by the measured broadcast-vs-join switch of
+    :func:`ngram_jaccard_pairs`.  Document text never crosses (1)-(3).
+
+    Output: ``(id_a, id_b, jaccard)`` for all pairs with
+    ``jaccard ≥ threshold``.
+    """
+    import hashlib
+    import math
+
+    from .relational import grouped_aggregate
+
+    t = float(threshold)
+    if not 0.0 < t <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+
+    def _tok(text: str) -> set:
+        return set(texthash.TOKEN_RE.findall(text.lower()))
+
+    # (1) token df census -> global order
+    def _doc_tokens(df: pd.DataFrame) -> pd.DataFrame:
+        rows_t, rows_i = [], []
+        for i, txt in zip(df[id_col].to_numpy(), df[text_col].to_numpy()):
+            for w in _tok(txt):
+                rows_t.append(w)
+                rows_i.append(i)
+        return pd.DataFrame({"token": rows_t, id_col: rows_i})
+
+    tok = docs.select_columns([id_col, text_col]).map_batches(
+        _doc_tokens, batch_format="pandas"
+    )
+    df_census = grouped_aggregate(
+        tok, ["token"], [("count_star", None, "df")]
+    ).materialize()
+    n_vocab = df_census.count()
+    if n_vocab <= df_rank_broadcast_limit:
+        vdf = df_census.to_pandas().sort_values(
+            ["df", "token"], kind="mergesort"
+        )
+        rank_ref = ray.put(
+            dict(zip(vdf["token"].to_numpy(), range(len(vdf))))
+        )
+    else:
+        rank_ref = None
+
+    # (2) prefix emission: (token, id, set size) for each record's
+    # first s - ceil(t*s) + 1 tokens in the global order
+    def _prefix(df: pd.DataFrame) -> pd.DataFrame:
+        rk = ray.get(rank_ref) if rank_ref is not None else None
+        if rk is not None:
+            _order = lambda words: sorted(words, key=rk.__getitem__)
+        else:
+            _order = lambda words: sorted(
+                words,
+                key=lambda w: hashlib.md5(w.encode("utf-8")).hexdigest(),
+            )
+        rows_t, rows_i, rows_s = [], [], []
+        for i, txt in zip(df[id_col].to_numpy(), df[text_col].to_numpy()):
+            words = _tok(txt)
+            s = len(words)
+            if s == 0:
+                continue
+            p = s - math.ceil(t * s) + 1
+            for w in _order(words)[:p]:
+                rows_t.append(w)
+                rows_i.append(i)
+                rows_s.append(s)
+        return pd.DataFrame(
+            {"token": rows_t, "_id": np.asarray(rows_i, dtype=np.int64),
+             "_s": np.asarray(rows_s, dtype=np.int64)}
+        )
+
+    prefixes = docs.select_columns([id_col, text_col]).map_batches(
+        _prefix, batch_format="pandas"
+    )
+
+    # (3) in-bucket candidate pairs + size filter, then global distinct
+    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["_id"].to_numpy()
+        sz = g["_s"].to_numpy()
+        order = np.argsort(ids, kind="mergesort")
+        ids, sz = ids[order], sz[order]
+        k = len(ids)
+        if k < 2:
+            return pd.DataFrame(
+                {"id_a": ids[:0], "id_b": ids[:0]}
+            )
+        i, j = np.triu_indices(k, 1)
+        lo = np.minimum(sz[i], sz[j])
+        hi = np.maximum(sz[i], sz[j])
+        keep = lo >= np.ceil(t * hi)
+        return pd.DataFrame({"id_a": ids[i][keep], "id_b": ids[j][keep]})
+
+    cand = grouped_aggregate(
+        prefixes.groupby("token").map_groups(
+            _bucket_pairs, batch_format="pandas"
+        ),
+        ["id_a", "id_b"],
+        [("count_star", None, "_n")],
+    ).drop_columns(["_n"])
+
+    # (4) exact verification with the same word tokenizer
+    return ngram_jaccard_pairs(
+        cand, docs, threshold=t, text_col=text_col, id_col=id_col,
+        broadcast_doc_limit=broadcast_doc_limit,
+        gramfn=_tok, sim_col="jaccard",
+    )
+
+
+__all__.append("prefix_filter_pairs")

@@ -204,3 +204,42 @@ def test_strip_duplicate_spans_join_path_matches_broadcast():
         bc[cols].sort_values("doc_id").reset_index(drop=True),
         jn[cols].sort_values("doc_id").reset_index(drop=True),
     )
+
+
+def _ppj_corpus():
+    rows = [
+        {"doc_id": 0, "text": "apple banana cherry date egg"},
+        {"doc_id": 1, "text": "apple banana cherry date fig"},   # J(0,1)=4/6
+        {"doc_id": 2, "text": "egg date cherry banana apple"},   # J(0,2)=1.0
+        {"doc_id": 3, "text": "zebra yak xray"},                 # disjoint
+    ]
+    return ray.data.from_items(rows)
+
+
+def test_prefix_filter_pairs_planted():
+    out = dedup.prefix_filter_pairs(_ppj_corpus(), threshold=0.6).to_pandas()
+    got = {
+        (a, b): round(j, 6)
+        for a, b, j in zip(out["id_a"], out["id_b"], out["jaccard"])
+    }
+    assert got == {
+        (0, 1): round(4 / 6, 6),
+        (0, 2): 1.0,
+        (1, 2): round(4 / 6, 6),
+    }
+
+
+def test_prefix_filter_pairs_hash_order_matches_df_order():
+    """Forcing df_rank_broadcast_limit=0 takes the md5-token-order
+    fallback (no df census broadcast); any consistent total order keeps
+    the prefix-filter plan EXACT, so results must match bit-for-bit."""
+    cols = ["id_a", "id_b", "jaccard"]
+    a = dedup.prefix_filter_pairs(_ppj_corpus(), threshold=0.6).to_pandas()
+    b = dedup.prefix_filter_pairs(
+        _ppj_corpus(), threshold=0.6, df_rank_broadcast_limit=0
+    ).to_pandas()
+    key = ["id_a", "id_b"]
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(key).reset_index(drop=True),
+        b[cols].sort_values(key).reset_index(drop=True),
+    )
