@@ -1837,6 +1837,80 @@ def _q_prefix_filter_pairs(sf_dir: str):
     return _round_cols(pairs, ["jaccard"], 6)
 
 
+def _q_orders_row_numbers(sf_dir: str):
+    """Exact dense global row numbers over orders by (date, key) —
+    `ops/order.zip_with_index`: range buckets from a bounded key
+    sample, one slim count combiner, O(#buckets) driver prefix sums,
+    one group-by-bucket exchange. No global sort barrier, no reliance
+    on Ray block order."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.order import (
+        zip_with_index,
+    )
+
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def _key(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["_k"] = out["o_orderdate"].astype(str)
+        return out
+
+    tagged = o.map_batches(_key, batch_format="pandas")
+    out = zip_with_index(tagged, key_col="_k", id_col="o_orderkey")
+    return out.select_columns(["o_orderkey", "row_id"])
+
+
+def _q_snm_customer_pairs(sf_dir: str):
+    """Sorted-neighborhood ER blocking (Hernández-Stolfo SNM): original
+    + zero-collapsed-perturbed customer names sorted by a collapse-key,
+    window-4 candidate pairs, Jaro-Winkler ≥ 0.95 match decision.
+    Oracle = row_number self-join + DuckDB jaro_winkler_similarity
+    (our JW kernel is bit-exact against it)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.functions.strings import (
+        jaro_winkler_batch,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import linkage
+
+    import re
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def _mk(df: pd.DataFrame) -> pd.DataFrame:
+        orig = pd.DataFrame(
+            {
+                "rec_id": df["c_custkey"].to_numpy() * 2,
+                "name": df["c_name"].to_numpy(object),
+            }
+        )
+        pert = pd.DataFrame(
+            {
+                "rec_id": df["c_custkey"].to_numpy() * 2 + 1,
+                "name": df["c_name"]
+                .str.replace("#00000", "#", regex=False)
+                .to_numpy(object),
+            }
+        )
+        recs = pd.concat([orig, pert], ignore_index=True)
+        recs["sort_key"] = [re.sub("0+", "0", s) for s in recs["name"]]
+        return recs
+
+    recs = cust.map_batches(_mk, batch_format="pandas")
+    pairs = linkage.snm_pairs(
+        recs, key_col="sort_key", id_col="rec_id", window=4,
+        payload_cols=("name",),
+    )
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        jw = jaro_winkler_batch(
+            df["name_a"].to_numpy(object), df["name_b"].to_numpy(object)
+        )
+        out = pd.DataFrame(
+            {"id_a": df["id_a"], "id_b": df["id_b"], "jw": _sql_round(jw, 6)}
+        )
+        return out[jw >= 0.95]
+
+    return pairs.map_batches(_score, batch_format="pandas")
+
+
 def _q_embedding_dup_exact(sf_dir: str):
     """Exact all-pairs cosine near-dup baseline (threshold 0.4)."""
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -3045,6 +3119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_attribution": _q_purchase_attribution,  # new in r3
         "skew_join_lineitem": _q_skew_join_lineitem,  # new in r3
         "prefix_filter_pairs": _q_prefix_filter_pairs,  # new in r3
+        "snm_customer_pairs": _q_snm_customer_pairs,  # new in r3
+        "orders_row_numbers": _q_orders_row_numbers,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
         "c360_interactions": _q_c360_interactions,
@@ -4306,6 +4382,31 @@ def oracle_sql() -> dict[str, str]:
             FROM g a JOIN g b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.s, b.s))::DOUBLE /
                   len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        """,
+        "orders_row_numbers": """
+            SELECT o_orderkey,
+                   row_number() OVER (
+                     ORDER BY CAST(o_orderdate AS VARCHAR), o_orderkey
+                   ) - 1 AS row_id
+            FROM orders
+        """,
+        "snm_customer_pairs": """
+            WITH recs AS (
+              SELECT c_custkey*2 AS rec_id, c_name AS name FROM customer
+              UNION ALL
+              SELECT c_custkey*2+1, replace(c_name, '#00000', '#')
+              FROM customer
+            ), r AS (
+              SELECT rec_id, name,
+                     row_number() OVER (
+                       ORDER BY regexp_replace(name, '0+', '0', 'g'),
+                                rec_id) AS rn
+              FROM recs
+            )
+            SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+                   round(jaro_winkler_similarity(a.name, b.name), 6) AS jw
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn <= 3
+            WHERE jaro_winkler_similarity(a.name, b.name) >= 0.95
         """,
         "prefix_filter_pairs": """
             WITH g AS (

@@ -173,6 +173,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "profile_drift_orders",
         "discretize_prices",
         "prefix_filter_pairs",
+        "snm_customer_pairs",
+        "orders_row_numbers",
     ]
     for name in bench_queries:
         t0 = time.time()

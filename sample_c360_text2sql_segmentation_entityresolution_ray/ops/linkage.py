@@ -137,4 +137,132 @@ def lookup_link(
     )
 
 
-__all__ = ["lookup_link"]
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD 1995)
+# ---------------------------------------------------------------------------
+
+
+def snm_pairs(
+    records: "ray.data.Dataset",
+    key_col: str,
+    id_col: str,
+    window: int = 5,
+    payload_cols: tuple = (),
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Sorted-neighborhood candidate pairs: every ``(a, b)`` whose
+    positions in the global ``(key_col, id_col)``-ascending order differ
+    by less than ``window`` — the classic SNM blocking pass, EXACTLY
+    (``row_number``-defined, so SQL-oracle-checkable).
+
+    Distributed plan — no global sort barrier, no reliance on Ray block
+    order: records land in RANGE buckets (bounded per-block key sample
+    → cuts), bucket counts cross one slim combiner shuffle, and the
+    driver computes from the O(#buckets) count vector which buckets
+    must RECEIVE each bucket's tail rows (walking back over empty
+    buckets) so that every bucket's group is a contiguous slice of the
+    global order covering its natives' ``window - 1`` predecessors.
+    Two group-by-bucket exchanges of slim (id, key, payload) rows;
+    a pair is emitted in the one bucket where its LATER element is
+    native, so no dedup pass is needed.
+
+    Output: ``(id_a, id_b, <payload>_a, <payload>_b, ...)`` with
+    ``id_a`` earlier in sort order.  Feed to a similarity kernel (e.g.
+    ``jaro_winkler_batch``) for the match decision — SNM is the
+    blocking half of the reference ER service's matching flow
+    (`lib/entity-resolution-service.ts:140-183`), re-expressed as the
+    textbook sorted-neighborhood alternative to key blocking.
+    """
+    from .order import bucketize, grouped_aggregate, sample_boundaries
+
+    if window < 2:
+        raise ValueError("window must be ≥ 2")
+    payload_cols = tuple(payload_cols)
+    cols = [id_col, key_col, *payload_cols]
+
+    slim = records.select_columns(cols)
+    cuts = sample_boundaries(slim, key_col, num_buckets)
+    tagged = bucketize(slim, key_col, cuts).materialize()
+
+    counts = (
+        grouped_aggregate(
+            tagged.select_columns(["_b"]), ["_b"], [("count_star", None, "_n")]
+        )
+        .to_pandas()
+        .sort_values("_b")
+    )
+    bs = counts["_b"].to_numpy()
+    ns = counts["_n"].to_numpy()
+    carries: dict = {}
+    for i in range(len(bs)):
+        remaining = window - 1
+        j = i - 1
+        while j >= 0 and remaining > 0:
+            take = int(min(remaining, ns[j]))
+            carries.setdefault(int(bs[j]), []).append((int(bs[i]), take))
+            remaining -= take
+            j -= 1
+    cmap_ref = ray.put(carries)
+
+    def _emit(g: pd.DataFrame) -> pd.DataFrame:
+        cmap = ray.get(cmap_ref)
+        b = int(g["_b"].iloc[0])
+        srt = g.sort_values([key_col, id_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        base = srt.drop(columns=["_b"])
+        outs = [base.assign(_dst=np.int32(b), _carry=np.int8(0))]
+        for dst, k in cmap.get(b, ()):
+            tail = base.iloc[len(base) - k :].copy()
+            tail["_dst"] = np.int32(dst)
+            tail["_carry"] = np.int8(1)
+            outs.append(tail)
+        return pd.concat(outs, ignore_index=True)
+
+    routed = tagged.groupby("_b").map_groups(_emit, batch_format="pandas")
+
+    out_cols = ["id_a", "id_b"] + [
+        f"{c}_{s}" for c in payload_cols for s in ("a", "b")
+    ]
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        srt = g.sort_values([key_col, id_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        ids = srt[id_col].to_numpy()
+        native = srt["_carry"].to_numpy() == 0
+        pay = {c: srt[c].to_numpy(object) for c in payload_cols}
+        n = len(srt)
+        acc: dict = {c: [] for c in out_cols}
+        for delta in range(1, window):
+            if n <= delta:
+                break
+            a_idx = np.arange(0, n - delta)
+            b_idx = a_idx + delta
+            keep = native[b_idx]
+            a_idx, b_idx = a_idx[keep], b_idx[keep]
+            acc["id_a"].append(ids[a_idx])
+            acc["id_b"].append(ids[b_idx])
+            for c in payload_cols:
+                acc[f"{c}_a"].append(pay[c][a_idx])
+                acc[f"{c}_b"].append(pay[c][b_idx])
+        if not acc["id_a"]:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype=srt[id_col].dtype),
+                    "id_b": pd.Series(dtype=srt[id_col].dtype),
+                    **{
+                        f"{c}_{s}": pd.Series(dtype=object)
+                        for c in payload_cols
+                        for s in ("a", "b")
+                    },
+                }
+            )
+        return pd.DataFrame(
+            {c: np.concatenate(acc[c]) for c in out_cols}
+        )
+
+    return routed.groupby("_dst").map_groups(_pairs, batch_format="pandas")
+
+
+__all__ = ["lookup_link", "snm_pairs"]
