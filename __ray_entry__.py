@@ -1837,6 +1837,31 @@ def _q_prefix_filter_pairs(sf_dir: str):
     return _round_cols(pairs, ["jaccard"], 6)
 
 
+def _q_part_pagerank(sf_dir: str):
+    """Fixed-3-iteration PageRank (damping 0.85, dangling-mass
+    redistribution) over the basket-transition graph: consecutive
+    lineitems of an order (by l_linenumber) form a part→part edge.
+    Oracle = the same recurrence unrolled in SQL (lead() edges, three
+    join+aggregate rounds)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.graph import (
+        pagerank,
+    )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"])
+
+    def _edges(g: pd.DataFrame) -> pd.DataFrame:
+        # (l_orderkey, l_linenumber) is NOT unique in this fixture;
+        # l_partkey as tiebreak makes the edge multiset deterministic
+        # (edges only read partkey, so equal (ln, part) ties are inert)
+        srt = g.sort_values(["l_linenumber", "l_partkey"], kind="mergesort")
+        p = srt["l_partkey"].to_numpy()
+        return pd.DataFrame({"src": p[:-1], "dst": p[1:]})
+
+    edges = li.groupby("l_orderkey").map_groups(_edges, batch_format="pandas")
+    pr = pagerank(edges, damping=0.85, iterations=3)
+    return _round_cols(pr, ["rank"], 8)
+
+
 def _q_orders_row_numbers(sf_dir: str):
     """Exact dense global row numbers over orders by (date, key) —
     `ops/order.zip_with_index`: range buckets from a bounded key
@@ -3121,6 +3146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_filter_pairs": _q_prefix_filter_pairs,  # new in r3
         "snm_customer_pairs": _q_snm_customer_pairs,  # new in r3
         "orders_row_numbers": _q_orders_row_numbers,  # new in r3
+        "part_pagerank": _q_part_pagerank,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
         "c360_interactions": _q_c360_interactions,
@@ -4382,6 +4408,47 @@ def oracle_sql() -> dict[str, str]:
             FROM g a JOIN g b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.s, b.s))::DOUBLE /
                   len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        """,
+        "part_pagerank": """
+            WITH e AS (
+              SELECT src, dst FROM (
+                SELECT l_partkey AS src,
+                       lead(l_partkey) OVER (
+                         PARTITION BY l_orderkey
+                         ORDER BY l_linenumber, l_partkey
+                       ) AS dst
+                FROM lineitem)
+              WHERE dst IS NOT NULL
+            ),
+            outd AS (SELECT src AS node, count(*) AS od FROM e GROUP BY 1),
+            nodes AS (SELECT DISTINCT src AS node FROM e
+                      UNION SELECT DISTINCT dst FROM e),
+            nd AS (SELECT nodes.node, coalesce(outd.od, 0) AS od
+                   FROM nodes LEFT JOIN outd USING (node)),
+            p AS (SELECT count(*)::DOUBLE AS n FROM nd),
+            r0 AS (SELECT node, od, 1.0/p.n AS r FROM nd, p),
+            d1 AS (SELECT coalesce(sum(r), 0) AS dg FROM r0 WHERE od = 0),
+            c1 AS (SELECT e.dst AS node, sum(q.r/q.od) AS c
+                   FROM e JOIN r0 q ON e.src = q.node GROUP BY 1),
+            r1 AS (SELECT nd.node, nd.od,
+                          (1.0-0.85)/p.n
+                          + 0.85*(coalesce(c1.c, 0) + d1.dg/p.n) AS r
+                   FROM nd LEFT JOIN c1 USING (node), p, d1),
+            d2 AS (SELECT coalesce(sum(r), 0) AS dg FROM r1 WHERE od = 0),
+            c2 AS (SELECT e.dst AS node, sum(q.r/q.od) AS c
+                   FROM e JOIN r1 q ON e.src = q.node GROUP BY 1),
+            r2 AS (SELECT nd.node, nd.od,
+                          (1.0-0.85)/p.n
+                          + 0.85*(coalesce(c2.c, 0) + d2.dg/p.n) AS r
+                   FROM nd LEFT JOIN c2 USING (node), p, d2),
+            d3 AS (SELECT coalesce(sum(r), 0) AS dg FROM r2 WHERE od = 0),
+            c3 AS (SELECT e.dst AS node, sum(q.r/q.od) AS c
+                   FROM e JOIN r2 q ON e.src = q.node GROUP BY 1),
+            r3 AS (SELECT nd.node,
+                          (1.0-0.85)/p.n
+                          + 0.85*(coalesce(c3.c, 0) + d3.dg/p.n) AS r
+                   FROM nd LEFT JOIN c3 USING (node), p, d3)
+            SELECT node, round(r, 8) AS rank FROM r3
         """,
         "orders_row_numbers": """
             SELECT o_orderkey,

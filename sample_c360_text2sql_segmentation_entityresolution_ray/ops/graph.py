@@ -231,4 +231,191 @@ def triangle_count(
     )
 
 
-__all__ = ["connected_components", "component_sizes", "triangle_count"]
+__all__ = ["connected_components", "component_sizes", "triangle_count", "pagerank"]
+
+
+def pagerank(
+    edges: "ray.data.Dataset",
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 3,
+    node_broadcast_limit: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Fixed-iteration PageRank with dangling-mass redistribution:
+
+        r'(v) = (1-d)/N + d·(Σ_{u→v} r(u)/outdeg(u) + D/N),
+        D = Σ_{outdeg(u)=0} r(u),  r₀ = 1/N.
+
+    A FIXED iteration count keeps the op SQL-oracle-checkable (the
+    oracle unrolls the same recurrence); convergence loops just call
+    with higher ``iterations``.
+
+    Scale shape: the rank state is O(#nodes) and edges stream once per
+    iteration.  ≤ ``node_broadcast_limit`` nodes: ranks broadcast as a
+    (node → r/outdeg) dict, each edge batch pre-aggregates per-dst
+    partials, one slim combiner shuffle per iteration, driver folds the
+    O(#nodes) result.  Above: ranks stay a Dataset — edges hash-join
+    ranks on ``src`` (per-iteration exchange of slim (src, r/od) rows),
+    contributions combine by ``dst``, and a left join onto the node
+    table applies the fold; the driver only ever sees scalars.  Both
+    paths are bit-equal on the same input (modulo float-sum
+    association; tested).  Multi-edges count once each, as SQL does.
+    """
+    import numpy as np
+
+    from .relational import grouped_aggregate, hash_join
+
+    if iterations < 1:
+        raise ValueError("iterations must be ≥ 1")
+    d = float(damping)
+
+    e = edges.select_columns([src, dst]).materialize()
+
+    def _node_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": pd.concat([df[src], df[dst]], ignore_index=True).unique()}
+        )
+
+    nodes = grouped_aggregate(
+        e.map_batches(_node_rows, batch_format="pandas"),
+        ["node"],
+        [("count_star", None, "_x")],
+    ).drop_columns(["_x"])
+    outd = grouped_aggregate(e, [src], [("count_star", None, "od")])
+
+    def _od_rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df[src], "od": df["od"]})
+
+    outd = outd.map_batches(_od_rename, batch_format="pandas")
+    nd = hash_join(nodes, outd, on=("node",), how="left_outer").materialize()
+    n_nodes = nd.count()
+    if n_nodes == 0:
+        raise ValueError("pagerank: edge table is empty")
+
+    if n_nodes <= node_broadcast_limit:
+        ndf = nd.to_pandas()
+        ndf["od"] = ndf["od"].fillna(0).astype(np.int64)
+        ndf = ndf.sort_values("node", kind="mergesort").reset_index(drop=True)
+        node_arr = ndf["node"].to_numpy()
+        od = ndf["od"].to_numpy(np.float64)
+        r = np.full(len(ndf), 1.0 / n_nodes, dtype=np.float64)
+        for _ in range(iterations):
+            share = np.where(od > 0, r / np.where(od > 0, od, 1.0), 0.0)
+            ref = ray.put(dict(zip(node_arr, share)))
+
+            def _contrib(df: pd.DataFrame) -> pd.DataFrame:
+                sh = ray.get(ref)
+                v = df[src].map(sh).to_numpy(np.float64)
+                g = pd.DataFrame({"node": df[dst], "_c": v}).groupby(
+                    "node", sort=False
+                )["_c"].sum()
+                return pd.DataFrame(
+                    {"node": g.index.to_numpy(), "_c": g.to_numpy()}
+                )
+
+            agg = grouped_aggregate(
+                e.map_batches(_contrib, batch_format="pandas"),
+                ["node"],
+                [("sum", "_c", "c")],
+            ).to_pandas()
+            cin = np.zeros(len(ndf), dtype=np.float64)
+            pos = np.searchsorted(node_arr, agg["node"].to_numpy())
+            cin[pos] = agg["c"].to_numpy(np.float64)
+            dangling = float(r[od == 0].sum())
+            r = (1.0 - d) / n_nodes + d * (cin + dangling / n_nodes)
+        return ray.data.from_pandas(
+            pd.DataFrame({"node": node_arr, "rank": r})
+        )
+
+    # distributed-rank path: the state never collects
+    def _init(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["od"] = out["od"].fillna(0).astype(np.int64)
+        out["r"] = 1.0 / n_nodes
+        return out
+
+    ranks = nd.map_batches(_init, batch_format="pandas").materialize()
+    for _ in range(iterations):
+        dang = (
+            ranks.map_batches(
+                lambda df: pd.DataFrame(
+                    {"_d": [df.loc[df["od"] == 0, "r"].sum()]}
+                ),
+                batch_format="pandas",
+            ).to_pandas()["_d"].sum()
+        )
+
+        def _share(df: pd.DataFrame) -> pd.DataFrame:
+            keep = df[df["od"] > 0]
+            return pd.DataFrame(
+                {
+                    "_sn": keep["node"],
+                    "_sh": keep["r"].to_numpy(np.float64)
+                    / keep["od"].to_numpy(np.float64),
+                }
+            )
+
+        shares = ranks.map_batches(_share, batch_format="pandas")
+        j = hash_join(e, shares, on=(src,), right_on=("_sn",))
+
+        def _edge_contrib(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"node": df[dst], "_c": df["_sh"]})
+
+        # Slim O(#nodes) table; materializing it keeps ONE join
+        # aggregator pool live at a time (two chained pools starve a
+        # small cluster's executor — observed deadlock at 4 CPUs).
+        contrib = grouped_aggregate(
+            j.map_batches(_edge_contrib, batch_format="pandas"),
+            ["node"],
+            [("sum", "_c", "c")],
+        ).materialize()
+
+        # Fold contributions onto the node table WITHOUT a second join:
+        # union (node, od, c=0) rows with (node, od=0, c) rows and sum
+        # both columns — od arrives exactly once (from the node side).
+        def _zero_c(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "node": df["node"],
+                    "od": df["od"].to_numpy(np.int64),
+                    "c": np.zeros(len(df), dtype=np.float64),
+                }
+            )
+
+        def _zero_od(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "node": df["node"],
+                    "od": np.zeros(len(df), dtype=np.int64),
+                    "c": df["c"].to_numpy(np.float64),
+                }
+            )
+
+        folded = grouped_aggregate(
+            ranks.map_batches(_zero_c, batch_format="pandas").union(
+                contrib.map_batches(_zero_od, batch_format="pandas")
+            ),
+            ["node"],
+            [("sum", "c", "c"), ("sum", "od", "od")],
+        )
+        base = (1.0 - d) / n_nodes
+        dpn = dang / n_nodes
+
+        def _fold(df: pd.DataFrame) -> pd.DataFrame:
+            c = df["c"].to_numpy(np.float64)
+            # same float form as the broadcast path: base + d*(c + D/N)
+            return pd.DataFrame(
+                {
+                    "node": df["node"],
+                    "od": df["od"].to_numpy(np.int64),
+                    "r": base + d * (c + dpn),
+                }
+            )
+
+        ranks = folded.map_batches(_fold, batch_format="pandas").materialize()
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["node"], "rank": df["r"]})
+
+    return ranks.map_batches(_final, batch_format="pandas")

@@ -140,3 +140,58 @@ def test_triangle_count_planted_and_join_path(ray_session):
     ).to_pandas()
     assert a["n_triangles"].tolist() == b["n_triangles"].tolist()
     assert a["n_triangles"][0] > 0
+
+
+def _pagerank_reference(edges, n_iter=3, d=0.85):
+    """Dense numpy reference of the same recurrence."""
+    nodes = sorted(set(edges["src"]) | set(edges["dst"]))
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    od = np.zeros(n)
+    for s in edges["src"]:
+        od[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        c = np.zeros(n)
+        for s, t in zip(edges["src"], edges["dst"]):
+            c[idx[t]] += r[idx[s]] / od[idx[s]]
+        dang = r[od == 0].sum()
+        r = (1.0 - d) / n + d * (c + dang / n)
+    return dict(zip(nodes, r))
+
+
+def test_pagerank_matches_reference_and_sums_to_one():
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.graph import (
+        pagerank,
+    )
+
+    # 1→2, 1→3, 2→3, 4 dangling sink (3→ nothing, 4 isolated via 3→4)
+    e = pd.DataFrame({"src": [1, 1, 2, 3], "dst": [2, 3, 3, 4]})
+    out = pagerank(ray.data.from_pandas(e), iterations=3).to_pandas()
+    ref = _pagerank_reference(e)
+    got = dict(zip(out["node"], out["rank"]))
+    assert set(got) == set(ref)
+    for k in ref:
+        assert abs(got[k] - ref[k]) < 1e-12, (k, got[k], ref[k])
+    assert abs(out["rank"].sum() - 1.0) < 1e-9
+
+
+def test_pagerank_join_path_matches_broadcast():
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.graph import (
+        pagerank,
+    )
+
+    rng = np.random.default_rng(5)
+    e = pd.DataFrame(
+        {"src": rng.integers(0, 80, 600), "dst": rng.integers(0, 80, 600)}
+    )
+    ds = ray.data.from_pandas(e).repartition(4)
+    a = pagerank(ds, iterations=2).to_pandas().sort_values("node")
+    b = (
+        pagerank(ds, iterations=2, node_broadcast_limit=0)
+        .to_pandas()
+        .sort_values("node")
+    )
+    assert np.allclose(
+        a["rank"].to_numpy(), b["rank"].to_numpy(), rtol=0, atol=1e-15
+    )
