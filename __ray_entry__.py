@@ -1837,29 +1837,93 @@ def _q_prefix_filter_pairs(sf_dir: str):
     return _round_cols(pairs, ["jaccard"], 6)
 
 
+def _basket_edges(sf_dir: str):
+    """part→part basket-transition edges: consecutive lineitems of an
+    order (by l_linenumber, partkey tiebreak — (orderkey, linenumber)
+    is NOT unique in this fixture and edges only read partkey, so
+    equal-(ln, part) ties are inert)."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"])
+
+    def _edges(g: pd.DataFrame) -> pd.DataFrame:
+        srt = g.sort_values(["l_linenumber", "l_partkey"], kind="mergesort")
+        p = srt["l_partkey"].to_numpy()
+        return pd.DataFrame({"src": p[:-1], "dst": p[1:]})
+
+    return li.groupby("l_orderkey").map_groups(_edges, batch_format="pandas")
+
+
+# shared oracle CTE for the basket-transition edge multiset
+_SQL_BASKET_EDGES = """
+              SELECT src, dst FROM (
+                SELECT l_partkey AS src,
+                       lead(l_partkey) OVER (
+                         PARTITION BY l_orderkey
+                         ORDER BY l_linenumber, l_partkey
+                       ) AS dst
+                FROM lineitem)
+              WHERE dst IS NOT NULL
+"""
+
+
 def _q_part_pagerank(sf_dir: str):
     """Fixed-3-iteration PageRank (damping 0.85, dangling-mass
-    redistribution) over the basket-transition graph: consecutive
-    lineitems of an order (by l_linenumber) form a part→part edge.
-    Oracle = the same recurrence unrolled in SQL (lead() edges, three
+    redistribution) over the basket-transition graph.  Oracle = the
+    same recurrence unrolled in SQL (lead() edges, three
     join+aggregate rounds)."""
     from sample_c360_text2sql_segmentation_entityresolution_ray.ops.graph import (
         pagerank,
     )
 
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"])
-
-    def _edges(g: pd.DataFrame) -> pd.DataFrame:
-        # (l_orderkey, l_linenumber) is NOT unique in this fixture;
-        # l_partkey as tiebreak makes the edge multiset deterministic
-        # (edges only read partkey, so equal (ln, part) ties are inert)
-        srt = g.sort_values(["l_linenumber", "l_partkey"], kind="mergesort")
-        p = srt["l_partkey"].to_numpy()
-        return pd.DataFrame({"src": p[:-1], "dst": p[1:]})
-
-    edges = li.groupby("l_orderkey").map_groups(_edges, batch_format="pandas")
-    pr = pagerank(edges, damping=0.85, iterations=3)
+    pr = pagerank(_basket_edges(sf_dir), damping=0.85, iterations=3)
     return _round_cols(pr, ["rank"], 8)
+
+
+def _q_part_bfs_hops(sf_dir: str):
+    """Multi-source BFS hop distance (≤ 3 hops) over the directed
+    basket-transition graph from seed parts with partkey % 97 == 0 —
+    `ops/graph.bfs_distance`: frontier broadcast + per-batch hit
+    emission + combiner-shuffle distinct per round (join/anti-join
+    plan above the node cap).  Oracle unrolls the three rounds."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.graph import (
+        bfs_distance,
+    )
+
+    edges = _basket_edges(sf_dir).materialize()
+
+    def _nodes(df: pd.DataFrame) -> pd.DataFrame:
+        both = pd.concat([df["src"], df["dst"]], ignore_index=True)
+        keep = both[both % 97 == 0].unique()
+        return pd.DataFrame({"node": keep})
+
+    seeds = edges.map_batches(_nodes, batch_format="pandas")
+    return bfs_distance(edges, seeds, iterations=3)
+
+
+def _q_status_priority_entropy(sf_dir: str):
+    """Shannon entropy (bits) of the order-priority mix per order
+    status — `ops/profile.grouped_entropy`: two combiner shuffles
+    ((group, value) counts, then per-group moments), H = log2(n) − S/n.
+    Oracle = DuckDB's entropy() aggregate (log2 convention)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.profile import (
+        grouped_entropy,
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+    ent = grouped_entropy(orders, "o_orderstatus", "o_orderpriority")
+    return _round_cols(ent, ["entropy"], 6)
+
+
+def _q_qty_mode_by_flag(sf_dir: str):
+    """Deterministic mode (smallest value among the most frequent) of
+    l_quantity per return flag — `ops/profile.grouped_mode`: combiner
+    shuffle to (group, value) counts, hash-partitioned vectorized
+    sort+drop_duplicates sweep.  Oracle = the window formulation."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.profile import (
+        grouped_mode,
+    )
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return grouped_mode(li, "l_returnflag", "l_quantity", out_col="mode_qty")
 
 
 def _q_orders_row_numbers(sf_dir: str):
@@ -3147,6 +3211,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snm_customer_pairs": _q_snm_customer_pairs,  # new in r3
         "orders_row_numbers": _q_orders_row_numbers,  # new in r3
         "part_pagerank": _q_part_pagerank,  # new in r3
+        "part_bfs_hops": _q_part_bfs_hops,  # new in r3
+        "status_priority_entropy": _q_status_priority_entropy,  # new in r3
+        "qty_mode_by_flag": _q_qty_mode_by_flag,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
         "c360_interactions": _q_c360_interactions,
@@ -4409,17 +4476,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.s, b.s))::DOUBLE /
                   len(list_distinct(list_concat(a.s, b.s))) >= 0.5
         """,
-        "part_pagerank": """
-            WITH e AS (
-              SELECT src, dst FROM (
-                SELECT l_partkey AS src,
-                       lead(l_partkey) OVER (
-                         PARTITION BY l_orderkey
-                         ORDER BY l_linenumber, l_partkey
-                       ) AS dst
-                FROM lineitem)
-              WHERE dst IS NOT NULL
-            ),
+        "part_pagerank": f"""
+            WITH e AS ({_SQL_BASKET_EDGES}),
             outd AS (SELECT src AS node, count(*) AS od FROM e GROUP BY 1),
             nodes AS (SELECT DISTINCT src AS node FROM e
                       UNION SELECT DISTINCT dst FROM e),
@@ -4449,6 +4507,39 @@ def oracle_sql() -> dict[str, str]:
                           + 0.85*(coalesce(c3.c, 0) + d3.dg/p.n) AS r
                    FROM nd LEFT JOIN c3 USING (node), p, d3)
             SELECT node, round(r, 8) AS rank FROM r3
+        """,
+        "part_bfs_hops": f"""
+            WITH e AS ({_SQL_BASKET_EDGES}),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            d0 AS (SELECT node, 0 AS hops FROM nodes WHERE node % 97 = 0),
+            f1 AS (SELECT DISTINCT e.dst AS node FROM e
+                   JOIN d0 ON e.src = d0.node
+                   WHERE e.dst NOT IN (SELECT node FROM d0)),
+            d1 AS (SELECT * FROM d0 UNION ALL SELECT node, 1 FROM f1),
+            f2 AS (SELECT DISTINCT e.dst AS node FROM e
+                   JOIN f1 ON e.src = f1.node
+                   WHERE e.dst NOT IN (SELECT node FROM d1)),
+            d2 AS (SELECT * FROM d1 UNION ALL SELECT node, 2 FROM f2),
+            f3 AS (SELECT DISTINCT e.dst AS node FROM e
+                   JOIN f2 ON e.src = f2.node
+                   WHERE e.dst NOT IN (SELECT node FROM d2)),
+            d3 AS (SELECT * FROM d2 UNION ALL SELECT node, 3 FROM f3)
+            SELECT node, CAST(hops AS BIGINT) AS hops FROM d3
+        """,
+        "status_priority_entropy": """
+            SELECT o_orderstatus, round(entropy(o_orderpriority), 6)
+                       AS entropy
+            FROM orders GROUP BY 1
+        """,
+        "qty_mode_by_flag": """
+            WITH c AS (
+              SELECT l_returnflag AS g, l_quantity AS v, count(*) AS c
+              FROM lineitem GROUP BY 1, 2
+            ), m AS (SELECT g, max(c) AS mx FROM c GROUP BY 1)
+            SELECT c.g AS l_returnflag, min(c.v) AS mode_qty,
+                   CAST(m.mx AS BIGINT) AS n
+            FROM c JOIN m ON c.g = m.g AND c.c = m.mx
+            GROUP BY 1, 3
         """,
         "orders_row_numbers": """
             SELECT o_orderkey,

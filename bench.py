@@ -175,6 +175,10 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "prefix_filter_pairs",
         "snm_customer_pairs",
         "orders_row_numbers",
+        "part_pagerank",
+        "part_bfs_hops",
+        "status_priority_entropy",
+        "qty_mode_by_flag",
     ]
     for name in bench_queries:
         t0 = time.time()

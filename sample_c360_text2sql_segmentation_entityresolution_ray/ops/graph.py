@@ -419,3 +419,158 @@ def pagerank(
         return pd.DataFrame({"node": df["node"], "rank": df["r"]})
 
     return ranks.map_batches(_final, batch_format="pandas")
+
+
+__all__ += ["bfs_distance"]
+
+
+def bfs_distance(
+    edges: "ray.data.Dataset",
+    seeds: "ray.data.Dataset",
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    iterations: int = 3,
+    node_broadcast_limit: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Multi-source BFS over the DIRECTED graph ``edges``: every
+    distinct seed gets hops=0, and each of ``iterations`` rounds adds
+    the unreached out-neighbors of the frontier at hops=round.  Output:
+    ``(node, hops)`` — the minimum hop count ≤ ``iterations``.  A FIXED
+    round count keeps the op SQL-oracle-checkable (the oracle unrolls
+    the rounds); reachability closures just pass a diameter bound.
+
+    Scale shape: the visited state is O(#reached nodes) and edges
+    stream once per round.  ≤ ``node_broadcast_limit`` distinct seeds
+    + reached nodes: the frontier broadcasts as a sorted array, each
+    edge batch emits its per-batch-distinct hit dsts, one combiner
+    shuffle distincts them, the driver folds the O(#nodes) dict.
+    Above: visited/frontier stay Datasets — edges hash-join the
+    frontier on ``src``, reached dsts distinct through a combiner
+    shuffle, and an anti-join against the visited table (broadcast
+    ≤ cap, hash-partition exchange above) yields the next frontier;
+    every interchange is slim (node, hops) rows.  Early-exits when a
+    frontier empties.  Both paths are exactly equal (integer hops).
+    """
+    import numpy as np
+
+    from .relational import anti_join, grouped_aggregate, hash_join
+
+    if iterations < 0:
+        raise ValueError("iterations must be ≥ 0")
+
+    e = edges.select_columns([src, dst]).materialize()
+    seed_ds = (
+        grouped_aggregate(
+            seeds.select_columns([seed_col]).map_batches(
+                lambda df: pd.DataFrame({"node": df[seed_col]}),
+                batch_format="pandas",
+            ),
+            ["node"],
+            [("count_star", None, "_x")],
+        )
+        .drop_columns(["_x"])
+        .materialize()
+    )
+    n_seeds = seed_ds.count()
+    if n_seeds == 0:
+        raise ValueError("bfs_distance: no seed nodes")
+
+    if n_seeds <= node_broadcast_limit:
+        seed_arr = seed_ds.to_pandas()["node"].to_numpy()  # native dtype
+        dist = dict.fromkeys(seed_arr.tolist(), 0)
+        frontier = np.sort(seed_arr)
+        for hop in range(1, iterations + 1):
+            if len(frontier) == 0 or len(dist) > node_broadcast_limit:
+                break
+            ref = ray.put(frontier)
+
+            def _hits(df: pd.DataFrame) -> pd.DataFrame:
+                fr = ray.get(ref)
+                sv = df[src].to_numpy()
+                pos = np.searchsorted(fr, sv)
+                pos[pos >= len(fr)] = 0
+                mask = fr[pos] == sv
+                return pd.DataFrame(
+                    {"node": pd.unique(df.loc[mask, dst].to_numpy())}
+                )
+
+            rdf = grouped_aggregate(
+                e.map_batches(_hits, batch_format="pandas"),
+                ["node"],
+                [("count_star", None, "_x")],
+            ).to_pandas()
+            # a fully-empty round comes back COLUMN-LESS (zero-row
+            # blocks skip the aggregate), not as an empty typed frame
+            if "node" not in rdf.columns:
+                break
+            reached = rdf["node"].to_numpy()
+            new = [n for n in reached.tolist() if n not in dist]
+            if not new:
+                break
+            for n in new:
+                dist[n] = hop
+            frontier = np.sort(np.array(new, dtype=seed_arr.dtype))
+        out = pd.DataFrame(
+            {"node": list(dist), "hops": np.fromiter(dist.values(), np.int64)}
+        )
+        return ray.data.from_pandas(out)
+
+    # distributed path: visited/frontier never collect
+    def _zero(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["hops"] = np.int64(0)
+        return out
+
+    visited = seed_ds.map_batches(_zero, batch_format="pandas").materialize()
+    frontier = visited
+    n_frontier = n_seeds
+    for hop in range(1, iterations + 1):
+        j = hash_join(
+            e,
+            frontier.select_columns(["node"]).map_batches(
+                lambda df: pd.DataFrame({"_fn": df["node"]}),
+                batch_format="pandas",
+            ),
+            on=(src,),
+            right_on=("_fn",),
+            # partitions sized to the (known) frontier: an all-empty
+            # partition crashes Acero's finalize on the _fn FieldRef
+            num_partitions=max(2, min(64, n_frontier // 1000 + 2)),
+        )
+        # slim distinct; materialized so only one join pool runs at a time
+        reached = (
+            grouped_aggregate(
+                j.map_batches(
+                    lambda df: pd.DataFrame({"node": df[dst]}),
+                    batch_format="pandas",
+                ),
+                ["node"],
+                [("count_star", None, "_x")],
+            )
+            .drop_columns(["_x"])
+            .materialize()
+        )
+        hop_i = np.int64(hop)
+
+        def _stamp(df: pd.DataFrame, _h=hop_i) -> pd.DataFrame:
+            out = df.copy()
+            out["hops"] = _h
+            return out
+
+        # repartition scrubs the ZERO-COLUMN empty blocks Ray's hash
+        # join emits for empty partitions (map_batches passes zero-row
+        # blocks through UNCALLED, so they'd poison the next hop's
+        # Acero join and the pandas/Arrow-mixed union)
+        new = (
+            anti_join(reached, visited, on="node")
+            .map_batches(_stamp, batch_format="pandas")
+            .repartition(max(2, min(64, n_frontier // 100_000 + 2)))
+            .materialize()
+        )
+        n_frontier = new.count()
+        if n_frontier == 0:
+            break
+        visited = visited.union(new).materialize()
+        frontier = new
+    return visited

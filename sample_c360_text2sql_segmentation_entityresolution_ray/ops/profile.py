@@ -643,3 +643,107 @@ def fingerprint_oracle_sql(
 
 
 __all__ += ["table_fingerprint", "fingerprint_oracle_sql"]
+
+
+def grouped_entropy(
+    ds: "ray.data.Dataset",
+    group: str,
+    value: str,
+    out_col: str = "entropy",
+) -> "ray.data.Dataset":
+    """Shannon entropy (bits, log2 — DuckDB ``entropy()`` convention) of
+    the ``value`` distribution within each ``group``.
+
+    Fully distributed, no driver state: one combiner shuffle builds the
+    (group, value) count table, a second sums the per-group moments
+    n = Σc and S = Σ c·log2(c), and H = log2(n) − S/n per group — the
+    algebraic identity avoids ever needing p = c/n (and so the full
+    value list) in one place.  NULL values count as a category
+    (pandas groupby dropna=False); drop them upstream for DuckDB's
+    ignore-NULL semantics.
+    """
+    from .relational import grouped_aggregate
+
+    counts = grouped_aggregate(
+        ds.select_columns([group, value]),
+        [group, value],
+        [("count_star", None, "_c")],
+    )
+
+    def _moments(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["_c"].to_numpy(np.float64)
+        return pd.DataFrame({group: df[group], "_n": c, "_s": c * np.log2(c)})
+
+    sums = grouped_aggregate(
+        counts.map_batches(_moments, batch_format="pandas"),
+        [group],
+        [("sum", "_n", "_n"), ("sum", "_s", "_s")],
+    )
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["_n"].to_numpy(np.float64)
+        s = df["_s"].to_numpy(np.float64)
+        return pd.DataFrame({group: df[group], out_col: np.log2(n) - s / n})
+
+    return sums.map_batches(_final, batch_format="pandas")
+
+
+def grouped_mode(
+    ds: "ray.data.Dataset",
+    group: str,
+    value: str,
+    out_col: str = "mode_value",
+    partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Deterministic mode per group: the SMALLEST ``value`` among those
+    with the maximum count (DuckDB's ``mode()`` tie-break is
+    unspecified; this one is reproducible and SQL-expressible).
+
+    Scale shape: the combiner shuffle reduces rows to one per
+    (group, value) — the only thing that ever re-partitions — then a
+    hash-partitioned vectorized sweep (sort + drop_duplicates) picks
+    each group's winner; a group's candidate set lands whole in one
+    partition by construction.  Output: (group, out_col, n) with n =
+    the winning count.
+    """
+    from .relational import grouped_aggregate
+
+    counts = grouped_aggregate(
+        ds.select_columns([group, value]),
+        [group, value],
+        [("count_star", None, "_c")],
+    )
+
+    def _part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["_part"] = (
+            pd.util.hash_pandas_object(df[group], index=False).to_numpy()
+            % partitions
+        ).astype("int32")
+        return out
+
+    def _sweep(g: pd.DataFrame) -> pd.DataFrame:
+        win = (
+            g.sort_values(
+                [group, "_c", value],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .drop_duplicates(group)
+        )
+        return pd.DataFrame(
+            {
+                group: win[group].to_numpy(),
+                out_col: win[value].to_numpy(),
+                "n": win["_c"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        counts.map_batches(_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(_sweep, batch_format="pandas")
+    )
+
+
+__all__ += ["grouped_entropy", "grouped_mode"]

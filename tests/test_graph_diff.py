@@ -195,3 +195,50 @@ def test_pagerank_join_path_matches_broadcast():
     assert np.allclose(
         a["rank"].to_numpy(), b["rank"].to_numpy(), rtol=0, atol=1e-15
     )
+
+
+def test_bfs_distance_planted_and_path_equality(ray_session):
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.graph import (
+        bfs_distance,
+    )
+
+    # chain 0->1->2->3->4 plus a branch 0->5, unreachable island 8->9
+    e = pd.DataFrame(
+        {"src": [0, 1, 2, 3, 0, 8], "dst": [1, 2, 3, 4, 5, 9]}
+    )
+    seeds = pd.DataFrame({"node": [0]})
+    out = (
+        bfs_distance(
+            ray.data.from_pandas(e), ray.data.from_pandas(seeds), iterations=3
+        )
+        .to_pandas()
+        .sort_values("node")
+    )
+    got = dict(zip(out["node"], out["hops"]))
+    assert got == {0: 0, 1: 1, 5: 1, 2: 2, 3: 3}
+
+    # distributed path bit-equal (force via node_broadcast_limit=0)
+    out2 = (
+        bfs_distance(
+            ray.data.from_pandas(e),
+            ray.data.from_pandas(seeds),
+            iterations=3,
+            node_broadcast_limit=0,
+        )
+        .to_pandas()
+        .sort_values("node")
+    )
+    assert dict(zip(out2["node"], out2["hops"])) == got
+
+
+def test_bfs_early_exit_and_hop_zero(ray_session):
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.graph import (
+        bfs_distance,
+    )
+
+    e = pd.DataFrame({"src": [1], "dst": [2]})
+    seeds = pd.DataFrame({"node": [7]})  # isolated seed: no expansion
+    out = bfs_distance(
+        ray.data.from_pandas(e), ray.data.from_pandas(seeds), iterations=5
+    ).to_pandas()
+    assert out["node"].tolist() == [7] and out["hops"].tolist() == [0]

@@ -255,3 +255,43 @@ def test_annotate_table_with_model_fenced_reply(ray_session):
     assert "distinct" in meta.columns["amt"][1] or meta.columns["amt"][1]
     block = reg.prompt_block()
     assert "order key (e.g. 1001)" in block
+
+
+def test_grouped_entropy_planted(ray_session):
+    import math
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.profile import (
+        grouped_entropy,
+    )
+
+    df = pd.DataFrame(
+        {"g": ["a"] * 4 + ["b"] * 2, "v": ["x", "x", "y", "z", "w", "w"]}
+    )
+    out = (
+        grouped_entropy(ray.data.from_pandas(df), "g", "v")
+        .to_pandas()
+        .sort_values("g")
+    )
+    # a: 2/4,1/4,1/4 -> 1.5 bits; b: all same -> 0
+    got = dict(zip(out["g"], out["entropy"]))
+    assert abs(got["a"] - 1.5) < 1e-12
+    assert abs(got["b"] - 0.0) < 1e-12
+    assert math.isfinite(got["a"])
+
+
+def test_grouped_mode_tiebreak_smallest(ray_session):
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.profile import (
+        grouped_mode,
+    )
+
+    df = pd.DataFrame(
+        {"g": ["a"] * 4 + ["b"] * 3, "v": [5, 5, 3, 3, 9, 9, 1]}
+    )
+    out = (
+        grouped_mode(ray.data.from_pandas(df), "g", "v", out_col="m")
+        .to_pandas()
+        .sort_values("g")
+    )
+    # a: 5 and 3 tie at 2 -> smallest (3) wins; b: 9 wins outright
+    assert out["m"].tolist() == [3, 9]
+    assert out["n"].tolist() == [2, 2]
