@@ -1926,6 +1926,73 @@ def _q_qty_mode_by_flag(sf_dir: str):
     return grouped_mode(li, "l_returnflag", "l_quantity", out_col="mode_qty")
 
 
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _q_lineitem_corr(sf_dir: str):
+    """Pairwise Pearson correlation of the lineitem numeric columns —
+    `ops/profile.corr_matrix`: one co-moment partial row per block
+    crosses (p(p+3)/2+1 floats), driver solves the p×p matrix.
+    Oracle = DuckDB corr() per pair, round-6."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.profile import (
+        corr_matrix,
+    )
+
+    li = _read(sf_dir, "lineitem", _CORR_COLS)
+    return _round_cols(corr_matrix(li, _CORR_COLS), ["r"], 6)
+
+
+def _q_loo_encode_orders(sf_dir: str):
+    """Leave-one-out target-mean encoding of order priority by total
+    price — `ops/relational.target_encode_loo`: per-category (Σy, n)
+    combiner shuffle, O(#categories) broadcast, streaming attach;
+    (Σy − y)/(n − 1) never sees the row's own label.  Oracle = the
+    window-sum formulation."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
+        target_encode_loo,
+    )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+    enc = target_encode_loo(
+        orders, "o_orderpriority", "o_totalprice"
+    ).select_columns(["o_orderkey", "o_orderpriority", "loo_mean"])
+    return _round_cols(enc, ["loo_mean"], 6)
+
+
+def _q_order_gap_days(sf_dir: str):
+    """Days between a customer's consecutive orders (NULL for the
+    first) — `ops/window.window` lag over ONE per-customer hash
+    exchange, (o_orderdate, o_orderkey) as the deterministic order.
+    The inter-purchase-interval feature C360 churn models consume.
+    Oracle = date_diff against lag()."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.window import (
+        window,
+    )
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+    w = window(
+        orders,
+        ["o_custkey"],
+        [("o_orderdate", False), ("o_orderkey", False)],
+        {"_prev": ("lag", "o_orderdate", 1, None)},
+    )
+
+    def _gap(df: pd.DataFrame) -> pd.DataFrame:
+        cur = pd.to_datetime(df["o_orderdate"])
+        prev = pd.to_datetime(df["_prev"])
+        return pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"],
+                "o_orderkey": df["o_orderkey"],
+                "gap_days": (cur - prev).dt.days.astype("float64"),
+            }
+        )
+
+    return w.map_batches(_gap, batch_format="pandas")
+
+
 def _q_orders_row_numbers(sf_dir: str):
     """Exact dense global row numbers over orders by (date, key) —
     `ops/order.zip_with_index`: range buckets from a bounded key
@@ -3214,6 +3281,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_bfs_hops": _q_part_bfs_hops,  # new in r3
         "status_priority_entropy": _q_status_priority_entropy,  # new in r3
         "qty_mode_by_flag": _q_qty_mode_by_flag,  # new in r3
+        "lineitem_corr": _q_lineitem_corr,  # new in r3
+        "loo_encode_orders": _q_loo_encode_orders,  # new in r3
+        "order_gap_days": _q_order_gap_days,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
         "c360_interactions": _q_c360_interactions,
@@ -4540,6 +4610,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(m.mx AS BIGINT) AS n
             FROM c JOIN m ON c.g = m.g AND c.c = m.mx
             GROUP BY 1, 3
+        """,
+        "lineitem_corr": " UNION ALL ".join(
+            f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+                       round(corr({a}, {b}), 6) AS r FROM lineitem"""
+            for ai, a in enumerate(_CORR_COLS)
+            for b in _CORR_COLS[ai + 1:]
+        ),
+        "loo_encode_orders": """
+            SELECT o_orderkey, o_orderpriority,
+                   CASE WHEN count(*) OVER (PARTITION BY o_orderpriority) > 1
+                        THEN round(
+                          (sum(o_totalprice) OVER (PARTITION BY o_orderpriority)
+                             - o_totalprice)
+                          / (count(*) OVER (PARTITION BY o_orderpriority) - 1),
+                          6)
+                   END AS loo_mean
+            FROM orders
+        """,
+        "order_gap_days": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(date_diff('day',
+                        lag(o_orderdate) OVER (
+                          PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey),
+                        o_orderdate) AS DOUBLE) AS gap_days
+            FROM orders
         """,
         "orders_row_numbers": """
             SELECT o_orderkey,

@@ -179,6 +179,9 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "part_bfs_hops",
         "status_priority_entropy",
         "qty_mode_by_flag",
+        "lineitem_corr",
+        "loo_encode_orders",
+        "order_gap_days",
     ]
     for name in bench_queries:
         t0 = time.time()

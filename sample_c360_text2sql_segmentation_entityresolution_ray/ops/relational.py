@@ -1640,3 +1640,46 @@ def dense_ids(
 
 
 __all__.append("dense_ids")
+
+
+def target_encode_loo(
+    ds: "ray.data.Dataset",
+    cat_col: str,
+    target_col: str,
+    out_col: str = "loo_mean",
+    partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Leave-one-out target (mean) encoding: each row gets the mean of
+    ``target_col`` over the OTHER rows of its category —
+    ``(Σy − y) / (n − 1)``, NaN/NULL for singleton categories.  The
+    leakage-resistant categorical encoding for supervised training
+    (plain target-mean encoding leaks the row's own label).
+
+    Same shape as :func:`standardize`: per-category (Σy, n) ride the
+    grouped_aggregate combiner (one partial row per block × category),
+    come back as an O(#categories) broadcast, and the encoding applies
+    in one streaming map — rows never shuffle."""
+    sums = grouped_aggregate(
+        ds.select_columns([cat_col, target_col]),
+        keys=[cat_col],
+        specs=[("sum", target_col, "_s"), ("count", target_col, "_n")],
+        partitions=partitions,
+    ).to_pandas()
+    ref = ray.put(sums)
+
+    def _attach(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.merge(ray.get(ref), on=cat_col, how="left")
+        y = out[target_col].to_numpy(np.float64)
+        s = out["_s"].to_numpy(np.float64)
+        n = out["_n"].to_numpy(np.float64)
+        loo = np.divide(
+            s - y, n - 1.0, out=np.full(len(y), np.nan), where=n > 1.0
+        )
+        out = out.drop(columns=["_s", "_n"])
+        out[out_col] = loo
+        return out
+
+    return ds.map_batches(_attach, batch_format="pandas")
+
+
+__all__.append("target_encode_loo")

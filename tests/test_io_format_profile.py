@@ -6,6 +6,7 @@ from __future__ import annotations
 import json
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pytest
@@ -295,3 +296,43 @@ def test_grouped_mode_tiebreak_smallest(ray_session):
     # a: 5 and 3 tie at 2 -> smallest (3) wins; b: 9 wins outright
     assert out["m"].tolist() == [3, 9]
     assert out["n"].tolist() == [2, 2]
+
+
+def test_corr_matrix_planted(ray_session):
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.profile import (
+        corr_matrix,
+    )
+
+    df = pd.DataFrame(
+        {
+            "x": [1.0, 2.0, 3.0, 4.0],
+            "y": [2.0, 4.0, 6.0, 8.0],   # r(x,y) = 1
+            "c": [5.0, 5.0, 5.0, 5.0],   # zero variance -> NaN
+        }
+    )
+    out = (
+        corr_matrix(ray.data.from_pandas(df), ["x", "y", "c"])
+        .to_pandas()
+        .set_index(["col_a", "col_b"])["r"]
+    )
+    assert abs(out[("x", "y")] - 1.0) < 1e-12
+    assert np.isnan(out[("x", "c")]) and np.isnan(out[("y", "c")])
+
+
+def test_target_encode_loo_planted(ray_session):
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
+        target_encode_loo,
+    )
+
+    df = pd.DataFrame(
+        {"g": ["a", "a", "a", "b"], "y": [1.0, 2.0, 3.0, 10.0]}
+    )
+    out = (
+        target_encode_loo(ray.data.from_pandas(df), "g", "y")
+        .to_pandas()
+        .sort_values("y")
+    )
+    got = out["loo_mean"].tolist()
+    # a rows: (2+3)/2, (1+3)/2, (1+2)/2; singleton b -> NaN
+    assert got[:3] == [2.5, 2.0, 1.5]
+    assert np.isnan(got[3])
