@@ -1993,6 +1993,87 @@ def _q_order_gap_days(sf_dir: str):
     return w.map_batches(_gap, batch_format="pandas")
 
 
+def _q_edit_distance_link(sf_dir: str):
+    """Fuzzy linkage by MINIMUM edit distance: the zero-run-collapsed
+    probe names link back to the customer master within digit-tail
+    blocks, best = lowest Levenshtein ≤ 6 — `ops/linkage.lookup_link`
+    metric="levenshtein", whose batched DP is bit-exact vs DuckDB
+    levenshtein(), so even the distances value-hash."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.linkage import (
+        lookup_link,
+    )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def _dirty(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "probe_id": t["c_custkey"],
+                "probe_name": pc.replace_substring(
+                    t["c_name"], pattern="#00000", replacement="#"
+                ),
+            }
+        )
+
+    probes = cust.map_batches(_dirty, batch_format="pyarrow")
+    out = lookup_link(
+        probes, cust,
+        probe_id="probe_id", probe_name="probe_name",
+        master_id="c_custkey", master_name="c_name",
+        threshold=6, block_suffix=2, metric="levenshtein",
+    )
+    return out.sort("probe_id")
+
+
+def _q_onehot_orderstatus(sf_dir: str):
+    """One-hot encoding of the (3-value) order status —
+    `ops/relational.one_hot`: one distinct combiner shuffle discovers
+    the categories, then a stateless vectorized map appends the 1/0
+    int64 columns.  Oracle = CASE WHEN per category."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
+        one_hot,
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    return one_hot(orders, "o_orderstatus", prefix="os")
+
+
+def _q_impute_price_by_priority(sf_dir: str):
+    """Grouped-median NULL imputation: prices of orders with
+    o_orderkey % 7 == 0 are masked NULL, then filled with their
+    priority's median of the surviving values —
+    `ops/sketch.impute_group_median`: one grouped-quantile sketch pass
+    (exact type-7 at this grid), O(#groups) broadcast, streaming fill.
+    Oracle = quantile_cont(0.5) + COALESCE."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.sketch import (
+        impute_group_median,
+    )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+
+    def _mask(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        keep = pa.array(k % 7 != 0)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_orderpriority": t["o_orderpriority"],
+                "p": pc.if_else(
+                    keep, t["o_totalprice"], pa.scalar(None, pa.float64())
+                ),
+            }
+        )
+
+    masked = orders.map_batches(_mask, batch_format="pyarrow")
+    out = impute_group_median(
+        masked, "p", ["o_orderpriority"], out_col="price_filled",
+        grid=1_000_000,
+    ).select_columns(["o_orderkey", "o_orderpriority", "price_filled"])
+    return _round_cols(out, ["price_filled"], 4)
+
+
 def _q_orders_row_numbers(sf_dir: str):
     """Exact dense global row numbers over orders by (date, key) —
     `ops/order.zip_with_index`: range buckets from a bounded key
@@ -3284,6 +3365,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr": _q_lineitem_corr,  # new in r3
         "loo_encode_orders": _q_loo_encode_orders,  # new in r3
         "order_gap_days": _q_order_gap_days,  # new in r3
+        "edit_distance_link": _q_edit_distance_link,  # new in r3
+        "onehot_orderstatus": _q_onehot_orderstatus,  # new in r3
+        "impute_price_by_priority": _q_impute_price_by_priority,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
         "c360_interactions": _q_c360_interactions,
@@ -4636,6 +4720,48 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY o_orderdate, o_orderkey),
                         o_orderdate) AS DOUBLE) AS gap_days
             FROM orders
+        """,
+        "edit_distance_link": """
+            WITH probe AS (
+                SELECT c_custkey AS probe_id,
+                       replace(c_name, '#00000', '#') AS probe_name
+                FROM customer
+            ), scored AS (
+                SELECT p.probe_id, p.probe_name,
+                       c.c_custkey, c.c_name,
+                       levenshtein(p.probe_name, c.c_name) AS d
+                FROM probe p JOIN customer c
+                  ON right(p.probe_name, 2) = right(c.c_name, 2)
+            ), best AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY probe_id ORDER BY d, c_custkey
+                ) AS rn
+                FROM scored WHERE d <= 6
+            )
+            SELECT probe_id, probe_name, c_custkey, c_name,
+                   CAST(d AS BIGINT) AS dist
+            FROM best WHERE rn = 1 ORDER BY probe_id
+        """,
+        "onehot_orderstatus": """
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(o_orderstatus = 'F' AS BIGINT) AS os_F,
+                   CAST(o_orderstatus = 'O' AS BIGINT) AS os_O,
+                   CAST(o_orderstatus = 'P' AS BIGINT) AS os_P
+            FROM orders
+        """,
+        "impute_price_by_priority": """
+            WITH masked AS (
+                SELECT o_orderkey, o_orderpriority,
+                       CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                            ELSE o_totalprice END AS p
+                FROM orders
+            ), med AS (
+                SELECT o_orderpriority, quantile_cont(p, 0.5) AS m
+                FROM masked WHERE p IS NOT NULL GROUP BY 1
+            )
+            SELECT o_orderkey, o_orderpriority,
+                   round(coalesce(p, m), 4) AS price_filled
+            FROM masked JOIN med USING (o_orderpriority)
         """,
         "orders_row_numbers": """
             SELECT o_orderkey,

@@ -182,6 +182,9 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "lineitem_corr",
         "loo_encode_orders",
         "order_gap_days",
+        "edit_distance_link",
+        "onehot_orderstatus",
+        "impute_price_by_priority",
     ]
     for name in bench_queries:
         t0 = time.time()

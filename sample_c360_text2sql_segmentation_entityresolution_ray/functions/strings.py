@@ -117,21 +117,21 @@ def _encode_padded(strs, max_len: int) -> tuple[np.ndarray, np.ndarray]:
     return out, lens
 
 
-def levenshtein_sim_batch(a_list, b_list, max_len: int = 64) -> np.ndarray:
-    """Batched normalized Levenshtein similarity: one DP over the whole
+def levenshtein_batch(a_list, b_list, max_len: int = 64) -> np.ndarray:
+    """Batched Levenshtein DISTANCE (int64): one DP over the whole
     batch — each of the O(max_len) row steps is a numpy kernel across
-    all pairs, so per-pair cost is ~1000× below the scalar loop.  Exact
-    same values as :func:`levenshtein_sim` (truncated to ``max_len``).
-    """
+    all pairs, so per-pair cost is ~1000× below the scalar loop.
+    Bit-exact vs scalar :func:`levenshtein` (and DuckDB
+    ``levenshtein()``) for inputs within ``max_len``."""
     n = len(a_list)
     if n == 0:
-        return np.empty(0, dtype=np.float64)
+        return np.empty(0, dtype=np.int64)
     A, la = _encode_padded(a_list, max_len)
     B, lb = _encode_padded(b_list, max_len)
     La, Lb = A.shape[1], B.shape[1]
     ar = np.arange(Lb + 1, dtype=np.int64)
     prev = np.broadcast_to(ar, (n, Lb + 1)).copy()
-    dist = lb.astype(np.float64).copy()  # rows with la == 0
+    dist = lb.astype(np.int64).copy()  # rows with la == 0
     for i in range(1, La + 1):
         cost = (B != A[:, i - 1][:, None]).astype(np.int64)  # (n, Lb)
         t = np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost)
@@ -141,6 +141,17 @@ def levenshtein_sim_batch(a_list, b_list, max_len: int = 64) -> np.ndarray:
         if done.any():
             dist[done] = cur[done, lb[done]]
         prev = cur
+    return dist
+
+
+def levenshtein_sim_batch(a_list, b_list, max_len: int = 64) -> np.ndarray:
+    """Batched normalized Levenshtein similarity — exact same values as
+    :func:`levenshtein_sim` (truncated to ``max_len``)."""
+    if len(a_list) == 0:
+        return np.empty(0, dtype=np.float64)
+    dist = levenshtein_batch(a_list, b_list, max_len).astype(np.float64)
+    la = np.fromiter((min(len(s), max_len) for s in a_list), np.int64, len(a_list))
+    lb = np.fromiter((min(len(s), max_len) for s in b_list), np.int64, len(b_list))
     m = np.maximum(1, np.maximum(la, lb)).astype(np.float64)
     return 1.0 - dist / m
 

@@ -29,7 +29,7 @@ import pandas as pd
 import ray
 import ray.data
 
-from ..functions.strings import jaro_winkler_batch
+from ..functions.strings import jaro_winkler_batch, levenshtein_batch
 from .relational import BROADCAST_ROW_LIMIT
 
 
@@ -48,14 +48,23 @@ def lookup_link(
     master_name: str,
     threshold: float = 0.9,
     block_suffix: int = 2,
+    metric: str = "jaro_winkler",
 ) -> "ray.data.Dataset":
     """Best fuzzy master match per probe row.
 
-    Output: ``(probe_id, probe_name, master_id, master_name, score)``
-    for probes whose best candidate scores ≥ ``threshold``; ties break
-    by master id ascending.  ``score`` is unrounded — callers round for
-    display/oracle comparison.
+    ``metric="jaro_winkler"`` (default): best = HIGHEST similarity,
+    kept when ≥ ``threshold``; output ``(probe_id, probe_name,
+    master_id, master_name, score)`` with ``score`` unrounded.
+    ``metric="levenshtein"``: best = LOWEST edit distance, kept when
+    ≤ ``threshold``; the score column is ``dist`` (int64), bit-exact
+    vs SQL ``levenshtein()``.  Ties break by master id ascending in
+    both directions (candidates are id-sorted; arg-extremum returns
+    the first).
     """
+    if metric not in ("jaro_winkler", "levenshtein"):
+        raise ValueError(f"unknown metric {metric!r}")
+    minimize = metric == "levenshtein"
+    score_col = "dist" if minimize else "score"
     mdf = master.select_columns([master_id, master_name]).to_pandas()
     if len(mdf) > BROADCAST_ROW_LIMIT:
         raise ValueError(
@@ -98,14 +107,13 @@ def lookup_link(
                 m = len(cid)
                 rep_p = np.repeat(pnames[idx], m)
                 til_m = np.tile(cname, len(idx))
-                scores = jaro_winkler_batch(rep_p, til_m).reshape(
-                    len(idx), m
-                )
-                # best by (score desc, master_id asc): cand is sorted by
-                # id, argmax returns the FIRST maximum
-                best = scores.argmax(axis=1)
+                kernel = levenshtein_batch if minimize else jaro_winkler_batch
+                scores = kernel(rep_p, til_m).reshape(len(idx), m)
+                # best by (extremum, master_id asc): cand is sorted by
+                # id, arg-extremum returns the FIRST one
+                best = scores.argmin(axis=1) if minimize else scores.argmax(axis=1)
                 best_s = scores[np.arange(len(idx)), best]
-                keep = best_s >= threshold
+                keep = best_s <= threshold if minimize else best_s >= threshold
                 out_pid.append(pids[idx][keep])
                 out_pname.append(pnames[idx][keep])
                 out_mid.append(cid[best][keep])
@@ -119,7 +127,9 @@ def lookup_link(
                     probe_name: pd.Series(dtype=object),
                     master_id: pd.Series(dtype=mdf[master_id].dtype),
                     master_name: pd.Series(dtype=object),
-                    "score": pd.Series(dtype=np.float64),
+                    score_col: pd.Series(
+                        dtype=np.int64 if minimize else np.float64
+                    ),
                 }
             )
         return pd.DataFrame(
@@ -128,7 +138,7 @@ def lookup_link(
                 probe_name: np.concatenate(out_pname),
                 master_id: np.concatenate(out_mid),
                 master_name: np.concatenate(out_mname),
-                "score": np.concatenate(out_score),
+                score_col: np.concatenate(out_score),
             }
         )
 

@@ -1683,3 +1683,45 @@ def target_encode_loo(
 
 
 __all__.append("target_encode_loo")
+
+
+def one_hot(
+    ds: "ray.data.Dataset",
+    cat_col: str,
+    categories: "Sequence[str] | None" = None,
+    prefix: str | None = None,
+) -> "ray.data.Dataset":
+    """One-hot encode a LOW-cardinality categorical column: one int64
+    ``{prefix}_{value}`` column per category (1/0), appended to every
+    row.  Unknown values (not in ``categories``) encode as all-zero.
+
+    ``categories=None`` discovers them with one distinct combiner
+    shuffle and sorts for a deterministic column order — the category
+    set must be column-count-sized (dozens), which is the only regime
+    one-hot is for; use :func:`frequency_encode` or
+    :func:`target_encode_loo` above that.  Encoding itself is one
+    stateless streaming map (vectorized ``==`` per category)."""
+    pre = prefix or cat_col
+    if categories is None:
+        cats = dedupe_by_key(
+            ds.select_columns([cat_col]), [cat_col]
+        ).to_pandas()[cat_col]
+        categories = sorted(cats.astype(str).tolist())
+    categories = list(categories)
+    if len(categories) > 256:
+        raise ValueError(
+            f"{len(categories)} categories — one-hot is for dozens; "
+            "use frequency/target encoding for high cardinality"
+        )
+
+    def _encode(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        v = batch[cat_col].astype(str).to_numpy(object)
+        for c in categories:
+            out[f"{pre}_{c}"] = (v == c).astype(np.int64)
+        return out
+
+    return ds.map_batches(_encode, batch_format="pandas")
+
+
+__all__.append("one_hot")

@@ -852,3 +852,47 @@ def hll_oracle_sql(table: str, col: str, b: int = 8, salt: str = "hll") -> str:
 
 
 __all__ += ["hll_registers", "hll_estimate", "hll_oracle_sql"]
+
+
+def impute_group_median(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    group_cols: "list[str]",
+    out_col: str | None = None,
+    grid: int = 4096,
+    partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Fill NULL/NaN ``value_col`` entries with their group's median of
+    the NON-null values — the standard ML-prep imputation pass.
+
+    The medians come from ONE :func:`grouped_quantile` sketch pass
+    (groups × grid × blocks summary rows cross, never raw values;
+    exact type-7 when ``grid`` ≥ a group's rows per block), return as
+    an O(#groups) broadcast, and apply in one streaming map.  A group
+    with no non-null values keeps its NULLs (no global fallback —
+    that's a caller policy).
+    """
+    out_col = out_col or value_col
+    med = grouped_quantile(
+        ds.select_columns(group_cols + [value_col]),
+        value_col,
+        group_cols,
+        [0.5],
+        grid=grid,
+        partitions=partitions,
+    ).to_pandas()
+    med = med[group_cols + ["v"]].rename(columns={"v": "_med"})
+    ref = ray.put(med)
+
+    def _fill(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.merge(ray.get(ref), on=group_cols, how="left")
+        y = out[value_col].to_numpy(np.float64)
+        filled = np.where(np.isnan(y), out["_med"].to_numpy(np.float64), y)
+        out = out.drop(columns=["_med"])
+        out[out_col] = filled
+        return out
+
+    return ds.map_batches(_fill, batch_format="pandas")
+
+
+__all__.append("impute_group_median")

@@ -273,3 +273,88 @@ def test_json_extract_fields_malformed_and_missing(ray_session):
     assert out["s"].tolist()[:3] == ["x", None, "y"] or (
         out["s"][0] == "x" and pd.isna(out["s"][1]) and out["s"][2] == "y"
     )
+
+
+def test_levenshtein_batch_bit_exact_vs_scalar_and_duckdb(ray_session):
+    import duckdb
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.functions.strings import (
+        levenshtein,
+        levenshtein_batch,
+    )
+
+    a = ["kitten", "flaw", "", "abc", "Customer#000000042", "same"]
+    b = ["sitting", "lawn", "xy", "", "Customer#42", "same"]
+    got = levenshtein_batch(a, b)
+    assert got.tolist() == [levenshtein(x, y) for x, y in zip(a, b)]
+    duck = [
+        duckdb.sql(f"SELECT levenshtein('{x}', '{y}')").fetchone()[0]
+        for x, y in zip(a, b)
+    ]
+    assert got.tolist() == duck
+
+
+def test_lookup_link_levenshtein_metric(ray_session):
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.linkage import lookup_link
+
+    master = pd.DataFrame(
+        {"mid": [1, 2, 3], "mname": ["alpha01", "alphq01", "beta9901"]}
+    )
+    probes = pd.DataFrame({"pid": [10, 11], "pname": ["alpha01", "gamma77"]})
+    out = lookup_link(
+        ray.data.from_pandas(probes),
+        ray.data.from_pandas(master),
+        probe_id="pid", probe_name="pname",
+        master_id="mid", master_name="mname",
+        threshold=2, block_suffix=2, metric="levenshtein",
+    ).to_pandas().sort_values("pid")
+    # exact match wins at dist 0 (beats mid=2 at dist 1); gamma77's
+    # block has no candidates -> dropped
+    assert out["pid"].tolist() == [10]
+    assert out["mid"].tolist() == [1]
+    assert out["dist"].tolist() == [0]
+
+
+def test_one_hot_discovery_and_unknown(ray_session):
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import one_hot
+
+    df = pd.DataFrame({"k": [1, 2, 3], "c": ["b", "a", "b"]})
+    out = (
+        one_hot(ray.data.from_pandas(df), "c")
+        .to_pandas()
+        .sort_values("k")
+    )
+    assert out["c_a"].tolist() == [0, 1, 0]
+    assert out["c_b"].tolist() == [1, 0, 1]
+    # explicit categories: values outside encode all-zero
+    out2 = (
+        one_hot(ray.data.from_pandas(df), "c", categories=["a", "z"])
+        .to_pandas()
+        .sort_values("k")
+    )
+    assert out2["c_z"].tolist() == [0, 0, 0]
+    assert out2["c_a"].tolist() == [0, 1, 0]
+
+
+def test_impute_group_median_planted(ray_session):
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.sketch import (
+        impute_group_median,
+    )
+
+    df = pd.DataFrame(
+        {
+            "g": ["a", "a", "a", "b", "b"],
+            "v": [1.0, 3.0, np.nan, np.nan, np.nan],
+        }
+    )
+    out = (
+        impute_group_median(
+            ray.data.from_pandas(df), "v", ["g"], grid=1000
+        )
+        .to_pandas()
+        .sort_values(["g", "v"])
+    )
+    a = out[out["g"] == "a"]["v"].tolist()
+    assert a == [1.0, 2.0, 3.0]  # NaN -> median 2.0
+    # group with no observed values keeps NaN
+    assert out[out["g"] == "b"]["v"].isna().all()
