@@ -2074,6 +2074,40 @@ def _q_impute_price_by_priority(sf_dir: str):
     return _round_cols(out, ["price_filled"], 4)
 
 
+def _q_part_adamic_adar(sf_dir: str):
+    """Adamic-Adar link prediction over the undirected basket graph:
+    pairs with ≥ 6 common neighbors scored Σ 1/ln(deg) —
+    `ops/graph.adamic_adar`: distinct-edge combiner, ONE node-hash
+    exchange co-locating each adjacency, wedge emission with the
+    center's weight, (a,b)-keyed combiner reduce.  Oracle = the
+    adjacency self-join formulation."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.graph import (
+        adamic_adar,
+    )
+
+    out = adamic_adar(_basket_edges(sf_dir), min_common=6)
+    return _round_cols(out, ["aa"], 6)
+
+
+def _q_price_pct_rank(sf_dir: str):
+    """SQL distribution functions percent_rank() and cume_dist() of
+    lineitem price within each return flag — `ops/window.window`
+    rank-run machinery (tie runs share values), ONE per-flag hash
+    exchange.  Oracle = the native window functions."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.window import (
+        window,
+    )
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    w = window(
+        li,
+        ["l_returnflag"],
+        [("l_extendedprice", False)],
+        {"pct_rank": ("percent_rank",), "cume": ("cume_dist",)},
+    )
+    return _round_cols(w, ["pct_rank", "cume"], 6)
+
+
 def _q_orders_row_numbers(sf_dir: str):
     """Exact dense global row numbers over orders by (date, key) —
     `ops/order.zip_with_index`: range buckets from a bounded key
@@ -3368,6 +3402,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_distance_link": _q_edit_distance_link,  # new in r3
         "onehot_orderstatus": _q_onehot_orderstatus,  # new in r3
         "impute_price_by_priority": _q_impute_price_by_priority,  # new in r3
+        "part_adamic_adar": _q_part_adamic_adar,  # new in r3
+        "price_pct_rank": _q_price_pct_rank,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
         "c360_interactions": _q_c360_interactions,
@@ -4748,6 +4784,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(o_orderstatus = 'O' AS BIGINT) AS os_O,
                    CAST(o_orderstatus = 'P' AS BIGINT) AS os_P
             FROM orders
+        """,
+        "part_adamic_adar": f"""
+            WITH e0 AS ({_SQL_BASKET_EDGES}),
+            e AS (SELECT DISTINCT least(src, dst) AS u,
+                         greatest(src, dst) AS v
+                  FROM e0 WHERE src <> dst),
+            adj AS (SELECT u AS c, v AS n FROM e
+                    UNION ALL SELECT v, u FROM e),
+            deg AS (SELECT c, count(*) AS d FROM adj GROUP BY 1),
+            wedge AS (
+              SELECT x.n AS a, y.n AS b, x.c AS c
+              FROM adj x JOIN adj y ON x.c = y.c AND x.n < y.n
+            )
+            SELECT a, b, CAST(count(*) AS BIGINT) AS cn,
+                   round(sum(1.0 / ln(d)), 6) AS aa
+            FROM wedge JOIN deg USING (c)
+            GROUP BY 1, 2 HAVING count(*) >= 6
+        """,
+        "price_pct_rank": """
+            SELECT l_returnflag, l_extendedprice,
+                   round(percent_rank() OVER (
+                     PARTITION BY l_returnflag ORDER BY l_extendedprice
+                   ), 6) AS pct_rank,
+                   round(cume_dist() OVER (
+                     PARTITION BY l_returnflag ORDER BY l_extendedprice
+                   ), 6) AS cume
+            FROM lineitem
         """,
         "impute_price_by_priority": """
             WITH masked AS (

@@ -185,6 +185,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "edit_distance_link",
         "onehot_orderstatus",
         "impute_price_by_priority",
+        "part_adamic_adar",
+        "price_pct_rank",
     ]
     for name in bench_queries:
         t0 = time.time()

@@ -574,3 +574,103 @@ def bfs_distance(
         visited = visited.union(new).materialize()
         frontier = new
     return visited
+
+
+__all__ += ["adamic_adar"]
+
+
+def adamic_adar(
+    edges: "ray.data.Dataset",
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 2,
+    degree_cap: int | None = None,
+    partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Adamic-Adar link-prediction scores over the UNDIRECTED simple
+    graph of ``edges``: for every node pair (a < b) with ≥
+    ``min_common`` common neighbors, ``aa = Σ_v 1/ln(deg(v))`` over the
+    common neighbors v, plus the common-neighbor count ``cn``.  The
+    classic graph feature for "customers who bought X also..." style
+    candidate generation.  Output: ``(a, b, cn, aa)``.
+
+    Scale shape: distinct undirected edges come from one combiner
+    shuffle; each node's full neighborhood co-locates under ONE
+    node-hash exchange of slim (center, neighbor) rows (the documented
+    partitioning assumption: a node's adjacency fits one partition);
+    wedge pairs emit with their center's 1/ln(d) weight and reduce
+    through a (a, b)-keyed combiner.  Wedge volume is Σ deg² — pass
+    ``degree_cap`` to skip hub centers (their per-wedge weight
+    1/ln(d) → 0 anyway), which bounds the emit at cap × edges.
+    """
+    import numpy as np
+
+    from .relational import grouped_aggregate
+
+    def _und(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[src].to_numpy()
+        d = df[dst].to_numpy()
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pd.DataFrame({"u": np.minimum(s, d), "v": np.maximum(s, d)})
+
+    und = (
+        grouped_aggregate(
+            edges.select_columns([src, dst]).map_batches(
+                _und, batch_format="pandas"
+            ),
+            ["u", "v"],
+            [("count_star", None, "_x")],
+        )
+        .drop_columns(["_x"])
+        .materialize()
+    )
+
+    def _both(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.concatenate([df["u"].to_numpy(), df["v"].to_numpy()])
+        n = np.concatenate([df["v"].to_numpy(), df["u"].to_numpy()])
+        out = pd.DataFrame({"c": c, "n": n})
+        out["_part"] = (
+            pd.util.hash_pandas_object(out["c"], index=False).to_numpy()
+            % partitions
+        ).astype("int32")
+        return out
+
+    def _wedges(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby("c", sort=False):
+            nb = np.sort(grp["n"].to_numpy())
+            d = len(nb)
+            if d < 2 or (degree_cap is not None and d > degree_cap):
+                continue
+            w = 1.0 / np.log(d)
+            ii, jj = np.triu_indices(d, k=1)
+            outs.append(
+                pd.DataFrame({"a": nb[ii], "b": nb[jj], "_w": w})
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series(dtype=g["n"].dtype),
+                    "b": pd.Series(dtype=g["n"].dtype),
+                    "_w": pd.Series(dtype=np.float64),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    wedges = (
+        und.map_batches(_both, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(_wedges, batch_format="pandas")
+    )
+    scored = grouped_aggregate(
+        wedges,
+        ["a", "b"],
+        [("count_star", None, "cn"), ("sum", "_w", "aa")],
+    )
+    thr = int(min_common)
+
+    def _filter(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["cn"] >= thr]
+
+    return scored.map_batches(_filter, batch_format="pandas")

@@ -47,6 +47,7 @@ from .relational import DEDUP_PARTITIONS
 #   ("row_number",)
 #   ("rank",)                      -- ties share rank, gaps after
 #   ("dense_rank",)
+#   ("percent_rank",) / ("cume_dist",)  -- SQL distribution functions
 #   ("lag", col, offset, default)  / ("lead", col, offset, default)
 #   ("cum_sum", col)
 #   ("rolling_sum", col, n) / ("rolling_mean", col, n)
@@ -78,7 +79,7 @@ def _apply_spec(gb, g: pd.DataFrame, spec: tuple, rank_arrays: dict):
     kind = spec[0]
     if kind == "row_number":
         return (gb.cumcount() + 1).to_numpy()
-    if kind in ("rank", "dense_rank"):
+    if kind in ("rank", "dense_rank", "percent_rank", "cume_dist"):
         return rank_arrays[kind]
     if kind in ("lag", "lead"):
         _, col, offset, default = spec
@@ -131,7 +132,23 @@ def _rank_arrays(
     # dense rank: count of run starts inside the group so far
     runs_cum = np.cumsum(run_new)
     dense = runs_cum - runs_cum[grp_start] + 1
-    return {"rank": rank, "dense_rank": dense}
+    # group/run END indices (runs never span groups — run_new ⊇ grp_new):
+    # each row's run end = the index before the NEXT run start
+    starts = idx[run_new]
+    run_id = runs_cum - 1
+    run_end = (np.append(starts[1:], n) - 1)[run_id]
+    gstarts = idx[grp_new]
+    grp_id = np.cumsum(grp_new) - 1
+    grp_end = (np.append(gstarts[1:], n) - 1)[grp_id]
+    size = (grp_end - grp_start + 1).astype(np.float64)
+    # SQL percent_rank = (rank-1)/(size-1), 0.0 for a 1-row group;
+    # cume_dist = rows with order-key <= current (tie-run end) / size
+    pr = np.divide(
+        rank - 1.0, size - 1.0, out=np.zeros(n, np.float64), where=size > 1.0
+    )
+    cd = (run_end - grp_start + 1) / size
+    return {"rank": rank, "dense_rank": dense,
+            "percent_rank": pr, "cume_dist": cd}
 
 
 def window(
@@ -178,7 +195,10 @@ def window(
             kind="mergesort",
         ).reset_index(drop=True)
         gb = g.groupby(partition_by, sort=False)
-        need_rank = any(s[0] in ("rank", "dense_rank") for s in specs.values())
+        need_rank = any(
+            s[0] in ("rank", "dense_rank", "percent_rank", "cume_dist")
+            for s in specs.values()
+        )
         ra = _rank_arrays(g, partition_by, ocols) if need_rank else {}
         for name, spec in specs.items():
             g[name] = _apply_spec(gb, g, spec, ra)

@@ -242,3 +242,43 @@ def test_bfs_early_exit_and_hop_zero(ray_session):
         ray.data.from_pandas(e), ray.data.from_pandas(seeds), iterations=5
     ).to_pandas()
     assert out["node"].tolist() == [7] and out["hops"].tolist() == [0]
+
+
+def test_adamic_adar_planted(ray_session):
+    import math
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.graph import (
+        adamic_adar,
+    )
+
+    # square 1-2-3-4-1 plus chord 1-3: deg(1)=deg(3)=3, deg(2)=deg(4)=2
+    e = pd.DataFrame(
+        {"src": [1, 2, 3, 4, 1], "dst": [2, 3, 4, 1, 3]}
+    )
+    out = (
+        adamic_adar(ray.data.from_pandas(e), min_common=2)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    # pairs with >= 2 common neighbors: (1,3) via {2,4}; (2,4) via {1,3}
+    assert out[["a", "b"]].values.tolist() == [[1, 3], [2, 4]]
+    got = dict(zip(zip(out["a"], out["b"]), out["aa"]))
+    assert abs(got[(1, 3)] - 2 / math.log(2)) < 1e-12
+    assert abs(got[(2, 4)] - 2 / math.log(3)) < 1e-12
+    assert out["cn"].tolist() == [2, 2]
+
+
+def test_adamic_adar_degree_cap_skips_hubs(ray_session):
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.graph import (
+        adamic_adar,
+    )
+
+    # star center 0 with 5 leaves: every leaf pair has cn=1 via the hub
+    e = pd.DataFrame({"src": [0] * 5, "dst": [1, 2, 3, 4, 5]})
+    full = adamic_adar(ray.data.from_pandas(e), min_common=1).to_pandas()
+    assert len(full) == 10
+    capped = adamic_adar(
+        ray.data.from_pandas(e), min_common=1, degree_cap=3
+    ).to_pandas()
+    assert len(capped) == 0

@@ -158,3 +158,25 @@ def test_ntile_uneven_buckets(ray_session):
         .to_pandas().sort_values("v")
     )
     assert out2["t"].tolist() == [1, 2]
+
+
+def test_percent_rank_cume_dist_planted(ray_session):
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.window import window
+
+    df = pd.DataFrame(
+        {"g": ["a"] * 4 + ["b"], "v": [10.0, 20.0, 20.0, 30.0, 7.0]}
+    )
+    out = (
+        window(
+            ray.data.from_pandas(df),
+            ["g"],
+            [("v", False)],
+            {"pr": ("percent_rank",), "cd": ("cume_dist",)},
+        )
+        .to_pandas()
+        .sort_values(["g", "v"])
+        .reset_index(drop=True)
+    )
+    # a: ranks 1,2,2,4 over size 4 -> pr (r-1)/3; cd = run-end/size
+    assert out["pr"].tolist() == [0.0, 1 / 3, 1 / 3, 1.0, 0.0]
+    assert out["cd"].tolist() == [0.25, 0.75, 0.75, 1.0, 1.0]
