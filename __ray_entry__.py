@@ -2108,6 +2108,78 @@ def _q_price_pct_rank(sf_dir: str):
     return _round_cols(w, ["pct_rank", "cume"], 6)
 
 
+def _q_lineitem_regression(sf_dir: str):
+    """Per-flag simple OLS of price on quantity (slope/intercept/r/r²)
+    from ONE moment pass — `ops/profile.grouped_regression`: six
+    per-(block, group) partials ride the combiner shuffle, closed
+    forms per group.  Oracle = DuckDB regr_slope/regr_intercept/
+    corr/regr_r2."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.profile import (
+        grouped_regression,
+    )
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity",
+                                    "l_extendedprice"])
+    out = grouped_regression(
+        li, "l_quantity", "l_extendedprice", ["l_returnflag"]
+    )
+    return _round_cols(out, ["slope", "intercept", "r", "r2"], 6)
+
+
+def _q_status_priority_chi2(sf_dir: str):
+    """Pearson χ² + Cramér's V between order status and priority —
+    `ops/profile.chi_squared`: contingency cells from one combiner
+    shuffle, zero-cell-free identity χ² = N(Σ o²/(row·col) − 1) on the
+    driver.  Oracle re-derives the identity in SQL."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.profile import (
+        chi_squared,
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+    out = chi_squared(orders, "o_orderstatus", "o_orderpriority")
+    return _round_cols(out, ["chi2", "cramers_v"], 6)
+
+
+def _q_event_transitions(sf_dir: str):
+    """First-order Markov transition matrix of the event stream: per
+    user, (type → next type) counts and row-normalized probabilities —
+    `ops/window` lead over ONE per-user exchange, pair counts through
+    the combiner, O(#types²) driver normalize.  The session-behavior
+    model a recommendation pipeline seeds from.  Oracle = lead() +
+    window-sum normalization."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
+        grouped_aggregate,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.window import (
+        window,
+    )
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+    w = window(
+        ev,
+        ["user_id"],
+        [("ts", False), ("event_id", False)],
+        {"_next": ("lead", "event_type", 1, None)},
+    )
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["_next"].notna()
+        return pd.DataFrame(
+            {"a": df.loc[keep, "event_type"], "b": df.loc[keep, "_next"]}
+        )
+
+    counts = grouped_aggregate(
+        w.map_batches(_pairs, batch_format="pandas"),
+        ["a", "b"],
+        [("count_star", None, "n")],
+    ).to_pandas()  # O(#types²)
+    counts["p"] = _sql_round(
+        (counts["n"] / counts.groupby("a")["n"].transform("sum")).to_numpy(),
+        6,
+    )
+    return ray.data.from_pandas(counts)
+
+
 def _q_orders_row_numbers(sf_dir: str):
     """Exact dense global row numbers over orders by (date, key) —
     `ops/order.zip_with_index`: range buckets from a bounded key
@@ -3404,6 +3476,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "impute_price_by_priority": _q_impute_price_by_priority,  # new in r3
         "part_adamic_adar": _q_part_adamic_adar,  # new in r3
         "price_pct_rank": _q_price_pct_rank,  # new in r3
+        "lineitem_regression": _q_lineitem_regression,  # new in r3
+        "status_priority_chi2": _q_status_priority_chi2,  # new in r3
+        "event_transitions": _q_event_transitions,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
         "c360_interactions": _q_c360_interactions,
@@ -4784,6 +4859,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(o_orderstatus = 'O' AS BIGINT) AS os_O,
                    CAST(o_orderstatus = 'P' AS BIGINT) AS os_P
             FROM orders
+        """,
+        "lineitem_regression": """
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                   round(regr_slope(l_extendedprice, l_quantity), 6)
+                       AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 6)
+                       AS intercept,
+                   round(corr(l_extendedprice, l_quantity), 6) AS r,
+                   round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+            FROM lineitem GROUP BY 1
+        """,
+        "status_priority_chi2": """
+            WITH c AS (
+                SELECT o_orderstatus AS a, o_orderpriority AS b,
+                       count(*) AS n
+                FROM orders GROUP BY 1, 2
+            ), s AS (
+                SELECT sum(c.n) AS total,
+                       sum(c.n * c.n / (r.rn * k.cn)) AS s,
+                       count(DISTINCT c.a) AS nr,
+                       count(DISTINCT c.b) AS nc
+                FROM c
+                JOIN (SELECT a, sum(n)::DOUBLE AS rn FROM c GROUP BY 1) r
+                  USING (a)
+                JOIN (SELECT b, sum(n)::DOUBLE AS cn FROM c GROUP BY 1) k
+                  USING (b)
+            )
+            SELECT CAST(total AS BIGINT) AS n,
+                   CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+                   round(total * (s - 1), 6) AS chi2,
+                   round(sqrt(greatest(s - 1, 0)
+                              / least(nr - 1, nc - 1)), 6) AS cramers_v
+            FROM s
+        """,
+        "event_transitions": """
+            WITH t AS (
+                SELECT event_type AS a,
+                       lead(event_type) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS b
+                FROM events
+            ), c AS (
+                SELECT a, b, count(*) AS n FROM t
+                WHERE b IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT a, b, CAST(n AS BIGINT) AS n,
+                   round(n / sum(n) OVER (PARTITION BY a), 6) AS p
+            FROM c
         """,
         "part_adamic_adar": f"""
             WITH e0 AS ({_SQL_BASKET_EDGES}),

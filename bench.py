@@ -187,6 +187,9 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "impute_price_by_priority",
         "part_adamic_adar",
         "price_pct_rank",
+        "lineitem_regression",
+        "status_priority_chi2",
+        "event_transitions",
     ]
     for name in bench_queries:
         t0 = time.time()

@@ -804,3 +804,125 @@ def corr_matrix(
 
 
 __all__ += ["corr_matrix"]
+
+
+def grouped_regression(
+    ds: "ray.data.Dataset",
+    x: str,
+    y: str,
+    group_cols: "list[str]",
+    partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-group simple OLS of ``y`` on ``x``: slope, intercept,
+    Pearson r and r² from ONE moment pass — per (block, group) partials
+    (n, Σx, Σy, Σxy, Σx², Σy²) ride the combiner shuffle, the closed
+    forms evaluate per group.  The grouped trend-fit a feature/QA
+    pipeline runs per segment (`ops/model.py` holds the multivariate
+    ridge sibling).  Zero-variance x ⇒ NaN slope/r (SQL NULL).
+
+    Output: ``group_cols + (n int64, slope, intercept, r, r2)``.
+    """
+    from .relational import grouped_aggregate
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[group_cols].copy()
+        xv = df[x].to_numpy(np.float64)
+        yv = df[y].to_numpy(np.float64)
+        out["_x"] = xv
+        out["_y"] = yv
+        out["_xy"] = xv * yv
+        out["_xx"] = xv * xv
+        out["_yy"] = yv * yv
+        return out
+
+    mom = grouped_aggregate(
+        ds.select_columns(group_cols + [x, y]).map_batches(
+            _prep, batch_format="pandas"
+        ),
+        keys=group_cols,
+        specs=[
+            ("count_star", None, "n"),
+            ("sum", "_x", "_sx"),
+            ("sum", "_y", "_sy"),
+            ("sum", "_xy", "_sxy"),
+            ("sum", "_xx", "_sxx"),
+            ("sum", "_yy", "_syy"),
+        ],
+        partitions=partitions,
+    )
+
+    def _solve(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.float64)
+        sx, sy = df["_sx"].to_numpy(), df["_sy"].to_numpy()
+        sxy, sxx, syy = (
+            df["_sxy"].to_numpy(), df["_sxx"].to_numpy(), df["_syy"].to_numpy()
+        )
+        cov = sxy / n - (sx / n) * (sy / n)
+        vx = sxx / n - (sx / n) ** 2
+        vy = syy / n - (sy / n) ** 2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = np.where(vx > 0, cov / np.where(vx > 0, vx, 1.0), np.nan)
+            intercept = sy / n - slope * (sx / n)
+            r = np.where(
+                (vx > 0) & (vy > 0),
+                cov / np.sqrt(np.where(vx > 0, vx, 1.0)
+                              * np.where(vy > 0, vy, 1.0)),
+                np.nan,
+            )
+        out = df[group_cols].copy()
+        out["n"] = df["n"].to_numpy(np.int64)
+        out["slope"] = slope
+        out["intercept"] = intercept
+        out["r"] = r
+        out["r2"] = r * r
+        return out
+
+    return mom.map_batches(_solve, batch_format="pandas")
+
+
+def chi_squared(
+    ds: "ray.data.Dataset",
+    col_a: str,
+    col_b: str,
+    partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Pearson χ² independence test + Cramér's V between two
+    categorical columns — ONE row ``(n, dof, chi2, cramers_v)``.
+
+    The contingency table comes from one (a, b)-keyed combiner shuffle
+    (O(cells) rows out) and the driver evaluates the zero-cell-free
+    identity χ² = N·(Σ obs²/(row·col) − 1) over the observed cells —
+    empty cells never materialize, so a 10⁶×10⁶ sparse cross-tab costs
+    what its nonzero cells cost.  V = sqrt(χ²/(N·min(R−1, C−1))).
+    """
+    from .relational import grouped_aggregate
+
+    cells = grouped_aggregate(
+        ds.select_columns([col_a, col_b]),
+        keys=[col_a, col_b],
+        specs=[("count_star", None, "_n")],
+        partitions=partitions,
+    ).to_pandas()  # O(observed cells)
+    n = float(cells["_n"].sum())
+    row = cells.groupby(col_a)["_n"].transform("sum").to_numpy(np.float64)
+    col = cells.groupby(col_b)["_n"].transform("sum").to_numpy(np.float64)
+    o = cells["_n"].to_numpy(np.float64)
+    s = float((o * o / (row * col)).sum())
+    chi2 = n * (s - 1.0)
+    nr = cells[col_a].nunique()
+    nc = cells[col_b].nunique()
+    dof = (nr - 1) * (nc - 1)
+    v = float(np.sqrt(max(s - 1.0, 0.0) / max(min(nr - 1, nc - 1), 1)))
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "n": [np.int64(n)],
+                "dof": [np.int64(dof)],
+                "chi2": [chi2],
+                "cramers_v": [v],
+            }
+        )
+    )
+
+
+__all__ += ["grouped_regression", "chi_squared"]

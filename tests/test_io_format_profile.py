@@ -336,3 +336,49 @@ def test_target_encode_loo_planted(ray_session):
     # a rows: (2+3)/2, (1+3)/2, (1+2)/2; singleton b -> NaN
     assert got[:3] == [2.5, 2.0, 1.5]
     assert np.isnan(got[3])
+
+
+def test_grouped_regression_planted(ray_session):
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.profile import (
+        grouped_regression,
+    )
+
+    # y = 2x + 1 exactly in group a; constant x in group b -> NaN
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 4 + ["b"] * 2,
+            "x": [1.0, 2.0, 3.0, 4.0, 5.0, 5.0],
+            "y": [3.0, 5.0, 7.0, 9.0, 1.0, 2.0],
+        }
+    )
+    out = (
+        grouped_regression(ray.data.from_pandas(df), "x", "y", ["g"])
+        .to_pandas()
+        .set_index("g")
+    )
+    assert abs(out.loc["a", "slope"] - 2.0) < 1e-12
+    assert abs(out.loc["a", "intercept"] - 1.0) < 1e-12
+    assert abs(out.loc["a", "r2"] - 1.0) < 1e-12
+    assert np.isnan(out.loc["b", "slope"]) and np.isnan(out.loc["b", "r"])
+    assert out.loc["a", "n"] == 4 and out.loc["b", "n"] == 2
+
+
+def test_chi_squared_planted(ray_session):
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.profile import (
+        chi_squared,
+    )
+
+    # perfectly dependent 2x2: chi2 = N, V = 1
+    df = pd.DataFrame(
+        {"a": ["x", "x", "y", "y"], "b": ["p", "p", "q", "q"]}
+    )
+    out = chi_squared(ray.data.from_pandas(df), "a", "b").to_pandas()
+    assert out["chi2"].iloc[0] == 4.0
+    assert out["cramers_v"].iloc[0] == 1.0
+    assert out["dof"].iloc[0] == 1
+    # independent uniform 2x2: chi2 = 0
+    df2 = pd.DataFrame(
+        {"a": ["x", "x", "y", "y"], "b": ["p", "q", "p", "q"]}
+    )
+    out2 = chi_squared(ray.data.from_pandas(df2), "a", "b").to_pandas()
+    assert abs(out2["chi2"].iloc[0]) < 1e-12
