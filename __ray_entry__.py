@@ -1058,15 +1058,11 @@ def _q_orders_upsert(sf_dir: str):
     return rel.merge_upsert(orders, updates, on="o_orderkey")
 
 
-def _q_scd2_customers(sf_dir: str):
-    """SCD-2 MERGE (`ops/scd.py`): a CDC delta folds into a
-    type-2 customer dimension without rewriting history — changed
-    attrs close the open version at the effective ts and append a new
-    open one; unchanged delta rows are no-ops; unseen keys append.
-    The delta (every 3rd customer re-segmented when even, plus synth
-    new +10M keys for every 10th) is derived deterministically from
-    the customer table so the oracle can re-build it in SQL.  The
-    dimension streams through ONE closing map — no shuffle."""
+def _scd2_dim(sf_dir: str):
+    """The derived type-2 customer dimension shared by the SCD-2 fold
+    and point-in-time queries (delta re-derivable in SQL: every 3rd
+    customer re-segmented when even at 1998-06-01, +10M synth keys for
+    every 10th)."""
     from sample_c360_text2sql_segmentation_entityresolution_ray.ops import scd
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
@@ -1099,6 +1095,17 @@ def _q_scd2_customers(sf_dir: str):
     return scd.scd2_apply(
         current, delta, key="c_custkey", attrs=["c_name", "c_mktsegment"]
     )
+
+
+def _q_scd2_customers(sf_dir: str):
+    """SCD-2 MERGE (`ops/scd.py`): a CDC delta folds into a
+    type-2 customer dimension without rewriting history — changed
+    attrs close the open version at the effective ts and append a new
+    open one; unchanged delta rows are no-ops; unseen keys append.
+    The delta is derived deterministically from the customer table so
+    the oracle can re-build it in SQL (see `_scd2_dim`).  The
+    dimension streams through ONE closing map — no shuffle."""
+    return _scd2_dim(sf_dir)
 
 
 def _q_orders_diff(sf_dir: str):
@@ -1852,6 +1859,28 @@ def _basket_edges(sf_dir: str):
     return li.groupby("l_orderkey").map_groups(_edges, batch_format="pandas")
 
 
+# shared oracle CTE for the SCD-2 customer dimension (`_scd2_dim`):
+# base rows (changed keys close at the effective ts), + new open
+# versions for changed keys, + new open rows for the synthesized +10M
+# keys.  changed == (c_custkey % 6 = 0): the delta touches every 3rd
+# key but only re-segments the even ones.
+_SQL_SCD2_DIM = """
+            SELECT c_custkey, c_name, c_mktsegment,
+                   TIMESTAMP '1995-01-01' AS valid_from,
+                   CASE WHEN c_custkey % 6 = 0
+                        THEN TIMESTAMP '1998-06-01' END AS valid_to
+            FROM customer
+            UNION ALL
+            SELECT c_custkey, c_name, 'RESEGMENTED',
+                   TIMESTAMP '1998-06-01', NULL
+            FROM customer WHERE c_custkey % 6 = 0
+            UNION ALL
+            SELECT c_custkey + 10000000, c_name, 'NEWSEG',
+                   TIMESTAMP '1998-06-01', NULL
+            FROM customer WHERE c_custkey % 10 = 0
+"""
+
+
 # shared oracle CTE for the basket-transition edge multiset
 _SQL_BASKET_EDGES = """
               SELECT src, dst FROM (
@@ -2178,6 +2207,81 @@ def _q_event_transitions(sf_dir: str):
         6,
     )
     return ray.data.from_pandas(counts)
+
+
+def _q_hll_custkeys_by_year(sf_dir: str):
+    """Per-order-year HLL register state over o_custkey
+    (`sketch.hll_registers_grouped`, b=8): ≤ 256 rows per year cross
+    the max-combiner exchange no matter how many orders a year holds —
+    the mergeable approx-distinct-per-group shape.  The oracle
+    re-derives the registers in SQL GROUP BY year, so the sketch STATE
+    value-hashes."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import sketch
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def _year(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "y": pd.to_datetime(df["o_orderdate"]).dt.year.astype(
+                    np.int64
+                ),
+                "o_custkey": df["o_custkey"],
+            }
+        )
+
+    yd = orders.map_batches(_year, batch_format="pandas")
+    return sketch.hll_registers_grouped(yd, "o_custkey", ["y"], b=8)
+
+
+def _q_orders_as_of_segment(sf_dir: str):
+    """Point-in-time dimension lookup: each order joins the SCD-2
+    customer dimension version valid AT o_orderdate —
+    `ops/relational.asof_join` on (custkey, valid_from ≤ date), which
+    is exactly the interval membership because SCD-2 versions tile
+    time per key.  The classic warehouse as-of semantics.  Oracle =
+    BETWEEN join against the SQL-re-derived dimension."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
+        asof_join,
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    dim = _scd2_dim(sf_dir).select_columns(
+        ["c_custkey", "c_mktsegment", "valid_from"]
+    )
+    out = asof_join(
+        orders, dim,
+        left_key="o_custkey", right_key="c_custkey",
+        left_ts="o_orderdate", right_ts="valid_from",
+        how="inner",
+    )
+    return out.select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate", "c_mktsegment"]
+    )
+
+
+def _q_order_date_features(sf_dir: str):
+    """Calendar feature extraction (year/month/quarter/ISO dow/weekend
+    flag) — a stateless vectorized streaming map, zero shuffle; the
+    date-dimension columns every feature pipeline derives.  Oracle =
+    the native date functions."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def _feats(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.to_datetime(df["o_orderdate"])
+        isodow = (d.dt.dayofweek + 1).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"],
+                "y": d.dt.year.astype(np.int64),
+                "m": d.dt.month.astype(np.int64),
+                "q": d.dt.quarter.astype(np.int64),
+                "isodow": isodow,
+                "is_weekend": (isodow >= 6).astype(np.int64),
+            }
+        )
+
+    return orders.map_batches(_feats, batch_format="pandas")
 
 
 def _q_orders_row_numbers(sf_dir: str):
@@ -3479,6 +3583,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_regression": _q_lineitem_regression,  # new in r3
         "status_priority_chi2": _q_status_priority_chi2,  # new in r3
         "event_transitions": _q_event_transitions,  # new in r3
+        "hll_custkeys_by_year": _q_hll_custkeys_by_year,  # new in r3
+        "orders_as_of_segment": _q_orders_as_of_segment,  # new in r3
+        "order_date_features": _q_order_date_features,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
         "c360_interactions": _q_c360_interactions,
@@ -4249,25 +4356,40 @@ def oracle_sql() -> dict[str, str]:
                    o_orderdate, o_orderpriority
             FROM orders WHERE o_orderstatus <> 'P'
         """,
-        "scd2_customers": """
-            -- SCD-2 fold: base rows (changed keys close at the
-            -- effective ts), + new open versions for changed keys,
-            -- + new open rows for the synthesized +10M keys.
-            -- changed == (c_custkey % 6 = 0): the delta touches every
-            -- 3rd key but only re-segments the even ones.
-            SELECT c_custkey, c_name, c_mktsegment,
-                   TIMESTAMP '1995-01-01' AS valid_from,
-                   CASE WHEN c_custkey % 6 = 0
-                        THEN TIMESTAMP '1998-06-01' END AS valid_to
-            FROM customer
-            UNION ALL
-            SELECT c_custkey, c_name, 'RESEGMENTED',
-                   TIMESTAMP '1998-06-01', NULL
-            FROM customer WHERE c_custkey % 6 = 0
-            UNION ALL
-            SELECT c_custkey + 10000000, c_name, 'NEWSEG',
-                   TIMESTAMP '1998-06-01', NULL
-            FROM customer WHERE c_custkey % 10 = 0
+        "scd2_customers": f"SELECT * FROM ({_SQL_SCD2_DIM})",
+        "hll_custkeys_by_year": """
+            WITH u AS (
+                SELECT DISTINCT year(o_orderdate) AS y, o_custkey AS v
+                FROM orders WHERE o_custkey IS NOT NULL
+            ), h AS (
+                SELECT y, ('0x' || left(md5('hll' || CAST(v AS VARCHAR)),
+                                        15))::BIGINT AS hv
+                FROM u
+            )
+            SELECT CAST(y AS BIGINT) AS y,
+                   hv // 4503599627370496 AS register,
+                   MAX(CASE WHEN hv % 4503599627370496 = 0 THEN 53
+                            ELSE 52 - length(bin(hv % 4503599627370496)) + 1
+                       END) AS rho_max
+            FROM h GROUP BY 1, 2
+        """,
+        "orders_as_of_segment": f"""
+            WITH dim AS ({_SQL_SCD2_DIM})
+            SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+                   d.c_mktsegment
+            FROM orders o JOIN dim d
+              ON o.o_custkey = d.c_custkey
+             AND d.valid_from <= o.o_orderdate
+             AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+        """,
+        "order_date_features": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS BIGINT) AS y,
+                   CAST(month(o_orderdate) AS BIGINT) AS m,
+                   CAST(quarter(o_orderdate) AS BIGINT) AS q,
+                   CAST(isodow(o_orderdate) AS BIGINT) AS isodow,
+                   CAST(isodow(o_orderdate) >= 6 AS BIGINT) AS is_weekend
+            FROM orders
         """,
         "orders_diff": """
             -- the planted v1→v2 delta, re-derived: %13 keys removed,

@@ -190,6 +190,9 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "lineitem_regression",
         "status_priority_chi2",
         "event_transitions",
+        "hll_custkeys_by_year",
+        "orders_as_of_segment",
+        "order_date_features",
     ]
     for name in bench_queries:
         t0 = time.time()

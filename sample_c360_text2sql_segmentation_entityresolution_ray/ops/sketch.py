@@ -896,3 +896,65 @@ def impute_group_median(
 
 
 __all__.append("impute_group_median")
+
+
+def hll_registers_grouped(
+    ds: "ray.data.Dataset",
+    col: str,
+    group_cols: "list[str]",
+    b: int = 8,
+    salt: str = "hll",
+) -> "ray.data.Dataset":
+    """Per-group HyperLogLog register state: ``group_cols + (register,
+    rho_max)`` — ≤ 2^b rows per GROUP regardless of its size, the
+    mergeable approx-distinct for "distinct users per day over a 100-TB
+    event log" shapes where exact per-group dedup would shuffle every
+    key.  Same md5 draw and max-combiner merge as the global
+    :func:`hll_registers`; partials are ≤ groups-in-block × 2^b rows.
+    The state stays SQL-re-derivable, so it value-hash oracle-checks
+    with a GROUP BY variant of :func:`hll_oracle_sql`."""
+    if not 4 <= b <= 16:
+        raise ValueError("b outside the sane HLL precision range 4..16")
+    W = 60 - b
+    mask = np.int64((1 << W) - 1)
+    group_cols = list(group_cols)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[group_cols + [col]].dropna(subset=[col]).drop_duplicates()
+        vals = u[col].to_numpy(object)
+        h = np.fromiter(
+            (
+                int(hashlib.md5(
+                    f"{salt}{v}".encode("utf-8")).hexdigest()[:15], 16)
+                for v in vals
+            ),
+            dtype=np.int64,
+            count=len(vals),
+        )
+        reg = h >> W
+        w = h & mask
+        rho = np.full(len(w), W + 1, dtype=np.int64)
+        nz = w > 0
+        if nz.any():
+            _m, e = np.frexp(w[nz].astype(np.float64))
+            rho[nz] = W - e.astype(np.int64) + 1
+        part = u[group_cols].copy()
+        part["register"] = reg
+        part["rho_max"] = rho
+        return (
+            part.groupby(group_cols + ["register"], sort=False)["rho_max"]
+            .max()
+            .reset_index()
+        )
+
+    from .relational import grouped_aggregate
+
+    partials = ds.select_columns(group_cols + [col]).map_batches(
+        _partial, batch_format="pandas"
+    )
+    return grouped_aggregate(
+        partials, group_cols + ["register"], [("max", "rho_max", "rho_max")]
+    )
+
+
+__all__.append("hll_registers_grouped")

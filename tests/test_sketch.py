@@ -303,3 +303,43 @@ def test_hll_registers_estimate_and_invariance(ray_session):
         regs.sort_values("register").reset_index(drop=True),
         regs2.to_pandas().sort_values("register").reset_index(drop=True),
     )
+
+
+def test_hll_registers_grouped_matches_per_group_global(ray_session):
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.sketch import (
+        hll_estimate,
+        hll_registers,
+        hll_registers_grouped,
+    )
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "g": np.repeat(["a", "b"], 500),
+            "v": np.concatenate(
+                [rng.integers(0, 200, 500), rng.integers(1000, 1400, 500)]
+            ),
+        }
+    )
+    grouped = (
+        hll_registers_grouped(ray.data.from_pandas(df), "v", ["g"], b=6)
+        .to_pandas()
+    )
+    for g in ["a", "b"]:
+        alone = (
+            hll_registers(
+                ray.data.from_pandas(df[df["g"] == g]), "v", b=6
+            )
+            .to_pandas()
+            .sort_values("register")
+            .reset_index(drop=True)
+        )
+        mine = (
+            grouped[grouped["g"] == g][["register", "rho_max"]]
+            .sort_values("register")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(mine, alone, check_dtype=False)
+        est = hll_estimate(mine, b=6)
+        exact = df[df["g"] == g]["v"].nunique()
+        assert abs(est - exact) / exact < 0.25  # b=6 -> ~13% std error
