@@ -1848,15 +1848,30 @@ def _basket_edges(sf_dir: str):
     """part→part basket-transition edges: consecutive lineitems of an
     order (by l_linenumber, partkey tiebreak — (orderkey, linenumber)
     is NOT unique in this fixture and edges only read partkey, so
-    equal-(ln, part) ties are inert)."""
+    equal-(ln, part) ties are inert).  One orderkey-hash exchange into
+    ~64 partitions, each swept with ONE vectorized sort (a per-ORDER
+    map_groups costs a Python call per order — 20 s vs 2 s at sf0.1)."""
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"])
 
-    def _edges(g: pd.DataFrame) -> pd.DataFrame:
-        srt = g.sort_values(["l_linenumber", "l_partkey"], kind="mergesort")
-        p = srt["l_partkey"].to_numpy()
-        return pd.DataFrame({"src": p[:-1], "dst": p[1:]})
+    def _part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["_part"] = (df["l_orderkey"].to_numpy() % 64).astype("int32")
+        return out
 
-    return li.groupby("l_orderkey").map_groups(_edges, batch_format="pandas")
+    def _edges(g: pd.DataFrame) -> pd.DataFrame:
+        srt = g.sort_values(
+            ["l_orderkey", "l_linenumber", "l_partkey"], kind="mergesort"
+        )
+        ok = srt["l_orderkey"].to_numpy()
+        p = srt["l_partkey"].to_numpy()
+        same = ok[1:] == ok[:-1]
+        return pd.DataFrame({"src": p[:-1][same], "dst": p[1:][same]})
+
+    return (
+        li.map_batches(_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(_edges, batch_format="pandas")
+    )
 
 
 # shared oracle CTE for the SCD-2 customer dimension (`_scd2_dim`):
@@ -2105,7 +2120,7 @@ def _q_impute_price_by_priority(sf_dir: str):
 
 def _q_part_adamic_adar(sf_dir: str):
     """Adamic-Adar link prediction over the undirected basket graph:
-    pairs with ≥ 6 common neighbors scored Σ 1/ln(deg) —
+    pairs with ≥ 4 common neighbors scored Σ 1/ln(deg) —
     `ops/graph.adamic_adar`: distinct-edge combiner, ONE node-hash
     exchange co-locating each adjacency, wedge emission with the
     center's weight, (a,b)-keyed combiner reduce.  Oracle = the
@@ -2114,7 +2129,7 @@ def _q_part_adamic_adar(sf_dir: str):
         adamic_adar,
     )
 
-    out = adamic_adar(_basket_edges(sf_dir), min_common=6)
+    out = adamic_adar(_basket_edges(sf_dir), min_common=4)
     return _round_cols(out, ["aa"], 6)
 
 
@@ -2282,6 +2297,97 @@ def _q_order_date_features(sf_dir: str):
         )
 
     return orders.map_batches(_feats, batch_format="pandas")
+
+
+def _q_cms_partkeys(sf_dir: str):
+    """Count-Min sketch state (d=4, w=256) over lineitem partkeys —
+    `sketch.cms_counters`: per-batch value pre-aggregation, one
+    sum-combiner exchange of ≤ d×w rows per block; the mergeable
+    frequency summary.  Oracle re-derives every counter in SQL (same
+    md5 row-salted draw), so the STATE value-hashes;
+    `sketch.cms_estimate` reads never-underestimating point counts
+    (unit-tested vs exact)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import sketch
+
+    li = _read(sf_dir, "lineitem", ["l_partkey"])
+    return sketch.cms_counters(li, "l_partkey", d=4, w=256)
+
+
+def _q_doc_words(sf_dir: str):
+    """Tokenize-to-long-form: every token occurrence as (doc_id, pos,
+    word) — `ops/text.explode_tokens`, a stateless streaming flat map
+    (zero shuffle).  Oracle = regexp_extract_all + LATERAL
+    generate_series subscripting."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.text import (
+        explode_tokens,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return explode_tokens(docs, "text", ["doc_id"])
+
+
+def _q_shipping_priority(sf_dir: str):
+    """TPC-H Q3-shape composed pipeline: segment-filtered customers ⋈
+    date-filtered orders ⋈ ship-date-filtered lineitems → grouped
+    revenue → global top-10 — `auto_join` picks broadcast plans from
+    parquet-footer row counts, revenue reduces through the combiner,
+    `topk` keeps ≤ n rows per block (no sort barrier).  Ties break on
+    the ROUNDED revenue so engine and oracle order identically."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
+        auto_join,
+        grouped_aggregate,
+        topk,
+    )
+
+    cutoff = pa.scalar(pd.Timestamp("1998-03-15"), pa.timestamp("us"))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).filter(
+        expr="c_mktsegment == 'BUILDING'"
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], cutoff)),
+        batch_format="pyarrow",
+    )
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["l_shipdate"], cutoff)),
+        batch_format="pyarrow",
+    )
+
+    # footer counts are valid UPPER bounds for the filtered sides
+    # (filters only shrink), so both joins take the broadcast plan —
+    # without bounds auto_join falls to two CHAINED hash exchanges
+    # whose concurrent aggregator pools starve a small cluster
+    n_cust = _table_rows(sf_dir, "customer")
+    n_ord = _table_rows(sf_dir, "orders")
+    co = auto_join(
+        orders, cust, on=("o_custkey",), right_on=("c_custkey",),
+        left_rows=n_ord, right_rows=n_cust,
+    )
+    col = auto_join(
+        li, co, on=("l_orderkey",), right_on=("o_orderkey",),
+        left_rows=_table_rows(sf_dir, "lineitem"), right_rows=n_ord,
+    )
+
+    def _rev(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["l_orderkey", "o_orderdate"]].copy()
+        out["_r"] = df["l_extendedprice"].to_numpy(np.float64) * (
+            1.0 - df["l_discount"].to_numpy(np.float64)
+        )
+        return out
+
+    rev = grouped_aggregate(
+        col.map_batches(_rev, batch_format="pandas"),
+        ["l_orderkey", "o_orderdate"],
+        [("sum", "_r", "revenue")],
+    )
+    rounded = _round_cols(rev, ["revenue"], 4)
+    return topk(
+        rounded, ["revenue", "l_orderkey"], [True, False], 10
+    )
 
 
 def _q_orders_row_numbers(sf_dir: str):
@@ -3586,6 +3692,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_custkeys_by_year": _q_hll_custkeys_by_year,  # new in r3
         "orders_as_of_segment": _q_orders_as_of_segment,  # new in r3
         "order_date_features": _q_order_date_features,  # new in r3
+        "cms_partkeys": _q_cms_partkeys,  # new in r3
+        "doc_words": _q_doc_words,  # new in r3
+        "shipping_priority": _q_shipping_priority,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
         "c360_interactions": _q_c360_interactions,
@@ -4382,6 +4491,43 @@ def oracle_sql() -> dict[str, str]:
              AND d.valid_from <= o.o_orderdate
              AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
         """,
+        "cms_partkeys": """
+            WITH vc AS (
+                SELECT l_partkey AS v, count(*) AS c
+                FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1
+            ), h AS (
+                SELECT r, ('0x' || left(md5('cms' || r || ':' ||
+                           CAST(v AS VARCHAR)), 15))::BIGINT % 256 AS cell,
+                       c
+                FROM vc, LATERAL (SELECT unnest(generate_series(0, 3)) AS r)
+            )
+            SELECT CAST(r AS BIGINT) AS row, cell,
+                   CAST(sum(c) AS BIGINT) AS n
+            FROM h GROUP BY 1, 2
+        """,
+        "doc_words": """
+            SELECT doc_id, CAST(t.pos AS BIGINT) AS pos,
+                   ws[t.pos] AS word
+            FROM (SELECT doc_id,
+                         regexp_extract_all(lower(text), '\\w+') AS ws
+                  FROM documents),
+                 LATERAL (SELECT unnest(generate_series(1, len(ws)))
+                          AS pos) t
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15'
+              AND l_shipdate > TIMESTAMP '1998-03-15'
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
         "order_date_features": """
             SELECT o_orderkey,
                    CAST(year(o_orderdate) AS BIGINT) AS y,
@@ -5045,7 +5191,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, CAST(count(*) AS BIGINT) AS cn,
                    round(sum(1.0 / ln(d)), 6) AS aa
             FROM wedge JOIN deg USING (c)
-            GROUP BY 1, 2 HAVING count(*) >= 6
+            GROUP BY 1, 2 HAVING count(*) >= 4
         """,
         "price_pct_rank": """
             SELECT l_returnflag, l_extendedprice,

@@ -193,6 +193,9 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "hll_custkeys_by_year",
         "orders_as_of_segment",
         "order_date_features",
+        "cms_partkeys",
+        "doc_words",
+        "shipping_priority",
     ]
     for name in bench_queries:
         t0 = time.time()

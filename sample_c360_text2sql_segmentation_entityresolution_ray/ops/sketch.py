@@ -958,3 +958,88 @@ def hll_registers_grouped(
 
 
 __all__.append("hll_registers_grouped")
+
+
+def cms_counters(
+    ds: "ray.data.Dataset",
+    col: str,
+    d: int = 4,
+    w: int = 256,
+    salt: str = "cms",
+) -> "ray.data.Dataset":
+    """Count-Min sketch state over ``col``: ``(row, cell, n)`` counters
+    for ``d`` independent hash rows of width ``w`` — the FIXED-size
+    (d × w) frequency summary whose point estimate (min over rows)
+    never underestimates.  Heavy-hitter censuses that must merge across
+    days/shards keep this instead of exact counts.
+
+    Per batch, values pre-aggregate to (value, count) so each distinct
+    value hashes ONCE per row (md5, the repo's SQL-re-derivable draw);
+    cell partials merge through one sum-combiner exchange — ≤ d × w
+    rows per block cross regardless of input size, and the final state
+    is exactly mergeable (sums) and value-hash oracle-checkable.
+    :func:`cms_estimate` reads point frequencies from the state."""
+    if d < 1 or w < 2:
+        raise ValueError("need d ≥ 1 hash rows and w ≥ 2 cells")
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[col].dropna().value_counts()
+        vals = vc.index.to_numpy(object)
+        cnt = vc.to_numpy(np.int64)
+        rows, cells, ns = [], [], []
+        for r in range(d):
+            h = np.fromiter(
+                (
+                    int(hashlib.md5(
+                        f"{salt}{r}:{v}".encode("utf-8")).hexdigest()[:15],
+                        16)
+                    for v in vals
+                ),
+                dtype=np.int64,
+                count=len(vals),
+            )
+            cell = h % w
+            part = pd.DataFrame({"cell": cell, "n": cnt}).groupby(
+                "cell", sort=False
+            )["n"].sum()
+            rows.append(np.full(len(part), r, dtype=np.int64))
+            cells.append(part.index.to_numpy(np.int64))
+            ns.append(part.to_numpy(np.int64))
+        return pd.DataFrame(
+            {
+                "row": np.concatenate(rows) if rows else [],
+                "cell": np.concatenate(cells) if cells else [],
+                "n": np.concatenate(ns) if ns else [],
+            }
+        )
+
+    from .relational import grouped_aggregate
+
+    partials = ds.select_columns([col]).map_batches(
+        _partial, batch_format="pandas"
+    )
+    return grouped_aggregate(partials, ["row", "cell"], [("sum", "n", "n")])
+
+
+def cms_estimate(
+    state: pd.DataFrame, values, d: int = 4, w: int = 256, salt: str = "cms"
+) -> np.ndarray:
+    """Point frequency estimates (min over the d rows) from
+    :func:`cms_counters` state — ≥ the true count, with overestimate
+    ≤ 2N/w at 1 − (1/2)^d confidence (Cormode-Muthukrishnan)."""
+    tab = np.zeros((d, w), dtype=np.int64)
+    tab[state["row"].to_numpy(np.int64), state["cell"].to_numpy(np.int64)] = (
+        state["n"].to_numpy(np.int64)
+    )
+    out = np.empty(len(values), dtype=np.int64)
+    for i, v in enumerate(values):
+        est = None
+        for r in range(d):
+            h = int(hashlib.md5(f"{salt}{r}:{v}".encode()).hexdigest()[:15], 16)
+            c = tab[r, h % w]
+            est = c if est is None else min(est, c)
+        out[i] = est
+    return out
+
+
+__all__ += ["cms_counters", "cms_estimate"]

@@ -1225,3 +1225,46 @@ def json_extract_fields(
 
 
 __all__.append("json_extract_fields")
+
+
+def explode_tokens(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_cols: "Sequence[str]" = ("doc_id",),
+) -> "ray.data.Dataset":
+    """Tokenize-to-long-form: one output row per token occurrence,
+    ``id_cols + (pos int64 1-based, word)`` — the corpus layout
+    positional indexes, n-gram mining and alignment tools consume.
+    ``TOKEN_RE`` over lowercased text (== ``regexp_extract_all(
+    lower(text), '\\w+')``, the repo-wide convention).  Stateless
+    streaming flat map — output is ~tokens× the input rows but zero
+    shuffle; feed it straight into a combiner, don't materialize."""
+    id_cols = list(id_cols)
+
+    def _explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids = {c: [] for c in id_cols}
+        pos, words = [], []
+        for tup in df[id_cols + [text_col]].itertuples(index=False):
+            toks = TOKEN_RE.findall(str(tup[-1]).lower())
+            if not toks:
+                continue
+            for c, v in zip(id_cols, tup):
+                ids[c].append(np.repeat(v, len(toks)))
+            pos.append(np.arange(1, len(toks) + 1, dtype=np.int64))
+            words.append(np.asarray(toks, dtype=object))
+        if not pos:
+            out = {c: pd.Series(dtype=df[c].dtype) for c in id_cols}
+            out["pos"] = pd.Series(dtype=np.int64)
+            out["word"] = pd.Series(dtype=object)
+            return pd.DataFrame(out)
+        out = {c: np.concatenate(ids[c]) for c in id_cols}
+        out["pos"] = np.concatenate(pos)
+        out["word"] = np.concatenate(words)
+        return pd.DataFrame(out)
+
+    return ds.select_columns(id_cols + [text_col]).map_batches(
+        _explode, batch_format="pandas"
+    )
+
+
+__all__.append("explode_tokens")

@@ -343,3 +343,45 @@ def test_hll_registers_grouped_matches_per_group_global(ray_session):
         est = hll_estimate(mine, b=6)
         exact = df[df["g"] == g]["v"].nunique()
         assert abs(est - exact) / exact < 0.25  # b=6 -> ~13% std error
+
+
+def test_cms_never_underestimates_and_partition_insensitive(ray_session):
+    """CMS point estimates are >= exact counts for every queried value,
+    tight for heavy hitters, and the counter STATE is identical no
+    matter how the input is partitioned (mergeable-sum property)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.sketch import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    rng = np.random.default_rng(11)
+    # zipf-ish: value i appears ~ 3000/(i+1) times
+    vals = np.concatenate(
+        [np.full(3000 // (i + 1), i) for i in range(60)]
+    )
+    rng.shuffle(vals)
+    df = pd.DataFrame({"v": vals})
+    exact = df["v"].value_counts()
+
+    state1 = cms_counters(
+        ray.data.from_pandas(df), "v", d=4, w=256
+    ).to_pandas()
+    state2 = cms_counters(
+        ray.data.from_pandas(df).repartition(13), "v", d=4, w=256
+    ).to_pandas()
+    k = ["row", "cell"]
+    pd.testing.assert_frame_equal(
+        state1.sort_values(k).reset_index(drop=True),
+        state2.sort_values(k).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+    probe = exact.index.to_numpy()[:40]
+    est = cms_estimate(state1, probe, d=4, w=256)
+    true = exact.loc[probe].to_numpy()
+    assert (est >= true).all()  # CMS never underestimates
+    # heavy hitters (top 5) should be near-exact: error <= 2N/w
+    assert (est[:5] - true[:5] <= 2 * len(vals) // 256 + 1).all()
+    # total mass per row == N
+    per_row = state1.groupby("row")["n"].sum()
+    assert (per_row == len(vals)).all()

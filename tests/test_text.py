@@ -304,3 +304,31 @@ def test_pmi_collocations_planted(ray_session):
     assert (out["c_ab"] >= 5).all()
     # pmi sorted descending with deterministic tiebreak
     assert (out["pmi"].to_numpy()[:-1] >= out["pmi"].to_numpy()[1:]).all()
+
+
+def test_explode_tokens_positions_and_empty_docs(ray_session):
+    """One row per token occurrence with 1-based positions; docs with
+    no tokens vanish; id columns replicate; casing folds."""
+    import ray.data
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.text import (
+        explode_tokens,
+    )
+
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "Alpha beta ALPHA"},
+            {"doc_id": 2, "text": "   "},
+            {"doc_id": 3, "text": "gamma"},
+        ]
+    )
+    out = (
+        explode_tokens(docs, "text", ["doc_id"])
+        .to_pandas()
+        .sort_values(["doc_id", "pos"])
+        .reset_index(drop=True)
+    )
+    assert list(out.columns) == ["doc_id", "pos", "word"]
+    assert out["doc_id"].tolist() == [1, 1, 1, 3]
+    assert out["pos"].tolist() == [1, 2, 3, 1]
+    assert out["word"].tolist() == ["alpha", "beta", "alpha", "gamma"]
