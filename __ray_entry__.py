@@ -2390,6 +2390,80 @@ def _q_shipping_priority(sf_dir: str):
     )
 
 
+def _q_lineitem_profile(sf_dir: str):
+    """Long-form numeric table profile (one row per column: count/
+    nulls/exact distinct/min/max/avg) — `ops/profile.numeric_profile`:
+    moments fold per batch into ≤ |cols| partial rows riding ONE
+    (col,)-keyed combiner shuffle; exact distincts share ONE
+    (col, value) dedup exchange with per-batch unique() pre-shrink.
+    The A4/M6 profiler surface as an oracle-checkable dataset."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.profile import (
+        numeric_profile,
+    )
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    out = numeric_profile(_read(sf_dir, "lineitem", cols), cols)
+    return _round_cols(out, ["vavg"], 6)
+
+
+def _q_customer_order_dist(sf_dir: str):
+    """TPC-H Q13-shape customer distribution: how many customers have
+    exactly k (non-urgent) orders, INCLUDING the zero-order customers
+    an inner join would drop.  Plan: orders pre-reduce to (custkey,
+    c_count) through the combiner — the fact table never joins raw —
+    then the O(#customers) count table left-attaches via a
+    footer-bounded broadcast, absent customers fill k=0, and a second
+    tiny combiner folds the distribution.  At 100 TB the count table
+    crosses the broadcast bound and auto_join flips to the hash
+    exchange; the orders side still only ships pre-reduced rows."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
+        auto_join,
+        grouped_aggregate,
+    )
+
+    n_cust = _table_rows(sf_dir, "customer")
+    counts = grouped_aggregate(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).filter(
+            expr="o_orderpriority != '1-URGENT'"
+        ),
+        ["o_custkey"],
+        [("count_star", None, "c_count")],
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    j = auto_join(
+        cust, counts, on=("c_custkey",), right_on=("o_custkey",),
+        how="left_outer", left_rows=n_cust, right_rows=n_cust,
+    )
+
+    def _fill(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"c_custkey": df["c_custkey"]})
+        out["c_count"] = df["c_count"].fillna(0).astype(np.int64)
+        return out
+
+    dist = grouped_aggregate(
+        j.map_batches(_fill, batch_format="pandas"),
+        ["c_count"],
+        [("count_star", None, "custdist")],
+    )
+    return dist
+
+
+def _q_part_clustering(sf_dir: str):
+    """Per-node local clustering coefficient of the basket graph —
+    `ops/graph.clustering_coefficient`: degree-ordered Schank-Wagner
+    wedges (O(m^1.5) total volume under any hub skew), packed-int64
+    closure probe, each closed wedge credits all three corners through
+    one slim (node,) combiner reduce.  Oracle enumerates each triangle
+    once as an ordered (a<b<c) three-way self-join and re-credits the
+    corners."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.graph import (
+        clustering_coefficient,
+    )
+
+    out = clustering_coefficient(_basket_edges(sf_dir))
+    return _round_cols(out, ["lcc"], 6)
+
+
 def _q_orders_row_numbers(sf_dir: str):
     """Exact dense global row numbers over orders by (date, key) —
     `ops/order.zip_with_index`: range buckets from a bounded key
@@ -3695,6 +3769,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_partkeys": _q_cms_partkeys,  # new in r3
         "doc_words": _q_doc_words,  # new in r3
         "shipping_priority": _q_shipping_priority,  # new in r3
+        "part_clustering": _q_part_clustering,  # new in r3
+        "customer_order_dist": _q_customer_order_dist,  # new in r3
+        "lineitem_profile": _q_lineitem_profile,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
         "c360_interactions": _q_c360_interactions,
@@ -5192,6 +5269,73 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(1.0 / ln(d)), 6) AS aa
             FROM wedge JOIN deg USING (c)
             GROUP BY 1, 2 HAVING count(*) >= 4
+        """,
+        "lineitem_profile": """
+            SELECT col, CAST(n AS BIGINT) AS n,
+                   CAST(n_null AS BIGINT) AS n_null,
+                   CAST(n_distinct AS BIGINT) AS n_distinct,
+                   vmin, vmax, round(vavg, 6) AS vavg
+            FROM (
+              SELECT 'l_quantity' AS col, count(*) AS n,
+                     count(*) - count(l_quantity) AS n_null,
+                     count(DISTINCT l_quantity) AS n_distinct,
+                     CAST(min(l_quantity) AS DOUBLE) AS vmin,
+                     CAST(max(l_quantity) AS DOUBLE) AS vmax,
+                     avg(l_quantity) AS vavg
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice', count(*),
+                     count(*) - count(l_extendedprice),
+                     count(DISTINCT l_extendedprice),
+                     min(l_extendedprice), max(l_extendedprice),
+                     avg(l_extendedprice)
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_discount', count(*),
+                     count(*) - count(l_discount),
+                     count(DISTINCT l_discount),
+                     min(l_discount), max(l_discount), avg(l_discount)
+              FROM lineitem
+            )
+        """,
+        "customer_order_dist": """
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM (
+                SELECT c_custkey,
+                       CAST(count(o_custkey) AS BIGINT) AS c_count
+                FROM customer
+                LEFT JOIN orders
+                  ON c_custkey = o_custkey
+                 AND o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey
+            )
+            GROUP BY c_count
+        """,
+        "part_clustering": f"""
+            WITH e0 AS ({_SQL_BASKET_EDGES}),
+            e AS (SELECT DISTINCT least(src, dst) AS u,
+                         greatest(src, dst) AS v
+                  FROM e0 WHERE src <> dst),
+            tr AS (
+              SELECT e1.u AS x, e1.v AS y, e2.v AS z
+              FROM e e1
+              JOIN e e2 ON e2.u = e1.v
+              JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+            ),
+            corner AS (
+              SELECT x AS node FROM tr
+              UNION ALL SELECT y FROM tr
+              UNION ALL SELECT z FROM tr
+            ),
+            t AS (SELECT node, count(*) AS tri FROM corner GROUP BY 1),
+            adj AS (SELECT u AS node FROM e UNION ALL SELECT v FROM e),
+            d AS (SELECT node, count(*) AS deg FROM adj GROUP BY 1)
+            SELECT d.node, CAST(deg AS BIGINT) AS deg,
+                   CAST(COALESCE(t.tri, 0) AS BIGINT) AS tri,
+                   round(CASE WHEN deg > 1
+                         THEN COALESCE(t.tri, 0) * 2.0 / (deg * (deg - 1.0))
+                         ELSE 0.0 END, 6) AS lcc
+            FROM d LEFT JOIN t USING (node)
         """,
         "price_pct_rank": """
             SELECT l_returnflag, l_extendedprice,

@@ -196,6 +196,9 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "cms_partkeys",
         "doc_words",
         "shipping_priority",
+        "part_clustering",
+        "customer_order_dist",
+        "lineitem_profile",
     ]
     for name in bench_queries:
         t0 = time.time()

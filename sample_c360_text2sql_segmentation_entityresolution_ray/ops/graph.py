@@ -231,7 +231,164 @@ def triangle_count(
     )
 
 
-__all__ = ["connected_components", "component_sizes", "triangle_count", "pagerank"]
+def clustering_coefficient(
+    edges: "ray.data.Dataset",
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_limit: int = 2_000_000,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-node local clustering coefficient over the undirected graph:
+    ``(node, deg, tri, lcc)`` with ``lcc = 2·tri / (deg·(deg−1))``
+    (0.0 below degree 2) — the neighborhood-density signal community
+    detectors and link-spam filters read per node, where
+    :func:`triangle_count` reads one global number.
+
+    Same degree-ordered Schank-Wagner machinery as
+    :func:`triangle_count` — orientation makes wedge volume O(m^1.5)
+    total regardless of hub skew — but each CLOSED wedge credits all
+    three corners: the wedge stream keeps its center, closure hits
+    explode to three (node,) rows, and a slim combiner count reduces
+    them.  Exchanges: two slim combiner shuffles (edges, degrees), one
+    sort shuffle for wedge emission, one (node,) combiner reduce; the
+    oriented edge set broadcasts as a sorted packed-int64 array
+    (int ids < 2^31 required for the packed membership probe).
+    """
+    import numpy as np
+
+    from .relational import grouped_aggregate
+
+    def _canon(df: pd.DataFrame) -> pd.DataFrame:
+        u, v = df[src].to_numpy(), df[dst].to_numpy()
+        keep = u != v
+        u, v = u[keep], v[keep]
+        a = np.minimum(u, v)
+        b = np.maximum(u, v)
+        return pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+
+    e = grouped_aggregate(
+        edges.select_columns([src, dst]).map_batches(
+            _canon, batch_format="pandas"
+        ),
+        ["a", "b"],
+        [("count_star", None, "_n")],
+        num_partitions,
+    ).drop_columns(["_n"]).materialize()
+
+    def _ends(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()])}
+        )
+
+    deg = grouped_aggregate(
+        e.map_batches(_ends, batch_format="pandas"),
+        ["node"],
+        [("count_star", None, "deg")],
+        num_partitions,
+    ).materialize()
+
+    if deg.count() > broadcast_limit:
+        raise NotImplementedError(
+            "degree table above broadcast_limit: attach degrees via a "
+            "hash join (two-phase ER join plan shape); raise the limit "
+            "or pre-bucket at sandbox scale"
+        )
+    ddf = deg.to_pandas()
+    if not (
+        pd.api.types.is_integer_dtype(ddf["node"])
+        and 0 <= int(ddf["node"].min())
+        and int(ddf["node"].max()) < (1 << 31)
+    ):
+        raise NotImplementedError(
+            "packed closure probe needs int node ids < 2^31; remap via "
+            "relational.dense_ids first"
+        )
+    deg_map = ray.put(
+        dict(zip(ddf["node"].to_numpy(), ddf["deg"].to_numpy(np.int64)))
+    )
+
+    def _orient(df: pd.DataFrame) -> pd.DataFrame:
+        dm = ray.get(deg_map)
+        a, b = df["a"].to_numpy(), df["b"].to_numpy()
+        da = np.fromiter((dm[x] for x in a), np.int64, count=len(a))
+        db = np.fromiter((dm[x] for x in b), np.int64, count=len(b))
+        a_first = (da < db) | ((da == db) & (a < b))
+        return pd.DataFrame(
+            {"u": np.where(a_first, a, b), "v": np.where(a_first, b, a),
+             "dv": np.where(a_first, db, da)}
+        )
+
+    oriented = e.map_batches(_orient, batch_format="pandas").materialize()
+    odf = oriented.to_pandas()
+    if len(odf) > broadcast_limit:
+        raise NotImplementedError(
+            "oriented edge set above broadcast_limit: closure must hash-"
+            "join the wedge stream (triangle_count's fallback shape)"
+        )
+    keys_ref = ray.put(
+        np.sort((odf["u"].to_numpy(np.int64) << 32)
+                | odf["v"].to_numpy(np.int64))
+    )
+
+    # wedges KEEP their center so closure can credit all three corners
+    def _wedges(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["v"].to_numpy()
+        d = g["dv"].to_numpy()
+        order = np.lexsort((v, d))  # the SAME total order as _orient
+        v = v[order]
+        k = len(v)
+        if k < 2:
+            return pd.DataFrame({"c": v[:0], "x": v[:0], "y": v[:0]})
+        i, j = np.triu_indices(k, 1)
+        c = np.full(len(i), g["u"].iloc[0])
+        return pd.DataFrame({"c": c, "x": v[i], "y": v[j]})
+
+    wedges = oriented.groupby("u").map_groups(_wedges, batch_format="pandas")
+
+    def _closed_corners(df: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(keys_ref)
+        if not len(df) or "x" not in df.columns or not len(ks):
+            return pd.DataFrame({"node": pd.Series(dtype=np.int64)})
+        w = (df["x"].to_numpy(np.int64) << 32) | df["y"].to_numpy(np.int64)
+        pos = np.searchsorted(ks, w)
+        hit = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == w)
+        return pd.DataFrame(
+            {"node": np.concatenate(
+                [df["c"].to_numpy(np.int64)[hit],
+                 df["x"].to_numpy(np.int64)[hit],
+                 df["y"].to_numpy(np.int64)[hit]]
+            )}
+        )
+
+    tri = grouped_aggregate(
+        wedges.map_batches(_closed_corners, batch_format="pandas"),
+        ["node"],
+        [("count_star", None, "tri")],
+        num_partitions,
+    )
+    tdf = tri.to_pandas()  # ≤ one row per node, already reduced
+    out = ddf.merge(tdf, on="node", how="left")
+    out["tri"] = out["tri"].fillna(0).astype(np.int64)
+    out["deg"] = out["deg"].astype(np.int64)
+    # 2·tri / (deg·(deg−1)) in exactly this association so the value
+    # bit-matches a SQL `tri*2.0/(deg*(deg-1.0))` oracle pre-rounding
+    d = out["deg"].to_numpy(np.float64)
+    denom = d * (d - 1.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lcc = np.where(
+            denom > 0, out["tri"].to_numpy(np.float64) * 2.0 / denom, 0.0
+        )
+    out["lcc"] = lcc
+    return ray.data.from_pandas(out.sort_values("node").reset_index(drop=True))
+
+
+__all__ = [
+    "connected_components",
+    "component_sizes",
+    "triangle_count",
+    "clustering_coefficient",
+    "pagerank",
+]
 
 
 def pagerank(

@@ -926,3 +926,93 @@ def chi_squared(
 
 
 __all__ += ["grouped_regression", "chi_squared"]
+
+
+def numeric_profile(
+    ds: "ray.data.Dataset", cols: "list[str]"
+) -> "ray.data.Dataset":
+    """Long-form per-column numeric profile — one row per column:
+    ``(col, n, n_null, n_distinct, vmin, vmax, vavg)`` — the
+    A4/M6 table-profile shape AS A DATASET, so the profile itself is
+    oracle-checkable and can feed drift gates / catalog annotation
+    (reference analog: `csvtool/csv_to_glue_catalog.py` column stats).
+
+    Exchanges: the moments ride ONE (col,)-keyed combiner shuffle of
+    ≤ |cols| partial rows per block (sum/count/min/max fold per
+    batch); exact distinct counts share ONE long-form (col, value)
+    dedup-combiner exchange — per-batch `unique()` pre-shrink means a
+    block contributes at most its distinct values, not its rows.  At
+    100 TB swap the distinct leg for `sketch.kmv_distinct` per column;
+    the output shape is unchanged."""
+    import numpy as np
+
+    from .relational import dedupe_by_key, grouped_aggregate
+
+    cols = list(cols)
+
+    def _moments(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            s = df[c]
+            x = s.to_numpy(np.float64)
+            ok = ~np.isnan(x)
+            rows.append(
+                {
+                    "col": c,
+                    "n": np.int64(len(s)),
+                    "n_null": np.int64((~ok).sum()),
+                    "s": float(x[ok].sum()),
+                    "vmin": float(x[ok].min()) if ok.any() else np.nan,
+                    "vmax": float(x[ok].max()) if ok.any() else np.nan,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    mom = grouped_aggregate(
+        ds.select_columns(cols).map_batches(_moments, batch_format="pandas"),
+        ["col"],
+        [
+            ("sum", "n", "n"),
+            ("sum", "n_null", "n_null"),
+            ("sum", "s", "s"),
+            ("min", "vmin", "vmin"),
+            ("max", "vmax", "vmax"),
+        ],
+    ).to_pandas()  # ≤ one row per column
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        frames = [
+            pd.DataFrame({"col": c, "val": df[c].dropna().unique().astype(str)})
+            for c in cols
+        ]
+        return pd.concat(frames, ignore_index=True)
+
+    nd = (
+        grouped_aggregate(
+            dedupe_by_key(
+                ds.select_columns(cols).map_batches(
+                    _pairs, batch_format="pandas"
+                ),
+                ["col", "val"],
+            ),
+            ["col"],
+            [("count_star", None, "n_distinct")],
+        )
+        .to_pandas()
+        .set_index("col")["n_distinct"]
+    )
+
+    out = mom.copy()
+    out["n_distinct"] = out["col"].map(nd).fillna(0).astype(np.int64)
+    nn = (out["n"] - out["n_null"]).to_numpy(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out["vavg"] = np.where(nn > 0, out["s"].to_numpy() / nn, np.nan)
+    out = out.drop(columns=["s"])[
+        ["col", "n", "n_null", "n_distinct", "vmin", "vmax", "vavg"]
+    ].sort_values("col").reset_index(drop=True)
+    out["n"] = out["n"].astype(np.int64)
+    out["n_null"] = out["n_null"].astype(np.int64)
+    return ray.data.from_pandas(out)
+
+
+__all__.append("numeric_profile")

@@ -282,3 +282,32 @@ def test_adamic_adar_degree_cap_skips_hubs(ray_session):
         ray.data.from_pandas(e), min_common=1, degree_cap=3
     ).to_pandas()
     assert len(capped) == 0
+
+
+def test_clustering_coefficient_planted(ray_session):
+    """K4 on {0,1,2,3} (every node lcc=1, tri=3, deg=3) plus a pendant
+    node 4-0 (drops 0's lcc to 3/6=0.5, node 4 gets lcc=0) plus an
+    isolated edge 5-6 (both lcc=0, deg=1); duplicate + reversed +
+    self-loop input edges must not change anything."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.graph import (
+        clustering_coefficient,
+    )
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(0, 4), (5, 6)]
+    noisy = edges + [(b, a) for a, b in edges] + [(1, 1), (0, 1)]
+    ds = ray.data.from_items([{"src": a, "dst": b} for a, b in noisy])
+    out = (
+        clustering_coefficient(ds)
+        .to_pandas()
+        .set_index("node")
+        .sort_index()
+    )
+    assert out.loc[0, "deg"] == 4 and out.loc[0, "tri"] == 3
+    assert out.loc[0, "lcc"] == pytest.approx(0.5)
+    for n in (1, 2, 3):
+        assert out.loc[n, "tri"] == 3 and out.loc[n, "lcc"] == pytest.approx(1.0)
+    assert out.loc[4, "deg"] == 1 and out.loc[4, "lcc"] == 0.0
+    assert out.loc[5, "tri"] == 0 and out.loc[6, "lcc"] == 0.0
+    # total corner credits == 3 x global triangle count (K4 has 4)
+    assert out["tri"].sum() == 3 * 4

@@ -382,3 +382,37 @@ def test_chi_squared_planted(ray_session):
     )
     out2 = chi_squared(ray.data.from_pandas(df2), "a", "b").to_pandas()
     assert abs(out2["chi2"].iloc[0]) < 1e-12
+
+
+def test_numeric_profile_nulls_and_partitions(ray_session):
+    """Exact counts/distincts/moments with NULLs present, invariant to
+    partitioning; an all-null column keeps NaN min/max/avg."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.profile import (
+        numeric_profile,
+    )
+
+    df = pd.DataFrame(
+        {
+            "a": [1.0, 2.0, 2.0, None, 5.0, None],
+            "b": [10.0, 10.0, 10.0, 10.0, 10.0, 10.0],
+            "c": [None] * 6,
+        }
+    )
+    for parts in (1, 5):
+        out = (
+            numeric_profile(ray.data.from_pandas(df).repartition(parts),
+                            ["a", "b", "c"])
+            .to_pandas()
+            .set_index("col")
+        )
+        assert (out["n"] == 6).all()
+        assert out.loc["a", "n_null"] == 2 and out.loc["a", "n_distinct"] == 3
+        assert out.loc["a", "vmin"] == 1.0 and out.loc["a", "vmax"] == 5.0
+        assert out.loc["a", "vavg"] == (1 + 2 + 2 + 5) / 4
+        assert out.loc["b", "n_distinct"] == 1 and out.loc["b", "vavg"] == 10.0
+        assert out.loc["c", "n_null"] == 6 and out.loc["c", "n_distinct"] == 0
+        assert np.isnan(out.loc["c", "vavg"])
