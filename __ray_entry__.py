@@ -2390,6 +2390,40 @@ def _q_shipping_priority(sf_dir: str):
     )
 
 
+def _q_event_bursts(sf_dir: str):
+    """Sliding-window self-join: ordered pairs of one user's events
+    within 30 minutes — `ops/relational.time_band_pairs`: ONE user-hash
+    exchange, per-partition (key, ts, id) sort, pair emission as a
+    single searchsorted + repeat/arange sweep over per-run rebased
+    time (no per-key Python call, never the full per-key cross
+    product).  Oracle = the equi-self-join + band predicate."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
+        time_band_pairs,
+    )
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    return time_band_pairs(
+        ev, "user_id", "ts", "event_id", band_us=30 * 60 * 1_000_000
+    )
+
+
+def _q_price_means_by_flag(sf_dir: str):
+    """Pythagorean-means family per return flag: quantity-weighted,
+    geometric and harmonic means of positive extended prices —
+    `ops/profile.grouped_means`: one combiner pass ships five floats
+    per (block, group); closed forms per group.  Association orders
+    mirror the SQL oracle (Σxw/Σw, exp(Σln/n), n/Σ(1/x))."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.profile import (
+        grouped_means,
+    )
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+    out = grouped_means(li, ["l_returnflag"], "l_extendedprice",
+                        weight="l_quantity")
+    return _round_cols(out, ["wavg", "geomean", "harmean"], 4)
+
+
 def _q_lineitem_profile(sf_dir: str):
     """Long-form numeric table profile (one row per column: count/
     nulls/exact distinct/min/max/avg) — `ops/profile.numeric_profile`:
@@ -3772,6 +3806,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_clustering": _q_part_clustering,  # new in r3
         "customer_order_dist": _q_customer_order_dist,  # new in r3
         "lineitem_profile": _q_lineitem_profile,  # new in r3
+        "event_bursts": _q_event_bursts,  # new in r3
+        "price_means_by_flag": _q_price_means_by_flag,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
         "c360_interactions": _q_c360_interactions,
@@ -5269,6 +5305,27 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(1.0 / ln(d)), 6) AS aa
             FROM wedge JOIN deg USING (c)
             GROUP BY 1, 2 HAVING count(*) >= 4
+        """,
+        "event_bursts": """
+            SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+                   epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+            FROM events a
+            JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts > a.ts
+             AND epoch_us(b.ts) - epoch_us(a.ts) <= 1800000000
+        """,
+        "price_means_by_flag": """
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(l_extendedprice * l_quantity)
+                         / sum(l_quantity), 4) AS wavg,
+                   round(exp(sum(ln(l_extendedprice)) / count(*)), 4)
+                       AS geomean,
+                   round(count(*) / sum(1.0 / l_extendedprice), 4)
+                       AS harmean
+            FROM lineitem
+            WHERE l_extendedprice > 0
+            GROUP BY 1
         """,
         "lineitem_profile": """
             SELECT col, CAST(n AS BIGINT) AS n,

@@ -199,6 +199,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "part_clustering",
         "customer_order_dist",
         "lineitem_profile",
+        "event_bursts",
+        "price_means_by_flag",
     ]
     for name in bench_queries:
         t0 = time.time()

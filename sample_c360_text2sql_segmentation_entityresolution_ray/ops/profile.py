@@ -1016,3 +1016,71 @@ def numeric_profile(
 
 
 __all__.append("numeric_profile")
+
+
+def grouped_means(
+    ds: "ray.data.Dataset",
+    keys: "list[str]",
+    val: str,
+    weight: str | None = None,
+) -> "ray.data.Dataset":
+    """Per-group weighted / geometric / harmonic means of the POSITIVE
+    values of ``val`` — the Pythagorean-means family ratio and rate
+    features need (weighted mean for size-weighted prices, geometric
+    for multiplicative growth, harmonic for rate averaging), computed
+    from ONE combiner pass: each batch folds to one
+    (Σxw, Σw, Σln x, Σ1/x, n) partial row per (block, group), so the
+    exchange ships five floats per group per block regardless of rows.
+
+    Non-positive and NULL values are excluded from ALL THREE means
+    (ln/1/x are undefined there; SQL mirrors with WHERE val > 0).
+    ``weight`` of None means unit weights (wavg = arithmetic mean).
+    Output: ``keys + (n, wavg, geomean, harmean)``.
+    """
+    import numpy as np
+
+    from .relational import grouped_aggregate
+
+    keys = list(keys)
+    cols = keys + [val] + ([weight] if weight else [])
+
+    def _pre(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[val].to_numpy(np.float64)
+        ok = np.isfinite(x) & (x > 0)
+        out = df.loc[ok, keys].copy()
+        x = x[ok]
+        w = (
+            df[weight].to_numpy(np.float64)[ok]
+            if weight
+            else np.ones(len(x))
+        )
+        out["_xw"] = x * w
+        out["_w"] = w
+        out["_lnx"] = np.log(x)
+        out["_inv"] = 1.0 / x
+        return out
+
+    agg = grouped_aggregate(
+        ds.select_columns(cols).map_batches(_pre, batch_format="pandas"),
+        keys,
+        [
+            ("count_star", None, "n"),
+            ("sum", "_xw", "_sxw"),
+            ("sum", "_w", "_sw"),
+            ("sum", "_lnx", "_slnx"),
+            ("sum", "_inv", "_sinv"),
+        ],
+    )
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[keys + ["n"]].copy()
+        n = df["n"].to_numpy(np.float64)
+        out["wavg"] = df["_sxw"].to_numpy() / df["_sw"].to_numpy()
+        out["geomean"] = np.exp(df["_slnx"].to_numpy() / n)
+        out["harmean"] = n / df["_sinv"].to_numpy()
+        return out
+
+    return agg.map_batches(_final, batch_format="pandas")
+
+
+__all__.append("grouped_means")

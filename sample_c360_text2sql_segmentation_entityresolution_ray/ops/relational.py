@@ -1725,3 +1725,104 @@ def one_hot(
 
 
 __all__.append("one_hot")
+
+
+def time_band_pairs(
+    ds: "ray.data.Dataset",
+    key: str,
+    ts_col: str,
+    id_col: str,
+    band_us: int,
+    anchor_cap: int | None = None,
+    partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Sliding-window self-join: every ordered pair of rows sharing
+    ``key`` with ``0 < ts_b − ts_a ≤ band_us`` — the co-occurrence /
+    burst-detection primitive (events of one user within Δ of each
+    other) that a naive equi-self-join + filter would compute by
+    materializing the full per-key cross product first.
+
+    ONE key-hash exchange; each partition sorts once by
+    (key, ts, id) and emits pairs with a fully vectorized
+    searchsorted + repeat/arange sweep — no per-row loop, no per-key
+    Python call.  Output: ``(key, a_id, b_id, gap_us)``.
+
+    Skew: a key with k rows inside one band window emits O(k²) pairs —
+    that is the OPERATOR'S OUTPUT, not transport overhead (the oracle
+    has the same cardinality).  ``anchor_cap`` bounds each anchor to
+    its first ``cap`` successors when downstream only needs bounded
+    context (the blocking-cap pattern); None = exact.
+    """
+    import numpy as np
+
+    P = partitions or DEDUP_PARTITIONS
+
+    def _part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[key, ts_col, id_col]].copy()
+        out["_part"] = (
+            pd.util.hash_array(df[key].to_numpy()) % P
+        ).astype("int32")
+        return out
+
+    def _sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, id_col], kind="mergesort")
+        t = g[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        ids = g[id_col].to_numpy()
+        k = g[key].to_numpy()
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame(
+                {key: k[:0], "a_id": ids[:0], "b_id": ids[:0],
+                 "gap_us": t[:0]}
+            )
+        # t is sorted only WITHIN each key run — rebase every run onto a
+        # disjoint segment of one strictly-ordered axis so a single
+        # global searchsorted finds each anchor's window AND can never
+        # cross a run boundary (the next run starts > band past this one)
+        run_start = np.concatenate(
+            [[0], np.nonzero(k[1:] != k[:-1])[0] + 1]
+        )
+        run = np.cumsum(
+            np.concatenate([[0], (k[1:] != k[:-1]).astype(np.int64)])
+        )
+        t_rel = t - t[run_start][run]
+        run_last = np.concatenate([run_start[1:], [n]]) - 1
+        span = t_rel[run_last]
+        base = np.concatenate(
+            [[0], np.cumsum(span + band_us + 1)[:-1]]
+        )
+        s = base[run] + t_rel
+        hi = np.searchsorted(s, s + band_us, side="right")
+        lo = np.arange(n) + 1
+        cnt = np.maximum(hi - lo, 0)
+        if anchor_cap is not None:
+            cnt = np.minimum(cnt, anchor_cap)
+        total = int(cnt.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {key: k[:0], "a_id": ids[:0], "b_id": ids[:0],
+                 "gap_us": t[:0]}
+            )
+        ia = np.repeat(np.arange(n), cnt)
+        start = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        ib = ia + 1 + (np.arange(total) - np.repeat(start, cnt))
+        # equal-ts rows sort adjacent: drop gap == 0 (strict ts_b > ts_a)
+        gap = t[ib] - t[ia]
+        keep = gap > 0
+        return pd.DataFrame(
+            {key: k[ia][keep], "a_id": ids[ia][keep],
+             "b_id": ids[ib][keep], "gap_us": gap[keep]}
+        )
+
+    return (
+        ds.select_columns([key, ts_col, id_col])
+        .map_batches(_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(
+            lambda g: _sweep(g.drop(columns=["_part"])),
+            batch_format="pandas",
+        )
+    )
+
+
+__all__.append("time_band_pairs")

@@ -416,3 +416,37 @@ def test_numeric_profile_nulls_and_partitions(ray_session):
         assert out.loc["b", "n_distinct"] == 1 and out.loc["b", "vavg"] == 10.0
         assert out.loc["c", "n_null"] == 6 and out.loc["c", "n_distinct"] == 0
         assert np.isnan(out.loc["c", "vavg"])
+
+
+def test_grouped_means_planted(ray_session):
+    """Exact closed forms on tiny groups; non-positive/NULL values are
+    excluded from all three means; unit weights = arithmetic mean."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.profile import (
+        grouped_means,
+    )
+
+    df = pd.DataFrame(
+        {
+            "g": ["a", "a", "a", "a", "b", "b"],
+            "x": [2.0, 8.0, -1.0, None, 4.0, 4.0],
+            "w": [1.0, 3.0, 9.0, 9.0, 1.0, 1.0],
+        }
+    )
+    out = (
+        grouped_means(ray.data.from_pandas(df).repartition(4), ["g"], "x",
+                      weight="w")
+        .to_pandas()
+        .set_index("g")
+    )
+    # group a keeps only 2.0 (w=1) and 8.0 (w=3)
+    assert out.loc["a", "n"] == 2
+    assert out.loc["a", "wavg"] == (2 + 24) / 4
+    assert out.loc["a", "geomean"] == pytest.approx(4.0)       # sqrt(16)
+    assert out.loc["a", "harmean"] == pytest.approx(2 / (0.5 + 0.125))
+    assert out.loc["b", "wavg"] == 4.0 and out.loc["b", "geomean"] == pytest.approx(4.0)
+    unw = grouped_means(ray.data.from_pandas(df), ["g"], "x").to_pandas()
+    assert unw.set_index("g").loc["a", "wavg"] == 5.0  # plain mean

@@ -84,3 +84,50 @@ def test_range_join_bucketed_matches_broadcast(sf_dir, tmp_path):
             num_buckets=16, scratch_dir=str(tmp_path / how),
         ).to_pandas()
         pd.testing.assert_frame_equal(canon(bc), canon(bk))
+
+
+def test_time_band_pairs_planted(ray_session):
+    """Band edges inclusive at exactly band, exclusive above; equal-ts
+    pairs dropped; pairs never cross keys (per-run rebase); anchor_cap
+    keeps only the first successors; partition-count invariant."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
+        time_band_pairs,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+    us = pd.Timedelta(microseconds=1)
+    rows = [
+        # key 1: ts 0, 10, 10, 25 — band 15us
+        {"k": 1, "ts": base, "id": 10},
+        {"k": 1, "ts": base + 10 * us, "id": 11},
+        {"k": 1, "ts": base + 10 * us, "id": 12},
+        {"k": 1, "ts": base + 25 * us, "id": 13},
+        # key 2 sits INSIDE key 1's time range: a global searchsorted
+        # without the rebase would leak cross-key pairs
+        {"k": 2, "ts": base + 5 * us, "id": 20},
+        {"k": 2, "ts": base + 18 * us, "id": 21},
+    ]
+    ds = ray.data.from_items(rows).repartition(3)
+    out = (
+        time_band_pairs(ds, "k", "ts", "id", band_us=15)
+        .to_pandas()
+        .sort_values(["k", "a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    got = set(map(tuple, out[["k", "a_id", "b_id", "gap_us"]].to_numpy()))
+    assert got == {
+        (1, 10, 11, 10), (1, 10, 12, 10),   # within band
+        (1, 11, 13, 15), (1, 12, 13, 15),   # exactly band: inclusive
+        (2, 20, 21, 13),
+    }  # (10,13) gap 25 > band; (11,12) gap 0 dropped; no cross-key
+    capped = time_band_pairs(
+        ds, "k", "ts", "id", band_us=15, anchor_cap=1
+    ).to_pandas()
+    # anchor 10's first successor only; anchors 11/12 capped to their
+    # immediate successor (12's is 13; 11's is 12 at gap 0 -> dropped)
+    assert len(capped) <= len(out)
+    assert (capped.groupby("a_id").size() <= 1).all()
