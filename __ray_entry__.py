@@ -3401,6 +3401,113 @@ def _sql_rate(lang: str) -> str:
     )
 
 
+def _sql_fs_weight_ctes(fix: str) -> str:
+    """Shared Fellegi–Sunter CTE chain: melt → value-frequency u,
+    truth-join → agreement m, clamped log₂ weights — the SQL mirror of
+    `ops/linkage.fs_field_weights` (same clamp constants, same double
+    divisions of exact integer counts)."""
+    melt_m = " UNION ALL ".join(
+        f"SELECT '{f}' AS field, CAST({f} AS VARCHAR) AS val, 1 AS is_m, "
+        f"0 AS is_s FROM mm"
+        for f in ("email", "firstname", "lastname", "gender", "age",
+                  "created_at")
+    )
+    melt_s = " UNION ALL ".join(
+        f"SELECT '{f}', CAST({f} AS VARCHAR), 0, 1 FROM ss"
+        for f in ("email", "firstname", "lastname", "gender", "age",
+                  "created_at")
+    )
+    m_rows = " UNION ALL ".join(
+        f"SELECT '{f}' AS field, sum(CASE WHEN {f}_m = {f}_s THEN 1 ELSE 0 "
+        f"END)::DOUBLE / count(*)::DOUBLE AS m FROM pr"
+        for f in ("email", "firstname", "lastname", "gender", "age",
+                  "created_at")
+    )
+    pr_cols = ", ".join(
+        f"a.{f} AS {f}_m, b.{f} AS {f}_s"
+        for f in ("email", "firstname", "lastname", "gender", "age",
+                  "created_at")
+    )
+    return f"""
+        mm AS (SELECT * FROM read_parquet('{fix}/customer_master.parquet')),
+        ss AS (SELECT * FROM
+               read_parquet('{fix}/subbrand_customer_master.parquet')),
+        tr AS (SELECT * FROM
+               read_parquet('{fix}/customer_relations.parquet')),
+        melt AS ({melt_m} UNION ALL {melt_s}),
+        vc AS (SELECT field, val, sum(is_m) AS cm, sum(is_s) AS cs
+               FROM melt GROUP BY 1, 2),
+        uf AS (SELECT field,
+                      sum(cm * cs)::DOUBLE
+                        / ((SELECT count(*) FROM mm)::DOUBLE
+                           * (SELECT count(*) FROM ss)::DOUBLE) AS u
+               FROM vc GROUP BY 1),
+        pr AS (SELECT {pr_cols}
+               FROM tr
+               JOIN mm a ON tr.main_customer_id = a.customer_id
+               JOIN ss b ON tr.subbrand_customer_id = b.customer_id),
+        mf AS ({m_rows}),
+        w AS (SELECT mf.field, mf.m, uf.u,
+                     log2(least(greatest(mf.m, 0.000001), 1.0 - 0.000001)
+                          / least(greatest(uf.u, 0.000000001),
+                                  1.0 - 0.000000001)) AS wa,
+                     log2((1.0 - least(greatest(mf.m, 0.000001),
+                                       1.0 - 0.000001))
+                          / (1.0 - least(greatest(uf.u, 0.000000001),
+                                         1.0 - 0.000000001))) AS wd
+              FROM mf JOIN uf USING (field))
+    """
+
+
+def _sql_fs_weights(fix: str) -> str:
+    return f"""
+        WITH {_sql_fs_weight_ctes(fix)}
+        SELECT field, round(m, 6) AS m, round(u, 6) AS u,
+               round(wa, 6) AS agree_weight, round(wd, 6) AS disagree_weight
+        FROM w
+    """
+
+
+def _sql_fs_linkage(fix: str) -> str:
+    """Pairs blocked on (lastname, gender), FS-scored with the weights
+    CTE; the `+` chain order matches fs_score_pairs' field loop so the
+    float sum is bit-equal before rounding."""
+
+    def wa(f):
+        return f"(SELECT wa FROM w WHERE field = '{f}')"
+
+    def wd(f):
+        return f"(SELECT wd FROM w WHERE field = '{f}')"
+
+    free = ("email", "firstname", "age", "created_at")
+    score = f"{wa('lastname')} + {wa('gender')}"
+    agree = "2"
+    for f in free:
+        score += (
+            f" + CASE WHEN {f}_m = {f}_s THEN {wa(f)} ELSE {wd(f)} END"
+        )
+        agree += f" + CASE WHEN {f}_m = {f}_s THEN 1 ELSE 0 END"
+    return f"""
+        WITH {_sql_fs_weight_ctes(fix)},
+        pairs AS (
+            SELECT a.customer_id AS main_customer_id,
+                   b.customer_id AS subbrand_customer_id,
+                   a.email AS email_m, b.email AS email_s,
+                   a.firstname AS firstname_m, b.firstname AS firstname_s,
+                   a.age AS age_m, b.age AS age_s,
+                   a.created_at AS created_at_m, b.created_at AS created_at_s
+            FROM mm a JOIN ss b
+              ON a.lastname = b.lastname AND a.gender = b.gender),
+        scored AS (
+            SELECT main_customer_id, subbrand_customer_id,
+                   {agree} AS n_agree, {score} AS score
+            FROM pairs)
+        SELECT main_customer_id, subbrand_customer_id, n_agree,
+               round(score, 4) AS score
+        FROM scored WHERE score > 0.0
+    """
+
+
 _SQL_CJK = "[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}]"
 
 
@@ -3698,6 +3805,46 @@ def _sql_curated_corpus(min_quality: float = 0.2, near_thr: float = 0.85) -> str
     """
 
 
+def _q_fs_weights(sf_dir: str):
+    """Fellegi–Sunter m/u probabilities + log₂ match weights per
+    ML_MATCHING field (`ops/linkage.fs_field_weights`): m from the
+    labeled truth pairs, u from the value-frequency birthday estimate —
+    slim combiner exchanges only, nothing pair-shaped.  Oracle
+    re-derives both estimates in SQL from the same fixture tables."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.linkage import (
+        fs_field_weights,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sources import c360
+
+    w = fs_field_weights(
+        c360.customer_master(sf_dir),
+        c360.subbrand_customer_master(sf_dir),
+        c360.customer_relations(sf_dir),
+    )
+    for c in ("m", "u", "agree_weight", "disagree_weight"):
+        w[c] = _sql_round(w[c].to_numpy(), 6)
+    return w
+
+
+def _q_fs_linkage(sf_dir: str):
+    """Blocked cross pairs (lastname, gender) scored with the
+    Fellegi–Sunter log-likelihood ratio; pairs with positive evidence
+    kept (`ops/linkage.fs_score_pairs`).  The weight table is the
+    fs_weights chain; scoring is one blocking hash-join + a stateless
+    vectorized map.  Oracle = the full SQL re-derivation (weights CTE +
+    CASE-sum per pair, same left-associative float order)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.linkage import (
+        fs_field_weights,
+        fs_score_pairs,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sources import c360
+
+    main = c360.customer_master(sf_dir)
+    sub = c360.subbrand_customer_master(sf_dir)
+    w = fs_field_weights(main, sub, c360.customer_relations(sf_dir))
+    return _round_cols(fs_score_pairs(main, sub, w), ["score"], 4)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from sample_c360_text2sql_segmentation_entityresolution_ray.sources.fixture_export import (
         ensure_all,
@@ -3713,6 +3860,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # their oracles every pytest session (test_queries_oracle.py).
         # ---- never driver-sampled (r1/r2) + r3-new: keep these
         # ---- inside the driver's first-50 window
+        "fs_weights_customers": _q_fs_weights,  # new in r3
+        "fs_linkage_customers": _q_fs_linkage,  # new in r3
         "inverted_index_docs": _q_inverted_index,  # new in r3
         "c360_segments_als": _q_c360_segments_als,
         "multimodal_features": _q_multimodal_features,
@@ -3933,6 +4082,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         # fixture-backed truth / feature oracles (driver checks at
         # sf0.01; tests rewrite the fixture path for their sf)
+        "fs_weights_customers": _sql_fs_weights(_FIX01),
+        "fs_linkage_customers": _sql_fs_linkage(_FIX01),
         "er_assignment": _sql_er_assignment(_FIX01),
         # incremental == full (bit-equal, tests/test_er_e2e.py) ⇒ the
         # same planted-truth oracle checks it

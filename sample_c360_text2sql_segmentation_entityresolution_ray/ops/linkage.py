@@ -275,4 +275,252 @@ def snm_pairs(
     return routed.groupby("_dst").map_groups(_pairs, batch_format="pandas")
 
 
-__all__ = ["lookup_link", "snm_pairs"]
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter probabilistic linkage (JASA 1969)
+# ---------------------------------------------------------------------------
+
+# the reference ER service's ML_MATCHING field set
+# (`lib/entity-resolution-service.ts:54-183`)
+FS_FIELDS = ("email", "firstname", "lastname", "gender", "age", "created_at")
+
+# clamp bounds: m = 1 (every labeled pair agrees) or u = 0 (no value
+# co-occurs across sources) would send a log-weight to ±inf; the clamps
+# keep weights finite and are mirrored verbatim in the SQL oracle
+FS_M_CLAMP = 1e-6
+FS_U_CLAMP = 1e-9
+
+
+def fs_field_weights(
+    main: "ray.data.Dataset",
+    sub: "ray.data.Dataset",
+    truth: "ray.data.Dataset",
+    fields: tuple = FS_FIELDS,
+    main_id: str = "customer_id",
+    sub_id: str = "customer_id",
+    truth_main: str = "main_customer_id",
+    truth_sub: str = "subbrand_customer_id",
+) -> pd.DataFrame:
+    """Fellegi–Sunter m/u probabilities and log₂ agreement weights per
+    field, estimated from a labeled truth set — the probabilistic-
+    record-linkage analog of the reference's ML_MATCHING training
+    (`lib/entity-resolution-service.ts:54-183` maps the same six
+    fields into the managed matching model).
+
+    - ``m_f`` = P(field f agrees | true match): truth pairs joined to
+      both masters, per-field agreement rate.
+    - ``u_f`` = P(field f agrees | random cross pair)
+      = Σ_v freq_main(v)·freq_sub(v) / (N_main·N_sub): the value-
+      frequency birthday estimate, no pair enumeration.
+
+    Distributed plan — nothing pair-shaped is ever built:
+    - u: both masters melt to slim ``(field, val, is_main)`` rows; ONE
+      combiner ``grouped_aggregate`` on (field, val) counts both sides,
+      a second O(#fields) pass sums the frequency products.  Only
+      (field, value, count) partials cross the shuffle; at corpus scale
+      this is the same slim-exchange shape as the token-census ops.
+    - m: the truth stream (|matches| rows) hash-joins to each master on
+      its id — the masters never shuffle more than the matched subset.
+    - the ≤ |fields| result rows collect to the driver (bounded).
+
+    Returns a driver-side DataFrame ``(field, m, u, agree_weight,
+    disagree_weight)`` ordered as ``fields`` — small by construction
+    (one row per field), consumed as a broadcast closure by
+    :func:`fs_score_pairs`."""
+    from .relational import grouped_aggregate, hash_join
+
+    fields = tuple(fields)
+    n_main = main.count()
+    n_sub = sub.count()
+
+    def _melt(is_main: int):
+        def _fn(df: pd.DataFrame) -> pd.DataFrame:
+            parts = []
+            for f in fields:
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "field": f,
+                            "val": df[f].astype(str),
+                            "is_m": np.int64(is_main),
+                            "is_s": np.int64(1 - is_main),
+                        }
+                    )
+                )
+            return pd.concat(parts, ignore_index=True)
+
+        return _fn
+
+    melted = main.select_columns(list(fields)).map_batches(
+        _melt(1), batch_format="pandas"
+    ).union(
+        sub.select_columns(list(fields)).map_batches(
+            _melt(0), batch_format="pandas"
+        )
+    )
+    vc = grouped_aggregate(
+        melted,
+        ["field", "val"],
+        [("sum", "is_m", "cm"), ("sum", "is_s", "cs")],
+    )
+
+    def _prod(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"field": df["field"], "prod": df["cm"] * df["cs"]}
+        )
+
+    u_rows = grouped_aggregate(
+        vc.map_batches(_prod, batch_format="pandas"),
+        ["field"],
+        [("sum", "prod", "sum_prod")],
+    ).to_pandas()
+    u_by_field = {
+        r["field"]: r["sum_prod"] / (float(n_main) * float(n_sub))
+        for _, r in u_rows.iterrows()
+    }
+
+    ren_m = {f: f"{f}_m" for f in fields}
+    ren_s = {f: f"{f}_s" for f in fields}
+    main_r = main.select_columns([main_id, *fields]).rename_columns(
+        {main_id: "_mid", **ren_m}
+    )
+    sub_r = sub.select_columns([sub_id, *fields]).rename_columns(
+        {sub_id: "_sid", **ren_s}
+    )
+    # truth (|matches| rows) is the SMALL side relative to the masters:
+    # broadcast it and probe each master stream — the masters never
+    # shuffle.  Above the broadcast cap, fall back to two sequential
+    # hash joins with a materialize() between them: two lazily-nested
+    # JoinOperators would spawn both aggregator pools at once and can
+    # starve a small cluster's map tasks (observed deadlock at 8 cpus).
+    from .relational import broadcast_join
+
+    if truth.count() <= BROADCAST_ROW_LIMIT:
+        p1 = broadcast_join(main_r, truth, on=["_mid"], right_on=[truth_main])
+        pairs = broadcast_join(sub_r, p1, on=["_sid"], right_on=[truth_sub])
+    else:
+        p1 = hash_join(
+            truth, main_r, on=[truth_main], right_on=["_mid"]
+        ).materialize()
+        pairs = hash_join(p1, sub_r, on=[truth_sub], right_on=["_sid"])
+
+    def _agree(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"_g": [np.int64(0)], "n": [np.int64(len(df))]}
+        for f in fields:
+            out[f"ag_{f}"] = [
+                np.int64(
+                    (df[f"{f}_m"].astype(str) == df[f"{f}_s"].astype(str)).sum()
+                )
+            ]
+        return pd.DataFrame(out)
+
+    ag = (
+        grouped_aggregate(
+            pairs.map_batches(_agree, batch_format="pandas"),
+            ["_g"],
+            [("sum", "n", "n")]
+            + [("sum", f"ag_{f}", f"ag_{f}") for f in fields],
+        )
+        .to_pandas()
+        .iloc[0]
+    )
+    n_truth = float(ag["n"])
+
+    rows = []
+    for f in fields:
+        m = float(ag[f"ag_{f}"]) / n_truth
+        u = float(u_by_field[f])
+        m_c = min(max(m, FS_M_CLAMP), 1.0 - FS_M_CLAMP)
+        u_c = min(max(u, FS_U_CLAMP), 1.0 - FS_U_CLAMP)
+        rows.append(
+            {
+                "field": f,
+                "m": m,
+                "u": u,
+                "agree_weight": np.log2(m_c / u_c),
+                "disagree_weight": np.log2((1.0 - m_c) / (1.0 - u_c)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def fs_score_pairs(
+    main: "ray.data.Dataset",
+    sub: "ray.data.Dataset",
+    weights: pd.DataFrame,
+    block: tuple = ("lastname", "gender"),
+    fields: tuple = FS_FIELDS,
+    main_id: str = "customer_id",
+    sub_id: str = "customer_id",
+    min_score: float = 0.0,
+) -> "ray.data.Dataset":
+    """Score every blocked cross pair with the Fellegi–Sunter log₂
+    likelihood ratio: Σ over ``fields`` of ``agree_weight`` where the
+    pair agrees, ``disagree_weight`` where it disagrees; keep pairs
+    with ``score > min_score``.
+
+    One hash equi-join on the block key generates the candidate
+    stream (the blocking shuffle — the only pair-shaped exchange);
+    scoring is a stateless vectorized map over the joined batches with
+    the ≤ |fields| weight rows carried in the closure.  Block fields
+    (always-agree inside a block) contribute their agree weight as a
+    constant.  Output: ``(main_customer_id, subbrand_customer_id,
+    n_agree, score)``."""
+    from .relational import hash_join
+
+    fields = tuple(fields)
+    block = tuple(block)
+    w = {
+        r["field"]: (float(r["agree_weight"]), float(r["disagree_weight"]))
+        for _, r in weights.iterrows()
+    }
+    free = [f for f in fields if f not in block]
+
+    ren_m = {f: f"{f}_m" for f in fields}
+    ren_s = {f: f"{f}_s" for f in fields}
+    main_r = main.select_columns([main_id, *fields]).rename_columns(
+        {main_id: "main_customer_id", **ren_m}
+    )
+    sub_r = sub.select_columns([sub_id, *fields]).rename_columns(
+        {sub_id: "subbrand_customer_id", **ren_s}
+    )
+    joined = hash_join(
+        main_r,
+        sub_r,
+        on=[f"{f}_m" for f in block],
+        right_on=[f"{f}_s" for f in block],
+    )
+    base = float(sum(w[f][0] for f in block))
+    n_block = len(block)
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        score = np.full(len(df), base)
+        n_agree = np.full(len(df), n_block, dtype=np.int64)
+        # fixed field order keeps the float sum order identical to the
+        # oracle's left-associative `+` chain (bit-equal before round)
+        for f in free:
+            ag = (
+                df[f"{f}_m"].astype(str).to_numpy()
+                == df[f"{f}_s"].astype(str).to_numpy()
+            )
+            score = score + np.where(ag, w[f][0], w[f][1])
+            n_agree += ag.astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "main_customer_id": df["main_customer_id"],
+                "subbrand_customer_id": df["subbrand_customer_id"],
+                "n_agree": n_agree,
+                "score": score,
+            }
+        )
+        return out[out["score"] > min_score]
+
+    return joined.map_batches(_score, batch_format="pandas")
+
+
+__all__ = [
+    "lookup_link",
+    "snm_pairs",
+    "fs_field_weights",
+    "fs_score_pairs",
+    "FS_FIELDS",
+]
