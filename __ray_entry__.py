@@ -3459,6 +3459,104 @@ def _sql_fs_weight_ctes(fix: str) -> str:
     """
 
 
+def _sql_orders_fd() -> str:
+    """fd_census oracle: per-pair count(DISTINCT dep) per det value."""
+    pairs = [
+        ("o_orderkey", "o_custkey"),
+        ("o_orderkey", "o_orderstatus"),
+        ("o_custkey", "o_orderstatus"),
+        ("o_orderdate", "o_orderpriority"),
+        ("o_orderstatus", "o_orderpriority"),
+    ]
+    parts = []
+    for det, dep in pairs:
+        parts.append(f"""
+            SELECT '{det}' AS determinant, '{dep}' AS dependent,
+                   count(*) AS n_det_values,
+                   sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_violating,
+                   CASE WHEN sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) = 0
+                        THEN 1 ELSE 0 END AS holds
+            FROM (SELECT {det} AS det, count(DISTINCT {dep}) AS c
+                  FROM orders GROUP BY 1)
+        """)
+    return " UNION ALL ".join(parts)
+
+
+def _sql_part_kcore(k: int, rounds: int) -> str:
+    """kcore oracle: symmetric-distinct basket edges, the peel unrolled
+    as `rounds` (degree → alive → filtered-edges) CTE stages."""
+    ctes = [
+        f"e AS ({_SQL_BASKET_EDGES})",
+        "sym AS (SELECT DISTINCT least(src, dst) AS a,"
+        " greatest(src, dst) AS b FROM e WHERE src <> dst)",
+        "e0 AS (SELECT a AS u, b AS v FROM sym"
+        " UNION ALL SELECT b, a FROM sym)",
+    ]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"d{r} AS (SELECT u, count(*) AS d FROM {prev} GROUP BY 1)"
+        )
+        ctes.append(f"a{r} AS (SELECT u FROM d{r} WHERE d >= {k})")
+        ctes.append(
+            f"e{r} AS (SELECT p.u, p.v FROM {prev} p"
+            f" WHERE p.u IN (SELECT u FROM a{r})"
+            f" AND p.v IN (SELECT u FROM a{r}))"
+        )
+        prev = f"e{r}"
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT u AS node, count(*) AS degree FROM {prev} GROUP BY 1"
+    )
+
+
+def _sql_blocking_quality(fix: str) -> str:
+    """Both metrics per scheme from split_part key derivations —
+    the SQL mirror of `ops/linkage.blocking_quality` (same integer
+    C(n,2) arithmetic, same double divisions)."""
+    keys = {
+        "domain": "split_part({u}, '/', 3)",
+        "slug8": "left(split_part({u}, '/', 5), 8)",
+    }
+    parts = []
+    for scheme, expr in keys.items():
+        ku = expr.format(u="url")
+        ka = expr.format(u="url_a")
+        kb = expr.format(u="url_b")
+        parts.append(f"""
+            SELECT '{scheme}' AS scheme,
+                   (SELECT count(*) FROM r)::BIGINT AS n_records,
+                   b.nb AS n_blocks, b.cand AS n_candidate_pairs,
+                   c.nt AS n_true_pairs, c.cov AS n_true_covered,
+                   round(c.cov::DOUBLE / c.nt::DOUBLE, 6)
+                       AS pair_completeness,
+                   round(1.0 - b.cand::DOUBLE
+                             / ((SELECT count(*) FROM r)::DOUBLE
+                                * ((SELECT count(*) FROM r)::DOUBLE - 1.0)
+                                / 2.0), 6) AS reduction_ratio
+            FROM (
+                SELECT count(*)::BIGINT AS nb,
+                       sum((c * (c - 1)) // 2)::BIGINT AS cand
+                FROM (SELECT {ku} AS k, count(*)::BIGINT AS c
+                      FROM r GROUP BY 1)
+            ) b, (
+                SELECT count(*)::BIGINT AS nt,
+                       sum(CASE WHEN {ka} = {kb} THEN 1 ELSE 0 END)::BIGINT
+                           AS cov
+                FROM t
+            ) c
+        """)
+        # noqa: the per-scheme SELECTs union below
+    body = " UNION ALL ".join(parts)
+    return f"""
+        WITH r AS (SELECT url FROM
+                   read_parquet('{fix}/pages_records.parquet')),
+             t AS (SELECT url_a, url_b FROM
+                   read_parquet('{fix}/page_relations.parquet'))
+        {body}
+    """
+
+
 def _sql_fs_weights(fix: str) -> str:
     return f"""
         WITH {_sql_fs_weight_ctes(fix)}
@@ -3845,6 +3943,141 @@ def _q_fs_linkage(sf_dir: str):
     return _round_cols(fs_score_pairs(main, sub, w), ["score"], 4)
 
 
+def _q_weighted_sample_orders(sf_dir: str):
+    """Efraimidis–Spirakis weighted sample WITHOUT replacement
+    (`ops/sampling.weighted_reservoir_topk`): deterministic md5-uniform
+    keys, ln(u)/w ranking, driver-merge top-k — P(selected) ∝
+    o_totalprice.  Oracle ranks the identical SQL construction."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.sampling import (
+        weighted_reservoir_topk,
+    )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"]
+    )
+    return weighted_reservoir_topk(
+        orders, "o_orderkey", "o_totalprice", k=200, salt="wrs"
+    )
+
+
+def _q_order_lines_concat(sf_dir: str):
+    """SQL string_agg-with-ORDER-BY per order
+    (`ops/relational.grouped_concat`): one hash exchange, per-group
+    ordered join of stringified line numbers."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    out = rel.grouped_concat(
+        li, ["l_orderkey"], "l_linenumber", ["l_linenumber"],
+        out_col="lines",
+    )
+    return out
+
+
+def _q_orders_fd(sf_dir: str):
+    """Functional-dependency discovery census over five candidate
+    (determinant → dependent) claims on orders
+    (`ops/profile.fd_census`): one long-form distinct exchange for all
+    pairs.  Oracle = per-pair count(DISTINCT) subqueries."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.profile import (
+        fd_census,
+    )
+
+    orders = _read(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+         "o_orderpriority"],
+    )
+    return fd_census(
+        orders,
+        [
+            ("o_orderkey", "o_custkey"),
+            ("o_orderkey", "o_orderstatus"),
+            ("o_custkey", "o_orderstatus"),
+            ("o_orderdate", "o_orderpriority"),
+            ("o_orderstatus", "o_orderpriority"),
+        ],
+    )
+
+
+def _q_part_kcore(sf_dir: str):
+    """Fixed-3-round k-core peel (k=3) of the basket-transition graph
+    (`ops/graph.kcore`): per round one degree combiner exchange + two
+    measured-broadcast semi-joins.  Oracle = the peel unrolled as
+    three CTE stages."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.graph import (
+        kcore,
+    )
+
+    return kcore(_basket_edges(sf_dir), k=3, rounds=3)
+
+
+def _q_events_ewma(sf_dir: str):
+    """Per-user EWMA (α=0.3) of daily event counts
+    (`ops/analytics.grouped_ewma`): one combiner exchange to daily
+    counts, one per-user exchange for the vectorized ewm recurrence.
+    Oracle = the closed-form sᵢ = (1−α)^(i−1)x₁ + Σ α(1−α)^(i−j)xⱼ
+    via a windowed self-join (round 4 absorbs the summation-order
+    float skew)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.analytics import (
+        grouped_ewma,
+    )
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _day(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"],
+                "day": batch["ts"].dt.strftime("%Y-%m-%d"),
+            }
+        )
+
+    daily = rel.grouped_aggregate(
+        ev.map_batches(_day, batch_format="pandas"),
+        ["user_id", "day"],
+        [("count_star", None, "n")],
+    )
+    out = grouped_ewma(daily, ["user_id"], "day", "n", alpha=0.3)
+    return _round_cols(out, ["ewma"], 4)
+
+
+def _q_blocking_quality(sf_dir: str):
+    """Reduction ratio + pair completeness per blocking scheme over the
+    pages corpus (`ops/linkage.blocking_quality`): block keys are pure
+    url functions, so truth never joins records; one slim (key, count)
+    combiner exchange per scheme.  Oracle re-derives both metrics with
+    split_part arithmetic on the fixture tables."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.linkage import (
+        blocking_quality,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sources.pages import (
+        pages_slim_dataset,
+        relations_dataset,
+    )
+
+    out = blocking_quality(
+        pages_slim_dataset(sf_dir).select_columns(["url"]),
+        relations_dataset(sf_dir),
+    )
+    return _round_cols(out, ["pair_completeness", "reduction_ratio"], 6)
+
+
+def _q_rfm_segments(sf_dir: str):
+    """RFM quintile segmentation per customer
+    (`ops/analytics.rfm_segments`): one combiner exchange of
+    per-customer partials, three NTILE passes over the dimension-sized
+    aggregate, deterministic (metric DESC, custkey) tie order.  Oracle
+    = the same NTILEs in SQL."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.analytics import (
+        rfm_segments,
+    )
+
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    return rfm_segments(orders)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from sample_c360_text2sql_segmentation_entityresolution_ray.sources.fixture_export import (
         ensure_all,
@@ -3860,6 +4093,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # their oracles every pytest session (test_queries_oracle.py).
         # ---- never driver-sampled (r1/r2) + r3-new: keep these
         # ---- inside the driver's first-50 window
+        "weighted_sample_orders": _q_weighted_sample_orders,  # new in r3
+        "order_lines_concat": _q_order_lines_concat,  # new in r3
+        "orders_fd": _q_orders_fd,  # new in r3
+        "part_kcore": _q_part_kcore,  # new in r3
+        "events_ewma": _q_events_ewma,  # new in r3
+        "blocking_quality": _q_blocking_quality,  # new in r3
+        "rfm_segments": _q_rfm_segments,  # new in r3
         "fs_weights_customers": _q_fs_weights,  # new in r3
         "fs_linkage_customers": _q_fs_linkage,  # new in r3
         "inverted_index_docs": _q_inverted_index,  # new in r3
@@ -4082,6 +4322,73 @@ def oracle_sql() -> dict[str, str]:
     return {
         # fixture-backed truth / feature oracles (driver checks at
         # sf0.01; tests rewrite the fixture path for their sf)
+        "weighted_sample_orders": """
+            WITH keyed AS (
+                SELECT o_orderkey, o_totalprice, o_orderdate,
+                       ln((('0x' || left(md5('wrs'
+                             || CAST(o_orderkey AS VARCHAR)), 15))::BIGINT
+                           + 1)::DOUBLE / 1152921504606846976.0)
+                         / o_totalprice AS key
+                FROM orders
+            )
+            SELECT o_orderkey, o_totalprice, o_orderdate
+            FROM keyed ORDER BY key DESC, o_orderkey LIMIT 200
+        """,
+        "order_lines_concat": """
+            SELECT l_orderkey,
+                   string_agg(CAST(l_linenumber AS VARCHAR), ','
+                              ORDER BY l_linenumber) AS lines,
+                   count(*) AS n
+            FROM lineitem GROUP BY 1
+        """,
+        "orders_fd": _sql_orders_fd(),
+        "part_kcore": _sql_part_kcore(k=3, rounds=3),
+        "events_ewma": """
+            WITH d AS (
+                SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ), r AS (
+                SELECT *, row_number() OVER (
+                           PARTITION BY user_id ORDER BY day) AS rn
+                FROM d
+            )
+            SELECT a.user_id, a.day, a.n,
+                   round(sum(CASE WHEN b.rn = 1
+                                  THEN power(0.7, a.rn - 1) * b.n
+                                  ELSE 0.3 * power(0.7, a.rn - b.rn) * b.n
+                             END), 4) AS ewma
+            FROM r a JOIN r b
+              ON a.user_id = b.user_id AND b.rn <= a.rn
+            GROUP BY a.user_id, a.day, a.n
+        """,
+        "blocking_quality": _sql_blocking_quality(_FIX01),
+        "rfm_segments": """
+            WITH rfm AS (
+                SELECT o_custkey, max(o_orderdate) AS recency,
+                       count(*) AS frequency,
+                       round(sum(o_totalprice), 2) AS monetary
+                FROM orders GROUP BY 1
+            ), s AS (
+                SELECT o_custkey, recency, frequency, monetary,
+                       ntile(5) OVER (ORDER BY recency DESC, o_custkey)
+                           AS r_score,
+                       ntile(5) OVER (ORDER BY frequency DESC, o_custkey)
+                           AS f_score,
+                       ntile(5) OVER (ORDER BY monetary DESC, o_custkey)
+                           AS m_score
+                FROM rfm
+            )
+            SELECT o_custkey, recency, frequency, monetary,
+                   r_score, f_score, m_score,
+                   r_score * 100 + f_score * 10 + m_score AS rfm_code,
+                   CASE WHEN r_score <= 2 AND f_score <= 2 THEN 'champion'
+                        WHEN r_score >= 4 AND f_score <= 2 THEN 'at_risk'
+                        WHEN f_score <= 2 THEN 'loyal'
+                        WHEN r_score <= 2 THEN 'recent'
+                        ELSE 'other' END AS segment
+            FROM s
+        """,
         "fs_weights_customers": _sql_fs_weights(_FIX01),
         "fs_linkage_customers": _sql_fs_linkage(_FIX01),
         "er_assignment": _sql_er_assignment(_FIX01),

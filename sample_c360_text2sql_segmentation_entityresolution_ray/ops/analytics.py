@@ -296,3 +296,129 @@ def last_touch_attribution(
 
 
 __all__.append("last_touch_attribution")
+
+
+def rfm_segments(
+    orders: "ray.data.Dataset",
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    q: int = 5,
+) -> "ray.data.Dataset":
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    marketing-segmentation classic the reference's Personalize segments
+    approximate with a learned model (SURVEY §2 ST2): per customer,
+    recency = max order date, frequency = order count, monetary =
+    rounded spend sum; each metric quantile-scored 1..q (1 = best) by
+    SQL NTILE over (metric DESC, custkey) and combined into
+    ``rfm_code`` plus a named coarse segment.
+
+    Plan: facts cross ONE combiner exchange as per-customer partials
+    (`grouped_aggregate`); the q-tiling then runs over the O(#customers)
+    aggregate table — three `window` passes, one per metric order.
+    Monetary is rounded (2dp) BEFORE ranking so the float-sum last bits
+    can't flip tie order vs an oracle.  At a 10^9-customer scale,
+    replace the single-group window with the range-bucketed global
+    ranking `linkage.snm_pairs` uses (sample cuts → bucket counts →
+    per-bucket offset); the aggregate table here is dimension-sized, so
+    the one-group window is the measured right pick."""
+    from .window import window
+
+    def _sql_round2(x: np.ndarray) -> np.ndarray:
+        return np.trunc(x * 100.0 + np.copysign(0.5, x)) / 100.0
+
+    agg = grouped_aggregate(
+        orders.select_columns([cust_col, date_col, amount_col]),
+        [cust_col],
+        [
+            ("max", date_col, "recency"),
+            ("count_star", None, "frequency"),
+            ("sum", amount_col, "monetary"),
+        ],
+    )
+
+    def _round_m(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["monetary"] = _sql_round2(df["monetary"].to_numpy())
+        df["_g"] = np.int8(0)
+        return df
+
+    agg = agg.map_batches(_round_m, batch_format="pandas")
+    agg = window(
+        agg, ["_g"], [("recency", True), (cust_col, False)],
+        {"r_score": ("ntile", q)},
+    )
+    agg = window(
+        agg, ["_g"], [("frequency", True), (cust_col, False)],
+        {"f_score": ("ntile", q)},
+    )
+    agg = window(
+        agg, ["_g"], [("monetary", True), (cust_col, False)],
+        {"m_score": ("ntile", q)},
+    )
+
+    def _seg(df: pd.DataFrame) -> pd.DataFrame:
+        r = df["r_score"].to_numpy()
+        f = df["f_score"].to_numpy()
+        m = df["m_score"].to_numpy()
+        seg = np.select(
+            [
+                (r <= 2) & (f <= 2),
+                (r >= 4) & (f <= 2),
+                f <= 2,
+                r <= 2,
+            ],
+            ["champion", "at_risk", "loyal", "recent"],
+            default="other",
+        )
+        return pd.DataFrame(
+            {
+                cust_col: df[cust_col],
+                "recency": df["recency"],
+                "frequency": df["frequency"],
+                "monetary": df["monetary"],
+                "r_score": r,
+                "f_score": f,
+                "m_score": m,
+                "rfm_code": r * 100 + f * 10 + m,
+                "segment": seg,
+            }
+        )
+
+    return agg.map_batches(_seg, batch_format="pandas")
+
+
+__all__.append("rfm_segments")
+
+
+def grouped_ewma(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    out_col: str = "ewma",
+) -> "ray.data.Dataset":
+    """Per-group exponentially-weighted moving average in ``order_col``
+    order: ``s₁ = x₁; sᵢ = α·xᵢ + (1−α)·sᵢ₋₁`` (pandas
+    ``ewm(adjust=False)`` semantics) — the streaming smoother for
+    per-entity daily activity / anomaly baselines.
+
+    ONE hash exchange on ``keys``; inside each group the recurrence is
+    pandas' vectorized C ``ewm`` kernel over the sorted series (no
+    Python row loop).  The recurrence is inherently sequential per
+    group, so group size — not corpus size — bounds the serial work;
+    time-series groups (entity × day) are bounded by the calendar.
+    Appends ``out_col`` to the group's rows."""
+
+    def _fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        g[out_col] = (
+            g[value_col].astype(np.float64).ewm(alpha=alpha, adjust=False).mean()
+        )
+        return g
+
+    return ds.groupby(list(keys)).map_groups(_fn, batch_format="pandas")
+
+
+__all__.append("grouped_ewma")

@@ -17,6 +17,7 @@ content-defined, reproducible across partitionings.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 import ray.data
@@ -831,3 +832,67 @@ def adamic_adar(
         return df[df["cn"] >= thr]
 
     return scored.map_batches(_filter, batch_format="pandas")
+
+
+def kcore(
+    edges: "ray.data.Dataset",
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> "ray.data.Dataset":
+    """Fixed-``rounds`` k-core peeling (Seidman 1983; fixed-iteration
+    like this module's `pagerank`, so the result is deterministic and
+    SQL-unrollable): repeatedly drop nodes with fewer than ``k``
+    distinct neighbors and the edges touching them, ``rounds`` times;
+    return the surviving ``(node, degree)`` table (degree recounted on
+    the final edge set).  With enough rounds this converges to the true
+    k-core; a fixed count keeps the oracle expressible and the job wall
+    bounded.
+
+    Plan per round: degree census = one slim (node, partial-count)
+    combiner exchange; the alive filter is TWO `semi_join`s (measured
+    broadcast of the alive id set, hash-partition fallback above the
+    cap) — edges never carry payload, so each round moves O(|E|) ids.
+    Self-loops dropped, duplicate edges collapsed once up front."""
+    from .relational import grouped_aggregate, semi_join
+
+    def _sym(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[src].to_numpy()
+        b = df[dst].to_numpy()
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pd.DataFrame(
+            {"a": np.minimum(a, b), "b": np.maximum(a, b)}
+        )
+
+    undirected = grouped_aggregate(
+        edges.map_batches(_sym, batch_format="pandas"),
+        ["a", "b"],
+        [("count_star", None, "_n")],
+    ).drop_columns(["_n"])
+
+    def _both(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "u": np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()]),
+                "v": np.concatenate([df["b"].to_numpy(), df["a"].to_numpy()]),
+            }
+        )
+
+    cur = undirected.map_batches(_both, batch_format="pandas").materialize()
+    for _ in range(rounds):
+        deg = grouped_aggregate(cur, ["u"], [("count_star", None, "d")])
+        alive = deg.filter(expr=f"d >= {int(k)}").select_columns(["u"])
+        cur = semi_join(
+            semi_join(cur, alive, on="u"), alive, on="v", right_on="u"
+        ).materialize()
+
+    out = grouped_aggregate(cur, ["u"], [("count_star", None, "degree")])
+
+    def _name(df: pd.DataFrame) -> pd.DataFrame:
+        # blocks here are pandas; Dataset.rename_columns projects
+        # Arrow-only in Ray 2.49
+        return df.rename(columns={"u": "node"})
+
+    return out.map_batches(_name, batch_format="pandas")

@@ -517,10 +517,133 @@ def fs_score_pairs(
     return joined.map_batches(_score, batch_format="pandas")
 
 
+# ---------------------------------------------------------------------------
+# Blocking-scheme evaluation (reduction ratio / pair completeness)
+# ---------------------------------------------------------------------------
+
+# named, SQL-mirrorable key functions: scheme → (pandas derivation)
+# "domain"  = split_part(url, '/', 3)
+# "slug8"   = left(split_part(url, '/', 5), 8)
+_BLOCK_SCHEMES = ("domain", "slug8")
+
+
+def _scheme_key(urls: pd.Series, scheme: str) -> pd.Series:
+    parts = urls.str.split("/")
+    if scheme == "domain":
+        return parts.str[2].fillna("")
+    if scheme == "slug8":
+        return parts.str[4].fillna("").str.slice(0, 8)
+    raise ValueError(f"unknown blocking scheme {scheme!r}")
+
+
+def blocking_quality(
+    records: "ray.data.Dataset",
+    truth: "ray.data.Dataset",
+    url_col: str = "url",
+    truth_a: str = "url_a",
+    truth_b: str = "url_b",
+    schemes: tuple = _BLOCK_SCHEMES,
+) -> "ray.data.Dataset":
+    """Blocking-scheme quality census — the two numbers every ER
+    blocking design is judged by (Christen, *Data Matching* 2012 §7):
+
+    - **reduction ratio** = 1 − Σ_blocks C(n_b, 2) / C(N, 2): how much
+      of the quadratic pair space the scheme prunes;
+    - **pair completeness** = fraction of labeled TRUE pairs whose two
+      sides share a block key (the blocking recall bound — no scorer
+      downstream can recover a pair blocking never generates).
+
+    One row per scheme: ``(scheme, n_records, n_blocks,
+    n_candidate_pairs, n_true_pairs, n_true_covered, pair_completeness,
+    reduction_ratio)``.
+
+    Distributed shape: block keys are PURE url functions, so the truth
+    table never joins to the records — each side is a stateless map.
+    Per scheme the records stream crosses one slim (key, count)
+    combiner exchange; C(n,2) partials then sum in an O(#blocks) pass.
+    Truth coverage is a stateless flag map + sum.  Nothing pair-shaped
+    is ever built (the whole point of measuring blocking instead of
+    running it)."""
+    from .relational import grouped_aggregate
+
+    n = records.count()
+    n_true = truth.count()
+    rows = []
+    for scheme in schemes:
+        def _keys(df: pd.DataFrame, s=scheme) -> pd.DataFrame:
+            return pd.DataFrame({"k": _scheme_key(df[url_col], s)})
+
+        kc = grouped_aggregate(
+            records.select_columns([url_col]).map_batches(
+                _keys, batch_format="pandas"
+            ),
+            ["k"],
+            [("count_star", None, "c")],
+        )
+
+        def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+            c = df["c"].to_numpy(dtype=np.int64)
+            return pd.DataFrame(
+                {
+                    "_g": np.zeros(1, dtype=np.int8),
+                    "nb": [np.int64(len(df))],
+                    "cand": [(c * (c - 1) // 2).sum()],
+                }
+            )
+
+        agg = (
+            grouped_aggregate(
+                kc.map_batches(_pairs, batch_format="pandas"),
+                ["_g"],
+                [("sum", "nb", "nb"), ("sum", "cand", "cand")],
+            )
+            .to_pandas()
+            .iloc[0]
+        )
+
+        def _cov(df: pd.DataFrame, s=scheme) -> pd.DataFrame:
+            eq = (
+                _scheme_key(df[truth_a], s).to_numpy()
+                == _scheme_key(df[truth_b], s).to_numpy()
+            )
+            return pd.DataFrame(
+                {"_g": np.zeros(1, dtype=np.int8),
+                 "cov": [np.int64(eq.sum())]}
+            )
+
+        cov = int(
+            grouped_aggregate(
+                truth.select_columns([truth_a, truth_b]).map_batches(
+                    _cov, batch_format="pandas"
+                ),
+                ["_g"],
+                [("sum", "cov", "cov")],
+            )
+            .to_pandas()["cov"]
+            .iloc[0]
+        )
+        cand = int(agg["cand"])
+        rows.append(
+            {
+                "scheme": scheme,
+                "n_records": np.int64(n),
+                "n_blocks": np.int64(agg["nb"]),
+                "n_candidate_pairs": np.int64(cand),
+                "n_true_pairs": np.int64(n_true),
+                "n_true_covered": np.int64(cov),
+                "pair_completeness": float(cov) / float(n_true),
+                "reduction_ratio": 1.0
+                - float(cand) / (float(n) * (float(n) - 1.0) / 2.0),
+            }
+        )
+    return ray.data.from_pandas(pd.DataFrame(rows))
+
+
 __all__ = [
     "lookup_link",
     "snm_pairs",
     "fs_field_weights",
     "fs_score_pairs",
     "FS_FIELDS",
+    "blocking_quality",
 ]

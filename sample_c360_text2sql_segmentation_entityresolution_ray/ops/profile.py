@@ -1084,3 +1084,82 @@ def grouped_means(
 
 
 __all__.append("grouped_means")
+
+
+def fd_census(
+    ds: "ray.data.Dataset",
+    pairs: "Sequence[tuple[str, str]]",
+) -> "ray.data.Dataset":
+    """Functional-dependency discovery census over candidate column
+    pairs: for each (determinant → dependent) claim, count determinant
+    values and how many of them map to MORE than one distinct dependent
+    value (violations); ``holds = 1`` iff none do.  The schema-profiling
+    primitive behind key detection and the M9 catalog annotations.
+
+    ALL pairs ride ONE long-form exchange: each batch emits slim
+    ``(pair, det_val, dep_val)`` string rows, a combiner groupby
+    collapses them to distinct triples, a second groupby counts
+    distinct dependents per determinant value, and an O(#pairs) final
+    pass sums violations.  Row payloads never shuffle — only the
+    stringified value pairs do."""
+    from .relational import grouped_aggregate
+
+    pairs = [tuple(p) for p in pairs]
+    cols = sorted({c for p in pairs for c in p})
+
+    def _melt(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for i, (det, dep) in enumerate(pairs):
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "pid": np.int64(i),
+                        "det": df[det].astype(str),
+                        "dep": df[dep].astype(str),
+                    }
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    triples = grouped_aggregate(
+        ds.select_columns(cols).map_batches(_melt, batch_format="pandas"),
+        ["pid", "det", "dep"],
+        [("count_star", None, "_n")],
+    )
+    per_det = grouped_aggregate(
+        triples, ["pid", "det"], [("count_star", None, "n_dep")]
+    )
+
+    def _viol(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "pid": df["pid"],
+                "one": np.int64(1),
+                "viol": (df["n_dep"].to_numpy() > 1).astype(np.int64),
+            }
+        )
+
+    summary = (
+        grouped_aggregate(
+            per_det.map_batches(_viol, batch_format="pandas"),
+            ["pid"],
+            [("sum", "one", "n_det_values"), ("sum", "viol", "n_violating")],
+        )
+        .to_pandas()
+        .set_index("pid")
+    )
+    rows = []
+    for i, (det, dep) in enumerate(pairs):
+        r = summary.loc[i]
+        rows.append(
+            {
+                "determinant": det,
+                "dependent": dep,
+                "n_det_values": np.int64(r["n_det_values"]),
+                "n_violating": np.int64(r["n_violating"]),
+                "holds": np.int64(1 if r["n_violating"] == 0 else 0),
+            }
+        )
+    import ray.data as _rd
+
+    return _rd.from_pandas(pd.DataFrame(rows))

@@ -1826,3 +1826,41 @@ def time_band_pairs(
 
 
 __all__.append("time_band_pairs")
+
+
+def grouped_concat(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    col: str,
+    order_cols: Sequence[str],
+    sep: str = ",",
+    out_col: str = "concat",
+) -> "ray.data.Dataset":
+    """SQL ``string_agg(col, sep ORDER BY order_cols)`` per group — the
+    list-collection idiom (basket strings, path features, debug dumps).
+    One hash exchange on ``keys``; each group sorts its own rows and
+    joins the stringified values (values cross the shuffle once, as
+    strings).  Output: ``(*keys, out_col, n)``.  A hot key's rows land
+    whole in one partition — by construction of an ordered concat (the
+    output row IS the group); cap upstream if a group can exceed a
+    worker's heap."""
+    keys = list(keys)
+    order_cols = list(order_cols)
+
+    def _fn(g: pd.DataFrame) -> pd.DataFrame:
+        srt = g.sort_values(order_cols, kind="mergesort")
+        vals = srt[col].astype(str)
+        return pd.DataFrame(
+            {
+                **{k: [g[k].iloc[0]] for k in keys},
+                out_col: [sep.join(vals)],
+                "n": [np.int64(len(g))],
+            }
+        )
+
+    return ds.select_columns(
+        list(dict.fromkeys([*keys, col, *order_cols]))
+    ).groupby(keys).map_groups(_fn, batch_format="pandas")
+
+
+__all__.append("grouped_concat")

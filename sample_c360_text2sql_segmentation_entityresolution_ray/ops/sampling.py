@@ -253,6 +253,56 @@ def weighted_sample(
     return ds.map_batches(_fn, batch_format="pandas")
 
 
+def weighted_reservoir_topk(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wrs",
+) -> "ray.data.Dataset":
+    """Weighted sampling WITHOUT replacement, Efraimidis–Spirakis A-Res
+    (IPL 2006): each row draws a deterministic unit uniform
+    ``u = (md5₆₀(salt + id) + 1) / 2⁶⁰`` and the ``k`` rows with the
+    largest ``u^(1/w)`` — equivalently the largest ``ln(u)/w`` — are
+    the exact weighted sample.  P(row ∈ sample) ∝ weight, and the
+    construction is SQL-reproducible, so the exact kept SET is
+    re-derivable in DuckDB (``ln(u)/w`` ranked with an id tiebreak).
+
+    Plan: the per-row key is a stateless map; selection rides the
+    driver-merge `relational.topk` (each block keeps its local top-k,
+    ≤ k rows per block cross to the driver) — no global sort, weights
+    never shuffle.  Output: the selected input rows (key column
+    dropped).  Weights must be > 0 (guarded)."""
+    import hashlib
+
+    from .relational import topk
+
+    def _key(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        w = batch[weight_col].to_numpy(dtype=np.float64)
+        if (w <= 0).any():
+            raise ValueError("weighted_reservoir_topk: weights must be > 0")
+        u = np.fromiter(
+            (
+                int(
+                    hashlib.md5(f"{salt}{v}".encode("utf-8")).hexdigest()[:15],
+                    16,
+                )
+                for v in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        batch = batch.copy()
+        batch["_es_key"] = np.log((u.astype(np.float64) + 1.0) / _MD5_SPACE) / w
+        return batch
+
+    keyed = ds.map_batches(_key, batch_format="pandas")
+    return topk(keyed, ["_es_key", id_col], [True, False], k).drop_columns(
+        ["_es_key"]
+    )
+
+
 def cluster_balanced_sample(
     ds: "ray.data.Dataset",
     m: int,
