@@ -3459,6 +3459,88 @@ def _sql_fs_weight_ctes(fix: str) -> str:
     """
 
 
+_FS_FIELD_LIST = ("email", "firstname", "lastname", "gender", "age",
+                  "created_at")
+
+
+def _sql_fs_pattern_cte(fix: str) -> str:
+    """(pattern, n_pairs) census over the (lastname, gender) block join
+    — the SQL mirror of `ops/linkage.fs_pattern_census` (block fields
+    compare equal by the join predicate, so their CASE yields '1')."""
+    bits = " || ".join(
+        f"CASE WHEN a.{f} = b.{f} THEN '1' ELSE '0' END"
+        for f in _FS_FIELD_LIST
+    )
+    return f"""
+        mm AS (SELECT * FROM read_parquet('{fix}/customer_master.parquet')),
+        ss AS (SELECT * FROM
+               read_parquet('{fix}/subbrand_customer_master.parquet')),
+        cen AS (
+            SELECT {bits} AS pattern, count(*) AS n_pairs
+            FROM mm a JOIN ss b
+              ON a.lastname = b.lastname AND a.gender = b.gender
+            GROUP BY 1)
+    """
+
+
+def _sql_fs_patterns(fix: str) -> str:
+    return f"WITH {_sql_fs_pattern_cte(fix)} SELECT pattern, n_pairs FROM cen"
+
+
+def _sql_fs_em(fix: str, iters: int = 3, p0: float = 0.1,
+               m0: float = 0.9, u0: float = 0.1) -> str:
+    """fs_em oracle: the E/M recurrence unrolled as CTE stages over the
+    pattern census (product() across a pattern×field cross join for the
+    class likelihoods, sum-ratio M-step updates)."""
+    vals = ", ".join(
+        f"({i + 1}, '{f}', {m0}::DOUBLE, {u0}::DOUBLE)"
+        for i, f in enumerate(_FS_FIELD_LIST)
+    )
+    ctes = [
+        _sql_fs_pattern_cte(fix).strip(),
+        f"f0 AS (SELECT * FROM (VALUES {vals}) AS t(idx, field, m, u))",
+        f"s0 AS (SELECT {p0}::DOUBLE AS p)",
+    ]
+    for t in range(1, iters + 1):
+        prev_f, prev_s = f"f{t - 1}", f"s{t - 1}"
+        ctes.append(f"""
+            pm{t} AS (
+                SELECT c.pattern, c.n_pairs,
+                       product(CASE WHEN substr(c.pattern, f.idx, 1) = '1'
+                                    THEN f.m ELSE 1.0 - f.m END) AS pm,
+                       product(CASE WHEN substr(c.pattern, f.idx, 1) = '1'
+                                    THEN f.u ELSE 1.0 - f.u END) AS pu
+                FROM cen c CROSS JOIN {prev_f} f
+                GROUP BY c.pattern, c.n_pairs)
+        """)
+        ctes.append(f"""
+            w{t} AS (
+                SELECT pattern, n_pairs,
+                       s.p * pm / (s.p * pm + (1.0 - s.p) * pu) AS w
+                FROM pm{t}, {prev_s} s)
+        """)
+        ctes.append(f"""
+            f{t} AS (
+                SELECT f.idx, f.field,
+                       sum(w.w * w.n_pairs
+                           * CASE WHEN substr(w.pattern, f.idx, 1) = '1'
+                                  THEN 1.0 ELSE 0.0 END)
+                         / sum(w.w * w.n_pairs) AS m,
+                       sum((1.0 - w.w) * w.n_pairs
+                           * CASE WHEN substr(w.pattern, f.idx, 1) = '1'
+                                  THEN 1.0 ELSE 0.0 END)
+                         / sum((1.0 - w.w) * w.n_pairs) AS u
+                FROM f0 f CROSS JOIN w{t} w GROUP BY f.idx, f.field)
+        """)
+        ctes.append(f"""
+            s{t} AS (SELECT sum(w * n_pairs) / sum(n_pairs) AS p FROM w{t})
+        """)
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT field, round(m, 6) AS m, round(u, 6) AS u FROM f{iters}"
+    )
+
+
 def _sql_orders_fd() -> str:
     """fd_census oracle: per-pair count(DISTINCT dep) per det value."""
     pairs = [
@@ -3943,6 +4025,96 @@ def _q_fs_linkage(sf_dir: str):
     return _round_cols(fs_score_pairs(main, sub, w), ["score"], 4)
 
 
+def _q_benford_prices(sf_dir: str):
+    """Benford first-digit census + χ² terms over extended prices
+    (`ops/profile.benford_census`): stateless digit map, one ≤ 9-row
+    combiner exchange.  Oracle = the same floor/log10 extraction."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.profile import (
+        benford_census,
+    )
+
+    out = benford_census(
+        _read(sf_dir, "lineitem", ["l_extendedprice"]), "l_extendedprice"
+    )
+    return _round_cols(out, ["observed_p", "expected_p", "chi2_term"], 6)
+
+
+def _q_events_autocorr(sf_dir: str):
+    """Per-user lag-1 autocorrelation of daily event counts: daily
+    combiner aggregate → per-user lag window → `grouped_regression`
+    closed forms (r = autocorrelation).  Oracle = DuckDB regr_*/corr
+    over the same lag pairs."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.profile import (
+        grouped_regression,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.window import (
+        window,
+    )
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _day(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"],
+                "day": batch["ts"].dt.strftime("%Y-%m-%d"),
+            }
+        )
+
+    daily = rel.grouped_aggregate(
+        ev.map_batches(_day, batch_format="pandas"),
+        ["user_id", "day"],
+        [("count_star", None, "n")],
+    )
+    lagged = window(
+        daily, ["user_id"], [("day", False)],
+        {"prev": ("lag", "n", 1, None)},
+    )
+
+    def _keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["prev"].notna()]
+
+    out = grouped_regression(
+        lagged.map_batches(_keep, batch_format="pandas"),
+        "prev",
+        "n",
+        ["user_id"],
+    )
+    return _round_cols(out, ["slope", "intercept", "r", "r2"], 6)
+
+
+def _q_fs_patterns(sf_dir: str):
+    """Agreement-pattern census of the blocked pair space
+    (`ops/linkage.fs_pattern_census`) — the EM sufficient statistic.
+    Oracle = CASE-concat pattern + GROUP BY over the same block join."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.linkage import (
+        fs_pattern_census,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sources import c360
+
+    return fs_pattern_census(
+        c360.customer_master(sf_dir), c360.subbrand_customer_master(sf_dir)
+    )
+
+
+def _q_fs_em(sf_dir: str):
+    """Unsupervised Fellegi–Sunter fit: 3 EM updates (Winkler 1988) of
+    per-field (m, u) over the pattern census (`ops/linkage.fs_em`) — no
+    labels used.  Oracle unrolls the same 3 E/M steps as CTE stages
+    (product() over a pattern×field cross join, sum-ratio M-step)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.linkage import (
+        fs_em,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sources import c360
+
+    out = fs_em(
+        c360.customer_master(sf_dir), c360.subbrand_customer_master(sf_dir)
+    )
+    for c in ("m", "u"):
+        out[c] = _sql_round(out[c].to_numpy(), 6)
+    return out
+
+
 def _q_weighted_sample_orders(sf_dir: str):
     """Efraimidis–Spirakis weighted sample WITHOUT replacement
     (`ops/sampling.weighted_reservoir_topk`): deterministic md5-uniform
@@ -4093,6 +4265,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # their oracles every pytest session (test_queries_oracle.py).
         # ---- never driver-sampled (r1/r2) + r3-new: keep these
         # ---- inside the driver's first-50 window
+        "benford_prices": _q_benford_prices,  # new in r3
+        "events_autocorr": _q_events_autocorr,  # new in r3
+        "fs_patterns": _q_fs_patterns,  # new in r3
+        "fs_em_params": _q_fs_em,  # new in r3
         "weighted_sample_orders": _q_weighted_sample_orders,  # new in r3
         "order_lines_concat": _q_order_lines_concat,  # new in r3
         "orders_fd": _q_orders_fd,  # new in r3
@@ -4322,6 +4498,49 @@ def oracle_sql() -> dict[str, str]:
     return {
         # fixture-backed truth / feature oracles (driver checks at
         # sf0.01; tests rewrite the fixture path for their sf)
+        "benford_prices": """
+            WITH pos AS (
+                SELECT l_extendedprice AS x FROM lineitem
+                WHERE l_extendedprice > 0
+            ), digits AS (
+                SELECT CAST(floor(x / power(10, floor(log10(x))))
+                            AS BIGINT) AS digit
+                FROM pos
+            ), c AS (
+                SELECT digit, count(*) AS n FROM digits GROUP BY 1
+            ), tot AS (SELECT sum(n)::DOUBLE AS total FROM c)
+            SELECT c.digit, c.n,
+                   round(c.n::DOUBLE / t.total, 6) AS observed_p,
+                   round(log10(1.0 + 1.0 / c.digit::DOUBLE), 6)
+                       AS expected_p,
+                   round((c.n::DOUBLE - t.total
+                            * log10(1.0 + 1.0 / c.digit::DOUBLE))
+                         * (c.n::DOUBLE - t.total
+                            * log10(1.0 + 1.0 / c.digit::DOUBLE))
+                         / (t.total * log10(1.0 + 1.0 / c.digit::DOUBLE)),
+                         6) AS chi2_term
+            FROM c, tot t
+        """,
+        "events_autocorr": """
+            WITH d AS (
+                SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ), l AS (
+                SELECT user_id, n,
+                       lag(n) OVER (PARTITION BY user_id ORDER BY day)
+                           AS prev
+                FROM d
+            )
+            SELECT user_id, count(*) AS n,
+                   round(regr_slope(n, prev), 6) AS slope,
+                   round(regr_intercept(n, prev), 6) AS intercept,
+                   round(corr(n, prev), 6) AS r,
+                   round(regr_r2(n, prev), 6) AS r2
+            FROM l WHERE prev IS NOT NULL GROUP BY 1
+        """,
+        "fs_patterns": _sql_fs_patterns(_FIX01),
+        "fs_em_params": _sql_fs_em(_FIX01),
         "weighted_sample_orders": """
             WITH keyed AS (
                 SELECT o_orderkey, o_totalprice, o_orderdate,

@@ -443,6 +443,35 @@ def fs_field_weights(
     return pd.DataFrame(rows)
 
 
+def _blocked_pairs(
+    main: "ray.data.Dataset",
+    sub: "ray.data.Dataset",
+    block: tuple,
+    fields: tuple,
+    main_id: str,
+    sub_id: str,
+) -> "ray.data.Dataset":
+    """Candidate cross pairs sharing the block key: ONE hash equi-join
+    (the blocking shuffle — the only pair-shaped exchange in the FS
+    family), fields suffixed ``_m`` / ``_s``."""
+    from .relational import hash_join
+
+    ren_m = {f: f"{f}_m" for f in fields}
+    ren_s = {f: f"{f}_s" for f in fields}
+    main_r = main.select_columns([main_id, *fields]).rename_columns(
+        {main_id: "main_customer_id", **ren_m}
+    )
+    sub_r = sub.select_columns([sub_id, *fields]).rename_columns(
+        {sub_id: "subbrand_customer_id", **ren_s}
+    )
+    return hash_join(
+        main_r,
+        sub_r,
+        on=[f"{f}_m" for f in block],
+        right_on=[f"{f}_s" for f in block],
+    )
+
+
 def fs_score_pairs(
     main: "ray.data.Dataset",
     sub: "ray.data.Dataset",
@@ -475,20 +504,7 @@ def fs_score_pairs(
     }
     free = [f for f in fields if f not in block]
 
-    ren_m = {f: f"{f}_m" for f in fields}
-    ren_s = {f: f"{f}_s" for f in fields}
-    main_r = main.select_columns([main_id, *fields]).rename_columns(
-        {main_id: "main_customer_id", **ren_m}
-    )
-    sub_r = sub.select_columns([sub_id, *fields]).rename_columns(
-        {sub_id: "subbrand_customer_id", **ren_s}
-    )
-    joined = hash_join(
-        main_r,
-        sub_r,
-        on=[f"{f}_m" for f in block],
-        right_on=[f"{f}_s" for f in block],
-    )
+    joined = _blocked_pairs(main, sub, block, fields, main_id, sub_id)
     base = float(sum(w[f][0] for f in block))
     n_block = len(block)
 
@@ -515,6 +531,106 @@ def fs_score_pairs(
         return out[out["score"] > min_score]
 
     return joined.map_batches(_score, batch_format="pandas")
+
+
+def fs_pattern_census(
+    main: "ray.data.Dataset",
+    sub: "ray.data.Dataset",
+    block: tuple = ("lastname", "gender"),
+    fields: tuple = FS_FIELDS,
+    main_id: str = "customer_id",
+    sub_id: str = "customer_id",
+) -> "ray.data.Dataset":
+    """Agreement-pattern census over the blocked pair space: one row
+    per distinct agreement bit-vector (char i = does field i agree),
+    with its pair count — the sufficient statistic the Fellegi–Sunter
+    EM fit (:func:`fs_em`) trains on, and the table a clerical-review
+    design reads (which patterns are ambiguous, and how many pairs
+    carry each).
+
+    The blocking join is the only pair-shaped exchange; pattern
+    strings ride a slim (pattern, partial-count) combiner shuffle —
+    at most 2^|fields| distinct rows survive."""
+    from .relational import grouped_aggregate
+
+    fields = tuple(fields)
+    block = tuple(block)
+    free = [f for f in fields if f not in block]
+    joined = _blocked_pairs(main, sub, block, fields, main_id, sub_id)
+
+    def _pattern(df: pd.DataFrame) -> pd.DataFrame:
+        bits = {}
+        for f in fields:
+            if f in block:
+                # equality is the join predicate — always '1'
+                bits[f] = np.full(len(df), "1", dtype=object)
+            else:
+                ag = (
+                    df[f"{f}_m"].astype(str).to_numpy()
+                    == df[f"{f}_s"].astype(str).to_numpy()
+                )
+                bits[f] = np.where(ag, "1", "0")
+        pat = bits[fields[0]]
+        for f in fields[1:]:
+            pat = np.char.add(pat.astype(str), bits[f].astype(str))
+        return pd.DataFrame({"pattern": pat})
+
+    return grouped_aggregate(
+        joined.map_batches(_pattern, batch_format="pandas"),
+        ["pattern"],
+        [("count_star", None, "n_pairs")],
+    )
+
+
+def fs_em(
+    main: "ray.data.Dataset",
+    sub: "ray.data.Dataset",
+    block: tuple = ("lastname", "gender"),
+    fields: tuple = FS_FIELDS,
+    iters: int = 3,
+    p0: float = 0.1,
+    m0: float = 0.9,
+    u0: float = 0.1,
+    main_id: str = "customer_id",
+    sub_id: str = "customer_id",
+) -> pd.DataFrame:
+    """Unsupervised Fellegi–Sunter parameter fit: ``iters`` EM updates
+    (Winkler 1988) of the per-field (m, u) probabilities and the match
+    prior p, trained on the agreement-pattern census — NO labeled
+    truth needed, the unsupervised counterpart of
+    :func:`fs_field_weights`.
+
+    E-step per pattern j: w_j = p·Π m-terms / (p·Π m + (1−p)·Π u);
+    M-step: m_f = Σ w_j n_j a_jf / Σ w_j n_j (u_f with 1−w).  The
+    census is the distributed part (blocking join + combiner count);
+    EM itself runs on the ≤ 2^|fields| census rows — driver-side by
+    construction, independent of corpus size.  Fixed ``iters`` keeps
+    the result deterministic and SQL-unrollable.
+
+    Returns a driver DataFrame ``(field, m, u)`` after ``iters``
+    updates, row order = ``fields``."""
+    fields = tuple(fields)
+    cen = fs_pattern_census(
+        main, sub, block, fields, main_id, sub_id
+    ).to_pandas()
+    a = np.array(
+        [[int(ch) for ch in pat] for pat in cen["pattern"]], dtype=np.float64
+    )
+    n = cen["n_pairs"].to_numpy(dtype=np.float64)
+    F = len(fields)
+    p = float(p0)
+    m = np.full(F, float(m0))
+    u = np.full(F, float(u0))
+    for _ in range(iters):
+        pm = np.prod(np.where(a == 1.0, m, 1.0 - m), axis=1)
+        pu = np.prod(np.where(a == 1.0, u, 1.0 - u), axis=1)
+        w = p * pm / (p * pm + (1.0 - p) * pu)
+        wn = w * n
+        vn = (1.0 - w) * n
+        m = (wn @ a) / wn.sum()
+        u = (vn @ a) / vn.sum()
+        p = wn.sum() / n.sum()
+    return pd.DataFrame({"field": list(fields), "m": m, "u": u})
 
 
 # ---------------------------------------------------------------------------
@@ -644,6 +760,8 @@ __all__ = [
     "snm_pairs",
     "fs_field_weights",
     "fs_score_pairs",
+    "fs_pattern_census",
+    "fs_em",
     "FS_FIELDS",
     "blocking_quality",
 ]

@@ -1163,3 +1163,56 @@ def fd_census(
     import ray.data as _rd
 
     return _rd.from_pandas(pd.DataFrame(rows))
+
+
+def benford_census(
+    ds: "ray.data.Dataset",
+    col: str,
+) -> "ray.data.Dataset":
+    """Benford's-law first-significant-digit census of a positive
+    numeric column: per digit 1..9 the observed count, observed and
+    expected (log₁₀(1+1/d)) proportions, and the χ² contribution —
+    the fraud/quality screen auditors run over amount columns (M6
+    profiler family).
+
+    Digit extraction is a stateless vectorized map
+    (``floor(x / 10^floor(log10 x))``, bit-reproducible in SQL);
+    counts cross one ≤ 9-row combiner exchange; the ≤ 9-row census
+    assembles on the driver.  Non-positive values are excluded (no
+    significant digit)."""
+    from .relational import grouped_aggregate
+
+    def _digit(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[col].to_numpy(dtype=np.float64)
+        x = x[x > 0]
+        d = np.floor(x / np.power(10.0, np.floor(np.log10(x))))
+        return pd.DataFrame({"digit": d.astype(np.int64)})
+
+    counts = (
+        grouped_aggregate(
+            ds.select_columns([col]).map_batches(
+                _digit, batch_format="pandas"
+            ),
+            ["digit"],
+            [("count_star", None, "n")],
+        )
+        .to_pandas()
+        .sort_values("digit")
+    )
+    total = float(counts["n"].sum())
+    d = counts["digit"].to_numpy(dtype=np.float64)
+    n = counts["n"].to_numpy(dtype=np.float64)
+    exp_p = np.log10(1.0 + 1.0 / d)
+    exp_n = total * exp_p
+    out = pd.DataFrame(
+        {
+            "digit": counts["digit"].to_numpy(dtype=np.int64),
+            "n": counts["n"].to_numpy(dtype=np.int64),
+            "observed_p": n / total,
+            "expected_p": exp_p,
+            "chi2_term": (n - exp_n) * (n - exp_n) / exp_n,
+        }
+    )
+    import ray.data as _rd
+
+    return _rd.from_pandas(out.reset_index(drop=True))
