@@ -3648,10 +3648,10 @@ def _sql_fs_weights(fix: str) -> str:
     """
 
 
-def _sql_fs_linkage(fix: str) -> str:
-    """Pairs blocked on (lastname, gender), FS-scored with the weights
-    CTE; the `+` chain order matches fs_score_pairs' field loop so the
-    float sum is bit-equal before rounding."""
+def _sql_fs_scored_ctes(fix: str) -> str:
+    """Weights + blocked pairs + scored CTE chain: the `+` chain order
+    matches fs_score_pairs' field loop so the float sum is bit-equal
+    before rounding."""
 
     def wa(f):
         return f"(SELECT wa FROM w WHERE field = '{f}')"
@@ -3668,7 +3668,7 @@ def _sql_fs_linkage(fix: str) -> str:
         )
         agree += f" + CASE WHEN {f}_m = {f}_s THEN 1 ELSE 0 END"
     return f"""
-        WITH {_sql_fs_weight_ctes(fix)},
+        {_sql_fs_weight_ctes(fix)},
         pairs AS (
             SELECT a.customer_id AS main_customer_id,
                    b.customer_id AS subbrand_customer_id,
@@ -3682,10 +3682,69 @@ def _sql_fs_linkage(fix: str) -> str:
             SELECT main_customer_id, subbrand_customer_id,
                    {agree} AS n_agree, {score} AS score
             FROM pairs)
+    """
+
+
+def _sql_fs_linkage(fix: str) -> str:
+    return f"""
+        WITH {_sql_fs_scored_ctes(fix)}
         SELECT main_customer_id, subbrand_customer_id, n_agree,
                round(score, 4) AS score
         FROM scored WHERE score > 0.0
     """
+
+
+def _sql_fs_mutual(fix: str) -> str:
+    """Reciprocal best match over the unthresholded scored pairs: two
+    row_number windows (score DESC, counterpart id) joined on the pair
+    key — the SQL mirror of `ops/linkage.fs_mutual_best`."""
+    return f"""
+        WITH {_sql_fs_scored_ctes(fix)},
+        r1 AS (SELECT main_customer_id, subbrand_customer_id, score,
+                      row_number() OVER (
+                          PARTITION BY main_customer_id
+                          ORDER BY score DESC, subbrand_customer_id) AS rk
+               FROM scored),
+        r2 AS (SELECT main_customer_id, subbrand_customer_id,
+                      row_number() OVER (
+                          PARTITION BY subbrand_customer_id
+                          ORDER BY score DESC, main_customer_id) AS rk
+               FROM scored)
+        SELECT a.main_customer_id, a.subbrand_customer_id,
+               round(a.score, 4) AS score
+        FROM r1 a JOIN r2 b
+          ON a.main_customer_id = b.main_customer_id
+         AND a.subbrand_customer_id = b.subbrand_customer_id
+        WHERE a.rk = 1 AND b.rk = 1
+    """
+
+
+def _sql_part_lpa(rounds: int) -> str:
+    """label_propagation oracle: the synchronous min-tie LPA rounds
+    unrolled as (count → argmax) CTE stages."""
+    ctes = [
+        f"e AS ({_SQL_BASKET_EDGES})",
+        "sym AS (SELECT DISTINCT least(src, dst) AS a,"
+        " greatest(src, dst) AS b FROM e WHERE src <> dst)",
+        "e0 AS (SELECT a AS u, b AS v FROM sym"
+        " UNION ALL SELECT b, a FROM sym)",
+        "lab0 AS (SELECT DISTINCT u AS node, u AS lab FROM e0)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"c{r} AS (SELECT e0.v AS node, l.lab, count(*) AS c"
+            f" FROM e0 JOIN lab{r - 1} l ON e0.u = l.node GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"lab{r} AS (SELECT node, lab FROM ("
+            f"SELECT node, lab, row_number() OVER ("
+            f"PARTITION BY node ORDER BY c DESC, lab) AS rk FROM c{r})"
+            f" WHERE rk = 1)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT node, lab FROM lab{rounds}"
+    )
 
 
 _SQL_CJK = "[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}]"
@@ -4025,6 +4084,34 @@ def _q_fs_linkage(sf_dir: str):
     return _round_cols(fs_score_pairs(main, sub, w), ["score"], 4)
 
 
+def _q_fs_mutual_best(sf_dir: str):
+    """Reciprocal best-match 1:1 linkage over the FS-scored pair space
+    (`ops/linkage.fs_mutual_best`): two argmax windows + one pair-key
+    join.  Oracle = the same two row_number windows in SQL."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.linkage import (
+        fs_field_weights,
+        fs_mutual_best,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sources import c360
+
+    main = c360.customer_master(sf_dir)
+    sub = c360.subbrand_customer_master(sf_dir)
+    w = fs_field_weights(main, sub, c360.customer_relations(sf_dir))
+    return _round_cols(fs_mutual_best(main, sub, w), ["score"], 4)
+
+
+def _q_part_lpa(sf_dir: str):
+    """Fixed-3-round deterministic label propagation over the basket
+    graph (`ops/graph.label_propagation`): per round one measured
+    label broadcast, one (node, label) combiner count, one per-node
+    argmax.  Oracle unrolls the rounds as CTE stages."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.graph import (
+        label_propagation,
+    )
+
+    return label_propagation(_basket_edges(sf_dir), rounds=3)
+
+
 def _q_benford_prices(sf_dir: str):
     """Benford first-digit census + χ² terms over extended prices
     (`ops/profile.benford_census`): stateless digit map, one ≤ 9-row
@@ -4265,6 +4352,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # their oracles every pytest session (test_queries_oracle.py).
         # ---- never driver-sampled (r1/r2) + r3-new: keep these
         # ---- inside the driver's first-50 window
+        "fs_mutual_best": _q_fs_mutual_best,  # new in r3
+        "part_lpa": _q_part_lpa,  # new in r3
         "benford_prices": _q_benford_prices,  # new in r3
         "events_autocorr": _q_events_autocorr,  # new in r3
         "fs_patterns": _q_fs_patterns,  # new in r3
@@ -4498,6 +4587,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         # fixture-backed truth / feature oracles (driver checks at
         # sf0.01; tests rewrite the fixture path for their sf)
+        "fs_mutual_best": _sql_fs_mutual(_FIX01),
+        "part_lpa": _sql_part_lpa(rounds=3),
         "benford_prices": """
             WITH pos AS (
                 SELECT l_extendedprice AS x FROM lineitem

@@ -896,3 +896,108 @@ def kcore(
         return df.rename(columns={"u": "node"})
 
     return out.map_batches(_name, batch_format="pandas")
+
+
+def label_propagation(
+    edges: "ray.data.Dataset",
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_limit: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Fixed-``rounds`` SYNCHRONOUS label propagation (Raghavan 2007,
+    determinized): labels start as node ids; each round every node
+    adopts the label most frequent among its neighbors, ties broken by
+    the SMALLEST label; all nodes update together.  Deterministic (no
+    random tie order), so SQL-unrollable — the community-detection
+    counterpart of `connected_components` (which this module keeps for
+    exact transitive closure; LPA finds denser-than-chance groups).
+
+    Plan per round: the O(#nodes) label table broadcasts (measured,
+    ``broadcast_limit``) into a stateless edge map; (node, label)
+    candidate counts cross one combiner exchange; per-node argmax is a
+    groupby over ≤ #distinct-neighbor-label rows.  Edges never carry
+    payload.  Above the broadcast cap, attach labels with a hash join
+    instead (the label table is the small side until the graph has
+    >2M nodes — then both sides exchange once, same shape as the CC
+    label rounds).  Output: ``(node, label)``."""
+    from .relational import grouped_aggregate, hash_join
+
+    def _sym(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[src].to_numpy()
+        b = df[dst].to_numpy()
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)})
+
+    undirected = grouped_aggregate(
+        edges.map_batches(_sym, batch_format="pandas"),
+        ["a", "b"],
+        [("count_star", None, "_n")],
+    ).drop_columns(["_n"])
+
+    def _both(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "u": np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()]),
+                "v": np.concatenate([df["b"].to_numpy(), df["a"].to_numpy()]),
+            }
+        )
+
+    sym = undirected.map_batches(_both, batch_format="pandas").materialize()
+
+    # lab: (node, lab), initialized to the node id itself
+    lab = (
+        grouped_aggregate(
+            sym.select_columns(["u"]), ["u"], [("count_star", None, "_n")]
+        )
+        .drop_columns(["_n"])
+        .map_batches(
+            lambda df: pd.DataFrame({"node": df["u"], "lab": df["u"]}),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+
+    for _ in range(rounds):
+        n_nodes = lab.count()
+        if n_nodes <= broadcast_limit:
+            ldf = lab.to_pandas()
+            ref = ray.put(
+                dict(zip(ldf["node"].to_numpy(), ldf["lab"].to_numpy()))
+            )
+
+            def _attach(df: pd.DataFrame, _r=ref) -> pd.DataFrame:
+                lm = ray.get(_r)
+                u = df["u"].to_numpy()
+                return pd.DataFrame(
+                    {
+                        "v": df["v"],
+                        "lab": np.fromiter(
+                            (lm[x] for x in u), np.int64, count=len(u)
+                        ),
+                    }
+                )
+
+            cand = sym.map_batches(_attach, batch_format="pandas")
+        else:
+            cand = hash_join(
+                sym, lab, on=["u"], right_on=["node"]
+            ).select_columns(["v", "lab"])
+        counts = grouped_aggregate(
+            cand, ["v", "lab"], [("count_star", None, "c")]
+        )
+
+        def _argmax(g: pd.DataFrame) -> pd.DataFrame:
+            srt = g.sort_values(
+                ["c", "lab"], ascending=[False, True], kind="mergesort"
+            )
+            return pd.DataFrame(
+                {"node": [srt["v"].iloc[0]], "lab": [srt["lab"].iloc[0]]}
+            )
+
+        lab = (
+            counts.groupby("v").map_groups(_argmax, batch_format="pandas")
+        ).materialize()
+
+    return lab

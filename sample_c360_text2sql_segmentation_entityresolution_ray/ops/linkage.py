@@ -533,6 +533,58 @@ def fs_score_pairs(
     return joined.map_batches(_score, batch_format="pandas")
 
 
+def fs_mutual_best(
+    main: "ray.data.Dataset",
+    sub: "ray.data.Dataset",
+    weights: pd.DataFrame,
+    block: tuple = ("lastname", "gender"),
+    fields: tuple = FS_FIELDS,
+    main_id: str = "customer_id",
+    sub_id: str = "customer_id",
+) -> "ray.data.Dataset":
+    """Reciprocal best-match linkage: keep the blocked pairs where each
+    side is the other's HIGHEST-scoring candidate (ties → smaller
+    counterpart id) — the classic one-to-one disambiguation pass after
+    probabilistic scoring (the reference ER service emits one MatchID
+    per record, i.e. exactly this 1:1 shape).
+
+    Plan: score ALL blocked pairs (:func:`fs_score_pairs`, no
+    threshold), take per-main and per-sub argmax via two row_number
+    windows (each one hash exchange of the slim scored stream), then
+    one equi-join of the two O(#records) best tables on the pair key.
+    Output: ``(main_customer_id, subbrand_customer_id, score)``."""
+    from .relational import hash_join
+    from .window import window
+
+    # materialize: scored feeds two windows AND the final join — left
+    # lazy, the blocking JoinOperator would execute twice and its
+    # aggregator pool would coexist with the final join's (the nested-
+    # join starvation this module's fs_field_weights documents)
+    scored = (
+        fs_score_pairs(
+            main, sub, weights, block, fields, main_id, sub_id,
+            min_score=float("-inf"),
+        )
+        .drop_columns(["n_agree"])
+        .materialize()
+    )
+    b1 = window(
+        scored,
+        ["main_customer_id"],
+        [("score", True), ("subbrand_customer_id", False)],
+        {"rk": ("row_number",)},
+    ).filter(expr="rk == 1").drop_columns(["rk"])
+    b2 = window(
+        scored,
+        ["subbrand_customer_id"],
+        [("score", True), ("main_customer_id", False)],
+        {"rk": ("row_number",)},
+    ).filter(expr="rk == 1").drop_columns(["rk", "score"])
+    return hash_join(
+        b1, b2, on=["main_customer_id", "subbrand_customer_id"]
+    )
+
+
 def fs_pattern_census(
     main: "ray.data.Dataset",
     sub: "ray.data.Dataset",
