@@ -1695,6 +1695,21 @@ def _q_tfidf_keywords(sf_dir: str):
     return _round_cols(out, ["score"], 6)
 
 
+def _q_tfidf_cosine_pairs(sf_dir: str):
+    """Blocked all-pairs TF-IDF cosine — the north star's named
+    pairwise text scorer standalone: same-(source, lang) document
+    pairs with smooth-Salton-weighted cosine ≥ 0.6 —
+    `ops/text.tfidf_cosine_pairs`: one combiner DF shuffle, idf
+    broadcast, whole blocks co-locate by ONE block-key hash exchange,
+    dense group-vocab matmul per block (join scale plan above the
+    vocab cap, equivalence-tested in test_text.py)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "lang", "text"])
+    out = textops.tfidf_cosine_pairs(
+        docs, block_cols=["source", "lang"], threshold=0.6
+    )
+    return _round_cols(out.sort(["doc_a", "doc_b"]), ["cosine"], 6)
+
+
 def _q_quality_classifier(sf_dir: str):
     """Trained quality classifier (CCNet-style distillation): ridge-
     logistic fit distributedly (one combiner-shuffled Gram pass per IRLS
@@ -4382,6 +4397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_prices": _q_winsorize_prices,
         "quality_classifier": _q_quality_classifier,
         "tfidf_keywords": _q_tfidf_keywords,
+        "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,  # new in r3
         "decontaminate_docs": _q_decontaminate_docs,
         "lm_perplexity": _q_lm_perplexity,
         "sql_demo_agg": _q_sql_demo_agg,
@@ -4875,6 +4891,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, token, tf, df, round(s, 6) AS score, rank
             FROM r WHERE rank <= 5
+        """,
+        "tfidf_cosine_pairs": r"""
+            WITH tf AS (
+                SELECT doc_id, any_value(source) AS source,
+                       any_value(lang) AS lang, token,
+                       count(*)::DOUBLE AS tf
+                FROM (
+                    SELECT doc_id, source, lang,
+                           unnest(regexp_extract_all(lower(text), '\w+'))
+                               AS token
+                    FROM documents
+                ) GROUP BY doc_id, token
+            ),
+            df AS (SELECT token, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            w AS (
+                SELECT tf.doc_id, tf.source, tf.lang, tf.token,
+                       tf.tf * (ln((n.n + 1) / (df.df + 1)) + 1.0) AS w
+                FROM tf JOIN df USING (token), n
+            ),
+            nrm AS (
+                SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1
+            ),
+            dots AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       sum(a.w * b.w) AS dot
+                FROM w a JOIN w b
+                  ON a.token = b.token AND a.source = b.source
+                 AND a.lang = b.lang AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT d.doc_a, d.doc_b,
+                   round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+            FROM dots d
+            JOIN nrm na ON d.doc_a = na.doc_id
+            JOIN nrm nb ON d.doc_b = nb.doc_id
+            WHERE d.dot / (na.nrm * nb.nrm) >= 0.6
+            ORDER BY 1, 2
         """,
         "quality_classifier": f"""
             WITH t AS (

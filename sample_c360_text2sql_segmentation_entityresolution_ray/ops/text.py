@@ -1268,3 +1268,254 @@ def explode_tokens(
 
 
 __all__.append("explode_tokens")
+
+
+# ---------------------------------------------------------------------------
+# blocked all-pairs TF-IDF cosine (the north-star pairwise text scorer)
+# ---------------------------------------------------------------------------
+
+def tfidf_cosine_pairs(
+    ds: "ray.data.Dataset",
+    block_cols: "list[str]",
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_broadcast_limit: int = TFIDF_VOCAB_BROADCAST_LIMIT,
+    partitions: int = 64,
+) -> "ray.data.Dataset":
+    """All-pairs TF-IDF cosine similarity WITHIN blocking groups:
+    ``(doc_a, doc_b, cosine)`` for every same-block pair with
+    ``cosine >= threshold``, ``doc_a < doc_b``.  Weights are the same
+    smooth Salton form as :func:`tfidf_doc_keywords`:
+    ``w = tf · (ln((N+1)/(df+1)) + 1)`` over corpus-wide document
+    frequencies; the blocked pairwise cosine is the TF-IDF-cosine
+    pairwise scorer the ER pipeline's score stage specializes
+    (stages/scoring.py) — here standalone and SQL-checkable.
+
+    Scale shape: the corpus DF table is ONE combiner shuffle of
+    per-batch ``(token, partial df)`` rows, then one of two plans by
+    measured vocabulary size:
+
+    - **broadcast** (vocab ≤ ``vocab_broadcast_limit``): the sorted
+      (token, idf) arrays ship once per worker via ``ray.put``; docs
+      hash-partition by block key (whole blocks co-locate, ONE
+      exchange of the raw doc rows), and each block scores its pairs
+      with a dense group-vocab matmul — pairwise work is
+      Σ block² · |block vocab|, never corpus².
+    - **join** (above the limit): the exploded ``(block, doc, token,
+      tf)`` stream hash-joins the DF table on token, self-joins on
+      ``(block, token)`` (partial dot products — the SQL plan), one
+      combiner sum per pair, then per-doc norms attach by two more
+      hash joins.  Token strings cross the exchanges but document
+      text never does.  Sequential joins materialize between stages
+      (two lazy JoinOperators in one plan spawn both aggregator pools
+      at once and can starve a small cluster's map stages).
+
+    Block sizes bound the pairwise cost: callers must pass block keys
+    with bounded group cardinality (domain, LSH band, (source, lang)
+    at test scale) exactly as the ER blocking stage does; a hot block
+    lands whole in one partition, so salt upstream if a single key
+    exceeds a worker's batch budget.
+    """
+    from .relational import grouped_aggregate, hash_join
+
+    block_cols = list(block_cols)
+    n_docs = float(ds.count())
+
+    def _df_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        tfd = _batch_doc_tf(
+            batch[text_col].to_numpy(object), batch[id_col].to_numpy()
+        )
+        u, c = np.unique(tfd["token"].to_numpy(object), return_counts=True)
+        return pd.DataFrame(
+            {"token": u.astype(object), "df": c.astype(np.int64)}
+        )
+
+    df_tab = grouped_aggregate(
+        ds.select_columns([id_col, text_col]).map_batches(
+            _df_partials, batch_format="pandas"
+        ),
+        keys=["token"],
+        specs=[("sum", "df", "df")],
+    ).materialize()
+
+    def _idf(df: np.ndarray) -> np.ndarray:
+        return np.log((n_docs + 1.0) / (df.astype(np.float64) + 1.0)) + 1.0
+
+    def _empty_pairs() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_a": np.empty(0, np.int64),
+                "doc_b": np.empty(0, np.int64),
+                "cosine": np.empty(0, np.float64),
+            }
+        )
+
+    if df_tab.count() <= vocab_broadcast_limit:
+        pdf = df_tab.to_pandas()
+        order = np.argsort(pdf["token"].to_numpy(object), kind="stable")
+        vocab_ref = ray.put(
+            (
+                pdf["token"].to_numpy(object)[order],
+                _idf(pdf["df"].to_numpy()[order]),
+            )
+        )
+
+        def _tag(batch: pd.DataFrame) -> pd.DataFrame:
+            key = batch[block_cols[0]].astype(str)
+            for c in block_cols[1:]:
+                key = key + "\x1f" + batch[c].astype(str)
+            batch = batch.copy()
+            batch["_part"] = (
+                pd.util.hash_array(key.to_numpy(object)) % partitions
+            ).astype("int32")
+            return batch
+
+        def _block_pairs(g: pd.DataFrame, vocab, idf) -> pd.DataFrame:
+            if len(g) < 2:
+                return _empty_pairs()
+            tfd = _batch_doc_tf(
+                g[text_col].to_numpy(object), g[id_col].to_numpy()
+            )
+            if not len(tfd):
+                return _empty_pairs()
+            pos = np.searchsorted(vocab, tfd["token"].to_numpy(object))
+            w = tfd["tf"].to_numpy(np.float64) * idf[pos]
+            docs, dinv = np.unique(tfd["doc_id"].to_numpy(), return_inverse=True)
+            cols, tinv = np.unique(pos, return_inverse=True)
+            m = np.zeros((len(docs), len(cols)), np.float64)
+            m[dinv, tinv] = w
+            nrm = np.sqrt((m * m).sum(axis=1))
+            nz = nrm > 0.0
+            m, docs = m[nz] / nrm[nz, None], docs[nz]
+            if len(docs) < 2:
+                return _empty_pairs()
+            sim = m @ m.T
+            ia, ib = np.triu_indices(len(docs), k=1)
+            keep = sim[ia, ib] >= threshold
+            return pd.DataFrame(
+                {
+                    "doc_a": docs[ia[keep]].astype(np.int64),
+                    "doc_b": docs[ib[keep]].astype(np.int64),
+                    "cosine": sim[ia[keep], ib[keep]],
+                }
+            )
+
+        def _finish(g: pd.DataFrame) -> pd.DataFrame:
+            vocab, idf = ray.get(vocab_ref)
+            out = [
+                _block_pairs(b, vocab, idf)
+                for _, b in g.groupby(block_cols, sort=False, dropna=False)
+            ]
+            return (
+                pd.concat(out, ignore_index=True) if out else _empty_pairs()
+            )
+
+        return (
+            ds.select_columns([id_col, *block_cols, text_col])
+            .map_batches(_tag, batch_format="pandas")
+            .groupby("_part")
+            .map_groups(_finish, batch_format="pandas")
+        )
+
+    # join plan: explode -> DF join -> (block, token) self-join ->
+    # pair-sum combiner -> norm attach
+    def _explode(batch: pd.DataFrame) -> pd.DataFrame:
+        tfd = _batch_doc_tf(
+            batch[text_col].to_numpy(object), batch[id_col].to_numpy()
+        )
+        blk = batch.set_index(id_col)[block_cols]
+        for c in block_cols:
+            tfd[c] = blk[c].reindex(tfd["doc_id"].to_numpy()).to_numpy()
+        return tfd
+
+    exploded = ds.select_columns([id_col, *block_cols, text_col]).map_batches(
+        _explode, batch_format="pandas"
+    )
+
+    def _weigh(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["w"] = batch["tf"].to_numpy(np.float64) * _idf(
+            batch["df"].to_numpy()
+        )
+        return batch[["doc_id", *block_cols, "token", "w"]]
+
+    w_tab = hash_join(exploded, df_tab, on=["token"]).map_batches(
+        _weigh, batch_format="pandas"
+    ).materialize()  # feeds self-join (both sides) + norms
+
+    def _sq(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "w2": batch["w"].to_numpy() ** 2,
+            }
+        )
+
+    norms = grouped_aggregate(
+        w_tab.map_batches(_sq, batch_format="pandas"),
+        keys=["doc_id"],
+        specs=[("sum", "w2", "sq")],
+    ).materialize()
+
+    right = w_tab.map_batches(
+        lambda b: b.rename(columns={"doc_id": "doc_b", "w": "w_b"}),
+        batch_format="pandas",
+    )
+
+    def _partial_dot(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["doc_id"] < batch["doc_b"]]
+        return pd.DataFrame(
+            {
+                "doc_a": batch["doc_id"],
+                "doc_b": batch["doc_b"],
+                "dot": batch["w"].to_numpy() * batch["w_b"].to_numpy(),
+            }
+        )
+
+    dots = grouped_aggregate(
+        hash_join(w_tab, right, on=["token", *block_cols]).map_batches(
+            _partial_dot, batch_format="pandas"
+        ),
+        keys=["doc_a", "doc_b"],
+        specs=[("sum", "dot", "dot")],
+    ).materialize()
+
+    with_a = hash_join(
+        dots,
+        norms.map_batches(
+            lambda b: b.rename(columns={"doc_id": "doc_a", "sq": "sq_a"}),
+            batch_format="pandas",
+        ),
+        on=["doc_a"],
+    ).materialize()
+    joined = hash_join(
+        with_a,
+        norms.map_batches(
+            lambda b: b.rename(columns={"doc_id": "doc_b", "sq": "sq_b"}),
+            batch_format="pandas",
+        ),
+        on=["doc_b"],
+    )
+
+    def _cos(batch: pd.DataFrame) -> pd.DataFrame:
+        nrm = np.sqrt(batch["sq_a"].to_numpy() * batch["sq_b"].to_numpy())
+        cos = np.divide(
+            batch["dot"].to_numpy(),
+            nrm,
+            out=np.zeros(len(batch)),
+            where=nrm > 0,
+        )
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {
+                "doc_a": batch["doc_a"].to_numpy()[keep].astype(np.int64),
+                "doc_b": batch["doc_b"].to_numpy()[keep].astype(np.int64),
+                "cosine": cos[keep],
+            }
+        )
+
+    return joined.map_batches(_cos, batch_format="pandas")
+
+
+__all__.append("tfidf_cosine_pairs")

@@ -332,3 +332,38 @@ def test_explode_tokens_positions_and_empty_docs(ray_session):
     assert out["doc_id"].tolist() == [1, 1, 1, 3]
     assert out["pos"].tolist() == [1, 2, 3, 1]
     assert out["word"].tolist() == ["alpha", "beta", "alpha", "gamma"]
+
+
+def test_tfidf_cosine_pairs_join_path_equals_broadcast(sf_dir):
+    """The vocab-over-limit self-join plan must produce exactly the
+    broadcast/block-matmul plan's (doc_a, doc_b, cosine) rows."""
+    import pandas as pd
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.text import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "lang", "text"],
+    ).limit(150)
+
+    def _canon(ds):
+        df = ds.to_pandas()
+        df["cosine"] = df["cosine"].round(9)
+        return df.sort_values(["doc_a", "doc_b"], kind="mergesort").reset_index(
+            drop=True
+        )
+
+    fast = _canon(
+        tfidf_cosine_pairs(docs, ["source", "lang"], threshold=0.6)
+    )
+    slow = _canon(
+        tfidf_cosine_pairs(
+            docs, ["source", "lang"], threshold=0.6, vocab_broadcast_limit=0
+        )
+    )
+    assert len(fast) > 0
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+    assert (fast["doc_a"] < fast["doc_b"]).all()
+    assert (fast["cosine"] >= 0.6).all() and (fast["cosine"] <= 1.0 + 1e-9).all()
