@@ -1710,6 +1710,48 @@ def _q_tfidf_cosine_pairs(sf_dir: str):
     return _round_cols(out.sort(["doc_a", "doc_b"]), ["cosine"], 6)
 
 
+def _q_meta_blocking_customers(sf_dir: str):
+    """Meta-blocking over a 3-scheme customer block collection
+    (name-suffix / nation / segment×acctbal-bucket): block purging +
+    CBS edge weights + weight-edge pruning at the global mean —
+    `ops/linkage.meta_blocking`: ONE block-key hash exchange (whole
+    blocks co-locate, purge in-pass), local pair combine, one slim
+    (id_a, id_b) combiner exchange, two-scalar WEP threshold."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.linkage import (
+        meta_blocking,
+    )
+
+    cust = _read(
+        sf_dir,
+        "customer",
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+
+    def _keys(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["c_custkey"].to_numpy()
+        n2 = "n2:" + df["c_name"].str[-2:]
+        nat = "nat:" + df["c_nationkey"].astype(str)
+        seg = (
+            "seg:"
+            + df["c_mktsegment"]
+            + ":"
+            + np.floor(df["c_acctbal"].to_numpy() / 1000.0)
+            .astype(np.int64)
+            .astype(str)
+        )
+        return pd.DataFrame(
+            {
+                "id": np.tile(ids, 3),
+                "bkey": np.concatenate(
+                    [n2.to_numpy(object), nat.to_numpy(object), seg.to_numpy(object)]
+                ),
+            }
+        )
+
+    keys = cust.map_batches(_keys, batch_format="pandas")
+    return meta_blocking(keys, max_block=1000).sort(["id_a", "id_b"])
+
+
 def _q_quality_classifier(sf_dir: str):
     """Trained quality classifier (CCNet-style distillation): ridge-
     logistic fit distributedly (one combiner-shuffled Gram pass per IRLS
@@ -4398,6 +4440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": _q_quality_classifier,
         "tfidf_keywords": _q_tfidf_keywords,
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,  # new in r3
+        "meta_blocking_customers": _q_meta_blocking_customers,  # new in r3
         "decontaminate_docs": _q_decontaminate_docs,
         "lm_perplexity": _q_lm_perplexity,
         "sql_demo_agg": _q_sql_demo_agg,
@@ -4929,6 +4972,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN nrm nb ON d.doc_b = nb.doc_id
             WHERE d.dot / (na.nrm * nb.nrm) >= 0.6
             ORDER BY 1, 2
+        """,
+        "meta_blocking_customers": """
+            WITH keys AS (
+                SELECT c_custkey AS id, 'n2:' || right(c_name, 2) AS bkey
+                FROM customer
+                UNION ALL
+                SELECT c_custkey, 'nat:' || c_nationkey::VARCHAR
+                FROM customer
+                UNION ALL
+                SELECT c_custkey,
+                       'seg:' || c_mktsegment || ':'
+                           || floor(c_acctbal / 1000.0)::BIGINT::VARCHAR
+                FROM customer
+            ),
+            kept AS (
+                SELECT bkey FROM keys
+                GROUP BY 1 HAVING count(*) BETWEEN 2 AND 1000
+            ),
+            edges AS (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       count(*)::BIGINT AS cbs
+                FROM keys a
+                JOIN keys b ON a.bkey = b.bkey AND a.id < b.id
+                JOIN kept k ON a.bkey = k.bkey
+                GROUP BY 1, 2
+            ),
+            t AS (
+                SELECT sum(cbs)::DOUBLE / count(*)::DOUBLE AS thr
+                FROM edges
+            )
+            SELECT id_a, id_b, cbs FROM edges, t
+            WHERE cbs >= thr ORDER BY 1, 2
         """,
         "quality_classifier": f"""
             WITH t AS (

@@ -817,3 +817,105 @@ __all__ = [
     "FS_FIELDS",
     "blocking_quality",
 ]
+
+
+# ---------------------------------------------------------------------------
+# meta-blocking (Papadakis et al., TKDE 2014: block purging + CBS
+# edge weighting + weight-edge pruning)
+# ---------------------------------------------------------------------------
+
+def meta_blocking(
+    keys: "ray.data.Dataset",
+    id_col: str = "id",
+    key_col: str = "bkey",
+    max_block: int = 1000,
+    partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Meta-blocking over a block collection: prune a redundancy-heavy
+    multi-scheme blocking graph down to its above-average edges.
+
+    Input is the long-form block assignment ``(id, bkey)`` — one row
+    per record per blocking key, multiple schemes distinguished by key
+    prefix.  Three classic steps, all deterministic:
+
+    - **block purging**: blocks with < 2 or > ``max_block`` records
+      are dropped whole (oversized blocks are stop-word-like keys that
+      generate quadratic comparisons with near-zero signal);
+    - **edge weighting (CBS)**: each co-blocked pair's weight = the
+      number of blocks it shares;
+    - **weight-edge pruning (WEP)**: keep edges with
+      ``cbs >= mean(cbs)`` over all surviving edges.
+
+    Output: ``(id_a, id_b, cbs)`` with ``id_a < id_b``.
+
+    Scale shape: block keys hash-partition ONCE (whole blocks
+    co-locate, so purging needs no separate census pass — a block's
+    size is known where its pairs are emitted); per-partition pandas
+    groupby emits triu pairs and combines duplicate pairs locally
+    before the ONE (id_a, id_b) combiner exchange; the WEP threshold
+    is a two-scalar (sum, count) aggregate over the slim edge stream,
+    which materializes once (it is consumed by both the mean and the
+    filter).  Record payloads never enter the graph — ids only.
+    """
+    from .relational import grouped_aggregate
+
+    def _tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[[id_col, key_col]].copy()
+        batch["_part"] = (
+            pd.util.hash_array(batch[key_col].astype(str).to_numpy(object))
+            % partitions
+        ).astype("int32")
+        return batch
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, blk in g.groupby(key_col, sort=False, dropna=False):
+            n = len(blk)
+            if n < 2 or n > max_block:
+                continue
+            ids = np.sort(blk[id_col].to_numpy())
+            ia, ib = np.triu_indices(n, k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "id_a": np.empty(0, np.int64),
+                    "id_b": np.empty(0, np.int64),
+                    "cbs": np.empty(0, np.int64),
+                }
+            )
+        df = pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+        # local combine: same pair from multiple blocks in this
+        # partition collapses before the shuffle
+        df = (
+            df.groupby(["id_a", "id_b"], sort=False)
+            .size()
+            .rename("cbs")
+            .reset_index()
+        )
+        df["cbs"] = df["cbs"].astype(np.int64)
+        return df
+
+    edges = grouped_aggregate(
+        keys.map_batches(_tag, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(_pairs, batch_format="pandas"),
+        keys=["id_a", "id_b"],
+        specs=[("sum", "cbs", "cbs")],
+    ).materialize()
+
+    from ray.data.aggregate import Count, Sum
+
+    stats = edges.aggregate(Sum("cbs"), Count())
+    total, n_edges = stats["sum(cbs)"], stats["count()"]
+    if not n_edges:
+        return edges
+    thr = float(total) / float(n_edges)
+
+    def _prune(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["cbs"].to_numpy(np.float64) >= thr]
+
+    return edges.map_batches(_prune, batch_format="pandas")

@@ -91,3 +91,35 @@ def test_snm_pairs_payload_travels():
     assert list(out["id_a"]) == [1, 2] and list(out["id_b"]) == [2, 3]
     assert list(out["name_a"]) == ["anna", "bob"]
     assert list(out["name_b"]) == ["bob", "cara"]
+
+
+def test_meta_blocking_purge_cbs_wep():
+    """Block purging drops singleton + oversized blocks; CBS counts
+    shared blocks; WEP keeps edges at/above the mean weight."""
+    rows = []
+    # block b1 = {1,2,3}; b2 = {1,2}; singleton b3 = {4};
+    # oversized b4 = {1..5} (max_block=4 purges it)
+    for i in (1, 2, 3):
+        rows.append({"id": i, "bkey": "b1"})
+    for i in (1, 2):
+        rows.append({"id": i, "bkey": "b2"})
+    rows.append({"id": 4, "bkey": "b3"})
+    for i in (1, 2, 3, 4, 5):
+        rows.append({"id": i, "bkey": "b4"})
+    keys = ray.data.from_pandas(pd.DataFrame(rows))
+    out = (
+        linkage.meta_blocking(keys, max_block=4)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    # edges: (1,2)=2, (1,3)=1, (2,3)=1 -> mean 4/3 -> keep only (1,2)
+    assert out.to_dict("records") == [{"id_a": 1, "id_b": 2, "cbs": 2}]
+
+
+def test_meta_blocking_empty_after_purge():
+    keys = ray.data.from_pandas(
+        pd.DataFrame({"id": [1, 2], "bkey": ["x", "y"]})
+    )
+    out = linkage.meta_blocking(keys, max_block=4).to_pandas()
+    assert len(out) == 0
