@@ -1752,6 +1752,142 @@ def _q_meta_blocking_customers(sf_dir: str):
     return meta_blocking(keys, max_block=1000).sort(["id_a", "id_b"])
 
 
+# Pure-SQL American Soundex over a `(word)` relation named by `src`:
+# H/W deletion -> consonant-class translate (vowels '0') -> adjacent-run
+# collapse (RE2 has no backreferences, so four halving pair-replace
+# passes — exact for runs <= 16, far beyond any word here) -> leading
+# same-code drop -> zero strip -> pad to letter+3.  Mirrors
+# functions/strings.soundex_batch step for step.
+def _soundex_sql(src: str) -> str:
+    collapse = (
+        "replace(replace(replace(replace(replace(replace(replace(d,"
+        "'00','0'),'11','1'),'22','2'),'33','3'),'44','4'),'55','5'),"
+        "'66','6')"
+    )
+    return f"""
+        WITH sx_c AS (
+            SELECT word,
+                   upper(regexp_replace(word, '[^A-Za-z]', '', 'g')) AS u
+            FROM {src}
+        ), sx_p AS (
+            SELECT word, u, left(u, 1) AS f,
+                translate(replace(replace(substr(u, 2), 'H', ''), 'W', ''),
+                          'BFPVCGJKQSXZDTLMNRAEIOUY',
+                          '111122222222334556000000') AS d,
+                translate(left(u, 1),
+                          'BFPVCGJKQSXZDTLMNRAEIOUY',
+                          '111122222222334556000000') AS fc
+            FROM sx_c
+        ), sx_r1 AS (SELECT word, u, f, fc, {collapse} AS d FROM sx_p),
+        sx_r2 AS (SELECT word, u, f, fc, {collapse} AS d FROM sx_r1),
+        sx_r3 AS (SELECT word, u, f, fc, {collapse} AS d FROM sx_r2),
+        sx_r4 AS (SELECT word, u, f, fc, {collapse} AS d FROM sx_r3),
+        sx_f AS (
+            SELECT word, u, f,
+                replace(CASE WHEN left(d, 1) = fc THEN substr(d, 2)
+                        ELSE d END, '0', '') AS body
+            FROM sx_r4
+        )
+        SELECT word, CASE WHEN length(u) = 0 THEN ''
+               ELSE f || left(body || '000', 3) END AS code
+        FROM sx_f
+    """
+
+
+def _q_soundex_parts(sf_dir: str):
+    """American Soundex phonetic key per part-name word —
+    `functions/strings.soundex_batch`: pandas C-level translate/regex
+    kernels, no per-row Python; the classic phonetic blocking key for
+    record linkage.  Oracle = a pure-SQL soundex (same rule order)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.functions.strings import (
+        soundex_batch,
+    )
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def _enc(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["p_partkey"]].copy()
+        out["word"] = df["p_name"].str.split(" ")
+        out = out.explode("word", ignore_index=True)
+        out = out[out["word"].astype(str) != ""]
+        out["code"] = soundex_batch(out["word"].to_numpy(object))
+        return out
+
+    return part.map_batches(_enc, batch_format="pandas").sort(
+        ["p_partkey", "word"]
+    )
+
+
+def _q_phonetic_word_pairs(sf_dir: str):
+    """Phonetic near-match word pairs: DISTINCT part-name words that
+    share a soundex block but differ as strings — soundex blocking in
+    use.  One distinct combiner pass over the words, encode, ONE
+    code-hash exchange co-locating whole phonetic blocks, in-block
+    sorted pair emission."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.functions.strings import (
+        soundex_batch,
+    )
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
+        distinct,
+    )
+
+    part = _read(sf_dir, "part", ["p_name"])
+    nation = _read(sf_dir, "nation", ["n_name"])
+    region = _read(sf_dir, "region", ["r_name"])
+
+    def _words(col: str, split: bool):
+        def _f(df: pd.DataFrame) -> pd.DataFrame:
+            w = df[col].str.lower()
+            if split:
+                w = w.str.split(" ").explode()
+            w = w[w.astype(str) != ""].drop_duplicates()
+            return pd.DataFrame({"word": w.to_numpy(object)})
+
+        return _f
+
+    words = distinct(
+        part.map_batches(_words("p_name", True), batch_format="pandas")
+        .union(nation.map_batches(_words("n_name", False), batch_format="pandas"))
+        .union(region.map_batches(_words("r_name", False), batch_format="pandas")),
+        ["word"],
+    )
+
+    def _enc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["code"] = soundex_batch(df["word"].to_numpy(object))
+        return df
+
+    coded = words.map_batches(_enc, batch_format="pandas")
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for code, blk in g.groupby("code", sort=False):
+            ws = np.sort(blk["word"].to_numpy(object))
+            if len(ws) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ws), k=1)
+            out.append(
+                pd.DataFrame(
+                    {"code": code, "word_a": ws[ia], "word_b": ws[ib]}
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "code": pd.Series(dtype=object),
+                    "word_a": pd.Series(dtype=object),
+                    "word_b": pd.Series(dtype=object),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        coded.groupby("code")
+        .map_groups(_pairs, batch_format="pandas")
+        .sort(["code", "word_a", "word_b"])
+    )
+
+
 def _q_quality_classifier(sf_dir: str):
     """Trained quality classifier (CCNet-style distillation): ridge-
     logistic fit distributedly (one combiner-shuffled Gram pass per IRLS
@@ -4441,6 +4577,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_keywords": _q_tfidf_keywords,
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,  # new in r3
         "meta_blocking_customers": _q_meta_blocking_customers,  # new in r3
+        "soundex_parts": _q_soundex_parts,  # new in r3
+        "phonetic_word_pairs": _q_phonetic_word_pairs,  # new in r3
         "decontaminate_docs": _q_decontaminate_docs,
         "lm_perplexity": _q_lm_perplexity,
         "sql_demo_agg": _q_sql_demo_agg,
@@ -5004,6 +5142,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, cbs FROM edges, t
             WHERE cbs >= thr ORDER BY 1, 2
+        """,
+        "soundex_parts": f"""
+            WITH pw AS (
+                SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word
+                FROM part
+            ), pwf AS (SELECT * FROM pw WHERE word <> ''),
+            sx AS ({_soundex_sql("(SELECT DISTINCT word FROM pwf)")})
+            SELECT pwf.p_partkey, pwf.word, sx.code
+            FROM pwf JOIN sx USING (word)
+            ORDER BY 1, 2
+        """,
+        "phonetic_word_pairs": f"""
+            WITH pw AS (
+                SELECT DISTINCT word FROM (
+                    SELECT unnest(string_split(lower(p_name), ' ')) AS word
+                    FROM part
+                    UNION ALL SELECT lower(n_name) FROM nation
+                    UNION ALL SELECT lower(r_name) FROM region
+                )
+            ), pwf AS (SELECT word FROM pw WHERE word <> ''),
+            sx AS ({_soundex_sql("pwf")})
+            SELECT a.code, a.word AS word_a, b.word AS word_b
+            FROM sx a JOIN sx b
+              ON a.code = b.code AND a.word < b.word
+            ORDER BY 1, 2, 3
         """,
         "quality_classifier": f"""
             WITH t AS (

@@ -12,6 +12,7 @@ from __future__ import annotations
 import re
 
 import numpy as np
+import pandas as pd
 
 _WS_RE = re.compile(r"\s+")
 _NONWORD_RE = re.compile(r"[^\w\s]+", re.UNICODE)
@@ -164,3 +165,53 @@ def jaro_winkler_batch(a_list, b_list) -> np.ndarray:
         np.float64,
         len(a_list),
     )
+
+
+# ---------------------------------------------------------------------------
+# American Soundex (Knuth TAOCP vol. 3; the classic phonetic blocking
+# key for record linkage)
+# ---------------------------------------------------------------------------
+
+_SOUNDEX_MAP = str.maketrans(
+    "BFPVCGJKQSXZDTLMNRAEIOUY",
+    "111122222222334556000000",
+)
+_SOUNDEX_RUN_RE = re.compile(r"([0-9])\1+")
+_NONALPHA_RE = re.compile(r"[^A-Za-z]")
+
+
+def soundex_batch(words) -> np.ndarray:
+    """Vectorized American Soundex: ``'Robert' -> 'R163'``.
+
+    Rule order (the standard algorithm): strip non-letters, uppercase,
+    save the first letter, delete H/W from the tail (same-code letters
+    separated only by h/w collapse), map consonant classes to digits
+    with vowels as ``'0'`` separators, collapse adjacent equal digits,
+    drop a leading digit equal to the first letter's code, delete the
+    vowel zeros, pad/truncate to letter + 3 digits.  Empty/no-letter
+    input encodes to ``''``.
+
+    Implemented as pandas C-level string kernels (translate + regex),
+    no Python loop over rows.
+    """
+    s = (
+        pd.Series(np.asarray(words, dtype=object), dtype=object)
+        .fillna("")
+        .str.replace(_NONALPHA_RE, "", regex=True)
+        .str.upper()
+    )
+    f = s.str[:1]
+    digits = (
+        s.str[1:]
+        .str.replace("H", "", regex=False)
+        .str.replace("W", "", regex=False)
+        .str.translate(_SOUNDEX_MAP)
+    )
+    collapsed = digits.str.replace(_SOUNDEX_RUN_RE, r"\1", regex=True)
+    fcode = f.str.translate(_SOUNDEX_MAP)
+    drop = (collapsed.str[:1] == fcode) & (fcode.str.len() > 0)
+    body = collapsed.where(~drop, collapsed.str[1:]).str.replace(
+        "0", "", regex=False
+    )
+    out = (f + body + "000").str[:4]
+    return out.where(s.str.len() > 0, "").to_numpy(object)

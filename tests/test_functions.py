@@ -121,3 +121,24 @@ def test_tokens_and_shingles():
     h = shingle_hashes("a b c d", k=3)
     assert len(h) == 2  # "a b c", "b c d"
     assert len(shingle_hashes("", k=3)) == 1  # empty-string shingle
+
+
+def test_soundex_canonical_vectors():
+    """The classic published soundex examples (Knuth / NARA spec),
+    including the h/w rule (Ashcraft), the vowel-separation rule
+    (Tymczak), and the leading same-code drop (Pfister)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.functions.strings import (
+        soundex_batch,
+    )
+
+    cases = {
+        "Robert": "R163", "Rupert": "R163",
+        "Ashcraft": "A261", "Ashcroft": "A261",
+        "Tymczak": "T522", "Pfister": "P236",
+        "Honeyman": "H555", "Jackson": "J250",
+        "Washington": "W252", "Lee": "L000",
+        "Gutierrez": "G362", "a": "A000", "": "", "123": "",
+        "o'Brien": "O165",
+    }
+    out = soundex_batch(list(cases))
+    assert list(out) == list(cases.values())
