@@ -1888,6 +1888,24 @@ def _q_phonetic_word_pairs(sf_dir: str):
     )
 
 
+def _q_basket_rules(sf_dir: str):
+    """Association rules over order baskets (Apriori pair pass):
+    directed part-pair rules with support / confidence / lift at
+    min co-count 3 — `ops/basket.association_rules`: frequent-item
+    prefilter (the Apriori property), whole baskets co-locate via ONE
+    hash exchange, slim pair-count combiner, broadcast metric attach
+    with a two-join scale fallback."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.basket import (
+        association_rules,
+    )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    out = association_rules(li, "l_orderkey", "l_partkey", min_count=3)
+    return _round_cols(
+        out.sort(["ant", "cons"]), ["support", "confidence", "lift"], 6
+    )
+
+
 def _q_quality_classifier(sf_dir: str):
     """Trained quality classifier (CCNet-style distillation): ridge-
     logistic fit distributedly (one combiner-shuffled Gram pass per IRLS
@@ -4578,6 +4596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,  # new in r3
         "meta_blocking_customers": _q_meta_blocking_customers,  # new in r3
         "soundex_parts": _q_soundex_parts,  # new in r3
+        "basket_rules": _q_basket_rules,  # new in r3
         "phonetic_word_pairs": _q_phonetic_word_pairs,  # new in r3
         "decontaminate_docs": _q_decontaminate_docs,
         "lm_perplexity": _q_lm_perplexity,
@@ -5142,6 +5161,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, cbs FROM edges, t
             WHERE cbs >= thr ORDER BY 1, 2
+        """,
+        "basket_rules": """
+            WITH b AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            n AS (SELECT count(DISTINCT l_orderkey)::DOUBLE AS n FROM b),
+            item AS (
+                SELECT l_partkey, count(*)::BIGINT AS n_i FROM b GROUP BY 1
+            ),
+            pair AS (
+                SELECT a.l_partkey AS ant, c.l_partkey AS cons,
+                       count(*)::BIGINT AS n_ab
+                FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+                                 AND a.l_partkey <> c.l_partkey
+                GROUP BY 1, 2
+            )
+            SELECT p.ant, p.cons, p.n_ab,
+                   round(p.n_ab / n.n, 6) AS support,
+                   round(p.n_ab::DOUBLE / ia.n_i, 6) AS confidence,
+                   round(p.n_ab * n.n / (ia.n_i * ic.n_i), 6) AS lift
+            FROM pair p
+            JOIN item ia ON p.ant = ia.l_partkey
+            JOIN item ic ON p.cons = ic.l_partkey, n
+            WHERE p.n_ab >= 3
+            ORDER BY 1, 2
         """,
         "soundex_parts": f"""
             WITH pw AS (
