@@ -1906,6 +1906,23 @@ def _q_basket_rules(sf_dir: str):
     )
 
 
+def _q_dsir_select(sf_dir: str):
+    """DSIR importance-resampling data selection (Xie et al., NeurIPS
+    2023): top-100 documents by mean unigram log-likelihood ratio
+    against the lang='en' target subset — `ops/dsir.dsir_select`: ONE
+    slim (token, n_raw, n_tgt) combiner exchange fits BOTH
+    distributions, the capped vocab broadcasts once, scoring is a
+    stateless searchsorted+reduceat map, top-k keeps ≤ k per block.
+    Oracle re-derives the same add-one-smoothed LLR in SQL over the
+    shared regexp tokenizer."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.dsir import (
+        dsir_select,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return dsir_select(docs, k=100)
+
+
 def _q_quality_classifier(sf_dir: str):
     """Trained quality classifier (CCNet-style distillation): ridge-
     logistic fit distributedly (one combiner-shuffled Gram pass per IRLS
@@ -4597,6 +4614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "meta_blocking_customers": _q_meta_blocking_customers,  # new in r3
         "soundex_parts": _q_soundex_parts,  # new in r3
         "basket_rules": _q_basket_rules,  # new in r3
+        "dsir_select": _q_dsir_select,  # new in r3
         "phonetic_word_pairs": _q_phonetic_word_pairs,  # new in r3
         "decontaminate_docs": _q_decontaminate_docs,
         "lm_perplexity": _q_lm_perplexity,
@@ -5161,6 +5179,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, cbs FROM edges, t
             WHERE cbs >= thr ORDER BY 1, 2
+        """,
+        "dsir_select": """
+            WITH tok AS (
+                SELECT doc_id, lang,
+                       unnest(regexp_extract_all(lower(text), '\\w+')) AS w
+                FROM documents
+            ),
+            cnt AS (
+                SELECT w, count(*)::BIGINT AS n_raw,
+                       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0
+                           END)::BIGINT AS n_tgt
+                FROM tok GROUP BY 1
+            ),
+            tot AS (
+                SELECT sum(n_raw)::DOUBLE AS r, sum(n_tgt)::DOUBLE AS t,
+                       count(*)::DOUBLE AS v
+                FROM cnt
+            ),
+            scored AS (
+                SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
+                       avg(ln((c.n_tgt + 1) / (tot.t + tot.v))
+                           - ln((c.n_raw + 1) / (tot.r + tot.v))) AS llr
+                FROM tok JOIN cnt c ON tok.w = c.w, tot
+                GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+                   round(coalesce(s.llr, 0.0), 6) AS llr
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+            ORDER BY 3 DESC, 1
+            LIMIT 100
         """,
         "basket_rules": """
             WITH b AS (
