@@ -2618,6 +2618,174 @@ def _q_shipping_priority(sf_dir: str):
     )
 
 
+def _q_returned_items_report(sf_dir: str):
+    """TPC-H Q10-shape composed pipeline: R-flag lineitems ⋈ one
+    quarter of orders ⋈ customer ⋈ nation → per-customer lost revenue
+    → top-20.  Three `auto_join`s, all broadcast picks (footer counts
+    bound every dim side; filters only shrink the fact), revenue
+    reduces through the combiner, ties break on the ROUNDED revenue
+    then c_custkey."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
+        auto_join,
+        grouped_aggregate,
+        topk,
+    )
+
+    lo_d = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
+    hi_d = pa.scalar(pd.Timestamp("1997-04-01"), pa.timestamp("us"))
+    cust = _read(
+        sf_dir, "customer",
+        ["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], lo_d),
+                pc.less(t["o_orderdate"], hi_d),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    ).filter(expr="l_returnflag == 'R'")
+
+    n_ord = _table_rows(sf_dir, "orders")
+    lo = auto_join(
+        li, orders, on=("l_orderkey",), right_on=("o_orderkey",),
+        left_rows=_table_rows(sf_dir, "lineitem"), right_rows=n_ord,
+    )
+    loc = auto_join(
+        lo, cust, on=("o_custkey",), right_on=("c_custkey",),
+        left_rows=n_ord, right_rows=_table_rows(sf_dir, "customer"),
+    )
+    locn = auto_join(
+        loc, nation, on=("c_nationkey",), right_on=("n_nationkey",),
+        left_rows=n_ord, right_rows=_table_rows(sf_dir, "nation"),
+    )
+
+    def _rev(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["o_custkey", "c_name", "c_acctbal", "n_name"]].copy()
+        out["_r"] = df["l_extendedprice"].to_numpy(np.float64) * (
+            1.0 - df["l_discount"].to_numpy(np.float64)
+        )
+        return out
+
+    rev = grouped_aggregate(
+        locn.map_batches(_rev, batch_format="pandas"),
+        ["o_custkey", "c_name", "c_acctbal", "n_name"],
+        [("sum", "_r", "revenue")],
+    )
+    return topk(
+        _round_cols(rev, ["revenue"], 4),
+        ["revenue", "o_custkey"], [True, False], 20,
+    )
+
+
+def _q_large_volume_orders(sf_dir: str):
+    """TPC-H Q18-shape composed pipeline: orders whose lineitem
+    quantity sum exceeds 220 (grouped HAVING over the fact), joined
+    back to orders + customer.  The HAVING survivors are genuinely
+    small, so they are materialized, counted, and handed to
+    `auto_join` as the measured bound — the fact table itself never
+    re-shuffles."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
+        auto_join,
+        grouped_aggregate,
+        topk,
+    )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    qty = (
+        grouped_aggregate(
+            li, ["l_orderkey"], [("sum", "l_quantity", "total_qty")]
+        )
+        .filter(expr="total_qty > 220")
+        .materialize()
+    )
+    n_big = qty.count()
+    orders = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    oq = auto_join(
+        orders, qty, on=("o_orderkey",), right_on=("l_orderkey",),
+        left_rows=_table_rows(sf_dir, "orders"), right_rows=n_big,
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    out = auto_join(
+        oq, cust, on=("o_custkey",), right_on=("c_custkey",),
+        left_rows=n_big, right_rows=_table_rows(sf_dir, "customer"),
+    ).select_columns(
+        ["c_name", "o_custkey", "o_orderkey", "o_orderdate",
+         "o_totalprice", "total_qty"]
+    )
+    return topk(
+        _round_cols(out, ["o_totalprice", "total_qty"], 4),
+        ["o_totalprice", "o_orderkey"], [True, False], 100,
+    )
+
+
+def _q_idle_rich_customers(sf_dir: str):
+    """TPC-H Q22-shape composed pipeline: customers with an account
+    balance above the positive-balance average AND no OPEN orders,
+    counted per market segment — a distributed scalar subquery (one
+    combiner mean), the broadcast anti-join (J3), and a grouped
+    rollup."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
+        anti_join,
+        grouped_aggregate,
+    )
+
+    cust = _read(
+        sf_dir, "customer", ["c_custkey", "c_acctbal", "c_mktsegment"]
+    )
+    pos = cust.filter(expr="c_acctbal > 0")
+    m = (
+        grouped_aggregate(
+            pos.map_batches(
+                lambda d: pd.DataFrame(
+                    {"_k": np.zeros(len(d), np.int64),
+                     "s": d["c_acctbal"].to_numpy(np.float64),
+                     "n": np.ones(len(d), np.int64)}
+                ),
+                batch_format="pandas",
+            ),
+            ["_k"],
+            [("sum", "s", "s"), ("sum", "n", "n")],
+        )
+        .to_pandas()
+    )
+    avg_bal = float(m["s"].iloc[0] / m["n"].iloc[0])
+
+    rich = cust.map_batches(
+        lambda t: t.filter(pc.greater(t["c_acctbal"], pa.scalar(avg_bal))),
+        batch_format="pyarrow",
+    )
+    open_orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]).filter(
+        expr="o_orderstatus == 'O'"
+    )
+    idle = anti_join(rich, open_orders, on="c_custkey", right_on="o_custkey")
+
+    def _pre(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"c_mktsegment": df["c_mktsegment"],
+             "numcust": np.ones(len(df), np.int64),
+             "totacctbal": df["c_acctbal"].to_numpy(np.float64)}
+        )
+
+    out = grouped_aggregate(
+        idle.map_batches(_pre, batch_format="pandas"),
+        ["c_mktsegment"],
+        [("sum", "numcust", "numcust"), ("sum", "totacctbal", "totacctbal")],
+    )
+    return _round_cols(out, ["totacctbal"], 4).sort("c_mktsegment")
+
+
 def _q_event_bursts(sf_dir: str):
     """Sliding-window self-join: ordered pairs of one user's events
     within 30 minutes — `ops/relational.time_band_pairs`: ONE user-hash
@@ -4691,6 +4859,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_partkeys": _q_cms_partkeys,  # new in r3
         "doc_words": _q_doc_words,  # new in r3
         "shipping_priority": _q_shipping_priority,  # new in r3
+        "returned_items_report": _q_returned_items_report,  # new in r3
+        "large_volume_orders": _q_large_volume_orders,  # new in r3
+        "idle_rich_customers": _q_idle_rich_customers,  # new in r3
         "part_clustering": _q_part_clustering,  # new in r3
         "customer_order_dist": _q_customer_order_dist,  # new in r3
         "lineitem_profile": _q_lineitem_profile,  # new in r3
@@ -5779,6 +5950,49 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents),
                  LATERAL (SELECT unnest(generate_series(1, len(ws)))
                           AS pos) t
+        """,
+        "returned_items_report": """
+            SELECT o_custkey, c_name, c_acctbal, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-04-01'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, o_custkey
+            LIMIT 20
+        """,
+        "large_volume_orders": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       round(sum(l_quantity), 4) AS total_qty
+                FROM lineitem GROUP BY 1
+                HAVING sum(l_quantity) > 220
+            )
+            SELECT c_name, o_custkey, o_orderkey, o_orderdate,
+                   round(o_totalprice, 4) AS o_totalprice, total_qty
+            FROM big
+            JOIN orders ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 100
+        """,
+        "idle_rich_customers": """
+            WITH a AS (
+                SELECT avg(c_acctbal) AS ab FROM customer
+                WHERE c_acctbal > 0
+            )
+            SELECT c_mktsegment, count(*)::BIGINT AS numcust,
+                   round(sum(c_acctbal), 4) AS totacctbal
+            FROM customer, a
+            WHERE c_acctbal > a.ab
+              AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderstatus = 'O')
+            GROUP BY 1 ORDER BY 1
         """,
         "shipping_priority": """
             SELECT l_orderkey, o_orderdate,
