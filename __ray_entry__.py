@@ -2150,6 +2150,20 @@ def _q_part_pagerank(sf_dir: str):
     return _round_cols(pr, ["rank"], 8)
 
 
+def _q_part_hits(sf_dir: str):
+    """Fixed-2-iteration HITS hubs & authorities (L1-normalized each
+    half-step) over the basket-transition graph — `ops/graph.hits`:
+    node state broadcast under the cap / hash-join plan above it, one
+    slim combiner shuffle per half-step.  Oracle unrolls the same
+    recurrence."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.graph import (
+        hits,
+    )
+
+    out = hits(_basket_edges(sf_dir), iterations=2)
+    return _round_cols(out, ["hub", "authority"], 8)
+
+
 def _q_part_bfs_hops(sf_dir: str):
     """Multi-source BFS hop distance (≤ 3 hops) over the directed
     basket-transition graph from seed parts with partkey % 97 == 0 —
@@ -4839,6 +4853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snm_customer_pairs": _q_snm_customer_pairs,  # new in r3
         "orders_row_numbers": _q_orders_row_numbers,  # new in r3
         "part_pagerank": _q_part_pagerank,  # new in r3
+        "part_hits": _q_part_hits,  # new in r3
         "part_bfs_hops": _q_part_bfs_hops,  # new in r3
         "status_priority_entropy": _q_status_priority_entropy,  # new in r3
         "qty_mode_by_flag": _q_qty_mode_by_flag,  # new in r3
@@ -6520,6 +6535,33 @@ def oracle_sql() -> dict[str, str]:
                           + 0.85*(coalesce(c3.c, 0) + d3.dg/p.n) AS r
                    FROM nd LEFT JOIN c3 USING (node), p, d3)
             SELECT node, round(r, 8) AS rank FROM r3
+        """,
+        "part_hits": f"""
+            WITH e AS ({_SQL_BASKET_EDGES}),
+            nodes AS (SELECT DISTINCT src AS node FROM e
+                      UNION SELECT DISTINCT dst FROM e),
+            a1 AS (SELECT dst AS node, count(*)::DOUBLE AS c
+                   FROM e GROUP BY 1),
+            ta1 AS (SELECT sum(c) AS t FROM a1),
+            a1n AS (SELECT node, c / t AS a FROM a1, ta1),
+            h1 AS (SELECT e.src AS node, sum(q.a) AS c
+                   FROM e JOIN a1n q ON e.dst = q.node GROUP BY 1),
+            th1 AS (SELECT sum(c) AS t FROM h1),
+            h1n AS (SELECT node, c / t AS h FROM h1, th1),
+            a2 AS (SELECT e.dst AS node, sum(q.h) AS c
+                   FROM e JOIN h1n q ON e.src = q.node GROUP BY 1),
+            ta2 AS (SELECT sum(c) AS t FROM a2),
+            a2n AS (SELECT node, c / t AS a FROM a2, ta2),
+            h2 AS (SELECT e.src AS node, sum(q.a) AS c
+                   FROM e JOIN a2n q ON e.dst = q.node GROUP BY 1),
+            th2 AS (SELECT sum(c) AS t FROM h2),
+            h2n AS (SELECT node, c / t AS h FROM h2, th2)
+            SELECT nodes.node,
+                   round(coalesce(h2n.h, 0.0), 8) AS hub,
+                   round(coalesce(a2n.a, 0.0), 8) AS authority
+            FROM nodes
+            LEFT JOIN h2n USING (node)
+            LEFT JOIN a2n USING (node)
         """,
         "part_bfs_hops": f"""
             WITH e AS ({_SQL_BASKET_EDGES}),

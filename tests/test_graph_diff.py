@@ -311,3 +311,58 @@ def test_clustering_coefficient_planted(ray_session):
     assert out.loc[5, "tri"] == 0 and out.loc[6, "lcc"] == 0.0
     # total corner credits == 3 x global triangle count (K4 has 4)
     assert out["tri"].sum() == 3 * 4
+
+
+def _hits_reference(e: pd.DataFrame, n_iter=2):
+    nodes = np.unique(np.concatenate([e["src"].to_numpy(), e["dst"].to_numpy()]))
+    idx = {n: i for i, n in enumerate(nodes)}
+    s = e["src"].map(idx).to_numpy()
+    d = e["dst"].map(idx).to_numpy()
+    h = np.ones(len(nodes))
+    a = np.zeros(len(nodes))
+    for _ in range(n_iter):
+        a = np.zeros(len(nodes))
+        np.add.at(a, d, h[s])
+        a /= a.sum()
+        h = np.zeros(len(nodes))
+        np.add.at(h, s, a[d])
+        h /= h.sum()
+    return nodes, h, a
+
+
+def test_hits_matches_reference(ray_session):
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.graph import hits
+
+    # hub-ish node 1 points at everything; authority-ish node 4
+    e = pd.DataFrame({"src": [1, 1, 1, 2, 3], "dst": [2, 3, 4, 4, 4]})
+    out = hits(ray.data.from_pandas(e), iterations=2).to_pandas()
+    nodes, h, a = _hits_reference(e)
+    got = out.set_index("node").loc[nodes]
+    np.testing.assert_allclose(got["hub"].to_numpy(), h, atol=1e-12)
+    np.testing.assert_allclose(got["authority"].to_numpy(), a, atol=1e-12)
+    # node 1 is the best hub, node 4 the best authority
+    assert out.loc[out["hub"].idxmax(), "node"] == 1
+    assert out.loc[out["authority"].idxmax(), "node"] == 4
+    # each vector is L1-normalized
+    assert abs(out["hub"].sum() - 1.0) < 1e-9
+    assert abs(out["authority"].sum() - 1.0) < 1e-9
+
+
+def test_hits_join_path_matches_broadcast(ray_session):
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.graph import hits
+
+    rng = np.random.default_rng(7)
+    e = pd.DataFrame(
+        {"src": rng.integers(0, 60, 400), "dst": rng.integers(0, 60, 400)}
+    )
+    ds = ray.data.from_pandas(e).repartition(4)
+    a = hits(ds, iterations=2).to_pandas().sort_values("node").reset_index(drop=True)
+    b = (
+        hits(ds, iterations=2, node_broadcast_limit=0)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert a["node"].tolist() == b["node"].tolist()
+    np.testing.assert_allclose(a["hub"], b["hub"], atol=1e-9)
+    np.testing.assert_allclose(a["authority"], b["authority"], atol=1e-9)
