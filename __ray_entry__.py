@@ -15,6 +15,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -1921,6 +1923,70 @@ def _q_dsir_select(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
     return dsir_select(docs, k=100)
+
+
+def _q_bpe_pair_counts(sf_dir: str):
+    """BPE merge-candidate census (Sennrich et al., ACL 2016): top-50
+    adjacent character pairs over all word occurrences —
+    `ops/text.bpe_pair_counts`: per-batch codepoint-pair partials, ONE
+    slim combiner exchange, top-k.  Oracle re-derives the pairs with
+    LATERAL generate_series + substring."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.text import (
+        bpe_pair_counts,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bpe_pair_counts(docs, k=50)
+
+
+def _q_price_ttest(sf_dir: str):
+    """Welch two-sample t-test of l_extendedprice between return flags
+    'R' and 'N': one slim (flag, n, Σx, Σx²) combiner pass; the driver
+    folds four scalars into (t, df) — rows never collect.  Oracle uses
+    the same sum-of-squares variance form so engine and SQL agree at
+    the rounded precision."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
+        grouped_aggregate,
+    )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"]
+    ).filter(expr="l_returnflag == 'R' or l_returnflag == 'N'")
+
+    def _pre(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_extendedprice"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {"flag": df["l_returnflag"], "n": np.ones(len(df), np.int64),
+             "s": x, "ss": x * x}
+        )
+
+    agg = grouped_aggregate(
+        li.map_batches(_pre, batch_format="pandas"),
+        ["flag"],
+        [("sum", "n", "n"), ("sum", "s", "s"), ("sum", "ss", "ss")],
+    ).to_pandas().set_index("flag")
+
+    def _stats(flag):
+        n = float(agg.loc[flag, "n"])
+        m = agg.loc[flag, "s"] / n
+        v = (agg.loc[flag, "ss"] - n * m * m) / (n - 1.0)
+        return n, m, v
+
+    n1, m1, v1 = _stats("R")
+    n2, m2, v2 = _stats("N")
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / math.sqrt(se2)
+    df_w = se2 * se2 / (
+        (v1 / n1) ** 2 / (n1 - 1.0) + (v2 / n2) ** 2 / (n2 - 1.0)
+    )
+    return pd.DataFrame(
+        {
+            "flag_a": ["R"], "flag_b": ["N"],
+            "n_a": [np.int64(n1)], "n_b": [np.int64(n2)],
+            "mean_a": [round(m1, 4)], "mean_b": [round(m2, 4)],
+            "t_stat": [round(t, 6)], "df": [round(df_w, 4)],
+        }
+    )
 
 
 def _q_quality_classifier(sf_dir: str):
@@ -4797,6 +4863,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "soundex_parts": _q_soundex_parts,  # new in r3
         "basket_rules": _q_basket_rules,  # new in r3
         "dsir_select": _q_dsir_select,  # new in r3
+        "bpe_pair_counts": _q_bpe_pair_counts,  # new in r3
+        "price_ttest": _q_price_ttest,  # new in r3
         "phonetic_word_pairs": _q_phonetic_word_pairs,  # new in r3
         "decontaminate_docs": _q_decontaminate_docs,
         "lm_perplexity": _q_lm_perplexity,
@@ -5365,6 +5433,52 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, cbs FROM edges, t
             WHERE cbs >= thr ORDER BY 1, 2
+        """,
+        "bpe_pair_counts": """
+            WITH w AS (
+                SELECT unnest(regexp_extract_all(lower(text), '\\w+')) AS w
+                FROM documents
+            ),
+            p AS (
+                SELECT substring(w.w, t.i, 1) AS a,
+                       substring(w.w, t.i + 1, 1) AS b
+                FROM w, LATERAL (
+                    SELECT unnest(generate_series(1, len(w.w) - 1)) AS i
+                ) t
+            )
+            SELECT a, b, count(*)::BIGINT AS n
+            FROM p GROUP BY 1, 2
+            ORDER BY n DESC, a, b
+            LIMIT 50
+        """,
+        "price_ttest": """
+            WITH g AS (
+                SELECT l_returnflag AS flag, count(*)::DOUBLE AS n,
+                       sum(l_extendedprice) AS s,
+                       sum(l_extendedprice * l_extendedprice) AS ss
+                FROM lineitem
+                WHERE l_returnflag IN ('R', 'N')
+                GROUP BY 1
+            ),
+            st AS (
+                SELECT flag, n, s / n AS m,
+                       (ss - n * (s / n) * (s / n)) / (n - 1) AS v
+                FROM g
+            ),
+            w AS (
+                SELECT r.n AS n1, x.n AS n2, r.m AS m1, x.m AS m2,
+                       r.v / r.n + x.v / x.n AS se2,
+                       r.v / r.n AS a1, x.v / x.n AS a2
+                FROM (SELECT * FROM st WHERE flag = 'R') r,
+                     (SELECT * FROM st WHERE flag = 'N') x
+            )
+            SELECT 'R' AS flag_a, 'N' AS flag_b,
+                   n1::BIGINT AS n_a, n2::BIGINT AS n_b,
+                   round(m1, 4) AS mean_a, round(m2, 4) AS mean_b,
+                   round((m1 - m2) / sqrt(se2), 6) AS t_stat,
+                   round(se2 * se2 / (a1 * a1 / (n1 - 1)
+                                      + a2 * a2 / (n2 - 1)), 4) AS df
+            FROM w
         """,
         "dsir_select": """
             WITH tok AS (

@@ -1519,3 +1519,65 @@ def tfidf_cosine_pairs(
 
 
 __all__.append("tfidf_cosine_pairs")
+
+
+def bpe_pair_counts(
+    docs: "ray.data.Dataset",
+    text_col: str = "text",
+    k: int = 50,
+) -> "ray.data.Dataset":
+    """Top-k adjacent-character-pair counts over all word occurrences —
+    the merge-candidate statistic of byte-pair encoding (Sennrich,
+    Haddow & Birch, ACL 2016): the pair with the highest count is the
+    first BPE merge.  Words are the shared ``\\w+``-lowercase tokens,
+    pairs weighted by occurrence (a word appearing 10× contributes its
+    pairs 10×), single-char words contribute nothing.
+
+    Scale shape: per-batch partial pair counts (one np.unique over a
+    codepoint-pair int key — no Python per-char loop), ONE slim
+    ``(a, b, n)`` combiner exchange, then top-k (≤ k rows per block
+    before the final small sort; count-desc, pair-asc ties).  Document
+    text never crosses a shuffle.
+    """
+    from .relational import grouped_aggregate, topk
+
+    def _partials(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[text_col].to_numpy(object)
+        words = TOKEN_RE.findall(" ".join(t.lower() for t in texts))
+        if words:
+            # one codepoint array for ALL words, separated by -1 so
+            # cross-word pairs never form
+            arrs = [np.frombuffer(w.encode("utf-32-le"), np.int32)
+                    for w in words]
+            flat = np.empty(sum(len(a) for a in arrs) + len(arrs), np.int32)
+            pos = 0
+            for a in arrs:
+                flat[pos:pos + len(a)] = a
+                flat[pos + len(a)] = -1
+                pos += len(a) + 1
+            left, right = flat[:-1], flat[1:]
+            ok = (left >= 0) & (right >= 0)
+            key = left[ok].astype(np.int64) * 0x110000 + right[ok]
+            uniq, cnt = np.unique(key, return_counts=True)
+        else:
+            uniq = np.empty(0, np.int64)
+            cnt = np.empty(0, np.int64)
+        return pd.DataFrame(
+            {
+                "a": np.array([chr(c) for c in uniq // 0x110000], object),
+                "b": np.array([chr(c) for c in uniq % 0x110000], object),
+                "n": cnt.astype(np.int64),
+            }
+        )
+
+    agg = grouped_aggregate(
+        docs.select_columns([text_col]).map_batches(
+            _partials, batch_format="pandas"
+        ),
+        keys=["a", "b"],
+        specs=[("sum", "n", "n")],
+    )
+    return topk(agg, ["n", "a", "b"], [True, False, False], k)
+
+
+__all__.append("bpe_pair_counts")

@@ -367,3 +367,31 @@ def test_tfidf_cosine_pairs_join_path_equals_broadcast(sf_dir):
     pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
     assert (fast["doc_a"] < fast["doc_b"]).all()
     assert (fast["cosine"] >= 0.6).all() and (fast["cosine"] <= 1.0 + 1e-9).all()
+
+
+def test_bpe_pair_counts_hand_checked(ray_session):
+    import pandas as pd
+
+    import ray.data
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.text import (
+        bpe_pair_counts,
+    )
+
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["low low lower", "new newer a"]}
+    )
+    got = (
+        bpe_pair_counts(ray.data.from_pandas(docs).repartition(2), k=100)
+        .to_pandas()
+        .set_index(["a", "b"])["n"]
+        .to_dict()
+    )
+    # low ×2 + lower: lo×3, ow×3, we×2, er×2 (lower + newer)
+    assert got[("l", "o")] == 3
+    assert got[("o", "w")] == 3
+    assert got[("w", "e")] == 2
+    assert got[("e", "r")] == 2
+    assert got[("n", "e")] == 2  # new + newer
+    assert got[("e", "w")] == 2
+    # single-char word 'a' contributes nothing; 14 pairs total
+    assert sum(got.values()) == 14
