@@ -1925,6 +1925,19 @@ def _q_dsir_select(sf_dir: str):
     return dsir_select(docs, k=100)
 
 
+def _q_doc_entropy(sf_dir: str):
+    """Per-document character Shannon entropy (bits) — the
+    compressibility/gibberish quality proxy: `ops/text.
+    char_entropy_stage`, a stateless streaming map (zero shuffle).
+    Oracle = DuckDB's log2 entropy() over exploded characters."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.text import (
+        char_entropy_stage,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return char_entropy_stage(docs)
+
+
 def _q_bpe_pair_counts(sf_dir: str):
     """BPE merge-candidate census (Sennrich et al., ACL 2016): top-50
     adjacent character pairs over all word occurrences —
@@ -2120,11 +2133,61 @@ def _q_minhash_dup_docs(sf_dir: str):
     return _round_cols(pairs, ["sim"], 6)
 
 
+def _q_split_leakage(sf_dir: str):
+    """Train/valid/test contamination audit: near-dup pairs (the
+    MinHash-LSH pipeline) that STRADDLE split boundaries, counted per
+    (split_a, split_b) — the leakage census a training pipeline runs
+    before shipping a corpus (cross-split near-dups leak eval answers
+    into training).  Splits are the content-defined modulo rule, so
+    the split attach is a pure map on the pair stream — no join, no
+    extra shuffle beyond the LSH pipeline's own."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dedup.minhash_dup_pairs(docs, threshold=0.6)
+
+    def _split_of(ids: np.ndarray) -> np.ndarray:
+        m = ids % 100
+        out = np.where(m < 90, "train", np.where(m < 95, "valid", "test"))
+        return out.astype(object)
+
+    def _census(batch: pd.DataFrame) -> pd.DataFrame:
+        sa = _split_of(batch["id_a"].to_numpy(np.int64))
+        sb = _split_of(batch["id_b"].to_numpy(np.int64))
+        keep = sa != sb
+        return pd.DataFrame(
+            {"split_a": sa[keep], "split_b": sb[keep],
+             "n_pairs": np.ones(int(keep.sum()), np.int64)}
+        )
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
+        grouped_aggregate,
+    )
+
+    out = grouped_aggregate(
+        pairs.map_batches(_census, batch_format="pandas"),
+        ["split_a", "split_b"],
+        [("sum", "n_pairs", "n_pairs")],
+    )
+    return out.sort(["split_a", "split_b"])
+
+
 def _q_ngram_dup_docs(sf_dir: str):
     """Exact all-pairs character-5-gram Jaccard near-dup baseline."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = dedup.ngram_dup_all_pairs(docs, n=5, threshold=0.5)
     return _round_cols(pairs, ["ngram_jaccard"], 6)
+
+
+def _q_ngram_containment_docs(sf_dir: str):
+    """Exact all-pairs character-5-gram OVERLAP COEFFICIENT
+    (|A∩B| / min(|A|,|B|)) at 0.8 — the containment near-dup measure
+    that catches a page embedded whole inside a longer one, which
+    Jaccard dilutes.  Same broadcast/join plan switch as the Jaccard
+    verifier (`ops/dedup.ngram_jaccard_pairs(denom="min")`)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dedup.ngram_dup_all_pairs(
+        docs, n=5, threshold=0.8, sim_col="containment", denom="min"
+    )
+    return _round_cols(pairs, ["containment"], 6)
 
 
 def _q_prefix_filter_pairs(sf_dir: str):
@@ -4864,6 +4927,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_rules": _q_basket_rules,  # new in r3
         "dsir_select": _q_dsir_select,  # new in r3
         "bpe_pair_counts": _q_bpe_pair_counts,  # new in r3
+        "doc_entropy": _q_doc_entropy,  # new in r3
+        "ngram_containment_docs": _q_ngram_containment_docs,  # new in r3
+        "split_leakage": _q_split_leakage,  # new in r3
         "price_ttest": _q_price_ttest,  # new in r3
         "phonetic_word_pairs": _q_phonetic_word_pairs,  # new in r3
         "decontaminate_docs": _q_decontaminate_docs,
@@ -5433,6 +5499,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, cbs FROM edges, t
             WHERE cbs >= thr ORDER BY 1, 2
+        """,
+        "doc_entropy": """
+            SELECT d.doc_id,
+                   round(coalesce(e.ent, 0.0), 6) AS char_entropy
+            FROM documents d
+            LEFT JOIN (
+                SELECT doc_id, entropy(c) AS ent
+                FROM (SELECT doc_id,
+                             unnest(regexp_extract_all(text, '[\\s\\S]'))
+                                 AS c
+                      FROM documents)
+                GROUP BY 1
+            ) e USING (doc_id)
         """,
         "bpe_pair_counts": """
             WITH w AS (
@@ -6603,6 +6682,48 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.s, b.s))::DOUBLE /
                   len(list_distinct(list_concat(a.s, b.s))) >= 0.6
+        """,
+        "split_leakage": """
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                    FOR i IN range(1, len(t) - 1)]) AS s
+              FROM tok WHERE len(t) >= 3
+            ), p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+                    len(list_distinct(list_concat(a.s, b.s))) >= 0.6
+            ), sp AS (
+              SELECT id_a, id_b,
+                     CASE WHEN id_a % 100 < 90 THEN 'train'
+                          WHEN id_a % 100 < 95 THEN 'valid'
+                          ELSE 'test' END AS split_a,
+                     CASE WHEN id_b % 100 < 90 THEN 'train'
+                          WHEN id_b % 100 < 95 THEN 'valid'
+                          ELSE 'test' END AS split_b
+              FROM p
+            )
+            SELECT split_a, split_b, count(*)::BIGINT AS n_pairs
+            FROM sp WHERE split_a <> split_b
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "ngram_containment_docs": """
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct([substr(text, i, 5)
+                                    FOR i IN range(1, len(text) - 3)]) AS s
+              FROM documents WHERE len(text) >= 5
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.s, b.s))::DOUBLE /
+                         least(len(a.s), len(b.s)), 6) AS containment
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+                  least(len(a.s), len(b.s)) >= 0.8
         """,
         "ngram_dup_docs": """
             WITH g AS (

@@ -40,7 +40,11 @@ def _warmup(num_cpus: int) -> None:
 
 
 def _consume(ds) -> int:
-    """Force full streaming execution; return row count."""
+    """Force full streaming execution; return row count.  Scalar-fold
+    queries (e.g. price_ttest) legitimately return a driver-side
+    DataFrame — already fully executed, just count it."""
+    if not hasattr(ds, "iter_batches"):
+        return len(ds)
     n = 0
     for batch in ds.iter_batches(
         batch_size=None, prefetch_batches=8, batch_format="pyarrow"
@@ -201,6 +205,18 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "lineitem_profile",
         "event_bursts",
         "price_means_by_flag",
+        # r3 third-session additions
+        "tfidf_cosine_pairs",
+        "meta_blocking_customers",
+        "soundex_parts",
+        "basket_rules",
+        "dsir_select",
+        "bpe_pair_counts",
+        "price_ttest",
+        "returned_items_report",
+        "large_volume_orders",
+        "idle_rich_customers",
+        "part_hits",
     ]
     for name in bench_queries:
         t0 = time.time()

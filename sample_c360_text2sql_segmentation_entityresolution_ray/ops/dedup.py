@@ -334,6 +334,8 @@ def ngram_dup_all_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sim_col: str = "ngram_jaccard",
+    denom: str = "union",
 ) -> "ray.data.Dataset":
     """Exact all-pairs character-``n``-gram Jaccard — the correctness
     BASELINE (O(N²); at scale generate candidates with LSH and verify
@@ -352,7 +354,8 @@ def ngram_dup_all_pairs(
         )
     )
     return ngram_jaccard_pairs(
-        pairs, docs, n=n, threshold=threshold, text_col=text_col, id_col=id_col
+        pairs, docs, n=n, threshold=threshold, text_col=text_col,
+        id_col=id_col, sim_col=sim_col, denom=denom,
     )
 
 
@@ -421,10 +424,15 @@ def ngram_jaccard_pairs(
     broadcast_doc_limit: int = NGRAM_BROADCAST_DOC_LIMIT,
     gramfn=None,
     sim_col: str = "ngram_jaccard",
+    denom: str = "union",
 ) -> "ray.data.Dataset":
     """Re-verify candidate pairs with exact set-Jaccard — character
     ``n``-grams by default; pass ``gramfn`` (text -> set) for any other
     shingling (word tokens, etc.) and ``sim_col`` to rename the score.
+    ``denom="min"`` scores the Szymkiewicz–Simpson overlap coefficient
+    ``|A∩B| / min(|A|,|B|)`` instead — the containment measure that
+    catches subset near-dups Jaccard dilutes (a page embedded whole
+    inside a longer one).
 
     Plan choice by measured corpus size:
 
@@ -461,7 +469,8 @@ def ngram_jaccard_pairs(
             sims = np.empty(len(batch))
             for x, (a, b) in enumerate(zip(batch["id_a"], batch["id_b"])):
                 ga, gb = g(a), g(b)
-                u = len(ga | gb)
+                u = (min(len(ga), len(gb)) if denom == "min"
+                     else len(ga | gb))
                 sims[x] = len(ga & gb) / u if u else 0.0
             out = batch.copy()
             out[sim_col] = sims
@@ -519,7 +528,8 @@ def ngram_jaccard_pairs(
             zip(batch["id_a"], batch["_text_a"], batch["id_b"], batch["_text_b"])
         ):
             ga, gb = g(a, ta), g(b, tb)
-            u = len(ga | gb)
+            u = (min(len(ga), len(gb)) if denom == "min"
+                 else len(ga | gb))
             sims[x] = len(ga & gb) / u if u else 0.0
         # Ray's join already consumed the right-side key columns
         drop = [c for c in ("_id_a", "_text_a", "_id_b", "_text_b") if c in batch]

@@ -1581,3 +1581,42 @@ def bpe_pair_counts(
 
 
 __all__.append("bpe_pair_counts")
+
+
+def char_entropy_stage(
+    docs: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_nd: int = 6,
+) -> "ray.data.Dataset":
+    """Per-document Shannon entropy (bits) over characters — the
+    gibberish / boilerplate compressibility proxy used by web-corpus
+    quality pipelines next to `quality_stage`'s ratio features.  Very
+    low entropy = repeated filler; very high = random noise; prose
+    sits in a stable band.  Stateless streaming map (zero shuffle):
+    one np.unique per doc over its utf-32 codepoints, no Python
+    per-char loop.  Empty documents score 0.0."""
+
+    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[text_col].to_numpy(object)
+        ent = np.zeros(len(texts), np.float64)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            arr = np.frombuffer(t.encode("utf-32-le"), np.int32)
+            cnt = np.unique(arr, return_counts=True)[1]
+            p = cnt / cnt.sum()
+            ent[i] = -(p * np.log2(p)).sum()
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(),
+                "char_entropy": np.round(ent, round_nd),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        _fn, batch_format="pandas"
+    )
+
+
+__all__.append("char_entropy_stage")

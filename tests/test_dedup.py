@@ -243,3 +243,38 @@ def test_prefix_filter_pairs_hash_order_matches_df_order():
         a[cols].sort_values(key).reset_index(drop=True),
         b[cols].sort_values(key).reset_index(drop=True),
     )
+
+
+def test_ngram_overlap_denom_and_path_equality(ray_session):
+    import pandas as pd
+
+    import ray.data
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.dedup import (
+        ngram_dup_all_pairs,
+    )
+
+    # doc 2 is a strict substring of doc 1: containment 1.0, Jaccard < 1
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "quick brown fox jumps",
+                "completely different words here",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(docs).repartition(2)
+    cont = (
+        ngram_dup_all_pairs(
+            ds, n=5, threshold=0.99, sim_col="containment", denom="min"
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert cont[["id_a", "id_b"]].values.tolist() == [[1, 2]]
+    assert abs(cont["containment"].iloc[0] - 1.0) < 1e-12
+    # jaccard of the same pair is well below 1 — containment ≠ jaccard
+    jac = ngram_dup_all_pairs(ds, n=5, threshold=0.99).to_pandas()
+    assert len(jac) == 0
