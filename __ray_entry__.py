@@ -1164,6 +1164,30 @@ def _q_customer_components(sf_dir: str):
     return graph.connected_components(edges)
 
 
+def _q_chain_components_ls(sf_dir: str):
+    """Connected components via ALTERNATING large-star/small-star
+    (`ops/graph.py::connected_components_alternating`, Kiveris et al.
+    SoCC 2014) on a planted HIGH-DIAMETER graph: chains of ~193
+    customer keys (broken at multiples of 193).  Diameter 193 is the
+    regime where `connected_components`' min-label propagation needs
+    ~193 rounds (its cap is 30) but the alternating algorithm closes
+    in O(log² n) ≈ 9 rounds — the ER transitive-chain pathology
+    (A≈B≈C≈… across thousands of near-dup records) at query scale.
+    The oracle re-derives labels with a recursive min-label CTE."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import graph
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    max_key = int(cust.max("c_custkey"))
+
+    def _edges(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["c_custkey"].to_numpy()
+        a = c[(c % 193 != 0) & (c < max_key)]
+        return pd.DataFrame({"src": a, "dst": a + 1})
+
+    edges = cust.map_batches(_edges, batch_format="pandas")
+    return graph.connected_components_alternating(edges)
+
+
 def _q_validate_orders(sf_dir: str):
     """Declarative data-quality gate (`ops/validate.py`): six
     constraint rules over orders — null / unique / range / set /
@@ -5016,6 +5040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_profile": _q_lineitem_profile,  # new in r3
         "event_bursts": _q_event_bursts,  # new in r3
         "price_means_by_flag": _q_price_means_by_flag,  # new in r3
+        "chain_components_ls": _q_chain_components_ls,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
         "c360_interactions": _q_c360_interactions,
@@ -6444,6 +6469,22 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT c_custkey, c_custkey + 350
                 FROM customer WHERE c_custkey % 50 = 0
+            ), sym AS (
+                SELECT src, dst FROM e UNION SELECT dst, src FROM e
+            ), reach(node, label) AS (
+                SELECT src, src FROM sym
+                UNION
+                SELECT s.dst, r.label
+                FROM reach r JOIN sym s ON s.src = r.node
+            )
+            SELECT node, min(label) AS component FROM reach GROUP BY node
+        """,
+        "chain_components_ls": """
+            WITH RECURSIVE mx AS (SELECT max(c_custkey) AS m FROM customer),
+            e AS (
+                SELECT c_custkey AS src, c_custkey + 1 AS dst
+                FROM customer, mx
+                WHERE c_custkey % 193 <> 0 AND c_custkey < mx.m
             ), sym AS (
                 SELECT src, dst FROM e UNION SELECT dst, src FROM e
             ), reach(node, label) AS (

@@ -1174,3 +1174,194 @@ def hits(
         ),
         batch_format="pandas",
     )
+
+
+__all__ += ["connected_components_alternating"]
+
+
+def _edge_signature(edges: "ray.data.Dataset") -> tuple:
+    """(count, order-insensitive checksum) of a deduped (src, dst)
+    edge table — two metadata-cheap aggregates used as the fixpoint
+    test.  The checksum is a sum of per-pair 64-bit hashes, so it is
+    invariant to partitioning and row order."""
+
+    def _part(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(
+            df[["src", "dst"]], index=False
+        ).to_numpy(np.uint64)
+        # per-block partial; blocks are few, so the driver folds the
+        # partial frame exactly in Python ints (no overflow subtleties)
+        # partial = row-hash sum mod 2^64 (numpy wraps) — invariant to
+        # how rows land in blocks; int64 view only re-labels the bits
+        return pd.DataFrame(
+            {
+                "_n": np.array([len(df)], np.int64),
+                "_h": h.sum(dtype=np.uint64).reshape(1).view(np.int64),
+            }
+        )
+
+    part = edges.map_batches(_part, batch_format="pandas").to_pandas()
+    if part.empty:
+        return (0, 0)
+    mask = (1 << 64) - 1
+    return (
+        int(part["_n"].sum()),
+        sum(int(x) & mask for x in part["_h"].to_numpy()) & mask,
+    )
+
+
+def connected_components_alternating(
+    edges: "ray.data.Dataset",
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+    broadcast_limit: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Connected components via ALTERNATING large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the scale path for HIGH-DIAMETER identity graphs,
+    converging in O(log² n) rounds where `connected_components`'
+    min-label propagation needs O(diameter) rounds.  ER transitive
+    chains (A≈B≈C≈…) are exactly the pathological case: a chain of
+    10⁴ near-dup records is a diameter-10⁴ component.
+
+    Per half-round the plan is one combiner `grouped_aggregate`
+    (per-node neighborhood min — skew-immune: a hot node ships one
+    partial per block) plus one label attach (broadcast ≤
+    ``broadcast_limit`` nodes, hash join above), then a dedup
+    combiner.  Edges never carry payload; every intermediate is the
+    O(#edges) pair table, monotonically shrinking toward the star
+    fixpoint.  Fixpoint is detected by an order-insensitive
+    (count, checksum) signature, so no round compares edge sets
+    row-by-row.
+
+    Both phases preserve connectivity and only ever point nodes at
+    smaller ids, so the fixpoint is a forest of stars rooted at each
+    component's MINIMUM id — identical labels to
+    `connected_components` (tested equivalent).  Output:
+    ``(node, component)``.
+    """
+    from .relational import anti_join, grouped_aggregate, hash_join
+
+    def _canon(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[src].to_numpy()
+        b = df[dst].to_numpy()
+        keep = a != b
+        a, b = a[keep], b[keep]
+        # canonical src > dst (both phases below preserve this)
+        return pd.DataFrame({"src": np.maximum(a, b), "dst": np.minimum(a, b)})
+
+    def _dedup(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
+        return grouped_aggregate(
+            pairs, ["src", "dst"], [("count_star", None, "_n")]
+        ).drop_columns(["_n"])
+
+    cur = _dedup(edges.map_batches(_canon, batch_format="pandas")).materialize()
+
+    # full node set up front (for singleton/self-loop-only nodes)
+    def _nodes(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": np.concatenate([df[src].to_numpy(), df[dst].to_numpy()])}
+        )
+
+    all_nodes = grouped_aggregate(
+        edges.map_batches(_nodes, batch_format="pandas"),
+        ["node"],
+        [("count_star", None, "_n")],
+    ).drop_columns(["_n"]).materialize()
+
+    def _attach_min(pairs: "ray.data.Dataset", key: str) -> "ray.data.Dataset":
+        """Join each pair with m(key) = min(neighborhood(key) ∪ key).
+
+        ``pairs`` must hold the FULL view the neighborhood is defined
+        over (symmetric for large-star, directed for small-star).
+        Returns (src, dst, _m) rows of ``pairs``."""
+        mins = grouped_aggregate(
+            pairs.map_batches(
+                lambda df: pd.DataFrame({"_k": df[key], "_v": df["dst" if key == "src" else "src"]}),
+                batch_format="pandas",
+            ),
+            ["_k"],
+            [("min", "_v", "_mv")],
+        ).map_batches(
+            lambda df: pd.DataFrame(
+                {"_k": df["_k"], "_m": np.minimum(df["_mv"].to_numpy(), df["_k"].to_numpy())}
+            ),
+            batch_format="pandas",
+        ).materialize()
+        n_keys = mins.count()
+        if n_keys <= broadcast_limit:
+            mdf = mins.to_pandas()
+            ref = ray.put(dict(zip(mdf["_k"].to_numpy(), mdf["_m"].to_numpy())))
+
+            def _bc(df: pd.DataFrame, _r=ref) -> pd.DataFrame:
+                lm = ray.get(_r)
+                out = df[["src", "dst"]].copy()
+                out["_m"] = df[key].map(lm).to_numpy()
+                return out
+
+            return pairs.map_batches(_bc, batch_format="pandas")
+        return hash_join(
+            pairs.select_columns(["src", "dst"]), mins, on=[key], right_on=["_k"]
+        ).select_columns(["src", "dst", "_m"])
+
+    sig = _edge_signature(cur)
+    for _ in range(max_rounds if sig[0] else 0):
+        # ---- large-star: neighborhoods over the SYMMETRIC view;
+        # for every (u, v) with v > u emit (v, m(u)).
+        sym = cur.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "src": np.concatenate([df["src"].to_numpy(), df["dst"].to_numpy()]),
+                    "dst": np.concatenate([df["dst"].to_numpy(), df["src"].to_numpy()]),
+                }
+            ),
+            batch_format="pandas",
+        ).materialize()
+        withm = _attach_min(sym, "src")
+
+        def _ls_emit(df: pd.DataFrame) -> pd.DataFrame:
+            u = df["src"].to_numpy()
+            v = df["dst"].to_numpy()
+            m = df["_m"].to_numpy()
+            keep = v > u
+            return pd.DataFrame({"src": v[keep], "dst": m[keep]})
+
+        cur = _dedup(withm.map_batches(_ls_emit, batch_format="pandas")).materialize()
+
+        # ---- small-star: every edge already points larger → smaller;
+        # group by the LARGER endpoint u, m = min(N(u) ∪ {u}), emit
+        # (v, m) for v ∈ N(u) \ {m} plus (u, m).
+        withm2 = _attach_min(cur, "src")
+
+        def _ss_emit(df: pd.DataFrame) -> pd.DataFrame:
+            u = df["src"].to_numpy()
+            v = df["dst"].to_numpy()
+            m = df["_m"].to_numpy()
+            keep = v != m
+            return pd.DataFrame(
+                {
+                    "src": np.concatenate([v[keep], u]),
+                    "dst": np.concatenate([m[keep], m]),
+                }
+            )
+
+        cur = _dedup(withm2.map_batches(_ss_emit, batch_format="pandas")).materialize()
+
+        new_sig = _edge_signature(cur)
+        if new_sig == sig:
+            break
+        sig = new_sig
+
+    # fixpoint: cur is a star forest (member → root).  Labels:
+    labels = cur.map_batches(
+        lambda df: pd.DataFrame({"node": df["src"], "component": df["dst"]}),
+        batch_format="pandas",
+    )
+    roots = anti_join(all_nodes, labels, on="node")
+    return labels.union(
+        roots.map_batches(
+            lambda df: pd.DataFrame({"node": df["node"], "component": df["node"]}),
+            batch_format="pandas",
+        )
+    )
