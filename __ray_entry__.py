@@ -1188,6 +1188,38 @@ def _q_chain_components_ls(sf_dir: str):
     return graph.connected_components_alternating(edges)
 
 
+def _q_doc_partition_ari(sf_dir: str):
+    """Clustering-agreement census (`ops/cluster.py::
+    partition_agreement`): Rand index + Adjusted Rand Index between
+    two partitions of the documents table — 40-char-prefix blocking
+    clusters (md5(substr(text,1,40)), the sorted-neighborhood-style
+    cheap blocking key) vs the source grouping.  THE dedup/ER
+    quality primitive: label-free pairwise agreement between an
+    engine clustering and a reference partition, computed without
+    materializing the contingency table (combiner shuffles + scalar
+    folds only).  Oracle re-derives every pair count and the ARI
+    formula in SQL over the same md5 labels."""
+    import hashlib
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import cluster
+
+    docs = _read(sf_dir, "documents", ["text", "source"])
+
+    def _lab(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "a": [
+                    hashlib.md5(t[:40].encode("utf-8")).hexdigest()
+                    for t in df["text"]
+                ],
+                "b": df["source"],
+            }
+        )
+
+    labeled = docs.map_batches(_lab, batch_format="pandas")
+    return cluster.partition_agreement(labeled, "a", "b")
+
+
 def _q_validate_orders(sf_dir: str):
     """Declarative data-quality gate (`ops/validate.py`): six
     constraint rules over orders — null / unique / range / set /
@@ -5041,6 +5073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_bursts": _q_event_bursts,  # new in r3
         "price_means_by_flag": _q_price_means_by_flag,  # new in r3
         "chain_components_ls": _q_chain_components_ls,  # new in r3
+        "doc_partition_ari": _q_doc_partition_ari,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
         "c360_interactions": _q_c360_interactions,
@@ -6494,6 +6527,40 @@ def oracle_sql() -> dict[str, str]:
                 FROM reach r JOIN sym s ON s.src = r.node
             )
             SELECT node, min(label) AS component FROM reach GROUP BY node
+        """,
+        "doc_partition_ari": """
+            WITH cells AS (
+                SELECT md5(substr(text, 1, 40)) AS a, source AS b,
+                       count(*) AS n
+                FROM documents GROUP BY 1, 2
+            ), ma AS (
+                SELECT a, sum(n) AS cnt FROM cells GROUP BY a
+            ), mb AS (
+                SELECT b, sum(n) AS cnt FROM cells GROUP BY b
+            ), s AS (
+                SELECT (SELECT sum(n) FROM cells) AS nr,
+                       (SELECT sum(n * (n - 1) // 2) FROM cells) AS sij,
+                       (SELECT sum(cnt * (cnt - 1) // 2) FROM ma) AS sa,
+                       (SELECT sum(cnt * (cnt - 1) // 2) FROM mb) AS sb
+            ), t AS (
+                SELECT nr, sij, sa, sb, nr * (nr - 1) // 2 AS pt FROM s
+            )
+            SELECT CAST(nr AS BIGINT) AS n_rows,
+                   CAST(pt AS BIGINT) AS pairs_total,
+                   CAST(sij AS BIGINT) AS pairs_both,
+                   CAST(sa AS BIGINT) AS pairs_a,
+                   CAST(sb AS BIGINT) AS pairs_b,
+                   round((pt - sa - sb + 2 * sij) / CAST(pt AS DOUBLE),
+                         6) AS rand,
+                   round(CASE WHEN abs(0.5 * (sa + sb)
+                                       - (sa / CAST(pt AS DOUBLE)) * sb)
+                                   > 0.000000000001
+                              THEN (sij - (sa / CAST(pt AS DOUBLE)) * sb)
+                                   / (0.5 * (sa + sb)
+                                      - (sa / CAST(pt AS DOUBLE)) * sb)
+                              WHEN sa = sb AND sb = sij THEN 1.0
+                              ELSE 0.0 END, 6) AS ari
+            FROM t
         """,
         "skew_join_lineitem": """
             SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,

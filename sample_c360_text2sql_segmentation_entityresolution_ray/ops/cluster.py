@@ -350,3 +350,92 @@ def pca_transform(
         return pa.table(cols)
 
     return ds.map_batches(_fn, batch_format="pyarrow")
+
+
+def partition_agreement(
+    ds: "ray.data.Dataset",
+    a_col: str,
+    b_col: str,
+) -> pd.DataFrame:
+    """Pairwise agreement between two PARTITIONS of the same rows —
+    Rand index + Adjusted Rand Index (Hubert & Arabie 1985) treating
+    ``a_col`` and ``b_col`` values as cluster labels.  The ER/dedup
+    quality primitive: "how well does clustering B reproduce
+    clustering A" without any label alignment (ARI depends only on
+    the partitions, never on label names).
+
+    Scale shape: ONE combiner shuffle builds the (a, b) contingency
+    cells; Σ C(n_ij,2) folds distributively over the cell stream, and
+    each marginal is a second combiner over the CELLS (O(#cells) in,
+    O(#labels) out) folded the same way.  Nothing larger than a
+    per-block partial ever reaches the driver — no contingency-table
+    materialization, so a 10^9-cluster dedup output is fine.
+
+    Returns a ONE-row pandas frame:
+    ``(n_rows, pairs_total, pairs_both, pairs_a, pairs_b, rand, ari)``
+    with rand/ari half-away-from-zero rounded to 6 (DuckDB parity);
+    degenerate inputs (everything one cluster in both, or all
+    singletons in both) define ari = 1.0 when the partitions are
+    identical-by-pairs and 0.0 otherwise, via the usual
+    zero-denominator guard."""
+
+    def _pair2(n: "pd.Series") -> "pd.Series":
+        v = n.astype("int64")
+        return v * (v - 1) // 2
+
+    cells = grouped_aggregate(
+        ds.select_columns([a_col, b_col]),
+        [a_col, b_col],
+        [("count_star", None, "n")],
+    ).materialize()
+
+    def _cell_part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "_n": [int(df["n"].sum())],
+                "_sij": [int(_pair2(df["n"]).sum())],
+            }
+        )
+
+    tot = cells.map_batches(_cell_part, batch_format="pandas").to_pandas()
+    n_rows = int(tot["_n"].sum()) if len(tot) else 0
+    s_ij = int(tot["_sij"].sum()) if len(tot) else 0
+
+    def _marginal_pairs(col: str) -> int:
+        marg = grouped_aggregate(cells, [col], [("sum", "n", "cnt")])
+        part = marg.map_batches(
+            lambda df: pd.DataFrame({"_p": [int(_pair2(df["cnt"]).sum())]}),
+            batch_format="pandas",
+        ).to_pandas()
+        return int(part["_p"].sum()) if len(part) else 0
+
+    s_a = _marginal_pairs(a_col)
+    s_b = _marginal_pairs(b_col)
+    pairs_total = n_rows * (n_rows - 1) // 2
+
+    if pairs_total:
+        # rand = (agreements) / total pairs: pairs together in both,
+        # plus pairs apart in both = total - sa - sb + 2*sij
+        rand = (pairs_total - s_a - s_b + 2 * s_ij) / pairs_total
+        expected = (s_a / pairs_total) * s_b
+        denom = 0.5 * (s_a + s_b) - expected
+        ari = (s_ij - expected) / denom if abs(denom) > 1e-12 else (
+            1.0 if s_a == s_b == s_ij else 0.0
+        )
+    else:
+        rand, ari = 1.0, 1.0
+
+    scale = 1e6
+    r6 = float(np.trunc(rand * scale + np.copysign(0.5, rand)) / scale)
+    a6 = float(np.trunc(ari * scale + np.copysign(0.5, ari)) / scale)
+    return pd.DataFrame(
+        {
+            "n_rows": [np.int64(n_rows)],
+            "pairs_total": [np.int64(pairs_total)],
+            "pairs_both": [np.int64(s_ij)],
+            "pairs_a": [np.int64(s_a)],
+            "pairs_b": [np.int64(s_b)],
+            "rand": [r6],
+            "ari": [a6],
+        }
+    )

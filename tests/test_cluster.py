@@ -93,3 +93,30 @@ def test_pca_distributed_matches_reference(sf_dir):
     assert v[0] >= v[1] >= v[2] >= v[3] > 0
     total_var = ((X - X.mean(0)) ** 2).sum(1).mean()
     assert v[0] >= total_var / X.shape[1]
+
+
+def test_partition_agreement_identical_and_independent():
+    import pandas as pd
+    import ray.data
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.cluster import (
+        partition_agreement,
+    )
+
+    # identical partitions (different label names): rand = ari = 1
+    df = pd.DataFrame(
+        {"a": ["x", "x", "y", "y", "z"], "b": [1, 1, 2, 2, 3]}
+    )
+    out = partition_agreement(ray.data.from_pandas(df), "a", "b")
+    assert out["rand"].iloc[0] == 1.0 and out["ari"].iloc[0] == 1.0
+    assert out["pairs_both"].iloc[0] == 2 and out["pairs_total"].iloc[0] == 10
+
+    # sklearn-documented example: ARI of [0,0,1,1] vs [0,0,1,2] = 0.571429
+    df2 = pd.DataFrame({"a": [0, 0, 1, 1], "b": [0, 0, 1, 2]})
+    out2 = partition_agreement(ray.data.from_pandas(df2), "a", "b")
+    assert abs(out2["ari"].iloc[0] - 0.571429) < 1e-6
+
+    # one row: no pairs, defined as perfect agreement
+    df3 = pd.DataFrame({"a": ["q"], "b": ["r"]})
+    out3 = partition_agreement(ray.data.from_pandas(df3), "a", "b")
+    assert out3["rand"].iloc[0] == 1.0 and out3["ari"].iloc[0] == 1.0
