@@ -684,6 +684,18 @@ def _q_token_freq_top50(sf_dir: str):
     return textops.token_freq_topk(docs, k=50)
 
 
+def _q_vocab_oov(sf_dir: str):
+    """Tokenizer-vocab application (`ops/text.py::vocab_oov`): learn
+    the top-256 token vocabulary and census every document's
+    out-of-vocabulary rate against it — the sizing study a
+    tokenizer-training pipeline runs before fixing a vocab.  Census
+    shuffle is (token, partial-count) slim; the 256-string vocab
+    broadcasts into a stateless scoring map (documents never
+    shuffle).  Oracle: QUALIFY top-k CTE + per-doc NOT IN census."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return textops.vocab_oov(docs, k=256)
+
+
 def _q_pii_scrub(sf_dir: str):
     """Mask emails/phones/IPs over the planted-PII fixture; the oracle
     applies the identical RE2 patterns with regexp_replace(…, 'g')."""
@@ -5074,6 +5086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_means_by_flag": _q_price_means_by_flag,  # new in r3
         "chain_components_ls": _q_chain_components_ls,  # new in r3
         "doc_partition_ari": _q_doc_partition_ari,  # new in r3
+        "vocab_oov": _q_vocab_oov,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
         "c360_interactions": _q_c360_interactions,
@@ -6718,6 +6731,27 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY cnt DESC, token ASC
             LIMIT 50
+        """,
+        "vocab_oov": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ), vocab AS (
+                SELECT token
+                FROM (SELECT token, count(*) AS c FROM tok GROUP BY token)
+                QUALIFY row_number()
+                        OVER (ORDER BY c DESC, token ASC) <= 256
+            ), per AS (
+                SELECT doc_id, count(*) AS n_tokens,
+                       sum(CASE WHEN token NOT IN (SELECT token FROM vocab)
+                                THEN 1 ELSE 0 END) AS n_oov
+                FROM tok GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_oov AS BIGINT) AS n_oov,
+                   round(n_oov / CAST(n_tokens AS DOUBLE), 6) AS oov_rate
+            FROM per
         """,
         "doc_split": """
             SELECT doc_id,

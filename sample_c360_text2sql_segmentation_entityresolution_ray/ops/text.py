@@ -1620,3 +1620,59 @@ def char_entropy_stage(
 
 
 __all__.append("char_entropy_stage")
+
+
+def vocab_oov(
+    ds: "ray.data.Dataset",
+    k: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Tokenizer-vocabulary application: learn the top-``k`` token
+    vocabulary (count desc, token asc — the `token_freq_topk` census)
+    and emit each document's ``(n_tokens, n_oov, oov_rate)`` against
+    it — the out-of-vocabulary census a tokenizer-training pipeline
+    runs before committing to a vocab size.
+
+    Two passes, both streaming: the census shuffle ships (token,
+    partial-count) rows bounded by vocab × blocks; the top-k result
+    (k strings) broadcasts via ``ray.put`` into a stateless scoring
+    map — documents never shuffle.  Scoring is one np.isin over the
+    batch's concatenated tokens with per-doc ``np.add.reduceat``
+    folds, no per-row Python loop."""
+    import pandas as pd
+
+    vocab_df = token_freq_topk(ds, k=k, text_col=text_col).to_pandas()
+    vocab_arr = np.sort(vocab_df["token"].to_numpy(object))
+    ref = ray.put(vocab_arr)
+
+    def _score(batch: pd.DataFrame, _r=ref) -> pd.DataFrame:
+        vocab = ray.get(_r)
+        texts = batch[text_col].to_numpy(object)
+        tok_lists = [t.split(" ") for t in texts]
+        lens = np.fromiter((len(t) for t in tok_lists), np.int64,
+                           count=len(tok_lists))
+        if len(tok_lists):
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in tok_lists]
+            )
+            oov = ~np.isin(flat, vocab)
+            offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            n_oov = np.add.reduceat(oov.astype(np.int64), offsets)
+        else:
+            n_oov = np.empty(0, np.int64)
+        rate = n_oov / np.maximum(lens, 1)
+        scale = 1e6
+        rate = np.trunc(rate * scale + np.copysign(0.5, rate)) / scale
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col],
+                "n_tokens": lens,
+                "n_oov": n_oov,
+                "oov_rate": rate,
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _score, batch_format="pandas"
+    )

@@ -395,3 +395,28 @@ def test_bpe_pair_counts_hand_checked(ray_session):
     assert got[("e", "w")] == 2
     # single-char word 'a' contributes nothing; 14 pairs total
     assert sum(got.values()) == 14
+
+
+def test_vocab_oov_counts(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.text import vocab_oov
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a a b", "a c", "z z z z"],
+        }
+    )
+    # k=2 vocab by (count desc, token asc): a(3), z(4) -> top2 = z, a
+    out = (
+        vocab_oov(ray.data.from_pandas(df), k=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_tokens"].tolist() == [3, 2, 4]
+    # vocab = {z, a}; oov: b -> 1; c -> 1; none -> 0
+    assert out["n_oov"].tolist() == [1, 1, 0]
+    assert abs(out["oov_rate"].iloc[0] - 0.333333) < 1e-9
