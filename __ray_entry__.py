@@ -1232,6 +1232,38 @@ def _q_doc_partition_ari(sf_dir: str):
     return cluster.partition_agreement(labeled, "a", "b")
 
 
+def _q_customer_skyline(sf_dir: str):
+    """Pareto frontier (`ops/analytics.py::skyline2d`): customers no
+    one else beats on BOTH total spend and order count — the 2-D
+    skyline with per-block local-frontier pruning (dominated rows die
+    in their own block; only per-block frontier survivors reach the
+    single merge pass; no all-pairs comparison).  Spend is rounded to
+    cents BEFORE the dominance test so engine and oracle compare the
+    same numbers.  Oracle: NOT-EXISTS-dominator over the same
+    aggregate."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import (
+        analytics,
+        relational as rel,
+    )
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    agg = rel.grouped_aggregate(
+        orders,
+        ["o_custkey"],
+        [("sum", "o_totalprice", "spend"),
+         ("count_star", None, "n_orders")],
+    )
+
+    def _round2(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["spend"].to_numpy(np.float64)
+        df = df.copy()
+        df["spend"] = np.trunc(s * 100.0 + np.copysign(0.5, s)) / 100.0
+        return df
+
+    rounded = agg.map_batches(_round2, batch_format="pandas")
+    return analytics.skyline2d(rounded, "spend", "n_orders")
+
+
 def _q_validate_orders(sf_dir: str):
     """Declarative data-quality gate (`ops/validate.py`): six
     constraint rules over orders — null / unique / range / set /
@@ -5087,6 +5119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chain_components_ls": _q_chain_components_ls,  # new in r3
         "doc_partition_ari": _q_doc_partition_ari,  # new in r3
         "vocab_oov": _q_vocab_oov,  # new in r3
+        "customer_skyline": _q_customer_skyline,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
         "c360_interactions": _q_c360_interactions,
@@ -6540,6 +6573,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM reach r JOIN sym s ON s.src = r.node
             )
             SELECT node, min(label) AS component FROM reach GROUP BY node
+        """,
+        "customer_skyline": """
+            WITH a AS (
+                SELECT o_custkey, round(sum(o_totalprice), 2) AS spend,
+                       count(*) AS n_orders
+                FROM orders GROUP BY 1
+            )
+            SELECT o_custkey, spend, CAST(n_orders AS BIGINT) AS n_orders
+            FROM a p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM a q
+                WHERE q.spend >= p.spend AND q.n_orders >= p.n_orders
+                  AND (q.spend > p.spend OR q.n_orders > p.n_orders)
+            )
         """,
         "doc_partition_ari": """
             WITH cells AS (

@@ -422,3 +422,53 @@ def grouped_ewma(
 
 
 __all__.append("grouped_ewma")
+
+
+def skyline2d(
+    ds: "ray.data.Dataset",
+    x_col: str,
+    y_col: str,
+) -> "ray.data.Dataset":
+    """2-D skyline (Pareto frontier, both dimensions MAXIMIZED): rows
+    no other row dominates, where q dominates p iff ``x_q ≥ x_p AND
+    y_q ≥ y_p`` strict in at least one.  Rows with identical (x, y)
+    never dominate each other, so duplicates of a frontier point ALL
+    survive — the NOT-EXISTS-dominator SQL semantics exactly.
+
+    Distributed shape (Börzsönyi 2001's partition-then-merge made
+    streaming): every block reduces to its LOCAL skyline with one
+    vectorized sort + running-max sweep (a point dominated within a
+    block is dominated globally — safe to drop early), and only those
+    survivors — bounded by the per-block frontier size, typically
+    O(log block) for independent dims, never the block — cross into
+    the single final merge pass running the same kernel.  Input rows
+    never shuffle; there is no all-pairs comparison anywhere."""
+
+    def _local(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        x = df[x_col].to_numpy()
+        y = df[y_col].to_numpy()
+        pairs = pd.DataFrame({"x": x, "y": y}).drop_duplicates()
+        # per distinct x keep only max y (lower y at same x is dominated)
+        best = pairs.groupby("x", sort=False)["y"].max().reset_index()
+        srt = best.sort_values(["x"], ascending=False, kind="mergesort")
+        yy = srt["y"].to_numpy()
+        # scanning x strictly decreasing: survivor iff y strictly above
+        # every y already seen (equal y at larger x dominates)
+        run = np.maximum.accumulate(
+            np.concatenate([[-np.inf], yy[:-1]])
+        )
+        keep_pairs = srt[yy > run]
+        mask = pd.MultiIndex.from_arrays([x, y]).isin(
+            pd.MultiIndex.from_arrays([keep_pairs["x"], keep_pairs["y"]])
+        )
+        return df[mask]
+
+    candidates = ds.map_batches(_local, batch_format="pandas")
+    return candidates.repartition(1).map_batches(
+        _local, batch_format="pandas"
+    )
+
+
+__all__.append("skyline2d")

@@ -358,3 +358,38 @@ def test_impute_group_median_planted(ray_session):
     assert a == [1.0, 2.0, 3.0]  # NaN -> median 2.0
     # group with no observed values keeps NaN
     assert out[out["g"] == "b"]["v"].isna().all()
+
+
+def test_skyline2d_dominance_and_ties(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.analytics import skyline2d
+
+    df = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4, 5, 6],
+            "x": [5.0, 5.0, 4.0, 3.0, 5.0, 2.0],
+            "y": [1, 1, 2, 3, 0, 3],
+        }
+    )
+    # frontier pairs: (5,1) [ids 1,2 — identical ties BOTH kept],
+    # (4,2), (3,3); (5,0) dominated by (5,1); (2,3) dominated by (3,3)
+    out = (
+        skyline2d(ray.data.from_pandas(df), "x", "y")
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert out["id"].tolist() == [1, 2, 3, 4]
+
+    # many blocks: local pruning must not change the answer
+    big = pd.DataFrame({"id": range(200), "x": range(200),
+                        "y": [i % 7 for i in range(200)]})
+    ds = ray.data.from_pandas(big).repartition(8)
+    got = skyline2d(ds, "x", "y").to_pandas()
+    # global max x always survives; every survivor must be undominated
+    assert 199 in got["id"].tolist()
+    for _, p in got.iterrows():
+        dom = big[(big.x >= p.x) & (big.y >= p.y)
+                  & ((big.x > p.x) | (big.y > p.y))]
+        assert dom.empty
