@@ -13,7 +13,12 @@ partition-order-defined (determinism requirement, SURVEY §7.4).
 
 Each round materializes the (small) label table to bound lineage; the
 round count is O(component diameter) — tiny for ER graphs, capped at
-``cc_max_rounds``.
+``cc_max_rounds``.  If the cap is hit before the fixpoint (a
+transitive chain with diameter > cap), the pass does NOT return the
+partial labels: it contracts the graph by them and finishes the
+quotient with the O(log²)-round alternating large-star/small-star
+algorithm (`ops/graph.py::connected_components_alternating`), so the
+returned labels are always the exact component minimum.
 
 A driver-side union-find fast path handles provably-small edge sets
 (`local_cc_max_edges`), streaming edges via ``iter_batches`` — the
@@ -90,6 +95,7 @@ def connected_components(
     from ..ops.relational import hash_join
 
     prev_sum = _labels_checksum(labels)
+    converged = False
     for _round in range(cfg.cc_max_rounds):
         msgs = hash_join(
             sym, labels, on=("src",), right_on=("node",), num_partitions=P
@@ -105,9 +111,52 @@ def connected_components(
         )
         cur_sum = _labels_checksum(labels)
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
-    return labels
+    if converged:
+        return labels
+
+    # Round cap hit without a fixpoint: a component with diameter >
+    # cc_max_rounds (a pathological transitive chain).  Returning the
+    # partial labels would split that component silently — instead
+    # CONTRACT the graph by the partial labels (the quotient has one
+    # node per partial label, so it is much smaller than the input)
+    # and finish it with the alternating large-star/small-star pass
+    # (ops/graph.py), which closes any residual diameter in O(log²)
+    # rounds.  Compose: node → partial label → quotient component.
+    from ..ops.graph import connected_components_alternating
+    from ..ops.relational import grouped_aggregate
+
+    half = hash_join(
+        sym, labels, on=("src",), right_on=("node",), num_partitions=P
+    ).map_batches(
+        lambda df: pd.DataFrame({"dst": df["dst"], "la": df["label"]}),
+        batch_format="pandas",
+    )
+    quotient = hash_join(
+        half, labels, on=("dst",), right_on=("node",), num_partitions=P
+    ).map_batches(
+        lambda df: pd.DataFrame({"src": df["la"], "dst": df["label"]}),
+        batch_format="pandas",
+    )
+    q_edges = grouped_aggregate(
+        quotient, ["src", "dst"], [("count_star", None, "_n")]
+    ).drop_columns(["_n"]).materialize()
+    q_labels = connected_components_alternating(
+        q_edges, max_rounds=max(cfg.cc_max_rounds, 60)
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {"qnode": df["node"], "component": df["component"]}
+        ),
+        batch_format="pandas",
+    )
+    return hash_join(
+        labels, q_labels, on=("label",), right_on=("qnode",), num_partitions=P
+    ).map_batches(
+        lambda df: pd.DataFrame({"node": df["node"], "label": df["component"]}),
+        batch_format="pandas",
+    ).materialize()
 
 
 class LocalUnionFind:

@@ -49,3 +49,28 @@ def test_resolve_labels_empty():
     ).materialize()
     out = resolve_labels(empty).to_pandas()
     assert len(out) == 0
+
+
+def test_round_cap_falls_back_to_alternating_cc():
+    # ONE chain of 80 urls — diameter 80.  cc_max_rounds=3 cannot
+    # converge by propagation; the quotient-contraction fallback must
+    # still return the exact component minimum for every node.
+    urls = [f"u{idx:03d}" for idx in range(80)]
+    edges = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "url_a": urls[:-1],
+                "url_b": urls[1:],
+                "score": [1.0] * 79,
+            }
+        )
+    )
+    out = (
+        connected_components(
+            edges, ERConfig(cc_num_partitions=4, cc_max_rounds=3)
+        )
+        .to_pandas()
+        .sort_values("node")
+    )
+    assert len(out) == 80
+    assert (out["label"] == "u000").all()
