@@ -1200,6 +1200,37 @@ def _q_chain_components_ls(sf_dir: str):
     return graph.connected_components_alternating(edges)
 
 
+def _q_components_incremental(sf_dir: str):
+    """Incremental connected components (`ops/graph.py::
+    incremental_components`): resolve a base identity graph (chains
+    of ~50 customer keys), then fold in a DELTA of cross-links
+    (k → k+500 at multiples of 100) by contracting the delta through
+    the existing labels — the alternating-star pass runs on the
+    O(|delta|) contracted edges only, never re-touching the base
+    edge set.  The oracle re-derives the final labels from the UNION
+    of both edge sets with a recursive min-label CTE, so the query
+    proves delta fold-in ≡ full recompute."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import graph
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    max_key = int(cust.max("c_custkey"))
+
+    def _base(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["c_custkey"].to_numpy()
+        a = c[(c % 50 != 0) & (c < max_key)]
+        return pd.DataFrame({"src": a, "dst": a + 1})
+
+    def _delta(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["c_custkey"].to_numpy()
+        b = c[(c % 100 == 0) & (c + 500 <= max_key)]
+        return pd.DataFrame({"src": b, "dst": b + 500})
+
+    base = cust.map_batches(_base, batch_format="pandas")
+    delta = cust.map_batches(_delta, batch_format="pandas")
+    labels = graph.connected_components_alternating(base)
+    return graph.incremental_components(labels, delta)
+
+
 def _q_doc_partition_ari(sf_dir: str):
     """Clustering-agreement census (`ops/cluster.py::
     partition_agreement`): Rand index + Adjusted Rand Index between
@@ -5120,6 +5151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_partition_ari": _q_doc_partition_ari,  # new in r3
         "vocab_oov": _q_vocab_oov,  # new in r3
         "customer_skyline": _q_customer_skyline,  # new in r3
+        "components_incremental": _q_components_incremental,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
         "c360_interactions": _q_c360_interactions,
@@ -6564,6 +6596,26 @@ def oracle_sql() -> dict[str, str]:
                 SELECT c_custkey AS src, c_custkey + 1 AS dst
                 FROM customer, mx
                 WHERE c_custkey % 193 <> 0 AND c_custkey < mx.m
+            ), sym AS (
+                SELECT src, dst FROM e UNION SELECT dst, src FROM e
+            ), reach(node, label) AS (
+                SELECT src, src FROM sym
+                UNION
+                SELECT s.dst, r.label
+                FROM reach r JOIN sym s ON s.src = r.node
+            )
+            SELECT node, min(label) AS component FROM reach GROUP BY node
+        """,
+        "components_incremental": """
+            WITH RECURSIVE mx AS (SELECT max(c_custkey) AS m FROM customer),
+            e AS (
+                SELECT c_custkey AS src, c_custkey + 1 AS dst
+                FROM customer, mx
+                WHERE c_custkey % 50 <> 0 AND c_custkey < mx.m
+                UNION ALL
+                SELECT c_custkey, c_custkey + 500
+                FROM customer, mx
+                WHERE c_custkey % 100 = 0 AND c_custkey + 500 <= mx.m
             ), sym AS (
                 SELECT src, dst FROM e UNION SELECT dst, src FROM e
             ), reach(node, label) AS (

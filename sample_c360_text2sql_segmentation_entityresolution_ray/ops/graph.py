@@ -1301,8 +1301,13 @@ def connected_components_alternating(
                 return out
 
             return pairs.map_batches(_bc, batch_format="pandas")
+        # partitions sized to the data: far-above-row-count partition
+        # counts leave empty join partitions, tripping the Ray 2.49
+        # Arrow empty-schema finalizer edge case (see stages/clustering)
+        P = max(1, min(16, n_keys // 1000 + 1))
         return hash_join(
-            pairs.select_columns(["src", "dst"]), mins, on=[key], right_on=["_k"]
+            pairs.select_columns(["src", "dst"]), mins, on=[key],
+            right_on=["_k"], num_partitions=P,
         ).select_columns(["src", "dst", "_m"])
 
     sig = _edge_signature(cur)
@@ -1365,3 +1370,119 @@ def connected_components_alternating(
             batch_format="pandas",
         )
     )
+
+
+__all__ += ["incremental_components"]
+
+
+def incremental_components(
+    labels: "ray.data.Dataset",
+    delta: "ray.data.Dataset",
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_limit: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Fold DELTA edges into an existing ``(node, component)``
+    labeling without re-running connected components on the full
+    graph — the clustering-layer counterpart of the ER pipeline's
+    incremental delta fold-in (`pipelines/entity_resolution.py`).
+
+    Plan: contract the delta by the existing labels (each endpoint →
+    its current component; an endpoint never seen before labels
+    itself), run the alternating large-star/small-star pass on that
+    CONTRACTED edge set — O(|delta|) edges regardless of corpus size
+    — and apply the resulting old-component → new-component map back
+    to the label table with one broadcast/join attach.  Nothing
+    proportional to the full EDGE set is ever touched; the only
+    full-table pass is the final O(#nodes) relabel, which a delta
+    fold-in cannot avoid (any old component may acquire a new
+    minimum).  Exactly equivalent to re-running CC on
+    (star-edges ∪ delta) — tested bit-equal to the full recompute."""
+    from .relational import anti_join, grouped_aggregate, hash_join
+
+    # endpoints of the delta that the labeling has never seen label
+    # themselves; union gives a TOTAL label table for the delta graph
+    def _ends(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": np.concatenate([df[src].to_numpy(), df[dst].to_numpy()])}
+        )
+
+    delta = delta.select_columns([src, dst]).materialize()
+    if delta.count() == 0:
+        return labels
+
+    new_nodes = anti_join(
+        grouped_aggregate(
+            delta.map_batches(_ends, batch_format="pandas"),
+            ["node"],
+            [("count_star", None, "_n")],
+        ).drop_columns(["_n"]),
+        labels,
+        on="node",
+    ).map_batches(
+        lambda df: pd.DataFrame({"node": df["node"], "component": df["node"]}),
+        batch_format="pandas",
+    )
+    total = labels.union(new_nodes).materialize()
+
+    # contract: delta edge (u, v) → (component(u), component(v))
+    n_nodes = total.count()
+    if n_nodes <= broadcast_limit:
+        ldf = total.to_pandas()
+        ref = ray.put(dict(zip(ldf["node"].to_numpy(), ldf["component"].to_numpy())))
+
+        def _contract(df: pd.DataFrame, _r=ref) -> pd.DataFrame:
+            lm = ray.get(_r)
+            return pd.DataFrame(
+                {"src": df[src].map(lm), "dst": df[dst].map(lm)}
+            )
+
+        contracted = delta.map_batches(_contract, batch_format="pandas")
+    else:
+        # materialize between the stacked joins: two join aggregator
+        # pools running concurrently can starve a small cluster (each
+        # pool reserves CPU for its partition actors)
+        P = max(1, min(16, n_nodes // 1000 + 1))
+        half = hash_join(
+            delta.select_columns([src, dst]), total, on=(src,),
+            right_on=("node",), num_partitions=P,
+        ).map_batches(
+            lambda df: pd.DataFrame({dst: df[dst], "_ca": df["component"]}),
+            batch_format="pandas",
+        ).materialize()
+        contracted = hash_join(
+            half, total, on=(dst,), right_on=("node",), num_partitions=P,
+        ).map_batches(
+            lambda df: pd.DataFrame({"src": df["_ca"], "dst": df["component"]}),
+            batch_format="pandas",
+        ).materialize()
+
+    comp_map = connected_components_alternating(
+        contracted, broadcast_limit=broadcast_limit
+    ).map_batches(
+        lambda df: pd.DataFrame({"_old": df["node"], "_new": df["component"]}),
+        batch_format="pandas",
+    ).materialize()
+
+    # relabel: component → mapped component (identity when untouched)
+    n_map = comp_map.count()
+    if n_map <= broadcast_limit:
+        mdf = comp_map.to_pandas()
+        mref = ray.put(dict(zip(mdf["_old"].to_numpy(), mdf["_new"].to_numpy())))
+
+        def _apply(df: pd.DataFrame, _r=mref) -> pd.DataFrame:
+            mm = ray.get(_r)
+            c = df["component"]
+            mapped = c.map(mm)
+            out = mapped.where(mapped.notna(), c).astype(c.dtype, copy=False)
+            return pd.DataFrame({"node": df["node"], "component": out})
+
+        return total.map_batches(_apply, batch_format="pandas")
+    touched = hash_join(
+        total, comp_map, on=("component",), right_on=("_old",)
+    ).map_batches(
+        lambda df: pd.DataFrame({"node": df["node"], "component": df["_new"]}),
+        batch_format="pandas",
+    )
+    untouched = anti_join(total, comp_map, on="component", right_on="_old")
+    return touched.union(untouched)

@@ -115,3 +115,49 @@ def test_alternating_forced_join_attach(ray_session):
     a = _labels(connected_components_alternating(ds, broadcast_limit=0))
     b = _labels(connected_components(ds))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_incremental_components_equals_full(ray_session):
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.graph import (
+        incremental_components,
+    )
+
+    rng = np.random.RandomState(5)
+    base = pd.DataFrame(
+        {"src": rng.randint(0, 150, 200), "dst": rng.randint(0, 150, 200)}
+    )
+    # delta merges components AND introduces brand-new nodes 500-509
+    delta = pd.DataFrame(
+        {
+            "src": np.concatenate([rng.randint(0, 150, 30),
+                                   np.arange(500, 510)]),
+            "dst": np.concatenate([rng.randint(0, 150, 30),
+                                   rng.randint(0, 150, 10)]),
+        }
+    )
+    labels = connected_components_alternating(ray.data.from_pandas(base))
+    inc = _labels(
+        incremental_components(labels, ray.data.from_pandas(delta))
+    )
+    full = _labels(
+        connected_components_alternating(
+            ray.data.from_pandas(pd.concat([base, delta], ignore_index=True))
+        )
+    )
+    pd.testing.assert_frame_equal(inc, full)
+
+
+def test_incremental_components_forced_join_path(ray_session):
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.graph import (
+        incremental_components,
+    )
+
+    base = pd.DataFrame({"src": [1, 2, 10, 11], "dst": [2, 3, 11, 12]})
+    delta = pd.DataFrame({"src": [3], "dst": [10]})  # merges the two chains
+    labels = connected_components_alternating(ray.data.from_pandas(base))
+    inc = _labels(
+        incremental_components(
+            labels, ray.data.from_pandas(delta), broadcast_limit=0
+        )
+    )
+    assert (inc["component"] == 1).all() and len(inc) == 6
