@@ -1231,6 +1231,51 @@ def _q_components_incremental(sf_dir: str):
     return graph.incremental_components(labels, delta)
 
 
+def _q_threshold_components(sf_dir: str):
+    """Match-threshold sweep — the ER tuning curve "how many entity
+    clusters at similarity cutoff t".  Weighted planted edges (hash
+    weight wm = (key·2654435761) mod 97 on customer chains) are
+    resolved ONCE at the tightest cutoff, then each looser cutoff
+    folds ONLY its newly-admitted edge band in via
+    `incremental_components` (delta contraction — the base edge set
+    is never re-clustered).  Output: (threshold, n_nodes,
+    n_components) per cutoff.  Oracle: three recursive min-label
+    CTEs over the same integer-hash bands."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import graph
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
+        grouped_aggregate,
+    )
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    max_key = int(cust.max("c_custkey"))
+    H = 2654435761
+
+    def _band(lo: int, hi: int):
+        def _f(df: pd.DataFrame) -> pd.DataFrame:
+            c = df["c_custkey"].to_numpy()
+            k = c[c < max_key]
+            wm = (k * H) % 97
+            m = (wm >= lo) & (wm < hi)
+            return pd.DataFrame({"src": k[m], "dst": k[m] + 1})
+
+        return cust.map_batches(_f, batch_format="pandas")
+
+    labels = graph.connected_components_alternating(_band(73, 98))
+    rows = []
+    for thr, lo, hi in [(73, None, None), (49, 49, 73), (25, 25, 49)]:
+        if lo is not None:
+            labels = graph.incremental_components(labels, _band(lo, hi))
+        labels = labels.materialize()
+        n_nodes = labels.count()
+        n_comp = grouped_aggregate(
+            labels, ["component"], [("count_star", None, "_n")]
+        ).count()
+        rows.append((thr, n_nodes, n_comp))
+    return pd.DataFrame(
+        rows, columns=["threshold", "n_nodes", "n_components"]
+    ).astype("int64")
+
+
 def _q_doc_partition_ari(sf_dir: str):
     """Clustering-agreement census (`ops/cluster.py::
     partition_agreement`): Rand index + Adjusted Rand Index between
@@ -2262,6 +2307,40 @@ def _q_minhash_dup_docs(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = dedup.minhash_dup_pairs(docs, threshold=0.6)
     return _round_cols(pairs, ["sim"], 6)
+
+
+def _q_dup_cluster_sizes(sf_dir: str):
+    """Near-dup CLUSTER STRUCTURE census: MinHash-LSH pairs (same
+    construction as `minhash_dup_docs`) → transitive clustering
+    (`ops/graph.connected_components`) → (cluster_size, n_clusters)
+    histogram — the "how big are my duplicate families" answer that
+    decides keep-one-per-cluster budget at corpus scale.  Pair gen is
+    banded LSH (never all-pairs), clustering labels are O(#matched
+    nodes), the histogram is two combiner censuses.  Oracle: exact
+    all-pairs shingle Jaccard + recursive min-label CTE + the same
+    double census."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import graph
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
+        grouped_aggregate,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dedup.minhash_dup_pairs(docs, threshold=0.6)
+    labels = graph.connected_components(pairs, src="id_a", dst="id_b")
+    sizes = graph.component_sizes(labels)
+    hist = grouped_aggregate(
+        sizes, ["n_nodes"], [("count_star", None, "n_clusters")]
+    )
+
+    def _name(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cluster_size": df["n_nodes"].astype("int64"),
+                "n_clusters": df["n_clusters"].astype("int64"),
+            }
+        )
+
+    return hist.map_batches(_name, batch_format="pandas")
 
 
 def _q_split_leakage(sf_dir: str):
@@ -5152,6 +5231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_oov": _q_vocab_oov,  # new in r3
         "customer_skyline": _q_customer_skyline,  # new in r3
         "components_incremental": _q_components_incremental,  # new in r3
+        "dup_cluster_sizes": _q_dup_cluster_sizes,  # new in r3
+        "threshold_components": _q_threshold_components,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
         "c360_interactions": _q_c360_interactions,
@@ -6605,6 +6686,78 @@ def oracle_sql() -> dict[str, str]:
                 FROM reach r JOIN sym s ON s.src = r.node
             )
             SELECT node, min(label) AS component FROM reach GROUP BY node
+        """,
+        "threshold_components": """
+            WITH RECURSIVE mx AS (SELECT max(c_custkey) AS m FROM customer),
+            e AS (
+                SELECT c_custkey AS src, c_custkey + 1 AS dst,
+                       (c_custkey * 2654435761) % 97 AS wm
+                FROM customer, mx WHERE c_custkey < mx.m
+            ),
+            s73 AS (SELECT src, dst FROM e WHERE wm >= 73
+                    UNION SELECT dst, src FROM e WHERE wm >= 73),
+            r73(node, label) AS (
+                SELECT src, src FROM s73
+                UNION
+                SELECT s.dst, r.label FROM r73 r JOIN s73 s ON s.src = r.node
+            ),
+            c73 AS (SELECT node, min(label) AS c FROM r73 GROUP BY node),
+            s49 AS (SELECT src, dst FROM e WHERE wm >= 49
+                    UNION SELECT dst, src FROM e WHERE wm >= 49),
+            r49(node, label) AS (
+                SELECT src, src FROM s49
+                UNION
+                SELECT s.dst, r.label FROM r49 r JOIN s49 s ON s.src = r.node
+            ),
+            c49 AS (SELECT node, min(label) AS c FROM r49 GROUP BY node),
+            s25 AS (SELECT src, dst FROM e WHERE wm >= 25
+                    UNION SELECT dst, src FROM e WHERE wm >= 25),
+            r25(node, label) AS (
+                SELECT src, src FROM s25
+                UNION
+                SELECT s.dst, r.label FROM r25 r JOIN s25 s ON s.src = r.node
+            ),
+            c25 AS (SELECT node, min(label) AS c FROM r25 GROUP BY node)
+            SELECT 73 AS threshold,
+                   (SELECT count(*) FROM c73) AS n_nodes,
+                   (SELECT count(DISTINCT c) FROM c73) AS n_components
+            UNION ALL
+            SELECT 49, (SELECT count(*) FROM c49),
+                   (SELECT count(DISTINCT c) FROM c49)
+            UNION ALL
+            SELECT 25, (SELECT count(*) FROM c25),
+                   (SELECT count(DISTINCT c) FROM c25)
+        """,
+        "dup_cluster_sizes": r"""
+            WITH RECURSIVE tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                    FOR i IN range(1, len(t) - 1)]) AS s
+              FROM tok WHERE len(t) >= 3
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+                    len(list_distinct(list_concat(a.s, b.s))) >= 0.6
+            ), sym AS (
+              SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ), reach(node, label) AS (
+              SELECT s, s FROM sym
+              UNION
+              SELECT sym.d, reach.label
+              FROM reach JOIN sym ON sym.s = reach.node
+            ), comp AS (
+              SELECT node, min(label) AS c FROM reach GROUP BY node
+            ), sizes AS (
+              SELECT c, count(*) AS n FROM comp GROUP BY c
+            )
+            SELECT CAST(n AS BIGINT) AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters
+            FROM sizes GROUP BY n
         """,
         "components_incremental": """
             WITH RECURSIVE mx AS (SELECT max(c_custkey) AS m FROM customer),
