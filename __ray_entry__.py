@@ -1276,6 +1276,56 @@ def _q_threshold_components(sf_dir: str):
     ).astype("int64")
 
 
+def _q_temperature_mix_sample(sf_dir: str):
+    """Temperature-scaled corpus rebalancing (`ops/sampling.py::
+    temperature_sample`, the XLM-R rule): per-source keep rate
+    sqrt(n_min/n_k) at alpha=0.5, applied through the md5-60-bit
+    deterministic draw — head sources shrink toward the smallest.
+    The sqrt keeps engine and oracle thresholds bit-identical (IEEE
+    correctly-rounded on both).  Oracle re-derives counts, rates and
+    the exact kept set in SQL."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import sampling
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    return sampling.temperature_sample(
+        docs, key_col="source", alpha=0.5, id_col="doc_id", salt="temp"
+    )
+
+
+def _q_ingest_dedup(sf_dir: str):
+    """Cross-corpus ingest dedup: a NEW shard (doc_id % 3 == 0) is
+    deduplicated against the ALREADY-INGESTED corpus (doc_id % 3 != 0)
+    by exact text hash — the streaming-ingest primitive that keeps a
+    crawl append-only (`ops/dedup.py` exact path + the anti-join
+    broadcast/shuffle switch).  Only hashes of the old corpus move
+    (64-bit per doc); new-shard text never shuffles.  Oracle: SQL
+    anti-join on md5(text)."""
+    import hashlib
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
+        anti_join,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _h(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["_th"] = [
+            hashlib.md5(t.encode("utf-8")).hexdigest() for t in df["text"]
+        ]
+        return out
+
+    hashed = docs.map_batches(_h, batch_format="pandas")
+    new = hashed.map_batches(
+        lambda df: df[df["doc_id"] % 3 == 0], batch_format="pandas"
+    )
+    old = hashed.map_batches(
+        lambda df: df[df["doc_id"] % 3 != 0], batch_format="pandas"
+    )
+    kept = anti_join(new, old.select_columns(["_th"]), on="_th")
+    return kept.select_columns(["doc_id", "text"])
+
+
 def _q_doc_partition_ari(sf_dir: str):
     """Clustering-agreement census (`ops/cluster.py::
     partition_agreement`): Rand index + Adjusted Rand Index between
@@ -5233,6 +5283,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "components_incremental": _q_components_incremental,  # new in r3
         "dup_cluster_sizes": _q_dup_cluster_sizes,  # new in r3
         "threshold_components": _q_threshold_components,  # new in r3
+        "temperature_mix_sample": _q_temperature_mix_sample,  # new in r3
+        "ingest_dedup": _q_ingest_dedup,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
         "c360_interactions": _q_c360_interactions,
@@ -6686,6 +6738,30 @@ def oracle_sql() -> dict[str, str]:
                 FROM reach r JOIN sym s ON s.src = r.node
             )
             SELECT node, min(label) AS component FROM reach GROUP BY node
+        """,
+        "temperature_mix_sample": """
+            WITH n AS (
+                SELECT source, count(*) AS nk FROM documents GROUP BY source
+            ), m AS (SELECT min(nk) AS nmin FROM n),
+            r AS (
+                SELECT source,
+                       CAST(round(sqrt(CAST(nmin AS DOUBLE)
+                                       / CAST(nk AS DOUBLE))
+                                  * 1152921504606846976.0) AS BIGINT) AS t
+                FROM n, m
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN r ON d.source = r.source
+            WHERE ('0x' || left(md5('temp' || CAST(d.doc_id AS VARCHAR)),
+                                15))::BIGINT < r.t
+        """,
+        "ingest_dedup": """
+            SELECT doc_id, text FROM documents d
+            WHERE doc_id % 3 = 0
+              AND NOT EXISTS (
+                SELECT 1 FROM documents o
+                WHERE o.doc_id % 3 <> 0 AND md5(o.text) = md5(d.text)
+              )
         """,
         "threshold_components": """
             WITH RECURSIVE mx AS (SELECT max(c_custkey) AS m FROM customer),

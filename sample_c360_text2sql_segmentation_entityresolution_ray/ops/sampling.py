@@ -417,3 +417,45 @@ def stratified_sample_k(
 
 
 __all__.append("stratified_sample_k")
+
+
+def temperature_sample(
+    ds: "ray.data.Dataset",
+    key_col: str = "source",
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    salt: str = "temp",
+) -> "ray.data.Dataset":
+    """Temperature-scaled group resampling (the XLM-R / mBERT corpus
+    rebalancing rule): group k's per-row keep probability is
+    ``(n_min / n_k)^(1-alpha)`` — the head groups are downsampled
+    toward the smallest group, with ``alpha`` ∈ [0,1] interpolating
+    between full flattening (0) and the natural mix (1).
+
+    One slim combiner census learns the group counts (O(#groups) on
+    the driver — sources/languages, never rows); the derived rates
+    feed :func:`weighted_sample`'s md5-60-bit keep rule, so the exact
+    kept set is SQL-re-derivable.  ``alpha=0.5`` computes the rate via
+    ``sqrt`` (IEEE-correctly-rounded on BOTH engines — bit-identical
+    thresholds engine-vs-oracle); other alphas go through ``pow`` and
+    may differ from an oracle by 1 ulp at threshold boundaries."""
+    from .relational import grouped_aggregate
+
+    counts = grouped_aggregate(
+        ds.select_columns([key_col]), [key_col],
+        [("count_star", None, "_n")],
+    ).to_pandas()
+    nmin = float(counts["_n"].min())
+    rates = {}
+    for k, nk in zip(counts[key_col], counts["_n"]):
+        x = nmin / float(nk)
+        rates[k] = float(np.sqrt(x)) if alpha == 0.5 else float(
+            x ** (1.0 - alpha)
+        )
+    return weighted_sample(
+        ds, rates, key_col=key_col, id_col=id_col,
+        default_rate=0.0, salt=salt,
+    )
+
+
+__all__.append("temperature_sample")
