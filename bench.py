@@ -217,6 +217,15 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "large_volume_orders",
         "idle_rich_customers",
         "part_hits",
+        # r3 fifth-session additions
+        "chain_components_ls",
+        "components_incremental",
+        "dup_cluster_sizes",
+        "doc_partition_ari",
+        "vocab_oov",
+        "customer_skyline",
+        "temperature_mix_sample",
+        "ingest_dedup",
     ]
     for name in bench_queries:
         t0 = time.time()
