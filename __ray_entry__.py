@@ -1227,7 +1227,10 @@ def _q_components_incremental(sf_dir: str):
 
     base = cust.map_batches(_base, batch_format="pandas")
     delta = cust.map_batches(_delta, batch_format="pandas")
-    labels = graph.connected_components_alternating(base)
+    # base resolution takes the measured edge-count switch (driver
+    # union-find here; label rounds at scale) — the DELTA contraction
+    # is what this query demonstrates and oracle-checks
+    labels = graph.connected_components(base)
     return graph.incremental_components(labels, delta)
 
 
@@ -1260,7 +1263,9 @@ def _q_threshold_components(sf_dir: str):
 
         return cust.map_batches(_f, batch_format="pandas")
 
-    labels = graph.connected_components_alternating(_band(73, 98))
+    # tightest-cutoff base takes the measured switch; each band fold-in
+    # below is the incremental contraction this query demonstrates
+    labels = graph.connected_components(_band(73, 98))
     rows = []
     for thr, lo, hi in [(73, None, None), (49, 49, 73), (25, 25, 49)]:
         if lo is not None:

@@ -217,8 +217,11 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "large_volume_orders",
         "idle_rich_customers",
         "part_hits",
-        # r3 fifth-session additions
-        "chain_components_ls",
+        # r3 fifth-session additions (chain_components_ls is excluded:
+        # it FORCES ~8 distributed alternating-star rounds on a
+        # diameter-193 graph, ~5 barrier-bound stages each — pure
+        # fixed-cost at sandbox scale, measured ~30 s / 15k rows and
+        # documented in BASELINE.md instead)
         "components_incremental",
         "dup_cluster_sizes",
         "doc_partition_ari",

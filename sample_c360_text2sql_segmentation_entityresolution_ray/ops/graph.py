@@ -1314,6 +1314,9 @@ def connected_components_alternating(
     for _ in range(max_rounds if sig[0] else 0):
         # ---- large-star: neighborhoods over the SYMMETRIC view;
         # for every (u, v) with v > u emit (v, m(u)).
+        # lazy on purpose: the trivial mirror map re-runs for the two
+        # consumers (min census + attach) — cheaper than one more
+        # materialize barrier per round at sandbox scale
         sym = cur.map_batches(
             lambda df: pd.DataFrame(
                 {
@@ -1322,7 +1325,7 @@ def connected_components_alternating(
                 }
             ),
             batch_format="pandas",
-        ).materialize()
+        )
         withm = _attach_min(sym, "src")
 
         def _ls_emit(df: pd.DataFrame) -> pd.DataFrame:
@@ -1389,9 +1392,8 @@ def incremental_components(
 
     Plan: contract the delta by the existing labels (each endpoint →
     its current component; an endpoint never seen before labels
-    itself), run the alternating large-star/small-star pass on that
-    CONTRACTED edge set — O(|delta|) edges regardless of corpus size
-    — and apply the resulting old-component → new-component map back
+    itself), resolve that CONTRACTED edge set — O(|delta|) edges
+    regardless of corpus size — and apply the resulting old-component → new-component map back
     to the label table with one broadcast/join attach.  Nothing
     proportional to the full EDGE set is ever touched; the only
     full-table pass is the final O(#nodes) relabel, which a delta
@@ -1457,8 +1459,11 @@ def incremental_components(
             batch_format="pandas",
         ).materialize()
 
-    comp_map = connected_components_alternating(
-        contracted, broadcast_limit=broadcast_limit
+    # the quotient takes the measured CC switch: driver union-find
+    # under the edge cap, label rounds (with the alternating round-cap
+    # exactness guard) above it — same posture as every other CC site
+    comp_map = connected_components(
+        contracted
     ).map_batches(
         lambda df: pd.DataFrame({"_old": df["node"], "_new": df["component"]}),
         batch_format="pandas",
