@@ -1331,6 +1331,90 @@ def _q_ingest_dedup(sf_dir: str):
     return kept.select_columns(["doc_id", "text"])
 
 
+def _q_k_anonymity(sf_dir: str):
+    """k-anonymity profile — the data-governance census a release
+    pipeline runs before publishing: equivalence classes over the
+    quasi-identifier tuple (nation, market segment, account-balance
+    band) and the (class_size, n_classes, n_rows) histogram that says
+    how many rows sit in classes smaller than any k.  Two combiner
+    shuffles (rows → class sizes → size histogram), nothing row-sized
+    leaves the exchange.  Oracle: double GROUP BY."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
+        grouped_aggregate,
+    )
+
+    cust = _read(
+        sf_dir, "customer", ["c_nationkey", "c_mktsegment", "c_acctbal"]
+    )
+
+    def _qi(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "nat": df["c_nationkey"].astype("int64"),
+                "seg": df["c_mktsegment"],
+                "band": np.floor(
+                    df["c_acctbal"].to_numpy(np.float64) / 1000.0
+                ).astype("int64"),
+            }
+        )
+
+    classes = grouped_aggregate(
+        cust.map_batches(_qi, batch_format="pandas"),
+        ["nat", "seg", "band"],
+        [("count_star", None, "n")],
+    )
+    hist = grouped_aggregate(
+        classes, ["n"], [("count_star", None, "n_classes")]
+    )
+
+    def _name(df: pd.DataFrame) -> pd.DataFrame:
+        size = df["n"].astype("int64")
+        nc = df["n_classes"].astype("int64")
+        return pd.DataFrame(
+            {"class_size": size, "n_classes": nc, "n_rows": size * nc}
+        )
+
+    return hist.map_batches(_name, batch_format="pandas")
+
+
+def _q_zipf_fit(sf_dir: str):
+    """Zipf rank-frequency fit over the corpus vocabulary: OLS of
+    ln(count) on ln(rank) for the top-200 tokens — the power-law
+    sanity check a corpus build runs (natural text slopes ≈ -1;
+    boilerplate-heavy corpora flatten).  The token census is the
+    standard combiner shuffle; the 200-row fit folds on the driver.
+    Oracle: row_number + regr_slope/regr_intercept/regr_r2."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    top = textops.token_freq_topk(docs, k=200).to_pandas()
+    top = top.sort_values(
+        ["cnt", "token"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    x = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+    y = np.log(top["cnt"].to_numpy(np.float64))
+    n = float(len(top))
+    # population-moment forms, mirroring regr_slope/regr_r2 exactly
+    mx, my = x.sum() / n, y.sum() / n
+    cov = (x * y).sum() / n - mx * my
+    vx = (x * x).sum() / n - mx * mx
+    vy = (y * y).sum() / n - my * my
+    slope = cov / vx
+    intercept = my - slope * mx
+    r2 = (cov * cov) / (vx * vy)
+    scale = 1e6
+
+    def _r6(v: float) -> float:
+        return float(np.trunc(v * scale + np.copysign(0.5, v)) / scale)
+
+    return pd.DataFrame(
+        {
+            "n_tokens": [np.int64(len(top))],
+            "slope": [_r6(slope)],
+            "intercept": [_r6(intercept)],
+            "r2": [_r6(r2)],
+        }
+    )
+
+
 def _q_doc_partition_ari(sf_dir: str):
     """Clustering-agreement census (`ops/cluster.py::
     partition_agreement`): Rand index + Adjusted Rand Index between
@@ -5290,6 +5374,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "threshold_components": _q_threshold_components,  # new in r3
         "temperature_mix_sample": _q_temperature_mix_sample,  # new in r3
         "ingest_dedup": _q_ingest_dedup,  # new in r3
+        "k_anonymity_customers": _q_k_anonymity,  # new in r3
+        "zipf_fit": _q_zipf_fit,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
         "c360_interactions": _q_c360_interactions,
@@ -6743,6 +6829,38 @@ def oracle_sql() -> dict[str, str]:
                 FROM reach r JOIN sym s ON s.src = r.node
             )
             SELECT node, min(label) AS component FROM reach GROUP BY node
+        """,
+        "k_anonymity_customers": """
+            WITH q AS (
+                SELECT c_nationkey AS nat, c_mktsegment AS seg,
+                       CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band,
+                       count(*) AS n
+                FROM customer GROUP BY 1, 2, 3
+            )
+            SELECT CAST(n AS BIGINT) AS class_size,
+                   CAST(count(*) AS BIGINT) AS n_classes,
+                   CAST(n * count(*) AS BIGINT) AS n_rows
+            FROM q GROUP BY n
+        """,
+        "zipf_fit": """
+            WITH c AS (
+                SELECT token, count(*) AS cnt
+                FROM (SELECT unnest(string_split(text, ' ')) AS token
+                      FROM documents)
+                GROUP BY token
+            ), r AS (
+                SELECT ln(cnt) AS y,
+                       ln(row_number()
+                          OVER (ORDER BY cnt DESC, token ASC)) AS x
+                FROM c
+                QUALIFY row_number()
+                        OVER (ORDER BY cnt DESC, token ASC) <= 200
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(regr_slope(y, x), 6) AS slope,
+                   round(regr_intercept(y, x), 6) AS intercept,
+                   round(regr_r2(y, x), 6) AS r2
+            FROM r
         """,
         "temperature_mix_sample": """
             WITH n AS (
