@@ -1415,6 +1415,126 @@ def _q_zipf_fit(sf_dir: str):
     )
 
 
+def _q_heaps_curve(sf_dir: str):
+    """Heaps'-law vocabulary-growth curve: cumulative distinct-token
+    count after every 50th document (doc_id order) — the vocab-sizing
+    study behind tokenizer budgets.  Plan: ONE (token, min-first-doc)
+    combiner census (tokens ship once per block, positions as int64),
+    a per-first-doc new-token histogram (second slim combiner), and a
+    driver cumsum over the O(#docs) histogram.  Documents never
+    shuffle.  Oracle: first-occurrence CTE + windowed running sum."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
+        grouped_aggregate,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _tok(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        toks = [t.split(" ") for t in df["text"].to_numpy(object)]
+        lens = np.fromiter((len(t) for t in toks), np.int64, count=len(toks))
+        flat = (
+            np.concatenate([np.asarray(t, object) for t in toks])
+            if len(toks)
+            else np.empty(0, object)
+        )
+        return pd.DataFrame(
+            {"token": flat, "doc_id": np.repeat(ids, lens)}
+        )
+
+    first = grouped_aggregate(
+        docs.map_batches(_tok, batch_format="pandas"),
+        ["token"],
+        [("min", "doc_id", "first_doc")],
+    )
+    per_doc = grouped_aggregate(
+        first, ["first_doc"], [("count_star", None, "new_tokens")]
+    ).to_pandas().sort_values("first_doc").reset_index(drop=True)
+    per_doc["vocab"] = per_doc["new_tokens"].cumsum()
+    # checkpoint at every doc_id divisible by 50 that exists in the corpus
+    ids = docs.select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy()
+    cps = np.sort(ids[ids % 50 == 0])
+    fd = per_doc["first_doc"].to_numpy()
+    vc = per_doc["vocab"].to_numpy()
+    idx = np.searchsorted(fd, cps, side="right") - 1
+    vocab_at = np.where(idx >= 0, vc[np.maximum(idx, 0)], 0)
+    return pd.DataFrame(
+        {
+            "checkpoint_doc": cps.astype("int64"),
+            "vocab_size": vocab_at.astype("int64"),
+        }
+    )
+
+
+def _q_source_vocab_overlap(sf_dir: str):
+    """Corpus-similarity matrix: vocabulary Jaccard between every
+    ordered pair of sources — the dataset-level near-dup signal a
+    mixture designer checks before weighting corpora.  Plan: ONE
+    (source, token) distinct combiner (per-batch unique pre-shrink),
+    per-source vocab sizes as a tiny broadcast, intersections via a
+    token-keyed self-pairing inside `map_groups` over the slim
+    distinct table (each token contributes its source pairs — never
+    document rows), final combiner sums pair intersections.  Oracle:
+    distinct CTE self-join + group counts."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
+        grouped_aggregate,
+    )
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def _tok(df: pd.DataFrame) -> pd.DataFrame:
+        srcs = df["source"].to_numpy(object)
+        toks = [t.split(" ") for t in df["text"].to_numpy(object)]
+        lens = np.fromiter((len(t) for t in toks), np.int64, count=len(toks))
+        flat = (
+            np.concatenate([np.asarray(t, object) for t in toks])
+            if len(toks)
+            else np.empty(0, object)
+        )
+        out = pd.DataFrame(
+            {"source": np.repeat(srcs, lens), "token": flat}
+        ).drop_duplicates()
+        return out
+
+    distinct = grouped_aggregate(
+        docs.map_batches(_tok, batch_format="pandas"),
+        ["source", "token"],
+        [("count_star", None, "_n")],
+    ).drop_columns(["_n"]).materialize()
+
+    sizes = (
+        grouped_aggregate(
+            distinct, ["source"], [("count_star", None, "nv")]
+        )
+        .to_pandas()
+        .set_index("source")["nv"]
+        .to_dict()
+    )
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        s = np.sort(g["source"].to_numpy(object))
+        if len(s) < 2:
+            return pd.DataFrame({"src_a": s[:0], "src_b": s[:0]})
+        i, j = np.triu_indices(len(s), 1)
+        return pd.DataFrame({"src_a": s[i], "src_b": s[j]})
+
+    inter = grouped_aggregate(
+        distinct.groupby("token").map_groups(_pairs, batch_format="pandas"),
+        ["src_a", "src_b"],
+        [("count_star", None, "n_common")],
+    ).to_pandas()
+    na = inter["src_a"].map(sizes).to_numpy(np.float64)
+    nb = inter["src_b"].map(sizes).to_numpy(np.float64)
+    nc = inter["n_common"].to_numpy(np.float64)
+    jac = nc / (na + nb - nc)
+    scale = 1e6
+    jac = np.trunc(jac * scale + np.copysign(0.5, jac)) / scale
+    out = inter.copy()
+    out["n_common"] = out["n_common"].astype("int64")
+    out["jaccard"] = jac
+    return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
+
+
 def _q_doc_partition_ari(sf_dir: str):
     """Clustering-agreement census (`ops/cluster.py::
     partition_agreement`): Rand index + Adjusted Rand Index between
@@ -5376,6 +5496,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ingest_dedup": _q_ingest_dedup,  # new in r3
         "k_anonymity_customers": _q_k_anonymity,  # new in r3
         "zipf_fit": _q_zipf_fit,  # new in r3
+        "heaps_curve": _q_heaps_curve,  # new in r3
+        "source_vocab_overlap": _q_source_vocab_overlap,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
         "c360_interactions": _q_c360_interactions,
@@ -6829,6 +6951,47 @@ def oracle_sql() -> dict[str, str]:
                 FROM reach r JOIN sym s ON s.src = r.node
             )
             SELECT node, min(label) AS component FROM reach GROUP BY node
+        """,
+        "heaps_curve": """
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ), first AS (
+                SELECT token, min(doc_id) AS fd FROM tok GROUP BY token
+            ), per AS (
+                SELECT fd, count(*) AS nt FROM first GROUP BY fd
+            ), cum AS (
+                SELECT fd, sum(nt) OVER (ORDER BY fd) AS vocab FROM per
+            )
+            SELECT d.doc_id AS checkpoint_doc,
+                   CAST(coalesce(
+                       (SELECT max(vocab) FROM cum
+                        WHERE cum.fd <= d.doc_id), 0) AS BIGINT)
+                       AS vocab_size
+            FROM documents d WHERE d.doc_id % 50 = 0
+        """,
+        "source_vocab_overlap": """
+            WITH v AS (
+                SELECT DISTINCT source,
+                       unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ), sizes AS (
+                SELECT source, count(*) AS nv FROM v GROUP BY source
+            ), inter AS (
+                SELECT a.source AS src_a, b.source AS src_b,
+                       count(*) AS n_common
+                FROM v a JOIN v b
+                  ON a.token = b.token AND a.source < b.source
+                GROUP BY 1, 2
+            )
+            SELECT i.src_a, i.src_b,
+                   CAST(i.n_common AS BIGINT) AS n_common,
+                   round(i.n_common /
+                         (sa.nv + sb.nv - i.n_common)::DOUBLE, 6)
+                       AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.source = i.src_a
+            JOIN sizes sb ON sb.source = i.src_b
         """,
         "k_anonymity_customers": """
             WITH q AS (
