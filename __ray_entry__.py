@@ -1415,6 +1415,51 @@ def _q_zipf_fit(sf_dir: str):
     )
 
 
+def _q_decayed_event_counts(sf_dir: str):
+    """Exponentially-decayed event leaderboard: per event type,
+    Σ exp(-(t_max - t)/τ) with τ = 7 days — the freshness-weighted
+    count a trending/ranking pipeline maintains.  One slim combiner
+    pass ships (type, partial-decayed-sum) per block after a driver
+    max(ts) probe (metadata-cheap aggregate).  Oracle: the same decay
+    re-derived with epoch arithmetic in SQL."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
+        grouped_aggregate,
+    )
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+    tmax = ev.max("ts")
+    tmax_us = pd.Timestamp(tmax).value // 1000
+    tau_us = 7.0 * 86400.0 * 1e6
+
+    def _decay(df: pd.DataFrame) -> pd.DataFrame:
+        # timestamp[us] blocks: int64 view IS microseconds since epoch
+        age = tmax_us - df["ts"].astype("int64").to_numpy()
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "w": np.exp(-age.astype(np.float64) / tau_us),
+            }
+        )
+
+    agg = grouped_aggregate(
+        ev.map_batches(_decay, batch_format="pandas"),
+        ["event_type"],
+        [("sum", "w", "decayed"), ("count_star", None, "n_events")],
+    )
+
+    def _r6(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["decayed"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "n_events": df["n_events"].astype("int64"),
+                "decayed": np.trunc(v * 1e6 + np.copysign(0.5, v)) / 1e6,
+            }
+        )
+
+    return agg.map_batches(_r6, batch_format="pandas")
+
+
 def _q_heaps_curve(sf_dir: str):
     """Heaps'-law vocabulary-growth curve: cumulative distinct-token
     count after every 50th document (doc_id order) — the vocab-sizing
@@ -5497,6 +5542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity_customers": _q_k_anonymity,  # new in r3
         "zipf_fit": _q_zipf_fit,  # new in r3
         "heaps_curve": _q_heaps_curve,  # new in r3
+        "decayed_event_counts": _q_decayed_event_counts,  # new in r3
         "source_vocab_overlap": _q_source_vocab_overlap,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
@@ -6951,6 +6997,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM reach r JOIN sym s ON s.src = r.node
             )
             SELECT node, min(label) AS component FROM reach GROUP BY node
+        """,
+        "decayed_event_counts": """
+            WITH m AS (SELECT max(ts) AS tmax FROM events)
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(exp(-(epoch_us(m.tmax) - epoch_us(ts))
+                                 / (7.0 * 86400.0 * 1000000.0))), 6)
+                       AS decayed
+            FROM events, m GROUP BY event_type
         """,
         "heaps_curve": """
             WITH tok AS (
