@@ -1460,6 +1460,37 @@ def _q_decayed_event_counts(sf_dir: str):
     return agg.map_batches(_r6, batch_format="pandas")
 
 
+def _q_events_rolling_1h(sf_dir: str):
+    """Time-RANGE window frame: per user and event, the sum of
+    `value` over the trailing ONE HOUR (RANGE BETWEEN INTERVAL 1 HOUR
+    PRECEDING AND CURRENT ROW — peers at the same timestamp included,
+    the tie-order-independent SQL semantics).  `ops/window.py`
+    ("range_sum" spec): ONE per-user hash exchange, per-run prefix
+    sums + two global searchsorted calls over run-rebased time — no
+    per-key Python loop.  Oracle: the native RANGE-frame window."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.window import window
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = window(
+        ev,
+        partition_by=["user_id"],
+        order_by=[("ts", False), ("event_id", False)],
+        specs={"rolling_1h": ("range_sum", "value", "ts", 3_600_000_000)},
+    )
+
+    def _r6(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["rolling_1h"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"],
+                "user_id": df["user_id"],
+                "rolling_1h": np.trunc(v * 1e6 + np.copysign(0.5, v)) / 1e6,
+            }
+        )
+
+    return out.map_batches(_r6, batch_format="pandas")
+
+
 def _q_heaps_curve(sf_dir: str):
     """Heaps'-law vocabulary-growth curve: cumulative distinct-token
     count after every 50th document (doc_id order) — the vocab-sizing
@@ -5543,6 +5574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_fit": _q_zipf_fit,  # new in r3
         "heaps_curve": _q_heaps_curve,  # new in r3
         "decayed_event_counts": _q_decayed_event_counts,  # new in r3
+        "events_rolling_1h": _q_events_rolling_1h,  # new in r3
         "source_vocab_overlap": _q_source_vocab_overlap,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
@@ -6997,6 +7029,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM reach r JOIN sym s ON s.src = r.node
             )
             SELECT node, min(label) AS component FROM reach GROUP BY node
+        """,
+        "events_rolling_1h": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                             AND CURRENT ROW), 6) AS rolling_1h
+            FROM events
         """,
         "decayed_event_counts": """
             WITH m AS (SELECT max(ts) AS tmax FROM events)

@@ -51,6 +51,8 @@ from .relational import DEDUP_PARTITIONS
 #   ("lag", col, offset, default)  / ("lead", col, offset, default)
 #   ("cum_sum", col)
 #   ("rolling_sum", col, n) / ("rolling_mean", col, n)
+#   ("range_sum", col, ts_col, band_us)  -- time-RANGE frame sum
+#       (RANGE BETWEEN band PRECEDING AND CURRENT ROW, peers incl.)
 #   ("rolling_min", col, n) / ("rolling_max", col, n)
 #   ("ntile", n)                   -- SQL NTILE: first (size % n)
 #                                     buckets get the extra row
@@ -93,6 +95,31 @@ def _apply_spec(gb, g: pd.DataFrame, spec: tuple, rank_arrays: dict):
         return gb[col].transform(
             lambda s: getattr(s.rolling(n, min_periods=1), agg)()
         ).to_numpy()
+    if kind == "range_sum":
+        # SQL RANGE BETWEEN <band> PRECEDING AND CURRENT ROW (time
+        # frame, peers included): per-run prefix sums + two global
+        # searchsorted calls over run-rebased time (the
+        # time_band_pairs trick — one binary search can never cross a
+        # partition because each run owns a disjoint segment)
+        _, col, ts_col, band = spec
+        v = g[col].to_numpy(np.float64)
+        t = g[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        run = gb.ngroup().to_numpy()
+        n = len(g)
+        run_start = np.concatenate([[0], np.nonzero(np.diff(run))[0] + 1])
+        t_rel = t - t[run_start][run]
+        run_last = np.concatenate([run_start[1:], [n]]) - 1
+        span = t_rel[run_last]
+        base = np.concatenate(
+            [[0], np.cumsum(span + np.int64(band) + 1)[:-1]]
+        )
+        s = base[run] + t_rel
+        P = np.concatenate([[0.0], np.cumsum(v)])
+        # prefix sums restart per run implicitly: lo can never cross
+        # into the previous run (its segment ends > band earlier)
+        lo = np.searchsorted(s, s - np.int64(band), side="left")
+        hi = np.searchsorted(s, s, side="right")
+        return P[hi] - P[lo]
     if kind == "ntile":
         n = spec[1]
         i = gb.cumcount().to_numpy()

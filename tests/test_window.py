@@ -180,3 +180,41 @@ def test_percent_rank_cume_dist_planted(ray_session):
     # a: ranks 1,2,2,4 over size 4 -> pr (r-1)/3; cd = run-end/size
     assert out["pr"].tolist() == [0.0, 1 / 3, 1 / 3, 1.0, 0.0]
     assert out["cd"].tolist() == [0.25, 0.75, 0.75, 1.0, 1.0]
+
+
+def test_range_sum_time_frame(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.window import window
+
+    # user A: events at 0, 30, 90 min (values 1, 2, 4); 1h trailing
+    # sums: 1, 3, 6 (90 includes 30 but not 0).  user B: two events at
+    # the SAME timestamp — RANGE includes peers, both rows get 3+5=8.
+    base = pd.Timestamp("2025-01-01")
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5],
+            "user_id": ["a", "a", "a", "b", "b"],
+            "ts": [
+                base,
+                base + pd.Timedelta(minutes=30),
+                base + pd.Timedelta(minutes=90),
+                base + pd.Timedelta(minutes=10),
+                base + pd.Timedelta(minutes=10),
+            ],
+            "value": [1.0, 2.0, 4.0, 3.0, 5.0],
+        }
+    )
+    out = (
+        window(
+            ray.data.from_pandas(df),
+            partition_by=["user_id"],
+            order_by=[("ts", False), ("event_id", False)],
+            specs={"r": ("range_sum", "value", "ts", 3_600_000_000)},
+        )
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    assert np.allclose(out["r"].to_numpy(), [1.0, 3.0, 6.0, 8.0, 8.0])
