@@ -1491,6 +1491,83 @@ def _q_events_rolling_1h(sf_dir: str):
     return out.map_batches(_r6, batch_format="pandas")
 
 
+def _q_cuped_adjust(sf_dir: str):
+    """CUPED variance reduction (Deng et al. 2013, the experimentation
+    -platform standard): per-user post-period metric adjusted by the
+    pre-period covariate, y_adj = y - θ(x - x̄) with θ =
+    cov_pop(x,y)/var_pop(x).  Pre/post split at the integer midpoint
+    of the event time range (engine and oracle compute the same
+    floor-div µs).  Plan: one conditional-sum combiner to the
+    per-user (x, y) table, one slim moment combiner (n, Σx, Σy, Σxy,
+    Σx²) to a driver θ, one broadcast adjust map — user rows never
+    collect.  Oracle: the same moments spelled out in SQL."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
+        grouped_aggregate,
+    )
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    lo = pd.Timestamp(ev.min("ts")).value // 1000
+    hi = pd.Timestamp(ev.max("ts")).value // 1000
+    mid = (lo + hi) // 2
+
+    def _split(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].astype("int64").to_numpy()
+        v = df["value"].to_numpy(np.float64)
+        pre = t < mid
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "x": np.where(pre, v, 0.0),
+                "y": np.where(pre, 0.0, v),
+            }
+        )
+
+    users = grouped_aggregate(
+        ev.map_batches(_split, batch_format="pandas"),
+        ["user_id"],
+        [("sum", "x", "x"), ("sum", "y", "y")],
+    ).materialize()
+
+    def _moments(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["x"].to_numpy(np.float64)
+        y = df["y"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(df))],
+                "sx": [x.sum()],
+                "sy": [y.sum()],
+                "sxy": [(x * y).sum()],
+                "sxx": [(x * x).sum()],
+            }
+        )
+
+    m = users.map_batches(_moments, batch_format="pandas").to_pandas()
+    n = float(m["n"].sum())
+    sx, sy = float(m["sx"].sum()), float(m["sy"].sum())
+    sxy, sxx = float(m["sxy"].sum()), float(m["sxx"].sum())
+    mx = sx / n
+    theta = (sxy / n - mx * (sy / n)) / (sxx / n - mx * mx)
+
+    def _adj(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["x"].to_numpy(np.float64)
+        y = df["y"].to_numpy(np.float64)
+        adj = y - theta * (x - mx)
+
+        def r6(v):
+            return np.trunc(v * 1e6 + np.copysign(0.5, v)) / 1e6
+
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "x_pre": r6(x),
+                "y_post": r6(y),
+                "y_adj": r6(adj),
+            }
+        )
+
+    return users.map_batches(_adj, batch_format="pandas")
+
+
 def _q_heaps_curve(sf_dir: str):
     """Heaps'-law vocabulary-growth curve: cumulative distinct-token
     count after every 50th document (doc_id order) — the vocab-sizing
@@ -5575,6 +5652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heaps_curve": _q_heaps_curve,  # new in r3
         "decayed_event_counts": _q_decayed_event_counts,  # new in r3
         "events_rolling_1h": _q_events_rolling_1h,  # new in r3
+        "cuped_adjust": _q_cuped_adjust,  # new in r3
         "source_vocab_overlap": _q_source_vocab_overlap,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
@@ -7029,6 +7107,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM reach r JOIN sym s ON s.src = r.node
             )
             SELECT node, min(label) AS component FROM reach GROUP BY node
+        """,
+        "cuped_adjust": """
+            WITH b AS (
+                SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid
+                FROM events
+            ), u AS (
+                SELECT user_id,
+                       sum(CASE WHEN epoch_us(ts) < b.mid
+                                THEN value ELSE 0 END) AS x,
+                       sum(CASE WHEN epoch_us(ts) < b.mid
+                                THEN 0 ELSE value END) AS y
+                FROM events, b GROUP BY user_id
+            ), s AS (
+                SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+                       sum(x * y) AS sxy, sum(x * x) AS sxx
+                FROM u
+            ), t AS (
+                SELECT (sxy / n - (sx / n) * (sy / n))
+                       / (sxx / n - (sx / n) * (sx / n)) AS theta,
+                       sx / n AS mx
+                FROM s
+            )
+            SELECT user_id, round(x, 6) AS x_pre, round(y, 6) AS y_post,
+                   round(y - t.theta * (x - t.mx), 6) AS y_adj
+            FROM u, t
         """,
         "events_rolling_1h": """
             SELECT event_id, user_id,
