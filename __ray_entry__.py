@@ -1568,6 +1568,21 @@ def _q_cuped_adjust(sf_dir: str):
     return users.map_batches(_adj, batch_format="pandas")
 
 
+def _q_quantity_two_sample(sf_dir: str):
+    """Mann-Whitney U (tie-corrected z) + two-sample KS statistic on
+    l_quantity between return flags A and R (`ops/profile.py::
+    two_sample_tests`) — the nonparametric drift pair a feature store
+    runs between snapshots.  One slim (value, group-count) combiner;
+    the driver folds the 50-value census.  Oracle: window cumsums
+    over the same census with identical formulas."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.profile import (
+        two_sample_tests,
+    )
+
+    li = _read(sf_dir, "lineitem", ["l_quantity", "l_returnflag"])
+    return two_sample_tests(li, "l_quantity", "l_returnflag", "A", "R")
+
+
 def _q_heaps_curve(sf_dir: str):
     """Heaps'-law vocabulary-growth curve: cumulative distinct-token
     count after every 50th document (doc_id order) — the vocab-sizing
@@ -5653,6 +5668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_event_counts": _q_decayed_event_counts,  # new in r3
         "events_rolling_1h": _q_events_rolling_1h,  # new in r3
         "cuped_adjust": _q_cuped_adjust,  # new in r3
+        "quantity_two_sample": _q_quantity_two_sample,  # new in r3
         "source_vocab_overlap": _q_source_vocab_overlap,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
@@ -7107,6 +7123,45 @@ def oracle_sql() -> dict[str, str]:
                 FROM reach r JOIN sym s ON s.src = r.node
             )
             SELECT node, min(label) AS component FROM reach GROUP BY node
+        """,
+        "quantity_two_sample": """
+            WITH c AS (
+                SELECT l_quantity AS v,
+                       sum(CASE WHEN l_returnflag = 'A'
+                                THEN 1 ELSE 0 END)::DOUBLE AS ca,
+                       sum(CASE WHEN l_returnflag = 'R'
+                                THEN 1 ELSE 0 END)::DOUBLE AS cb
+                FROM lineitem WHERE l_returnflag IN ('A', 'R')
+                GROUP BY 1
+            ), w AS (
+                SELECT v, ca, cb, ca + cb AS t,
+                       coalesce(sum(ca + cb) OVER (
+                           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS cumb,
+                       sum(ca) OVER (ORDER BY v) AS cuma_in,
+                       sum(cb) OVER (ORDER BY v) AS cumb_in
+                FROM c
+            ), s AS (
+                SELECT sum(ca) AS na, sum(cb) AS nb,
+                       sum(ca * (cumb + (t + 1.0) / 2.0)) AS ra,
+                       sum(t * t * t - t) AS tt
+                FROM w
+            ), k AS (
+                SELECT max(abs(cuma_in / s.na - cumb_in / s.nb)) AS d
+                FROM w, s
+            )
+            SELECT CAST(s.na AS BIGINT) AS n_a,
+                   CAST(s.nb AS BIGINT) AS n_b,
+                   round(ra - s.na * (s.na + 1.0) / 2.0, 1) AS u_a,
+                   round((ra - s.na * (s.na + 1.0) / 2.0
+                          - s.na * s.nb / 2.0)
+                         / sqrt(s.na * s.nb / 12.0
+                                * ((s.na + s.nb + 1.0)
+                                   - tt / ((s.na + s.nb)
+                                           * (s.na + s.nb - 1.0)))),
+                         6) AS z,
+                   round(k.d, 6) AS ks_d
+            FROM s, k
         """,
         "cuped_adjust": """
             WITH b AS (

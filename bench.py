@@ -229,6 +229,13 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "customer_skyline",
         "temperature_mix_sample",
         "ingest_dedup",
+        "k_anonymity_customers",
+        "zipf_fit",
+        "heaps_curve",
+        "source_vocab_overlap",
+        "decayed_event_counts",
+        "events_rolling_1h",
+        "cuped_adjust",
     ]
     for name in bench_queries:
         t0 = time.time()

@@ -1216,3 +1216,84 @@ def benford_census(
     import ray.data as _rd
 
     return _rd.from_pandas(out.reset_index(drop=True))
+
+
+def two_sample_tests(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> pd.DataFrame:
+    """Nonparametric two-sample comparison of ``value_col`` between
+    ``group_a`` and ``group_b`` rows: Mann-Whitney U (with average
+    ranks and the tie-corrected normal approximation z) and the
+    two-sample Kolmogorov-Smirnov statistic D — the drift-monitoring
+    pair a feature store runs between snapshots.
+
+    Both statistics are functions of the (value, per-group count)
+    census alone, so the plan is ONE slim combiner shuffle (per-batch
+    pre-aggregation; the exchange carries distinct values × blocks,
+    never rows) and a driver fold over the sorted distinct-value
+    frame.  Intended for discrete/bucketed values (quantities, grades,
+    histogram buckets): the driver fold is O(#distinct values).
+
+    Returns one row: (n_a, n_b, u_a, z, ks_d); u_a rounds to 1
+    decimal (its true value is an exact multiple of 0.5, and the
+    rank-product sum carries ~1e-3 of association-order float skew at
+    corpus counts), z and ks_d half-away rounded to 6."""
+    from .relational import grouped_aggregate
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[group_col]
+        keep = g.isin([group_a, group_b])
+        d = df[keep]
+        return pd.DataFrame(
+            {
+                "v": d[value_col],
+                "ca": (d[group_col] == group_a).astype(np.int64),
+                "cb": (d[group_col] == group_b).astype(np.int64),
+            }
+        )
+
+    census = (
+        grouped_aggregate(
+            ds.select_columns([value_col, group_col]).map_batches(
+                _tag, batch_format="pandas"
+            ),
+            ["v"],
+            [("sum", "ca", "ca"), ("sum", "cb", "cb")],
+        )
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    ca = census["ca"].to_numpy(np.float64)
+    cb = census["cb"].to_numpy(np.float64)
+    na, nb = ca.sum(), cb.sum()
+    t = ca + cb
+    cum_before = np.concatenate([[0.0], np.cumsum(t)[:-1]])
+    avg_rank = cum_before + (t + 1.0) / 2.0
+    r_a = (ca * avg_rank).sum()
+    u_a = r_a - na * (na + 1.0) / 2.0
+    n = na + nb
+    tie_term = ((t**3 - t).sum()) / (n * (n - 1.0)) if n > 1 else 0.0
+    var = na * nb / 12.0 * ((n + 1.0) - tie_term)
+    z = (u_a - na * nb / 2.0) / np.sqrt(var) if var > 0 else 0.0
+    fa = np.cumsum(ca) / na
+    fb = np.cumsum(cb) / nb
+    ks = float(np.abs(fa - fb).max()) if len(census) else 0.0
+
+    def r6(x: float) -> float:
+        return float(np.trunc(x * 1e6 + np.copysign(0.5, x)) / 1e6)
+
+    u1 = float(np.trunc(u_a * 10.0 + np.copysign(0.5, u_a)) / 10.0)
+    return pd.DataFrame(
+        {
+            "n_a": [np.int64(na)],
+            "n_b": [np.int64(nb)],
+            "u_a": [u1],
+            "z": [r6(float(z))],
+            "ks_d": [r6(ks)],
+        }
+    )

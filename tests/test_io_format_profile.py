@@ -450,3 +450,21 @@ def test_grouped_means_planted(ray_session):
     assert out.loc["b", "wavg"] == 4.0 and out.loc["b", "geomean"] == pytest.approx(4.0)
     unw = grouped_means(ray.data.from_pandas(df), ["g"], "x").to_pandas()
     assert unw.set_index("g").loc["a", "wavg"] == 5.0  # plain mean
+
+
+def test_two_sample_tests_hand_computed(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.profile import (
+        two_sample_tests,
+    )
+
+    df = pd.DataFrame({"v": [1, 2, 2, 3], "g": ["A", "A", "B", "B"]})
+    out = two_sample_tests(ray.data.from_pandas(df), "v", "g", "A", "B")
+    # ranks: 1 -> 1, 2 -> 2.5 (tie pair), 3 -> 4; R_A = 3.5, U_A = 0.5
+    assert out["u_a"].iloc[0] == 0.5
+    # KS: F_A = (.5, 1, 1), F_B = (0, .5, 1) -> D = 0.5
+    assert out["ks_d"].iloc[0] == 0.5
+    # var = 2*2/12 * (5 - (2^3-2)/(4*3)) = 1.5; z = (0.5-2)/sqrt(1.5)
+    assert abs(out["z"].iloc[0] - (-1.224745)) < 1e-6
