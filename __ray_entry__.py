@@ -1583,6 +1583,51 @@ def _q_quantity_two_sample(sf_dir: str):
     return two_sample_tests(li, "l_quantity", "l_returnflag", "A", "R")
 
 
+def _q_revenue_gini(sf_dir: str):
+    """Gini concentration of customer spend per nation — the
+    inequality/skew diagnostic (a nation whose revenue Gini → 1 is a
+    one-whale market; the same statistic flags hot-key skew in any
+    keyed workload).  Plan: orders pre-reduce to (custkey, spend)
+    through the combiner, nation attaches via the footer-bounded
+    broadcast, ONE per-nation exchange sorts each group's spends and
+    folds Σ(2i-n-1)xᵢ / (nΣx).  Oracle: row_number window + the same
+    closed form."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import (
+        relational as rel,
+    )
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    spend = rel.grouped_aggregate(
+        orders, ["o_custkey"], [("sum", "o_totalprice", "spend")]
+    )
+    joined = rel.auto_join(
+        spend, cust, on=["o_custkey"], right_on=["c_custkey"]
+    ).select_columns(["c_nationkey", "spend"])
+
+    def _gini(g: pd.DataFrame) -> pd.DataFrame:
+        x = np.sort(g["spend"].to_numpy(np.float64))
+        n = len(x)
+        tot = x.sum()
+        if n < 2 or tot == 0:
+            gini = 0.0
+        else:
+            i = np.arange(1, n + 1, dtype=np.float64)
+            gini = float(((2.0 * i - n - 1.0) * x).sum() / (n * tot))
+        gini = float(np.trunc(gini * 1e6 + np.copysign(0.5, gini)) / 1e6)
+        return pd.DataFrame(
+            {
+                "c_nationkey": [g["c_nationkey"].iloc[0]],
+                "n_customers": [np.int64(n)],
+                "gini": [gini],
+            }
+        )
+
+    return joined.groupby("c_nationkey").map_groups(
+        _gini, batch_format="pandas"
+    )
+
+
 def _q_heaps_curve(sf_dir: str):
     """Heaps'-law vocabulary-growth curve: cumulative distinct-token
     count after every 50th document (doc_id order) — the vocab-sizing
@@ -5669,6 +5714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_1h": _q_events_rolling_1h,  # new in r3
         "cuped_adjust": _q_cuped_adjust,  # new in r3
         "quantity_two_sample": _q_quantity_two_sample,  # new in r3
+        "revenue_gini": _q_revenue_gini,  # new in r3
         "source_vocab_overlap": _q_source_vocab_overlap,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
@@ -7123,6 +7169,30 @@ def oracle_sql() -> dict[str, str]:
                 FROM reach r JOIN sym s ON s.src = r.node
             )
             SELECT node, min(label) AS component FROM reach GROUP BY node
+        """,
+        "revenue_gini": """
+            WITH s AS (
+                SELECT o_custkey, sum(o_totalprice) AS spend
+                FROM orders GROUP BY o_custkey
+            ), j AS (
+                SELECT c.c_nationkey, s.spend FROM s
+                JOIN customer c ON c.c_custkey = s.o_custkey
+            ), r AS (
+                SELECT c_nationkey, spend,
+                       row_number() OVER (PARTITION BY c_nationkey
+                                          ORDER BY spend) AS i,
+                       count(*) OVER (PARTITION BY c_nationkey) AS n,
+                       sum(spend) OVER (PARTITION BY c_nationkey) AS tot
+                FROM j
+            )
+            SELECT c_nationkey,
+                   CAST(any_value(n) AS BIGINT) AS n_customers,
+                   round(CASE WHEN any_value(n) < 2
+                                   OR any_value(tot) = 0 THEN 0.0
+                              ELSE sum((2.0 * i - n - 1.0) * spend)
+                                   / (any_value(n) * any_value(tot)) END,
+                         6) AS gini
+            FROM r GROUP BY c_nationkey
         """,
         "quantity_two_sample": """
             WITH c AS (
