@@ -236,6 +236,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "decayed_event_counts",
         "events_rolling_1h",
         "cuped_adjust",
+        "quantity_two_sample",
+        "revenue_gini",
     ]
     for name in bench_queries:
         t0 = time.time()
