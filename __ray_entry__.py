@@ -1628,6 +1628,51 @@ def _q_revenue_gini(sf_dir: str):
     )
 
 
+def _q_nation_share_of_region(sf_dir: str):
+    """Percent-of-parent hierarchical rollup: each nation's revenue
+    share WITHIN its region — the drill-down ratio every BI rollup
+    needs one level below `rollup_revenue`.  Orders pre-reduce per
+    customer through the combiner; nation/region dimensions attach by
+    broadcast (footer-bounded); one (nation) census then one tiny
+    (region) census; shares computed against the broadcast region
+    totals.  Oracle: two GROUP BYs + a window total."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import (
+        relational as rel,
+    )
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    spend = rel.grouped_aggregate(
+        orders, ["o_custkey"], [("sum", "o_totalprice", "rev")]
+    )
+    # fold the two dimensions into ONE small build side first (two
+    # stacked lazy joins would run two aggregator pools concurrently —
+    # the small-cluster starvation documented in ops/graph.py), then a
+    # single broadcast attach against the fact reduce
+    dim = rel.auto_join(
+        cust, nation, on=["c_nationkey"], right_on=["n_nationkey"]
+    ).select_columns(["c_custkey", "n_regionkey", "n_name"]).materialize()
+    j1 = rel.auto_join(
+        spend, dim, on=["o_custkey"], right_on=["c_custkey"]
+    )
+    per_nation = rel.grouped_aggregate(
+        j1, ["n_regionkey", "n_name"], [("sum", "rev", "rev")]
+    ).to_pandas()
+    tot = per_nation.groupby("n_regionkey")["rev"].transform("sum")
+    r = per_nation["rev"].to_numpy(np.float64)
+    share = r / tot.to_numpy(np.float64)
+    out = pd.DataFrame(
+        {
+            "n_regionkey": per_nation["n_regionkey"].astype("int64"),
+            "n_name": per_nation["n_name"],
+            "rev": np.trunc(r * 100.0 + np.copysign(0.5, r)) / 100.0,
+            "share": np.trunc(share * 1e6 + np.copysign(0.5, share)) / 1e6,
+        }
+    )
+    return out.sort_values(["n_regionkey", "n_name"]).reset_index(drop=True)
+
+
 def _q_heaps_curve(sf_dir: str):
     """Heaps'-law vocabulary-growth curve: cumulative distinct-token
     count after every 50th document (doc_id order) — the vocab-sizing
@@ -5715,6 +5760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cuped_adjust": _q_cuped_adjust,  # new in r3
         "quantity_two_sample": _q_quantity_two_sample,  # new in r3
         "revenue_gini": _q_revenue_gini,  # new in r3
+        "nation_share_of_region": _q_nation_share_of_region,  # new in r3
         "source_vocab_overlap": _q_source_vocab_overlap,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
@@ -7169,6 +7215,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM reach r JOIN sym s ON s.src = r.node
             )
             SELECT node, min(label) AS component FROM reach GROUP BY node
+        """,
+        "nation_share_of_region": """
+            WITH s AS (
+                SELECT o_custkey, sum(o_totalprice) AS rev
+                FROM orders GROUP BY o_custkey
+            ), j AS (
+                SELECT n.n_regionkey, n.n_name, s.rev
+                FROM s
+                JOIN customer c ON c.c_custkey = s.o_custkey
+                JOIN nation n ON n.n_nationkey = c.c_nationkey
+            ), per AS (
+                SELECT n_regionkey, n_name, sum(rev) AS rev
+                FROM j GROUP BY 1, 2
+            )
+            SELECT n_regionkey, n_name, round(rev, 2) AS rev,
+                   round(rev / sum(rev) OVER (PARTITION BY n_regionkey),
+                         6) AS share
+            FROM per
         """,
         "revenue_gini": """
             WITH s AS (
