@@ -238,6 +238,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "cuped_adjust",
         "quantity_two_sample",
         "revenue_gini",
+        "nation_share_of_region",
     ]
     for name in bench_queries:
         t0 = time.time()
