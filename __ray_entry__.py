@@ -1793,6 +1793,31 @@ def _q_source_vocab_overlap(sf_dir: str):
     return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
 
 
+def _q_components_cap_guard(sf_dir: str):
+    """Round-cap exactness guard, oracle-checked end to end: chains
+    of 61 customer keys resolved through the DISTRIBUTED min-label
+    path (local fast path disabled) with max_rounds=3 — propagation
+    cannot converge, so the result is only correct if the
+    quotient-contraction fallback (`stages/clustering.py` →
+    alternating star rounds) fires and finishes exactly.  The oracle
+    is the recursive min-label CTE, so a silently-split component
+    fails the value hash."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import graph
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    max_key = int(cust.max("c_custkey"))
+
+    def _edges(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["c_custkey"].to_numpy()
+        a = c[(c % 61 != 0) & (c < max_key)]
+        return pd.DataFrame({"src": a, "dst": a + 1})
+
+    edges = cust.map_batches(_edges, batch_format="pandas")
+    return graph.connected_components(
+        edges, local_max_edges=0, max_rounds=3
+    )
+
+
 def _q_doc_partition_ari(sf_dir: str):
     """Clustering-agreement census (`ops/cluster.py::
     partition_agreement`): Rand index + Adjusted Rand Index between
@@ -5761,6 +5786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_two_sample": _q_quantity_two_sample,  # new in r3
         "revenue_gini": _q_revenue_gini,  # new in r3
         "nation_share_of_region": _q_nation_share_of_region,  # new in r3
+        "components_cap_guard": _q_components_cap_guard,  # new in r3
         "source_vocab_overlap": _q_source_vocab_overlap,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
@@ -7206,6 +7232,22 @@ def oracle_sql() -> dict[str, str]:
                 SELECT c_custkey AS src, c_custkey + 1 AS dst
                 FROM customer, mx
                 WHERE c_custkey % 193 <> 0 AND c_custkey < mx.m
+            ), sym AS (
+                SELECT src, dst FROM e UNION SELECT dst, src FROM e
+            ), reach(node, label) AS (
+                SELECT src, src FROM sym
+                UNION
+                SELECT s.dst, r.label
+                FROM reach r JOIN sym s ON s.src = r.node
+            )
+            SELECT node, min(label) AS component FROM reach GROUP BY node
+        """,
+        "components_cap_guard": """
+            WITH RECURSIVE mx AS (SELECT max(c_custkey) AS m FROM customer),
+            e AS (
+                SELECT c_custkey AS src, c_custkey + 1 AS dst
+                FROM customer, mx
+                WHERE c_custkey % 61 <> 0 AND c_custkey < mx.m
             ), sym AS (
                 SELECT src, dst FROM e UNION SELECT dst, src FROM e
             ), reach(node, label) AS (
