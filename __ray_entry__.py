@@ -1818,6 +1818,69 @@ def _q_components_cap_guard(sf_dir: str):
     )
 
 
+def _q_source_jsd(sf_dir: str):
+    """Jensen-Shannon divergence between two sources' token
+    distributions (src0 vs src1) — the symmetric, bounded [0, ln 2]
+    corpus-drift metric that pairs with the KS test for categorical
+    (token) space.  Same census plan as `quantity_two_sample`: ONE
+    slim (token, per-source count) combiner, driver fold over the
+    union vocabulary.  Oracle: the KL terms spelled out in SQL over
+    the identical census (0·ln0 terms excluded by construction)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
+        grouped_aggregate,
+    )
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def _tok(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["source"].isin(["src0", "src1"])
+        d = df[keep]
+        toks = [t.split(" ") for t in d["text"].to_numpy(object)]
+        lens = np.fromiter((len(t) for t in toks), np.int64, count=len(toks))
+        flat = (
+            np.concatenate([np.asarray(t, object) for t in toks])
+            if len(toks)
+            else np.empty(0, object)
+        )
+        src = np.repeat(d["source"].to_numpy(object), lens)
+        return pd.DataFrame(
+            {
+                "token": flat,
+                "ca": (src == "src0").astype(np.int64),
+                "cb": (src == "src1").astype(np.int64),
+            }
+        )
+
+    census = (
+        grouped_aggregate(
+            docs.map_batches(_tok, batch_format="pandas"),
+            ["token"],
+            [("sum", "ca", "ca"), ("sum", "cb", "cb")],
+        )
+        .to_pandas()
+        .sort_values("token")
+        .reset_index(drop=True)
+    )
+    ca = census["ca"].to_numpy(np.float64)
+    cb = census["cb"].to_numpy(np.float64)
+    p = ca / ca.sum()
+    q = cb / cb.sum()
+    m = 0.5 * (p + q)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        kl_p = np.where(p > 0, p * np.log(p / m), 0.0).sum()
+        kl_q = np.where(q > 0, q * np.log(q / m), 0.0).sum()
+    jsd = 0.5 * (kl_p + kl_q)
+    r6 = float(np.trunc(jsd * 1e6 + np.copysign(0.5, jsd)) / 1e6)
+    return pd.DataFrame(
+        {
+            "n_vocab": [np.int64(len(census))],
+            "n_a": [np.int64(ca.sum())],
+            "n_b": [np.int64(cb.sum())],
+            "jsd": [r6],
+        }
+    )
+
+
 def _q_doc_partition_ari(sf_dir: str):
     """Clustering-agreement census (`ops/cluster.py::
     partition_agreement`): Rand index + Adjusted Rand Index between
@@ -5787,6 +5850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_gini": _q_revenue_gini,  # new in r3
         "nation_share_of_region": _q_nation_share_of_region,  # new in r3
         "components_cap_guard": _q_components_cap_guard,  # new in r3
+        "source_jsd": _q_source_jsd,  # new in r3
         "source_vocab_overlap": _q_source_vocab_overlap,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
@@ -7241,6 +7305,35 @@ def oracle_sql() -> dict[str, str]:
                 FROM reach r JOIN sym s ON s.src = r.node
             )
             SELECT node, min(label) AS component FROM reach GROUP BY node
+        """,
+        "source_jsd": """
+            WITH tok AS (
+                SELECT source, unnest(string_split(text, ' ')) AS token
+                FROM documents WHERE source IN ('src0', 'src1')
+            ), c AS (
+                SELECT token,
+                       sum(CASE WHEN source = 'src0'
+                                THEN 1 ELSE 0 END)::DOUBLE AS ca,
+                       sum(CASE WHEN source = 'src1'
+                                THEN 1 ELSE 0 END)::DOUBLE AS cb
+                FROM tok GROUP BY token
+            ), s AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c),
+            t AS (
+                SELECT CASE WHEN ca > 0 THEN (ca / s.na)
+                            * ln((ca / s.na)
+                                 / (0.5 * (ca / s.na + cb / s.nb)))
+                            ELSE 0 END AS kp,
+                       CASE WHEN cb > 0 THEN (cb / s.nb)
+                            * ln((cb / s.nb)
+                                 / (0.5 * (ca / s.na + cb / s.nb)))
+                            ELSE 0 END AS kq
+                FROM c, s
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_vocab,
+                   (SELECT CAST(na AS BIGINT) FROM s) AS n_a,
+                   (SELECT CAST(nb AS BIGINT) FROM s) AS n_b,
+                   round(0.5 * (sum(kp) + sum(kq)), 6) AS jsd
+            FROM t
         """,
         "components_cap_guard": """
             WITH RECURSIVE mx AS (SELECT max(c_custkey) AS m FROM customer),
