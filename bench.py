@@ -239,6 +239,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "quantity_two_sample",
         "revenue_gini",
         "nation_share_of_region",
+        "source_jsd",
     ]
     for name in bench_queries:
         t0 = time.time()
