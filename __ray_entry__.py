@@ -2948,6 +2948,57 @@ def _q_dup_cluster_sizes(sf_dir: str):
     return hist.map_batches(_name, batch_format="pandas")
 
 
+def _q_cluster_transitivity(sf_dir: str):
+    """Transitivity-reliance census per near-dup cluster: for every
+    MinHash-LSH cluster, how many member pairs are DIRECT (≥ 0.6
+    Jaccard edges) vs implied only by transitive closure — the ER
+    audit that flags chain-merged clusters (high weak-pair share =
+    candidates for a precision review).  Plan: the pair stream labels
+    via one broadcast/join attach against the O(#matched-nodes) label
+    table; per-component direct-edge and size censuses are combiner
+    shuffles.  Oracle: exact all-pairs Jaccard + recursive CTE + the
+    same arithmetic."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import graph
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
+        auto_join,
+        grouped_aggregate,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dedup.minhash_dup_pairs(docs, threshold=0.6).materialize()
+    labels = graph.connected_components(
+        pairs, src="id_a", dst="id_b"
+    ).materialize()
+    # materialize between joins: two lazy join pools starve a small
+    # cluster (see ops/graph.py empty-partition note for the sibling
+    # pitfall)
+    sizes = graph.component_sizes(labels).materialize()
+    direct = grouped_aggregate(
+        auto_join(
+            pairs.select_columns(["id_a"]), labels,
+            on=["id_a"], right_on=["node"],
+        ),
+        ["component"],
+        [("count_star", None, "n_direct")],
+    ).materialize()
+    merged = auto_join(sizes, direct, on=["component"])
+
+    def _weak(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_nodes"].astype("int64")
+        nd = df["n_direct"].astype("int64")
+        total = n * (n - 1) // 2
+        return pd.DataFrame(
+            {
+                "component": df["component"].astype("int64"),
+                "cluster_size": n,
+                "n_direct": nd,
+                "n_weak": total - nd,
+            }
+        )
+
+    return merged.map_batches(_weak, batch_format="pandas")
+
+
 def _q_split_leakage(sf_dir: str):
     """Train/valid/test contamination audit: near-dup pairs (the
     MinHash-LSH pipeline) that STRADDLE split boundaries, counted per
@@ -5851,6 +5902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_share_of_region": _q_nation_share_of_region,  # new in r3
         "components_cap_guard": _q_components_cap_guard,  # new in r3
         "source_jsd": _q_source_jsd,  # new in r3
+        "cluster_transitivity": _q_cluster_transitivity,  # new in r3
         "source_vocab_overlap": _q_source_vocab_overlap,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
@@ -7611,6 +7663,44 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 25, (SELECT count(*) FROM c25),
                    (SELECT count(DISTINCT c) FROM c25)
+        """,
+        "cluster_transitivity": r"""
+            WITH RECURSIVE tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                    FOR i IN range(1, len(t) - 1)]) AS s
+              FROM tok WHERE len(t) >= 3
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+                    len(list_distinct(list_concat(a.s, b.s))) >= 0.6
+            ), sym AS (
+              SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ), reach(node, label) AS (
+              SELECT s, s FROM sym
+              UNION
+              SELECT sym.d, reach.label
+              FROM reach JOIN sym ON sym.s = reach.node
+            ), comp AS (
+              SELECT node, min(label) AS c FROM reach GROUP BY node
+            ), sizes AS (
+              SELECT c, count(*) AS n FROM comp GROUP BY c
+            ), direct AS (
+              SELECT comp.c, count(*) AS nd
+              FROM pairs JOIN comp ON comp.node = pairs.id_a
+              GROUP BY comp.c
+            )
+            SELECT sizes.c AS component,
+                   CAST(sizes.n AS BIGINT) AS cluster_size,
+                   CAST(direct.nd AS BIGINT) AS n_direct,
+                   CAST(sizes.n * (sizes.n - 1) // 2 - direct.nd
+                        AS BIGINT) AS n_weak
+            FROM sizes JOIN direct ON direct.c = sizes.c
         """,
         "dup_cluster_sizes": r"""
             WITH RECURSIVE tok AS (
