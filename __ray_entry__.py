@@ -1818,6 +1818,45 @@ def _q_components_cap_guard(sf_dir: str):
     )
 
 
+def _q_source_lang_mi(sf_dir: str):
+    """Mutual information I(source; lang) over documents, with the
+    marginal entropies and the normalized uncertainty coefficient
+    U(lang|source) = I/H(lang) — the categorical dependence triple
+    that complements χ² (effect size on the information scale).  One
+    (source, lang) contingency combiner, driver fold over ≤
+    |sources|×|langs| cells.  Oracle: the same plug-in estimator in
+    SQL (natural log)."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.relational import (
+        grouped_aggregate,
+    )
+
+    docs = _read(sf_dir, "documents", ["source", "lang"])
+    cells = grouped_aggregate(
+        docs, ["source", "lang"], [("count_star", None, "n")]
+    ).to_pandas()
+    n = cells["n"].to_numpy(np.float64)
+    tot = n.sum()
+    p = n / tot
+    ps = cells.groupby("source")["n"].transform("sum").to_numpy(np.float64) / tot
+    pl = cells.groupby("lang")["n"].transform("sum").to_numpy(np.float64) / tot
+    mi = float((p * np.log(p / (ps * pl))).sum())
+    pls = cells.groupby("lang")["n"].sum().to_numpy(np.float64) / tot
+    h_lang = float(-(pls * np.log(pls)).sum())
+    u = mi / h_lang if h_lang > 0 else 0.0
+
+    def r6(x: float) -> float:
+        return float(np.trunc(x * 1e6 + np.copysign(0.5, x)) / 1e6)
+
+    return pd.DataFrame(
+        {
+            "n_docs": [np.int64(tot)],
+            "mi": [r6(mi)],
+            "h_lang": [r6(h_lang)],
+            "u_lang_given_source": [r6(u)],
+        }
+    )
+
+
 def _q_source_jsd(sf_dir: str):
     """Jensen-Shannon divergence between two sources' token
     distributions (src0 vs src1) — the symmetric, bounded [0, ln 2]
@@ -5903,6 +5942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "components_cap_guard": _q_components_cap_guard,  # new in r3
         "source_jsd": _q_source_jsd,  # new in r3
         "cluster_transitivity": _q_cluster_transitivity,  # new in r3
+        "source_lang_mi": _q_source_lang_mi,  # new in r3
         "source_vocab_overlap": _q_source_vocab_overlap,  # new in r3
         # ---- driver-green in r1/r2 (CORRECTNESS_r01/r02 rows) ----
         "customer_er_assignment": _q_customer_er,
@@ -7357,6 +7397,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM reach r JOIN sym s ON s.src = r.node
             )
             SELECT node, min(label) AS component FROM reach GROUP BY node
+        """,
+        "source_lang_mi": """
+            WITH c AS (
+                SELECT source, lang, count(*)::DOUBLE AS n
+                FROM documents GROUP BY 1, 2
+            ), s AS (SELECT sum(n) AS tot FROM c),
+            m AS (
+                SELECT sum(term) AS mi FROM (
+                    SELECT (n / s.tot) * ln((n / s.tot) /
+                           ((sum(n) OVER (PARTITION BY source) / s.tot)
+                            * (sum(n) OVER (PARTITION BY lang)
+                               / s.tot))) AS term
+                    FROM c, s
+                )
+            ), h AS (
+                SELECT -sum(pl * ln(pl)) AS h_lang
+                FROM (SELECT sum(n) / (SELECT tot FROM s) AS pl
+                      FROM c GROUP BY lang)
+            )
+            SELECT (SELECT CAST(tot AS BIGINT) FROM s) AS n_docs,
+                   round(m.mi, 6) AS mi,
+                   round(h.h_lang, 6) AS h_lang,
+                   round(CASE WHEN h.h_lang > 0 THEN m.mi / h.h_lang
+                              ELSE 0 END, 6) AS u_lang_given_source
+            FROM m, h
         """,
         "source_jsd": """
             WITH tok AS (
