@@ -240,6 +240,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "revenue_gini",
         "nation_share_of_region",
         "source_jsd",
+        "source_lang_mi",
     ]
     for name in bench_queries:
         t0 = time.time()
