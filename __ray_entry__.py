@@ -4999,9 +4999,10 @@ def _sql_orders_fd() -> str:
         parts.append(f"""
             SELECT '{det}' AS determinant, '{dep}' AS dependent,
                    count(*) AS n_det_values,
-                   sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_violating,
-                   CASE WHEN sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) = 0
-                        THEN 1 ELSE 0 END AS holds
+                   CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violating,
+                   CAST(CASE WHEN sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) = 0
+                        THEN 1 ELSE 0 END AS BIGINT) AS holds
             FROM (SELECT {det} AS det, count(DISTINCT {dep}) AS c
                   FROM orders GROUP BY 1)
         """)
@@ -5611,6 +5612,12 @@ def _q_events_autocorr(sf_dir: str):
         "n",
         ["user_id"],
     )
+    # Bit-stable vs the oracle: daily counts are small integers, so the
+    # moment sums (n, Σx, Σy, Σxy, Σx², Σy²) are EXACT in float64
+    # regardless of summation order, and the oracle evaluates the same
+    # closed-form expression tree from exact integer sums — both sides
+    # produce identical doubles before rounding (no Welford-vs-raw-
+    # moment skew, which made round-6 AND round-4 straddle boundaries).
     return _round_cols(out, ["slope", "intercept", "r", "r2"], 6)
 
 
@@ -6095,22 +6102,46 @@ def oracle_sql() -> dict[str, str]:
             FROM c, tot t
         """,
         "events_autocorr": """
+            -- Closed forms over EXACT integer moment sums (not DuckDB's
+            -- Welford-style corr/regr_* accumulators): daily counts are
+            -- small ints, so Σx/Σy/Σxy/Σx²/Σy² are exact in any order
+            -- and this expression tree is bit-identical to the engine's
+            -- grouped_regression _solve.
             WITH d AS (
                 SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
-                       count(*) AS n
+                       count(*) AS cnt
                 FROM events GROUP BY 1, 2
             ), l AS (
-                SELECT user_id, n,
-                       lag(n) OVER (PARTITION BY user_id ORDER BY day)
-                           AS prev
+                SELECT user_id, cnt AS y,
+                       lag(cnt) OVER (PARTITION BY user_id ORDER BY day)
+                           AS x
                 FROM d
+            ), f AS (
+                SELECT user_id, count(*) AS n,
+                       CAST(sum(x) AS DOUBLE) AS sx,
+                       CAST(sum(y) AS DOUBLE) AS sy,
+                       CAST(sum(x * y) AS DOUBLE) AS sxy,
+                       CAST(sum(x * x) AS DOUBLE) AS sxx,
+                       CAST(sum(y * y) AS DOUBLE) AS syy
+                FROM l WHERE x IS NOT NULL GROUP BY 1
+            ), c AS (
+                SELECT user_id, n,
+                       sxy / n - (sx / n) * (sy / n) AS cov,
+                       sxx / n - (sx / n) * (sx / n) AS vx,
+                       syy / n - (sy / n) * (sy / n) AS vy,
+                       sx / n AS mx, sy / n AS my
+                FROM f
             )
-            SELECT user_id, count(*) AS n,
-                   round(regr_slope(n, prev), 6) AS slope,
-                   round(regr_intercept(n, prev), 6) AS intercept,
-                   round(corr(n, prev), 6) AS r,
-                   round(regr_r2(n, prev), 6) AS r2
-            FROM l WHERE prev IS NOT NULL GROUP BY 1
+            SELECT user_id, n,
+                   round(CASE WHEN vx > 0 THEN cov / vx END, 6) AS slope,
+                   round(CASE WHEN vx > 0
+                         THEN my - (cov / vx) * mx END, 6) AS intercept,
+                   round(CASE WHEN vx > 0 AND vy > 0
+                         THEN cov / sqrt(vx * vy) END, 6) AS r,
+                   round(CASE WHEN vx > 0 AND vy > 0
+                         THEN (cov / sqrt(vx * vy))
+                              * (cov / sqrt(vx * vy)) END, 6) AS r2
+            FROM c
         """,
         "fs_patterns": _sql_fs_patterns(_FIX01),
         "fs_em_params": _sql_fs_em(_FIX01),
