@@ -163,4 +163,95 @@ class FeatureStore:
         return self.sh2_val[self.sh2_off[i] : self.sh2_off[i + 1]]
 
 
-__all__ = ["FeatureStore"]
+class IdListStore:
+    """Broadcast int64-id → ragged-uint64-list table for the slim-shuffle
+    near-dup plans (``ops/dedup.minhash_dup_pairs``): sorted flat numpy
+    arrays ship out-of-band (zero-copy ``ray.get`` per task), exactly the
+    transport rationale of :class:`FeatureStore` but keyed by an integer
+    id column instead of a url hash — no collision surface at all."""
+
+    def __init__(self, ids: np.ndarray, off: np.ndarray, val: np.ndarray):
+        self.ids = ids    # sorted int64
+        self.off = off    # int64, len n+1
+        self.val = val    # uint64 flat values
+
+    @staticmethod
+    def from_arrow(batches, id_col: str, list_col: str) -> "IdListStore":
+        """Vectorized build from pyarrow tables: list VALUES/offsets as
+        flat numpy (zero-copy), sort-by-id as one gather."""
+        import pyarrow as pa
+
+        ids_parts, val_parts, len_parts = [], [], []
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            ids_parts.append(np.asarray(b[id_col].combine_chunks(), np.int64))
+            la = b[list_col].combine_chunks()
+            offs = np.asarray(la.offsets, np.int64)
+            val_parts.append(
+                np.asarray(la.values, np.uint64)[offs[0] : offs[-1]]
+            )
+            len_parts.append(np.diff(offs))
+        if not ids_parts:
+            return IdListStore(
+                np.empty(0, np.int64), np.zeros(1, np.int64),
+                np.empty(0, np.uint64),
+            )
+        ids = np.concatenate(ids_parts)
+        order = np.argsort(ids, kind="mergesort")
+        lens = np.concatenate(len_parts).astype(np.int64)
+        values = (
+            np.concatenate(val_parts) if val_parts else np.empty(0, np.uint64)
+        )
+        starts = np.zeros(len(lens), np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        s_lens, s_starts = lens[order], starts[order]
+        off = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(s_lens, out=off[1:])
+        total = int(off[-1])
+        gidx = (
+            np.repeat(s_starts, s_lens)
+            + np.arange(total)
+            - np.repeat(off[:-1], s_lens)
+        )
+        return IdListStore(ids[order], off, values[gidx])
+
+    def rows(self, ids: np.ndarray) -> np.ndarray:
+        """Row indices for an int64 id array (ids must be present)."""
+        pos = np.searchsorted(self.ids, np.asarray(ids, np.int64))
+        return np.minimum(pos, max(len(self.ids) - 1, 0))
+
+    def get(self, i: int) -> np.ndarray:
+        return self.val[self.off[i] : self.off[i + 1]]
+
+    def nbytes(self) -> int:
+        return int(self.ids.nbytes + self.off.nbytes + self.val.nbytes)
+
+
+class IdScalarStore:
+    """Broadcast int64-id → uint64-scalar table (SimHash fingerprints)."""
+
+    def __init__(self, ids: np.ndarray, val: np.ndarray):
+        self.ids = ids  # sorted int64
+        self.val = val  # uint64
+
+    @staticmethod
+    def from_arrow(batches, id_col: str, val_col: str) -> "IdScalarStore":
+        ids_parts, val_parts = [], []
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            ids_parts.append(np.asarray(b[id_col].combine_chunks(), np.int64))
+            val_parts.append(np.asarray(b[val_col].combine_chunks(), np.uint64))
+        if not ids_parts:
+            return IdScalarStore(np.empty(0, np.int64), np.empty(0, np.uint64))
+        ids = np.concatenate(ids_parts)
+        order = np.argsort(ids, kind="mergesort")
+        return IdScalarStore(ids[order], np.concatenate(val_parts)[order])
+
+    def lookup(self, ids: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(self.ids, np.asarray(ids, np.int64))
+        return self.val[np.minimum(pos, max(len(self.ids) - 1, 0))]
+
+
+__all__ = ["FeatureStore", "IdListStore", "IdScalarStore"]

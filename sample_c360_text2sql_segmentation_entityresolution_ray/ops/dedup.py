@@ -126,14 +126,17 @@ def _emit_partition_bucket_pairs(g: pd.DataFrame, verify) -> pd.DataFrame:
     ``map_groups`` pays ~ms of Python per bucket, ruinous at one bucket
     per near-dup group).  Buckets over ``ALLPAIRS_CAP`` emit window
     pairs only (linear).  ``verify(sorted_df, ii, jj) -> (mask, sims)``
-    runs vectorized over all candidate index pairs."""
-    empty = pd.DataFrame(
-        {
-            "id_a": pd.Series(dtype=np.int64),
-            "id_b": pd.Series(dtype=np.int64),
-            "sim": pd.Series(dtype=float),
-        }
-    )
+    runs vectorized over all candidate index pairs; ``verify=None``
+    emits UNVERIFIED candidates (id_a, id_b) — the slim-shuffle plans
+    verify downstream, after the cross-bucket dedupe, with sketches
+    attached from a broadcast store or a join."""
+    cols = {
+        "id_a": pd.Series(dtype=np.int64),
+        "id_b": pd.Series(dtype=np.int64),
+    }
+    if verify is not None:
+        cols["sim"] = pd.Series(dtype=float)
+    empty = pd.DataFrame(cols)
     g = g.drop_duplicates(["bucket", "doc_id"]).sort_values(
         ["bucket", "doc_id"], kind="mergesort"
     )
@@ -158,8 +161,11 @@ def _emit_partition_bucket_pairs(g: pd.DataFrame, verify) -> pd.DataFrame:
         return empty
     ii = np.concatenate(ii_l)
     jj = np.concatenate(jj_l)
-    mask, sims = verify(g, ii, jj)
     ids = g["doc_id"].to_numpy()
+    if verify is None:
+        out = pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
+        return out.drop_duplicates(["id_a", "id_b"])
+    mask, sims = verify(g, ii, jj)
     out = pd.DataFrame(
         {"id_a": ids[ii[mask]], "id_b": ids[jj[mask]], "sim": sims[mask]}
     )
@@ -189,6 +195,100 @@ def _bucketed_pairs(exploded: "ray.data.Dataset", verify) -> "ray.data.Dataset":
 
 
 # ---------------------------------------------------------------------------
+# slim-shuffle candidate machinery (shared by MinHash / SimHash)
+# ---------------------------------------------------------------------------
+
+BROADCAST_SKETCH_DOC_LIMIT = 1_000_000   # list sketches ≤ ~2 GB worst case
+BROADCAST_SCALAR_DOC_LIMIT = 20_000_000  # 16 B/doc scalar fingerprints
+
+
+def _bucketed_candidates(exploded: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Slim (bucket, doc_id) rows → deduped UNVERIFIED candidate pairs
+    (id_a, id_b): same one-groupby/partition-sweep machinery as
+    :func:`_bucketed_pairs`, but nothing heavier than 16 B/row crosses
+    the exchange — verification attaches sketches downstream."""
+
+    def _part(batch: pa.Table) -> pa.Table:
+        part = (
+            batch["bucket"].to_numpy(zero_copy_only=False)
+            % np.uint64(DEDUP_PAIR_PARTITIONS)
+        ).astype(np.int32)
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    from .relational import dedupe_by_key
+
+    cands = (
+        exploded.map_batches(_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: _emit_partition_bucket_pairs(g, None),
+            batch_format="pandas",
+        )
+    )
+    return dedupe_by_key(cands, ["id_a", "id_b"])
+
+
+def _ids64(batch: pa.Table, col: str) -> np.ndarray:
+    return np.asarray(batch[col].combine_chunks(), np.int64)
+
+
+def _nested_join_partitions() -> int:
+    """Aggregator-partition count for the TWO concurrent hash joins of
+    the join-attach plan: Ray's join spawns ``num_partitions`` actors
+    per join, so the pair of joins must together leave CPUs for the
+    upstream map/groupby stages (the default 2×CPU sizing deadlocks an
+    8-CPU cluster when two joins run in one pipeline)."""
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, ncpu // 2)
+
+
+def _list_col_flat(batch: pa.Table, col: str):
+    """(offsets0based, flat_uint64_values) of a list<uint64> column."""
+    la = batch[col].combine_chunks()
+    offs = np.asarray(la.offsets, np.int64)
+    vals = np.asarray(la.values, np.uint64)[offs[0] : offs[-1]]
+    return offs - offs[0], vals
+
+
+def _pack_sketch_bin(key_in: str, key_out: str, col_out: str):
+    """feats(doc_id, shingles) → (key_out, col_out): the ragged uint64
+    sketch packed into ONE large_binary column built from the list
+    column's own buffers (no per-row Python) — Acero-join-safe payload
+    transport, the same packed-binary trick as the ER join plan
+    (stages/scoring.py)."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        offs, vals = _list_col_flat(batch, "shingles")
+        bin_arr = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(),
+            batch.num_rows,
+            [
+                None,
+                pa.py_buffer((offs * 8).tobytes()),
+                pa.py_buffer(vals.tobytes()),
+            ],
+        )
+        return pa.table(
+            {key_out: _ids64(batch, key_in), col_out: bin_arr}
+        )
+
+    return _f
+
+
+def _jaccard_pair_arrays(sa, sb) -> np.ndarray:
+    """Exact Jaccard per (sa[i], sb[i]) — identical semantics to
+    :func:`_jaccard_matrix_exact` (both-empty ⇒ 0.0)."""
+    out = np.empty(len(sa))
+    for x, (a, b) in enumerate(zip(sa, sb)):
+        if len(a) == 0 and len(b) == 0:
+            out[x] = 0.0
+            continue
+        inter = len(np.intersect1d(a, b, assume_unique=True))
+        out[x] = inter / (len(a) + len(b) - inter)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # MinHash-LSH
 # ---------------------------------------------------------------------------
 
@@ -201,10 +301,155 @@ def minhash_dup_pairs(
     shingle_cap: int = 256,
     num_perm: int = 64,
     bands: int = 16,
+    transport: str = "auto",
+    broadcast_doc_limit: int = BROADCAST_SKETCH_DOC_LIMIT,
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs by MinHash-LSH blocking + exact
     shingle-Jaccard verification (north-rule structure: shingle →
-    minhash → band → bucket groupby)."""
+    minhash → band → bucket groupby).
+
+    ``transport`` picks how shingle sketches reach verification:
+
+    - ``"broadcast"`` — featurize ONCE into a per-doc table; only slim
+      16 B (bucket, doc_id) rows cross the band shuffle; candidates are
+      deduped FIRST, then verified against a zero-copy broadcast
+      :class:`~..functions.feature_store.IdListStore` (``ray.put``
+      once, searchsorted probe per batch).
+    - ``"join"`` — same slim candidate exchange; sketches attach via two
+      hash joins of the deduped pairs against the packed-binary feature
+      table (heavy bytes scale with candidates, never × bands).
+    - ``"payload"`` — the legacy plan (sketch rides every band-key row,
+      ~bands× replication through the shuffle): kept as the
+      path-equality baseline and for tiny inputs.
+    - ``"auto"`` — measured switch: broadcast while the materialized
+      feature count ≤ ``broadcast_doc_limit`` (≤ ~2 GB of sketch arrays
+      at the 256-shingle cap — one object-store copy per node), else
+      join.  Mirrors the flagship ER feature-transport plans
+      (pipelines/entity_resolution.py)."""
+    if transport == "payload":
+        return _minhash_dup_pairs_payload(
+            ds, text_col, id_col, threshold, shingle_k, shingle_cap,
+            num_perm, bands,
+        )
+    if transport not in ("auto", "broadcast", "join"):
+        raise ValueError(f"unknown transport {transport!r}")
+
+    def _featurize(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        sets = _shingle_featurize(texts, shingle_k, shingle_cap)
+        concat = np.concatenate(sets) if sets else np.empty(0, np.uint64)
+        offs = np.cumsum([0] + [len(s) for s in sets])
+        sigs = minhash_signatures_concat(concat, offs, num_perm=num_perm)
+        keys = band_keys(sigs, bands)  # (n, bands)
+        return pa.table(
+            {
+                "doc_id": pa.array(_ids64(batch, id_col), pa.int64()),
+                "shingles": pa.array(list(sets), pa.list_(pa.uint64())),
+                "buckets": pa.array(list(keys), pa.list_(pa.uint64())),
+            }
+        )
+
+    # One featurize pass, materialized: sketches stay PUT in their
+    # blocks; neither derivation below re-tokenizes the corpus.
+    feats = ds.map_batches(_featurize, batch_format="pyarrow").materialize()
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        offs, vals = _list_col_flat(batch, "buckets")
+        ids = _ids64(batch, "doc_id")
+        return pa.table(
+            {
+                "bucket": pa.array(vals, pa.uint64()),
+                "doc_id": pa.array(np.repeat(ids, np.diff(offs)), pa.int64()),
+            }
+        )
+
+    cands = _bucketed_candidates(
+        feats.select_columns(["doc_id", "buckets"]).map_batches(
+            _explode, batch_format="pyarrow"
+        )
+    )
+    sketches = feats.select_columns(["doc_id", "shingles"])
+
+    if transport == "broadcast" or (
+        transport == "auto" and feats.count() <= broadcast_doc_limit
+    ):
+        from ..functions.feature_store import IdListStore
+
+        store = IdListStore.from_arrow(
+            ray.get(sketches.to_arrow_refs()), "doc_id", "shingles"
+        )
+        ref = ray.put(store)
+
+        def _verify_bc(batch: pa.Table) -> pa.Table:
+            st = ray.get(ref)  # zero-copy numpy views
+            ia = st.rows(_ids64(batch, "id_a"))
+            ib = st.rows(_ids64(batch, "id_b"))
+            sims = _jaccard_pair_arrays(
+                [st.get(i) for i in ia], [st.get(i) for i in ib]
+            )
+            keep = sims >= threshold
+            return pa.table(
+                {
+                    "id_a": pa.array(_ids64(batch, "id_a")[keep], pa.int64()),
+                    "id_b": pa.array(_ids64(batch, "id_b")[keep], pa.int64()),
+                    "sim": pa.array(sims[keep], pa.float64()),
+                }
+            )
+
+        return cands.map_batches(_verify_bc, batch_format="pyarrow")
+
+    # join transport: packed-binary sketches attach to the DEDUPED pairs
+    from .relational import hash_join
+
+    fa = sketches.map_batches(
+        _pack_sketch_bin("doc_id", "id_a", "sh_a"), batch_format="pyarrow"
+    )
+    fb = sketches.map_batches(
+        _pack_sketch_bin("doc_id", "id_b", "sh_b"), batch_format="pyarrow"
+    )
+    np_join = _nested_join_partitions()
+    joined = hash_join(
+        hash_join(cands, fa, on=["id_a"], num_partitions=np_join),
+        fb, on=["id_b"], num_partitions=np_join,
+    )
+
+    def _verify_join(batch: pa.Table) -> pa.Table:
+        sa = [
+            np.frombuffer(v, np.uint64) if v is not None else
+            np.empty(0, np.uint64)
+            for v in batch["sh_a"].to_pylist()
+        ]
+        sb = [
+            np.frombuffer(v, np.uint64) if v is not None else
+            np.empty(0, np.uint64)
+            for v in batch["sh_b"].to_pylist()
+        ]
+        sims = _jaccard_pair_arrays(sa, sb)
+        keep = sims >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(_ids64(batch, "id_a")[keep], pa.int64()),
+                "id_b": pa.array(_ids64(batch, "id_b")[keep], pa.int64()),
+                "sim": pa.array(sims[keep], pa.float64()),
+            }
+        )
+
+    return joined.map_batches(_verify_join, batch_format="pyarrow")
+
+
+def _minhash_dup_pairs_payload(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    shingle_k: int,
+    shingle_cap: int,
+    num_perm: int,
+    bands: int,
+) -> "ray.data.Dataset":
+    """Legacy payload plan: the shingle sketch rides EVERY band-key row
+    through the bucket shuffle (~bands× replication).  Kept as the
+    path-equality baseline for the slim transports above."""
 
     def _featurize(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
@@ -218,9 +463,7 @@ def minhash_dup_pairs(
         return pa.table(
             {
                 "bucket": pa.array(keys.reshape(-1), pa.uint64()),
-                "doc_id": pa.array(
-                    np.asarray(batch[id_col].to_pylist(), np.int64)[idx], pa.int64()
-                ),
+                "doc_id": pa.array(_ids64(batch, id_col)[idx], pa.int64()),
                 "shingles": pa.array(
                     [sets[i] for i in idx], pa.list_(pa.uint64())
                 ),
@@ -290,10 +533,123 @@ def simhash_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 4,
+    transport: str = "auto",
+    broadcast_doc_limit: int = BROADCAST_SCALAR_DOC_LIMIT,
 ) -> "ray.data.Dataset":
     """Near-dup pairs by SimHash: 64-bit fingerprints, ``bands`` band
     buckets (pigeonhole guarantees recall for Hamming ≤ bands-1),
-    exact Hamming verification in-bucket."""
+    exact Hamming verification.
+
+    ``transport`` as in :func:`minhash_dup_pairs`: slim plans featurize
+    ONCE, shuffle only (bucket, doc_id), dedupe candidates, then attach
+    the 8 B fingerprint via a broadcast
+    :class:`~..functions.feature_store.IdScalarStore` (``"broadcast"``,
+    default while docs ≤ ``broadcast_doc_limit`` — 16 B/doc of store)
+    or two hash joins (``"join"``); ``"payload"`` keeps the legacy
+    fingerprint-per-band-row plan as the path-equality baseline."""
+    if transport == "payload":
+        return _simhash_dup_pairs_payload(
+            ds, text_col, id_col, max_hamming, bands
+        )
+    if transport not in ("auto", "broadcast", "join"):
+        raise ValueError(f"unknown transport {transport!r}")
+
+    def _featurize(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        tok_sets = [texthash.token_hashes(t, cap=512) for t in texts]
+        sh = simhash_batch(tok_sets)
+        keys = simhash_band_keys(sh, bands)  # (n, bands)
+        n = batch.num_rows
+        band_idx = np.tile(np.arange(bands, dtype=np.uint64), n)
+        # bucket key = (band index, band bits) packed — distinct bands
+        # must not collide
+        bucket = (band_idx << np.uint64(60)) | keys.reshape(-1)
+        return pa.table(
+            {
+                "doc_id": pa.array(_ids64(batch, id_col), pa.int64()),
+                "simhash": pa.array(sh, pa.uint64()),
+                "buckets": pa.array(
+                    list(bucket.reshape(n, bands)), pa.list_(pa.uint64())
+                ),
+            }
+        )
+
+    feats = ds.map_batches(_featurize, batch_format="pyarrow").materialize()
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        offs, vals = _list_col_flat(batch, "buckets")
+        ids = _ids64(batch, "doc_id")
+        return pa.table(
+            {
+                "bucket": pa.array(vals, pa.uint64()),
+                "doc_id": pa.array(np.repeat(ids, np.diff(offs)), pa.int64()),
+            }
+        )
+
+    cands = _bucketed_candidates(
+        feats.select_columns(["doc_id", "buckets"]).map_batches(
+            _explode, batch_format="pyarrow"
+        )
+    )
+    prints = feats.select_columns(["doc_id", "simhash"])
+
+    def _emit(ids_a, ids_b, ha, hb) -> pa.Table:
+        d = hamming64(ha, hb)
+        keep = d <= max_hamming
+        return pa.table(
+            {
+                "id_a": pa.array(ids_a[keep], pa.int64()),
+                "id_b": pa.array(ids_b[keep], pa.int64()),
+                "sim": pa.array(((64 - d) / 64.0)[keep], pa.float64()),
+            }
+        )
+
+    if transport == "broadcast" or (
+        transport == "auto" and feats.count() <= broadcast_doc_limit
+    ):
+        from ..functions.feature_store import IdScalarStore
+
+        store = IdScalarStore.from_arrow(
+            ray.get(prints.to_arrow_refs()), "doc_id", "simhash"
+        )
+        ref = ray.put(store)
+
+        def _verify_bc(batch: pa.Table) -> pa.Table:
+            st = ray.get(ref)
+            ia, ib = _ids64(batch, "id_a"), _ids64(batch, "id_b")
+            return _emit(ia, ib, st.lookup(ia), st.lookup(ib))
+
+        return cands.map_batches(_verify_bc, batch_format="pyarrow")
+
+    from .relational import hash_join
+
+    fa = prints.rename_columns({"doc_id": "id_a", "simhash": "sh_a"})
+    fb = prints.rename_columns({"doc_id": "id_b", "simhash": "sh_b"})
+    np_join = _nested_join_partitions()
+    joined = hash_join(
+        hash_join(cands, fa, on=["id_a"], num_partitions=np_join),
+        fb, on=["id_b"], num_partitions=np_join,
+    )
+
+    def _verify_join(batch: pa.Table) -> pa.Table:
+        return _emit(
+            _ids64(batch, "id_a"),
+            _ids64(batch, "id_b"),
+            np.asarray(batch["sh_a"].combine_chunks(), np.uint64),
+            np.asarray(batch["sh_b"].combine_chunks(), np.uint64),
+        )
+
+    return joined.map_batches(_verify_join, batch_format="pyarrow")
+
+
+def _simhash_dup_pairs_payload(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    max_hamming: int,
+    bands: int,
+) -> "ray.data.Dataset":
+    """Legacy payload plan (fingerprint rides every band-key row)."""
 
     def _featurize(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
@@ -303,15 +659,11 @@ def simhash_dup_pairs(
         n = batch.num_rows
         idx = np.repeat(np.arange(n), bands)
         band_idx = np.tile(np.arange(bands, dtype=np.uint64), n)
-        # bucket key = (band index, band bits) packed — distinct bands
-        # must not collide
         bucket = (band_idx << np.uint64(60)) | keys.reshape(-1)
         return pa.table(
             {
                 "bucket": pa.array(bucket, pa.uint64()),
-                "doc_id": pa.array(
-                    np.asarray(batch[id_col].to_pylist(), np.int64)[idx], pa.int64()
-                ),
+                "doc_id": pa.array(_ids64(batch, id_col)[idx], pa.int64()),
                 "simhash": pa.array(np.repeat(sh, bands), pa.uint64()),
             }
         )

@@ -59,9 +59,27 @@ def _vhash(df: pd.DataFrame) -> str:
     return h.hexdigest()
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Coarse dtype class for the strict check: the driver's value hash
+    distinguishes int-vs-float (and datetime/string) renderings, so a
+    DuckDB HUGEINT→float64 oracle vs an engine int64 is a latent red row
+    even when every value is equal."""
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "object"
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    strict = "--strict" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import ray
 
@@ -102,6 +120,15 @@ def main() -> int:
             continue
         rows = len(ray_df) == len(o_df)
         schema = sorted(map(str, ray_df.columns)) == sorted(map(str, o_df.columns))
+        if strict and rows and schema:
+            kinds = [
+                (c, _dtype_kind(ray_df[c]), _dtype_kind(o_df[c]))
+                for c in sorted(map(str, ray_df.columns))
+                if _dtype_kind(ray_df[c]) != _dtype_kind(o_df[c])
+            ]
+            if kinds:
+                print(f"     STRICT dtype-kind diff: {kinds}")
+                schema = False
         vh = False
         if rows and schema:
             a, b = _canon(ray_df), _canon(o_df)

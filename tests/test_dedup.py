@@ -278,3 +278,43 @@ def test_ngram_overlap_denom_and_path_equality(ray_session):
     # jaccard of the same pair is well below 1 — containment ≠ jaccard
     jac = ngram_dup_all_pairs(ds, n=5, threshold=0.99).to_pandas()
     assert len(jac) == 0
+
+
+def test_minhash_transport_path_equality():
+    """Slim broadcast/join transports must emit bit-identical pairs to
+    the legacy payload plan (same candidates, same exact-Jaccard sims)."""
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def canon(d):
+        return (
+            d.to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+
+    ref = canon(dedup.minhash_dup_pairs(docs, threshold=0.6, transport="payload"))
+    assert len(ref) > 0
+    for t in ("broadcast", "join"):
+        got = canon(dedup.minhash_dup_pairs(docs, threshold=0.6, transport=t))
+        assert ref.equals(got), t
+
+
+def test_simhash_transport_path_equality():
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def canon(d):
+        return (
+            d.to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+
+    ref = canon(dedup.simhash_dup_pairs(docs, max_hamming=3, transport="payload"))
+    assert len(ref) > 0
+    for t in ("broadcast", "join"):
+        got = canon(dedup.simhash_dup_pairs(docs, max_hamming=3, transport=t))
+        assert ref.equals(got), t
