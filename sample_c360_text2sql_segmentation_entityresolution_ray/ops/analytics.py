@@ -466,8 +466,12 @@ def skyline2d(
         return df[mask]
 
     candidates = ds.map_batches(_local, batch_format="pandas")
+    # batch_size=None pinned explicitly: the global merge is only
+    # correct over the WHOLE single block — a fixed-size default batch
+    # split would let dominated rows survive (repo convention for
+    # whole-block global passes, see ops/sketch.py, ops/text.py)
     return candidates.repartition(1).map_batches(
-        _local, batch_format="pandas"
+        _local, batch_format="pandas", batch_size=None
     )
 
 

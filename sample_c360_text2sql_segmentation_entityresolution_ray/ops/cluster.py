@@ -381,6 +381,14 @@ def partition_agreement(
 
     def _pair2(n: "pd.Series") -> "pd.Series":
         v = n.astype("int64")
+        # v*(v-1) silently wraps int64 above floor(sqrt(2^63)) — fail
+        # loudly at the boundary instead of returning a wrong ARI
+        if len(v) and int(v.max()) > 3_037_000_499:
+            raise OverflowError(
+                f"partition_agreement: a cluster/cell count of "
+                f"{int(v.max())} rows overflows the int64 pair-count "
+                f"domain (max ~3.037e9)"
+            )
         return v * (v - 1) // 2
 
     cells = grouped_aggregate(

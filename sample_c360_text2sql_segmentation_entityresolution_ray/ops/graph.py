@@ -1311,6 +1311,7 @@ def connected_components_alternating(
         ).select_columns(["src", "dst", "_m"])
 
     sig = _edge_signature(cur)
+    converged = sig[0] == 0  # no edges ⇒ trivially at the fixpoint
     for _ in range(max_rounds if sig[0] else 0):
         # ---- large-star: neighborhoods over the SYMMETRIC view;
         # for every (u, v) with v > u emit (v, m(u)).
@@ -1358,8 +1359,20 @@ def connected_components_alternating(
 
         new_sig = _edge_signature(cur)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+
+    if not converged:
+        # The docstring promises exact component minima; a round-capped
+        # exit is NOT a star forest and must fail loudly rather than be
+        # mistaken for exact labels (alternating-star converges in
+        # O(log² n) rounds, so hitting the cap is an anomaly).
+        raise RuntimeError(
+            f"connected_components_alternating did not reach the star "
+            f"fixpoint within max_rounds={max_rounds}; raise max_rounds "
+            f"(O(log² n) rounds suffice) or use connected_components"
+        )
 
     # fixpoint: cur is a star forest (member → root).  Labels:
     labels = cur.map_batches(
@@ -1471,16 +1484,25 @@ def incremental_components(
 
     # relabel: component → mapped component (identity when untouched)
     n_map = comp_map.count()
+    if n_map == 0:
+        return total
     if n_map <= broadcast_limit:
         mdf = comp_map.to_pandas()
-        mref = ray.put(dict(zip(mdf["_old"].to_numpy(), mdf["_new"].to_numpy())))
+        old = mdf["_old"].to_numpy(np.int64)
+        order = np.argsort(old, kind="mergesort")
+        # sorted-array lookup kept in the INTEGER domain end to end:
+        # Series.map would produce float64 on any unmapped key (NaN)
+        # and the astype back would silently corrupt ids above 2^53
+        mref = ray.put((old[order], mdf["_new"].to_numpy(np.int64)[order]))
 
         def _apply(df: pd.DataFrame, _r=mref) -> pd.DataFrame:
-            mm = ray.get(_r)
-            c = df["component"]
-            mapped = c.map(mm)
-            out = mapped.where(mapped.notna(), c).astype(c.dtype, copy=False)
-            return pd.DataFrame({"node": df["node"], "component": out})
+            ko, vn = ray.get(_r)
+            c = df["component"].to_numpy(np.int64)
+            pos = np.minimum(np.searchsorted(ko, c), len(ko) - 1)
+            hit = ko[pos] == c
+            return pd.DataFrame(
+                {"node": df["node"], "component": np.where(hit, vn[pos], c)}
+            )
 
         return total.map_batches(_apply, batch_format="pandas")
     touched = hash_join(

@@ -114,6 +114,16 @@ def _apply_spec(gb, g: pd.DataFrame, spec: tuple, rank_arrays: dict):
             [[0], np.cumsum(span + np.int64(band) + 1)[:-1]]
         )
         s = base[run] + t_rel
+        # range_sum is only defined over an ASCENDING ts order_by: a
+        # descending key (or an int64 wrap of the run-rebased cumsum at
+        # extreme run-count × time-span) would silently mis-frame the
+        # searchsorted windows below — validate instead.
+        if n > 1 and not np.all(np.diff(s) >= 0):
+            raise ValueError(
+                f"range_sum requires the '{ts_col}' order_by key to be "
+                "ascending within each partition (and the rebased time "
+                "axis to fit int64)"
+            )
         P = np.concatenate([[0.0], np.cumsum(v)])
         # prefix sums restart per run implicitly: lo can never cross
         # into the previous run (its segment ends > band earlier)
