@@ -2902,6 +2902,64 @@ def _q_er_assignment(sf_dir: str):
     return assignment.select_columns(["source", "RecordId", "MatchID", "lang"])
 
 
+def _q_er_production_job(sf_dir: str):
+    """End-to-end `ray job submit` driver path (scripts/run_er_job.py)
+    run as a SUBPROCESS with its own fresh Ray session, so the query
+    exercises the production entrypoint itself: cold run → atomic-swap
+    sink + matched-edges checkpoint; a RUNNING-mutex probe must be
+    REFUSED (exit 1, the reference's single-job mutex,
+    `lambda/webbackend/agent_processor.py:417-426` analog); a same-
+    fingerprint rerun must RESUME from checkpoint and reproduce the
+    same rows.  Returns the parquet the JOB wrote, read back — the
+    planted-truth oracle (same as er_assignment) checks the production
+    sink bytes, not an in-process shortcut."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import subprocess as _sp
+    import sys as _sys
+
+    repo = _os.path.dirname(_os.path.abspath(__file__))
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    base = f"/tmp/er_job_query_{tag}"
+    out_dir, ck_dir = _os.path.join(base, "out"), _os.path.join(base, "ck")
+    _shutil.rmtree(base, ignore_errors=True)
+    env = {**_os.environ}
+    env.pop("RAY_ADDRESS", None)  # the subprocess owns a fresh session
+    cmd = [
+        _sys.executable, _os.path.join(repo, "scripts", "run_er_job.py"),
+        "--sf-dir", sf_dir, "--out", out_dir,
+        "--checkpoint-dir", ck_dir, "--num-cpus", "4",
+    ]
+    r1 = _sp.run(cmd, capture_output=True, text=True, env=env)
+    if r1.returncode != 0:
+        raise RuntimeError(f"cold er job failed: {r1.stderr[-2000:]}")
+    cold = _json.loads(r1.stdout.strip().splitlines()[-1])
+
+    # RUNNING-mutex refusal
+    status_path = _os.path.join(ck_dir, "job_status.json")
+    with open(status_path) as f:
+        completed = _json.load(f)
+    with open(status_path, "w") as f:
+        _json.dump({**completed, "status": "RUNNING"}, f)
+    r2 = _sp.run(cmd, capture_output=True, text=True, env=env)
+    if r2.returncode != 1:
+        raise RuntimeError("RUNNING mutex did not refuse a concurrent run")
+    with open(status_path, "w") as f:
+        _json.dump(completed, f)
+
+    # same-fingerprint rerun: resumes from the matched-edges checkpoint
+    r3 = _sp.run(cmd, capture_output=True, text=True, env=env)
+    if r3.returncode != 0:
+        raise RuntimeError(f"resume er job failed: {r3.stderr[-2000:]}")
+    warm = _json.loads(r3.stdout.strip().splitlines()[-1])
+    if warm["rows"] != cold["rows"] or warm["edges"] != cold["edges"]:
+        raise RuntimeError(f"resume mismatch: {cold} vs {warm}")
+
+    df = pd.read_parquet(out_dir)
+    return df[["source", "RecordId", "MatchID", "lang"]]
+
+
 def _q_er_incremental(sf_dir: str):
     """Incremental resolution: full ER on ~80% of the corpus, then the
     remaining ~20% folded in via resolve_entities_incremental (pair
@@ -5964,6 +6022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_join": _q_orders_customer_join,
         "canonical_url_dedup": _q_canonical_url_dedup,
         "er_assignment": _q_er_assignment,
+        "er_production_job": _q_er_production_job,
         "er_incremental": _q_er_incremental,
         "pca_embeddings": _q_pca_embeddings,
         "high_value_revenue": _q_high_value_revenue,
@@ -6218,6 +6277,9 @@ def oracle_sql() -> dict[str, str]:
         # incremental == full (bit-equal, tests/test_er_e2e.py) ⇒ the
         # same planted-truth oracle checks it
         "er_incremental": _sql_er_assignment(_FIX01),
+        # the production job writes the same assignment partition the
+        # flagship computes in-process — same planted-truth oracle
+        "er_production_job": _sql_er_assignment(_FIX01),
         "canonical_url_dedup": _sql_canonical_url_dedup(_FIX01),
         "kmeans_clusters": f"""
             SELECT vec_id, cluster FROM (

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -350,14 +351,16 @@ def run_scaling(sf_dir: str, low: int | None = None, high: int | None = None) ->
     # when the window is noisy — the 16-cpu leg draws spread ±8%, the
     # 4-cpu leg is stable ±2%)
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
-    runs = {}
+    runs, samples = {}, {}
     for n in (low, high):
-        # best-of-N per leg: this sandbox VM shares a host, and identical
-        # code measured 68-120 s run-to-run on the same leg (±25%+ from
-        # neighbor contention).  Steady-state throughput — what a
-        # dedicated cluster delivers — is the max over repeats, not the
-        # run that happened to share the host with someone's build.
-        best = None
+        # ALL repeats are kept and BOTH estimators reported: best-of-k
+        # (steady-state throughput — this sandbox VM shares a host and
+        # identical code measured ±25%+ run-to-run from neighbor
+        # contention, so the max is what a dedicated cluster delivers)
+        # and median-of-k (the conservative claim: best-of-k can pair a
+        # lucky high leg with a lucky low leg).  The headline `value`
+        # is the MEDIAN-based efficiency.
+        best, leg = None, []
         for _ in range(repeats):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--headline-only"],
@@ -372,21 +375,31 @@ def run_scaling(sf_dir: str, low: int | None = None, high: int | None = None) ->
                 check=True,
             )
             r = json.loads(out.stdout.strip().splitlines()[-1])
+            leg.append(float(r["docs_per_sec"]))
             if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
                 best = r
         runs[n] = best
+        samples[n] = sorted(leg)
     t_low, t_high = runs[low]["docs_per_sec"], runs[high]["docs_per_sec"]
-    eff = t_high / (t_low * (high / low))
+    m_low = statistics.median(samples[low])
+    m_high = statistics.median(samples[high])
+    eff_best = t_high / (t_low * (high / low))
+    eff_median = m_high / (m_low * (high / low))
     return {
         "metric": "scaling_efficiency",
-        "value": round(eff, 4),
+        "value": round(eff_median, 4),
+        "value_best": round(eff_best, 4),
+        "estimator": "median-of-k (best-of-k in value_best)",
         "unit": "ratio",
         "sf": _sf_of(sf_dir),
         "low": runs[low],
         "high": runs[high],
+        "samples": {str(low): samples[low], str(high): samples[high]},
         "queries": {
-            f"docs_per_sec@{low}cpus": t_low,
-            f"docs_per_sec@{high}cpus": t_high,
+            f"docs_per_sec@{low}cpus_median": m_low,
+            f"docs_per_sec@{high}cpus_median": m_high,
+            f"docs_per_sec@{low}cpus_best": t_low,
+            f"docs_per_sec@{high}cpus_best": t_high,
         },
     }
 
