@@ -2960,6 +2960,51 @@ def _q_er_production_job(sf_dir: str):
     return df[["source", "RecordId", "MatchID", "lang"]]
 
 
+def _q_iceberg_freeze(sf_dir: str):
+    """Iceberg v2 table-format sink (SURVEY §2 S8, the reference's
+    csvtool CTAS ICEBERG analog, `csvtool/csv_to_glue_catalog.py:279-314`):
+    writes a documents projection as partitioned Parquet, freezes it
+    into an Iceberg v2 metadata log (`ops/iceberg.freeze_iceberg_table`
+    — from-scratch Avro manifests + TableMetadata JSON), then reads the
+    data back THROUGH the metadata (manifest-list → manifest → data-file
+    paths, decoded with the independent in-repo Avro reader) and
+    aggregates per source/lang.  The oracle aggregates the same source
+    table directly — green iff the metadata log describes the written
+    bytes exactly."""
+    import shutil as _shutil
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import (
+        iceberg,
+    )
+
+    tag = __import__("os").path.basename(sf_dir.rstrip("/"))
+    table = f"/tmp/iceberg_docs_{tag}"
+    _shutil.rmtree(table, ignore_errors=True)
+    data_dir = f"{table}/data"
+    __import__("os").makedirs(data_dir, exist_ok=True)
+    _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"]) \
+        .repartition(4).write_parquet(data_dir)
+    out = iceberg.freeze_iceberg_table(table)
+
+    # read back strictly through the metadata log
+    _, mlist = iceberg.read_avro_container(out["manifest_list"])
+    _, entries = iceberg.read_avro_container(mlist[0]["manifest_path"])
+    paths = [e["data_file"]["file_path"] for e in entries]
+    claimed = sum(e["data_file"]["record_count"] for e in entries)
+    ds = ray.data.read_parquet(paths)
+    agg = rel.grouped_aggregate(
+        ds,
+        ["source", "lang"],
+        [("count_star", None, "n_docs"), ("sum", "n_chars", "sum_chars")],
+    )
+    res = agg.to_pandas()
+    if int(res["n_docs"].sum()) != claimed:
+        raise RuntimeError(
+            f"manifest claims {claimed} rows, read {int(res['n_docs'].sum())}"
+        )
+    return res
+
+
 def _q_er_incremental(sf_dir: str):
     """Incremental resolution: full ER on ~80% of the corpus, then the
     remaining ~20% folded in via resolve_entities_incremental (pair
@@ -5782,10 +5827,11 @@ def _q_part_kcore(sf_dir: str):
 def _q_events_ewma(sf_dir: str):
     """Per-user EWMA (α=0.3) of daily event counts
     (`ops/analytics.grouped_ewma`): one combiner exchange to daily
-    counts, one per-user exchange for the vectorized ewm recurrence.
-    Oracle = the closed-form sᵢ = (1−α)^(i−1)x₁ + Σ α(1−α)^(i−j)xⱼ
-    via a windowed self-join (round 4 absorbs the summation-order
-    float skew)."""
+    counts, one per-user exchange for the literal α·x + (1−α)·s
+    recurrence.  Oracle = a recursive CTE evaluating the SAME
+    expression tree — bit-identical doubles before rounding (the old
+    closed-form self-join oracle straddled round-4 boundaries at
+    sf0.1)."""
     from sample_c360_text2sql_segmentation_entityresolution_ray.ops.analytics import (
         grouped_ewma,
     )
@@ -6023,6 +6069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_url_dedup": _q_canonical_url_dedup,
         "er_assignment": _q_er_assignment,
         "er_production_job": _q_er_production_job,
+        "iceberg_freeze": _q_iceberg_freeze,
         "er_incremental": _q_er_incremental,
         "pca_embeddings": _q_pca_embeddings,
         "high_value_revenue": _q_high_value_revenue,
@@ -6226,7 +6273,12 @@ def oracle_sql() -> dict[str, str]:
         "orders_fd": _sql_orders_fd(),
         "part_kcore": _sql_part_kcore(k=3, rounds=3),
         "events_ewma": """
-            WITH d AS (
+            -- Recursive CTE evaluating the engine's recurrence tree
+            -- LITERALLY (0.3·x + (1.0−0.3)·s over doubles): bit-equal
+            -- to ops/analytics.grouped_ewma at every scale, unlike the
+            -- closed-form windowed self-join, whose summation-order
+            -- skew straddled round-4 boundaries at sf0.1.
+            WITH RECURSIVE d AS (
                 SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
                        count(*) AS n
                 FROM events GROUP BY 1, 2
@@ -6234,15 +6286,16 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, row_number() OVER (
                            PARTITION BY user_id ORDER BY day) AS rn
                 FROM d
+            ), e AS (
+                SELECT user_id, day, n, rn, CAST(n AS DOUBLE) AS s
+                FROM r WHERE rn = 1
+                UNION ALL
+                SELECT r.user_id, r.day, r.n, r.rn,
+                       0.3 * CAST(r.n AS DOUBLE) + (1.0 - 0.3) * e.s
+                FROM r JOIN e
+                  ON r.user_id = e.user_id AND r.rn = e.rn + 1
             )
-            SELECT a.user_id, a.day, a.n,
-                   round(sum(CASE WHEN b.rn = 1
-                                  THEN power(0.7, a.rn - 1) * b.n
-                                  ELSE 0.3 * power(0.7, a.rn - b.rn) * b.n
-                             END), 4) AS ewma
-            FROM r a JOIN r b
-              ON a.user_id = b.user_id AND b.rn <= a.rn
-            GROUP BY a.user_id, a.day, a.n
+            SELECT user_id, day, n, round(s, 4) AS ewma FROM e
         """,
         "blocking_quality": _sql_blocking_quality(_FIX01),
         "rfm_segments": """
@@ -6280,6 +6333,11 @@ def oracle_sql() -> dict[str, str]:
         # the production job writes the same assignment partition the
         # flagship computes in-process — same planted-truth oracle
         "er_production_job": _sql_er_assignment(_FIX01),
+        "iceberg_freeze": """
+            SELECT source, lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY 1, 2
+        """,
         "canonical_url_dedup": _sql_canonical_url_dedup(_FIX01),
         "kmeans_clusters": f"""
             SELECT vec_id, cluster FROM (

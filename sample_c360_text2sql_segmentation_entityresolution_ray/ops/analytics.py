@@ -405,17 +405,28 @@ def grouped_ewma(
     per-entity daily activity / anomaly baselines.
 
     ONE hash exchange on ``keys``; inside each group the recurrence is
-    pandas' vectorized C ``ewm`` kernel over the sorted series (no
-    Python row loop).  The recurrence is inherently sequential per
-    group, so group size — not corpus size — bounds the serial work;
-    time-series groups (entity × day) are bounded by the calendar.
-    Appends ``out_col`` to the group's rows."""
+    evaluated LITERALLY as ``α·xᵢ + (1−α)·sᵢ₋₁`` in IEEE doubles —
+    bit-reproducible against any engine evaluating the same expression
+    (a SQL recursive CTE lands on identical doubles; pandas' C ewm
+    kernel uses a weighted-average form whose last-ulp skew straddles
+    rounding boundaries at scale).  The recurrence is inherently
+    sequential per group, so group size — not corpus size — bounds the
+    serial loop; time-series groups (entity × day) are bounded by the
+    calendar.  Appends ``out_col`` to the group's rows."""
 
     def _fn(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(order_col, kind="mergesort").reset_index(drop=True)
-        g[out_col] = (
-            g[value_col].astype(np.float64).ewm(alpha=alpha, adjust=False).mean()
-        )
+        vals = g[value_col].to_numpy(np.float64)
+        a = float(alpha)
+        b = 1.0 - a
+        s = np.empty(len(vals))
+        if len(vals):
+            acc = float(vals[0])
+            s[0] = acc
+            for i in range(1, len(vals)):
+                acc = a * float(vals[i]) + b * acc
+                s[i] = acc
+        g[out_col] = s
         return g
 
     return ds.groupby(list(keys)).map_groups(_fn, batch_format="pandas")

@@ -1,0 +1,530 @@
+"""From-scratch Apache Iceberg v2 metadata-log emitter (SURVEY §2 S8).
+
+The reference's csvtool CTAS materializes an ICEBERG table in Glue
+(`csvtool/csv_to_glue_catalog.py:279-314`); this engine's `run_stage`
+sinks write plain partitioned Parquet + a JSON manifest.  This module
+closes the table-format gap: :func:`freeze_iceberg_table` wraps an
+existing Parquet data directory in a spec-conformant Iceberg v2
+metadata log —
+
+    <table>/data/*.parquet            (the existing files, untouched)
+    <table>/metadata/v1.metadata.json (TableMetadata, format-version 2)
+    <table>/metadata/snap-<id>-m0.avro      (manifest file)
+    <table>/metadata/snap-<id>.avro         (manifest list)
+    <table>/metadata/version-hint.text
+
+so an Iceberg-aware engine (Spark, Trino, DuckDB-iceberg, pyiceberg)
+can read the output as a static table via the filesystem catalog
+convention (version-hint → vN.metadata.json).
+
+The container ships NO Avro library and NO Iceberg reader, so the Avro
+object-container encoding (spec 1.11: zigzag varints, deflate-less
+null codec, 16-byte sync markers) is implemented from the public spec
+below, together with an INDEPENDENT minimal Avro reader used by the
+round-trip tests — the writer is validated against the spec's binary
+layout, not against itself alone (tests/test_iceberg.py).
+
+Everything is deterministic: table UUID, snapshot id and sync markers
+derive from the data-file listing, so re-freezing identical data is
+byte-identical (resumable-output friendly).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import struct
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# ---------------------------------------------------------------------------
+# Avro binary encoding (writer)
+# ---------------------------------------------------------------------------
+
+_MAGIC = b"Obj\x01"
+
+
+def _zigzag(n: int) -> bytes:
+    """Avro long: zigzag + base-128 varint (little-endian groups)."""
+    u = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _avro_encode(schema, value, out: bytearray) -> None:
+    """Schema-driven generic encoder for the subset Iceberg needs:
+    null/boolean/int/long/float/double/string/bytes, record, array,
+    map, union.  Unions pick the null branch for None, else the first
+    non-null branch (Iceberg metadata only uses [null, X] unions)."""
+    if isinstance(schema, list):  # union
+        if value is None:
+            idx = schema.index("null")
+            out += _zigzag(idx)
+            return
+        idx = next(i for i, s in enumerate(schema) if s != "null")
+        out += _zigzag(idx)
+        _avro_encode(schema[idx], value, out)
+        return
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "null":
+        return
+    if t == "boolean":
+        out.append(1 if value else 0)
+    elif t in ("int", "long"):
+        out += _zigzag(int(value))
+    elif t == "float":
+        out += struct.pack("<f", float(value))
+    elif t == "double":
+        out += struct.pack("<d", float(value))
+    elif t == "string":
+        b = value.encode("utf-8")
+        out += _zigzag(len(b)) + b
+    elif t == "bytes":
+        out += _zigzag(len(value)) + bytes(value)
+    elif t == "record":
+        for f in schema["fields"]:
+            _avro_encode(f["type"], value.get(f["name"]), out)
+    elif t == "array":
+        items = list(value or [])
+        if items:
+            out += _zigzag(len(items))
+            for it in items:
+                _avro_encode(schema["items"], it, out)
+        out += _zigzag(0)
+    elif t == "map":
+        items = dict(value or {})
+        if items:
+            out += _zigzag(len(items))
+            for k, v in items.items():
+                kb = k.encode("utf-8")
+                out += _zigzag(len(kb)) + kb
+                _avro_encode(schema["values"], v, out)
+        out += _zigzag(0)
+    else:
+        raise NotImplementedError(f"avro type {t!r}")
+
+
+def write_avro_container(
+    path: str, schema: dict, records: list[dict], sync: bytes
+) -> int:
+    """One-block Avro object container file (null codec).  Returns the
+    file length in bytes (the manifest list needs it)."""
+    assert len(sync) == 16
+    body = bytearray()
+    for rec in records:
+        _avro_encode(schema, rec, body)
+    meta = {
+        "avro.schema": json.dumps(schema, separators=(",", ":")),
+        "avro.codec": "null",
+    }
+    out = bytearray(_MAGIC)
+    out += _zigzag(len(meta))
+    for k, v in meta.items():
+        kb, vb = k.encode(), v.encode()
+        out += _zigzag(len(kb)) + kb + _zigzag(len(vb)) + vb
+    out += _zigzag(0)
+    out += sync
+    if records:
+        out += _zigzag(len(records)) + _zigzag(len(body)) + body + sync
+    with open(path, "wb") as f:
+        f.write(out)
+    return len(out)
+
+
+# ---------------------------------------------------------------------------
+# Avro binary decoding (independent reader, used by the round-trip tests)
+# ---------------------------------------------------------------------------
+
+class _Reader:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        b = self.buf[self.pos : self.pos + n]
+        if len(b) != n:
+            raise EOFError
+        self.pos += n
+        return b
+
+    def long(self) -> int:
+        shift, u = 0, 0
+        while True:
+            b = self.read(1)[0]
+            u |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                break
+        return (u >> 1) ^ -(u & 1)
+
+    def decode(self, schema):
+        if isinstance(schema, list):
+            return self.decode(schema[self.long()])
+        t = schema["type"] if isinstance(schema, dict) else schema
+        if t == "null":
+            return None
+        if t == "boolean":
+            return self.read(1) == b"\x01"
+        if t in ("int", "long"):
+            return self.long()
+        if t == "float":
+            return struct.unpack("<f", self.read(4))[0]
+        if t == "double":
+            return struct.unpack("<d", self.read(8))[0]
+        if t == "string":
+            return self.read(self.long()).decode("utf-8")
+        if t == "bytes":
+            return self.read(self.long())
+        if t == "record":
+            return {f["name"]: self.decode(f["type"]) for f in schema["fields"]}
+        if t == "array":
+            out = []
+            while True:
+                n = self.long()
+                if n == 0:
+                    return out
+                if n < 0:  # block with byte-size prefix
+                    self.long()
+                    n = -n
+                out.extend(self.decode(schema["items"]) for _ in range(n))
+        if t == "map":
+            out = {}
+            while True:
+                n = self.long()
+                if n == 0:
+                    return out
+                if n < 0:
+                    self.long()
+                    n = -n
+                for _ in range(n):
+                    k = self.read(self.long()).decode()
+                    out[k] = self.decode(schema["values"])
+        raise NotImplementedError(t)
+
+
+def read_avro_container(path: str) -> tuple[dict, list[dict]]:
+    """Independent decoder for the container files this module writes
+    (null codec).  Returns (schema, records)."""
+    with open(path, "rb") as f:
+        r = _Reader(f.read())
+    if r.read(4) != _MAGIC:
+        raise ValueError("not an Avro object container")
+    meta = r.decode({"type": "map", "values": "bytes"})
+    schema = json.loads(meta["avro.schema"].decode())
+    if meta.get("avro.codec", b"null") != b"null":
+        raise NotImplementedError("only the null codec is written/read")
+    sync = r.read(16)
+    records: list[dict] = []
+    while r.pos < len(r.buf):
+        n = r.long()
+        r.long()  # block byte length
+        records.extend(r.decode(schema) for _ in range(n))
+        if r.read(16) != sync:
+            raise ValueError("sync marker mismatch")
+    return schema, records
+
+
+# ---------------------------------------------------------------------------
+# Iceberg schema (pyarrow → Iceberg JSON types)
+# ---------------------------------------------------------------------------
+
+def _iceberg_type(t: pa.DataType, next_id) -> object:
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_integer(t):
+        return "long" if t.bit_width > 32 else "int"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_floating(t):
+        return "double"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision}, {t.scale})"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamptz" if t.tz else "timestamp"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        eid = next_id()
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _iceberg_type(t.value_type, next_id),
+            "element-required": False,
+        }
+    if pa.types.is_struct(t):
+        fields = []
+        for i in range(t.num_fields):
+            f = t.field(i)
+            fid = next_id()
+            fields.append(
+                {
+                    "id": fid,
+                    "name": f.name,
+                    "required": False,
+                    "type": _iceberg_type(f.type, next_id),
+                }
+            )
+        return {"type": "struct", "fields": fields}
+    raise NotImplementedError(f"no Iceberg mapping for arrow type {t}")
+
+
+def iceberg_schema_json(schema: pa.Schema) -> tuple[dict, int]:
+    """Iceberg JSON schema (schema-id 0) + last assigned column id."""
+    counter = {"id": 0}
+
+    def next_id() -> int:
+        counter["id"] += 1
+        return counter["id"]
+
+    fields = []
+    # top-level ids first (Iceberg assigns nested ids after, any order
+    # is legal as long as ids are unique; we keep it simple + stable)
+    for f in schema:
+        fields.append({"id": next_id(), "name": f.name, "required": False})
+    for f, entry in zip(schema, fields):
+        entry["type"] = _iceberg_type(f.type, next_id)
+    return (
+        {"type": "struct", "schema-id": 0, "fields": fields},
+        counter["id"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Iceberg v2 manifest / manifest-list Avro schemas (spec field-ids)
+# ---------------------------------------------------------------------------
+
+def _f(name, typ, fid, **kw):
+    d = {"name": name, "type": typ, "field-id": fid}
+    d.update(kw)
+    return d
+
+
+MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        _f("status", "int", 0),
+        _f("snapshot_id", ["null", "long"], 1, default=None),
+        _f("sequence_number", ["null", "long"], 3, default=None),
+        _f("file_sequence_number", ["null", "long"], 4, default=None),
+        _f(
+            "data_file",
+            {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    _f("content", "int", 134),
+                    _f("file_path", "string", 100),
+                    _f("file_format", "string", 101),
+                    _f(
+                        "partition",
+                        {"type": "record", "name": "r102", "fields": []},
+                        102,
+                    ),
+                    _f("record_count", "long", 103),
+                    _f("file_size_in_bytes", "long", 104),
+                ],
+            },
+            2,
+        ),
+    ],
+}
+
+MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        _f("manifest_path", "string", 500),
+        _f("manifest_length", "long", 501),
+        _f("partition_spec_id", "int", 502),
+        _f("content", "int", 517),
+        _f("sequence_number", "long", 515),
+        _f("min_sequence_number", "long", 516),
+        _f("added_snapshot_id", "long", 503),
+        _f("added_files_count", "int", 504),
+        _f("existing_files_count", "int", 505),
+        _f("deleted_files_count", "int", 506),
+        _f("added_rows_count", "long", 512),
+        _f("existing_rows_count", "long", 513),
+        _f("deleted_rows_count", "long", 514),
+    ],
+}
+
+
+# ---------------------------------------------------------------------------
+# table freeze
+# ---------------------------------------------------------------------------
+
+def freeze_iceberg_table(
+    table_dir: str,
+    data_dir: str | None = None,
+    snapshot_ts_ms: int | None = None,
+) -> dict:
+    """Wrap ``<table_dir>/data/*.parquet`` (or an explicit ``data_dir``)
+    in an Iceberg v2 metadata log under ``<table_dir>/metadata/``.
+
+    Single unpartitioned append snapshot over the current file listing
+    — exactly the shape of a `run_stage` full-refresh output (the
+    overwrite-prefix sink's swap makes every freeze a clean v1).  File
+    row counts and sizes come from the Parquet footers (no data read).
+    Returns a summary dict (paths + counts) for manifests/logs.
+    """
+    data_dir = data_dir or os.path.join(table_dir, "data")
+    files = sorted(
+        f for f in os.listdir(data_dir) if f.endswith(".parquet")
+    )
+    if not files:
+        raise ValueError(f"no parquet files under {data_dir}")
+    meta_dir = os.path.join(table_dir, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+
+    infos = []
+    for name in files:
+        p = os.path.join(data_dir, name)
+        infos.append(
+            {
+                "path": os.path.abspath(p),
+                "rows": pq.ParquetFile(p).metadata.num_rows,
+                "bytes": os.path.getsize(p),
+            }
+        )
+    schema = pq.ParquetFile(os.path.join(data_dir, files[0])).schema_arrow
+
+    # deterministic ids from the listing (re-freeze == byte-identical)
+    fp = hashlib.sha256(
+        json.dumps(infos, sort_keys=True).encode()
+    ).digest()
+    snapshot_id = int.from_bytes(fp[:8], "big") & ((1 << 62) - 1)
+    table_uuid = "-".join(
+        fp[8:24].hex()[s:e]
+        for s, e in ((0, 8), (8, 12), (12, 16), (16, 20), (20, 32))
+    )
+    sync = fp[16:32]
+    ts_ms = snapshot_ts_ms if snapshot_ts_ms is not None else int(
+        time.time() * 1000
+    )
+
+    # manifest
+    manifest_path = os.path.join(meta_dir, f"snap-{snapshot_id}-m0.avro")
+    entries = [
+        {
+            "status": 1,  # ADDED
+            "snapshot_id": snapshot_id,
+            "sequence_number": None,  # inherited from the snapshot
+            "file_sequence_number": None,
+            "data_file": {
+                "content": 0,  # DATA
+                "file_path": i["path"],
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": i["rows"],
+                "file_size_in_bytes": i["bytes"],
+            },
+        }
+        for i in infos
+    ]
+    manifest_len = write_avro_container(
+        manifest_path, MANIFEST_ENTRY_SCHEMA, entries, sync
+    )
+
+    # manifest list
+    list_path = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
+    total_rows = sum(i["rows"] for i in infos)
+    write_avro_container(
+        list_path,
+        MANIFEST_FILE_SCHEMA,
+        [
+            {
+                "manifest_path": os.path.abspath(manifest_path),
+                "manifest_length": manifest_len,
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 1,
+                "min_sequence_number": 1,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(infos),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": total_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        ],
+        sync,
+    )
+
+    schema_json, last_col_id = iceberg_schema_json(schema)
+    metadata = {
+        "format-version": 2,
+        "table-uuid": table_uuid,
+        "location": os.path.abspath(table_dir),
+        "last-sequence-number": 1,
+        "last-updated-ms": ts_ms,
+        "last-column-id": last_col_id,
+        "current-schema-id": 0,
+        "schemas": [schema_json],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {"write.format.default": "parquet"},
+        "current-snapshot-id": snapshot_id,
+        "snapshots": [
+            {
+                "snapshot-id": snapshot_id,
+                "sequence-number": 1,
+                "timestamp-ms": ts_ms,
+                "manifest-list": os.path.abspath(list_path),
+                "summary": {
+                    "operation": "append",
+                    "added-data-files": str(len(infos)),
+                    "added-records": str(total_rows),
+                    "total-records": str(total_rows),
+                    "total-data-files": str(len(infos)),
+                },
+                "schema-id": 0,
+            }
+        ],
+        "snapshot-log": [
+            {"snapshot-id": snapshot_id, "timestamp-ms": ts_ms}
+        ],
+        "metadata-log": [],
+    }
+    md_path = os.path.join(meta_dir, "v1.metadata.json")
+    with open(md_path, "w") as f:
+        json.dump(metadata, f, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write("1")
+    return {
+        "metadata": md_path,
+        "manifest_list": list_path,
+        "manifest": manifest_path,
+        "snapshot_id": snapshot_id,
+        "data_files": len(infos),
+        "rows": total_rows,
+    }
+
+
+__all__ = [
+    "freeze_iceberg_table",
+    "write_avro_container",
+    "read_avro_container",
+    "iceberg_schema_json",
+    "MANIFEST_ENTRY_SCHEMA",
+    "MANIFEST_FILE_SCHEMA",
+]
