@@ -54,6 +54,17 @@ def _consume(ds) -> int:
     return n
 
 
+def _quiet_data_workers() -> None:
+    """worker_process_setup_hook: Ray Data's benign 'Failed to hash the
+    schemas (for deduplication)' WARNING is emitted from WORKER
+    processes (transform_pyarrow.py) and forwarded to the driver tail,
+    polluting every BENCH artifact — drop ray.data worker logs to
+    ERROR."""
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
 def run_suite(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
@@ -62,6 +73,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         num_cpus=num_cpus,
         include_dashboard=False,
         logging_level="ERROR",
+        runtime_env={"worker_process_setup_hook": _quiet_data_workers},
     )
     from ray.data import DataContext
 
@@ -248,6 +260,50 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         _consume(queries[name](sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
+    # slim-vs-payload near-dup transport on a replicated corpus: same
+    # candidates/pairs, but the payload plan ships each ≤2 KB shingle
+    # sketch on all 16 band rows of the bucket shuffle while the slim
+    # plan shuffles 16 B rows and broadcast-attaches sketches once.
+    # k=8 per-round (40k docs, measured 22× exchange-volume drop:
+    # 282 MB → 12.8 MB through the band Sort; the 24-replicate
+    # measurement lives in BASELINE.md — at this corpus's extreme dup
+    # density its 1.5M verified pairs dominate wall at any transport,
+    # so the per-round row tracks the exchange regression, not the
+    # verify cost).
+    import pyarrow.compute as _pc
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import (
+        dedup as dedup_ops,
+    )
+
+    def _docs_replicated(k: int = 8):
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+
+        def _shift(t, off):
+            i = t.schema.get_field_index("doc_id")
+            return t.set_column(i, "doc_id", _pc.add(t["doc_id"], off))
+
+        parts = [
+            ds.map_batches(
+                lambda t, off=r * 100_000_000: _shift(t, off),
+                batch_format="pyarrow",
+            )
+            for r in range(k)
+        ]
+        return parts[0].union(*parts[1:])
+
+    for label, transport in (("payload", "payload"), ("slim", "broadcast")):
+        t0 = time.time()
+        _consume(
+            dedup_ops.minhash_dup_pairs(
+                _docs_replicated(), threshold=0.6, transport=transport
+            )
+        )
+        timings[f"minhash_pairs_8x_{label}"] = round(time.time() - t0, 3)
+
     result = {
         "metric": "er_pipeline_sec",
         "value": timings["er_pipeline"],
@@ -266,11 +322,12 @@ def run_headline(sf_dir: str, num_cpus: int, replicate: int = 1) -> dict:
     import ray
 
     addr = os.environ.get("GRAFT_RAY_ADDRESS")
+    quiet = {"worker_process_setup_hook": _quiet_data_workers}
     if addr:
         # connect to an EXISTING cluster (the --two-node harness starts
         # head+worker raylets via `ray start` first) — cpu count comes
         # from the cluster, not the env
-        ray.init(address=addr, logging_level="ERROR")
+        ray.init(address=addr, logging_level="ERROR", runtime_env=quiet)
         num_cpus = int(ray.cluster_resources().get("CPU", num_cpus))
     else:
         ray.init(
@@ -278,6 +335,7 @@ def run_headline(sf_dir: str, num_cpus: int, replicate: int = 1) -> dict:
             num_cpus=num_cpus,
             include_dashboard=False,
             logging_level="ERROR",
+            runtime_env=quiet,
         )
     from ray.data import DataContext
 
