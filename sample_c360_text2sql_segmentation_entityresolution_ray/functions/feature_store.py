@@ -183,7 +183,9 @@ class IdListStore:
 
         ids_parts, val_parts, len_parts = [], [], []
         for b in batches:
-            if b.num_rows == 0:
+            # Ray's block refs surface EMPTY blocks as empty pandas
+            # frames even in Arrow pipelines — skip by generic length
+            if getattr(b, "num_rows", len(b)) == 0:
                 continue
             ids_parts.append(np.asarray(b[id_col].combine_chunks(), np.int64))
             la = b[list_col].combine_chunks()
@@ -239,7 +241,7 @@ class IdScalarStore:
     def from_arrow(batches, id_col: str, val_col: str) -> "IdScalarStore":
         ids_parts, val_parts = [], []
         for b in batches:
-            if b.num_rows == 0:
+            if getattr(b, "num_rows", len(b)) == 0:
                 continue
             ids_parts.append(np.asarray(b[id_col].combine_chunks(), np.int64))
             val_parts.append(np.asarray(b[val_col].combine_chunks(), np.uint64))

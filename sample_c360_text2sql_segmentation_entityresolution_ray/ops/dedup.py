@@ -232,6 +232,16 @@ def _ids64(batch: pa.Table, col: str) -> np.ndarray:
     return np.asarray(batch[col].combine_chunks(), np.int64)
 
 
+def _arrow_tables(ds: "ray.data.Dataset") -> list:
+    """Collect a (small, cap-guarded) dataset as pyarrow tables.
+    ``to_arrow_refs`` hands back the underlying blocks AS-IS — pandas
+    DataFrames when an upstream stage ran in pandas format — so force
+    an Arrow pass-through first (zero-copy when already Arrow)."""
+    return ray.get(
+        ds.map_batches(lambda t: t, batch_format="pyarrow").to_arrow_refs()
+    )
+
+
 def _nested_join_partitions() -> int:
     """Aggregator-partition count for the TWO concurrent hash joins of
     the join-attach plan: Ray's join spawns ``num_partitions`` actors
@@ -376,7 +386,7 @@ def minhash_dup_pairs(
         from ..functions.feature_store import IdListStore
 
         store = IdListStore.from_arrow(
-            ray.get(sketches.to_arrow_refs()), "doc_id", "shingles"
+            _arrow_tables(sketches), "doc_id", "shingles"
         )
         ref = ray.put(store)
 
@@ -610,7 +620,7 @@ def simhash_dup_pairs(
         from ..functions.feature_store import IdScalarStore
 
         store = IdScalarStore.from_arrow(
-            ray.get(prints.to_arrow_refs()), "doc_id", "simhash"
+            _arrow_tables(prints), "doc_id", "simhash"
         )
         ref = ray.put(store)
 
@@ -896,6 +906,33 @@ def ngram_jaccard_pairs(
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
+BROADCAST_VECTOR_DOC_LIMIT = 500_000  # 64-dim float64 ⇒ ≤ ~256 MB store
+
+
+def _unit_rows(batch: pa.Table, emb_col: str) -> np.ndarray:
+    embs = np.asarray(batch[emb_col].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(embs, axis=1, keepdims=True)
+    return embs / np.where(norms == 0, 1.0, norms)
+
+
+def _hyperplane_buckets(
+    unit: np.ndarray, band_bits: int, n_bands: int, seed: int
+) -> np.ndarray:
+    """(n, n_bands) uint64 band-disjoint bucket keys."""
+    dim = unit.shape[1]
+    planes = np.random.default_rng(seed).standard_normal(
+        (dim, n_bands * band_bits)
+    )
+    signs = (unit @ planes) > 0  # (n, n_bands*band_bits)
+    weights = (1 << np.arange(band_bits, dtype=np.uint64))
+    vals = (
+        signs.reshape(len(unit), n_bands, band_bits).astype(np.uint64)
+        @ weights
+    )
+    band_idx = np.arange(n_bands, dtype=np.uint64)[None, :]
+    return (band_idx << np.uint64(band_bits)) | vals  # disjoint per band
+
+
 def embedding_dup_pairs(
     ds: "ray.data.Dataset",
     emb_col: str = "embedding",
@@ -905,6 +942,8 @@ def embedding_dup_pairs(
     n_bands: int = 80,
     seed: int = 97,
     round_nd: int = 4,
+    transport: str = "auto",
+    broadcast_doc_limit: int = BROADCAST_VECTOR_DOC_LIMIT,
 ) -> "ray.data.Dataset":
     """Cosine near-dup pairs by multi-band random-hyperplane LSH + exact
     in-bucket cosine (rounded to ``round_nd``, matching the SQL
@@ -917,33 +956,144 @@ def embedding_dup_pairs(
     exact all-pairs baseline (oracle-checked).  At corpus scale raise
     ``band_bits`` (≈ log2(N / target_bucket)) and re-derive
     ``n_bands`` for the target threshold; over-cap buckets degrade to
-    the bounded SNM sweep (observable via the generic pair kernel)."""
+    the bounded SNM sweep (observable via the generic pair kernel).
+
+    ``transport`` as in :func:`minhash_dup_pairs` — and it matters
+    MOST here: the payload plan ships the 8·dim-byte float64 unit
+    vector on EVERY one of the ``n_bands`` (80) band rows (~40 KB/doc
+    at dim 64), the slim plans shuffle 16 B rows and attach vectors to
+    the deduped candidates via a broadcast store (vectors ride the
+    generic uint64 store as lossless bit-views) or two hash joins."""
+    if transport == "payload":
+        return _embedding_dup_pairs_payload(
+            ds, emb_col, id_col, threshold, band_bits, n_bands, seed,
+            round_nd,
+        )
+    if transport not in ("auto", "broadcast", "join"):
+        raise ValueError(f"unknown transport {transport!r}")
 
     def _featurize(batch: pa.Table) -> pa.Table:
-        embs = np.asarray(batch[emb_col].to_pylist(), dtype=np.float64)
-        n = len(embs)
-        norms = np.linalg.norm(embs, axis=1, keepdims=True)
-        unit = embs / np.where(norms == 0, 1.0, norms)
-        dim = embs.shape[1]
-        planes = np.random.default_rng(seed).standard_normal(
-            (dim, n_bands * band_bits)
+        unit = _unit_rows(batch, emb_col)
+        bucket = _hyperplane_buckets(unit, band_bits, n_bands, seed)
+        n = len(unit)
+        return pa.table(
+            {
+                "doc_id": pa.array(_ids64(batch, id_col), pa.int64()),
+                # float64 units as uint64 BIT-VIEWS: lossless, and they
+                # ride the same flat-uint64 store/packed-binary join
+                # machinery as the shingle sketches
+                "shingles": pa.array(
+                    list(unit.view(np.uint64)), pa.list_(pa.uint64())
+                ),
+                "buckets": pa.array(list(bucket), pa.list_(pa.uint64())),
+            }
         )
-        signs = (unit @ planes) > 0  # (n, n_bands*band_bits)
-        weights = (1 << np.arange(band_bits, dtype=np.uint64))
-        vals = signs.reshape(n, n_bands, band_bits).astype(np.uint64) @ weights
-        band_idx = np.arange(n_bands, dtype=np.uint64)[None, :]
-        bucket = (band_idx << np.uint64(band_bits)) | vals  # disjoint per band
+
+    feats = ds.map_batches(_featurize, batch_format="pyarrow").materialize()
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        offs, vals = _list_col_flat(batch, "buckets")
+        ids = _ids64(batch, "doc_id")
+        return pa.table(
+            {
+                "bucket": pa.array(vals, pa.uint64()),
+                "doc_id": pa.array(np.repeat(ids, np.diff(offs)), pa.int64()),
+            }
+        )
+
+    cands = _bucketed_candidates(
+        feats.select_columns(["doc_id", "buckets"]).map_batches(
+            _explode, batch_format="pyarrow"
+        )
+    )
+    sketches = feats.select_columns(["doc_id", "shingles"])
+    scale = 10.0**round_nd
+
+    def _emit(ids_a, ids_b, ua, ub) -> pa.Table:
+        sims = np.einsum("ij,ij->i", ua, ub)
+        sims = np.trunc(sims * scale + np.copysign(0.5, sims)) / scale
+        keep = sims >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(ids_a[keep], pa.int64()),
+                "id_b": pa.array(ids_b[keep], pa.int64()),
+                "cos": pa.array(sims[keep], pa.float64()),
+            }
+        )
+
+    if transport == "broadcast" or (
+        transport == "auto" and feats.count() <= broadcast_doc_limit
+    ):
+        from ..functions.feature_store import IdListStore
+
+        store = IdListStore.from_arrow(
+            _arrow_tables(sketches), "doc_id", "shingles"
+        )
+        ref = ray.put(store)
+
+        def _verify_bc(batch: pa.Table) -> pa.Table:
+            st = ray.get(ref)
+            ia_ids, ib_ids = _ids64(batch, "id_a"), _ids64(batch, "id_b")
+            if not len(ia_ids):
+                return _emit(ia_ids, ib_ids,
+                             np.empty((0, 1)), np.empty((0, 1)))
+            ia, ib = st.rows(ia_ids), st.rows(ib_ids)
+            ua = np.stack([st.get(i) for i in ia]).view(np.float64)
+            ub = np.stack([st.get(i) for i in ib]).view(np.float64)
+            return _emit(ia_ids, ib_ids, ua, ub)
+
+        return cands.map_batches(_verify_bc, batch_format="pyarrow")
+
+    from .relational import hash_join
+
+    fa = sketches.map_batches(
+        _pack_sketch_bin("doc_id", "id_a", "sh_a"), batch_format="pyarrow"
+    )
+    fb = sketches.map_batches(
+        _pack_sketch_bin("doc_id", "id_b", "sh_b"), batch_format="pyarrow"
+    )
+    np_join = _nested_join_partitions()
+    joined = hash_join(
+        hash_join(cands, fa, on=["id_a"], num_partitions=np_join),
+        fb, on=["id_b"], num_partitions=np_join,
+    )
+
+    def _verify_join(batch: pa.Table) -> pa.Table:
+        ia_ids, ib_ids = _ids64(batch, "id_a"), _ids64(batch, "id_b")
+        if not len(ia_ids):
+            return _emit(ia_ids, ib_ids, np.empty((0, 1)), np.empty((0, 1)))
+        ua = np.stack(
+            [np.frombuffer(v, np.float64) for v in batch["sh_a"].to_pylist()]
+        )
+        ub = np.stack(
+            [np.frombuffer(v, np.float64) for v in batch["sh_b"].to_pylist()]
+        )
+        return _emit(ia_ids, ib_ids, ua, ub)
+
+    return joined.map_batches(_verify_join, batch_format="pyarrow")
+
+
+def _embedding_dup_pairs_payload(
+    ds: "ray.data.Dataset",
+    emb_col: str,
+    id_col: str,
+    threshold: float,
+    band_bits: int,
+    n_bands: int,
+    seed: int,
+    round_nd: int,
+) -> "ray.data.Dataset":
+    """Legacy payload plan (unit vector rides every band-key row)."""
+
+    def _featurize(batch: pa.Table) -> pa.Table:
+        unit = _unit_rows(batch, emb_col)
+        bucket = _hyperplane_buckets(unit, band_bits, n_bands, seed)
+        n = len(unit)
         idx = np.repeat(np.arange(n), n_bands)
         return pa.table(
             {
                 "bucket": pa.array(bucket.reshape(-1), pa.uint64()),
-                "doc_id": pa.array(
-                    np.asarray(batch[id_col].to_pylist(), np.int64)[idx], pa.int64()
-                ),
-                # float64 unit vectors so the verify cosine is bit-compatible
-                # with the exact baseline / SQL oracle; for huge corpora
-                # ship float32 here and re-verify survivors against the
-                # source column instead
+                "doc_id": pa.array(_ids64(batch, id_col)[idx], pa.int64()),
                 "unit": pa.array(list(unit[idx]), pa.list_(pa.float64())),
             }
         )

@@ -318,3 +318,20 @@ def test_simhash_transport_path_equality():
     for t in ("broadcast", "join"):
         got = canon(dedup.simhash_dup_pairs(docs, max_hamming=3, transport=t))
         assert ref.equals(got), t
+
+
+def test_embedding_transport_path_equality():
+    emb = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def canon(d):
+        return (
+            d.to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+
+    ref = canon(dedup.embedding_dup_pairs(emb, threshold=0.4, transport="payload"))
+    assert len(ref) > 0
+    for t in ("broadcast", "join"):
+        got = canon(dedup.embedding_dup_pairs(emb, threshold=0.4, transport=t))
+        assert ref.equals(got), t
