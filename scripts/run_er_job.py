@@ -42,6 +42,11 @@ def main() -> None:
                     help="run-history retention (the reference keeps the 2 "
                          "newest Personalize solutions, "
                          "create_personalize_solution/index.py:97-106)")
+    ap.add_argument("--iceberg", action="store_true",
+                    help="wrap the output in an Iceberg v2 metadata log "
+                         "(ops/iceberg.freeze_iceberg_table) so any "
+                         "Iceberg-aware engine can read the assignment "
+                         "table — the csvtool CTAS ICEBERG analog")
     args = ap.parse_args()
 
     import ray
@@ -112,6 +117,17 @@ def main() -> None:
             "out": args.out,
             "edge_metrics": (manifest or {}).get("metrics", {}),
         }
+        if args.iceberg:
+            from sample_c360_text2sql_segmentation_entityresolution_ray.ops.iceberg import (
+                freeze_iceberg_table,
+            )
+
+            ice = freeze_iceberg_table(args.out, data_dir=args.out)
+            result["iceberg"] = {
+                "metadata": ice["metadata"],
+                "snapshot_id": ice["snapshot_id"],
+                "data_files": ice["data_files"],
+            }
         status.write("COMPLETED", **result)
         # run-history record + keep-N retention (keep-2-solutions analog)
         from sample_c360_text2sql_segmentation_entityresolution_ray.state import (
