@@ -520,8 +520,197 @@ def freeze_iceberg_table(
     }
 
 
+def _current_metadata(table_dir: str) -> tuple[dict, int]:
+    meta_dir = os.path.join(table_dir, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        v = int(f.read().strip())
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as f:
+        return json.load(f), v
+
+
+def append_iceberg_snapshot(
+    table_dir: str,
+    new_files: list[str],
+    snapshot_ts_ms: int | None = None,
+) -> dict:
+    """APPEND commit: add ``new_files`` (parquet paths already under the
+    table's storage) as a new snapshot on an existing metadata log —
+    new manifest for the added files, manifest list = prior snapshot's
+    manifests (re-marked EXISTING counts) + the new one, vN+1 metadata
+    with both snapshots and an extended snapshot-log/metadata-log.
+    The incremental-ER delta fold-in's table-format counterpart: prior
+    data files are never rewritten or re-listed file-by-file."""
+    md, v = _current_metadata(table_dir)
+    meta_dir = os.path.join(table_dir, "metadata")
+    seq = md["last-sequence-number"] + 1
+    ts_ms = snapshot_ts_ms if snapshot_ts_ms is not None else int(
+        time.time() * 1000
+    )
+
+    infos = [
+        {
+            "path": os.path.abspath(p),
+            "rows": pq.ParquetFile(p).metadata.num_rows,
+            "bytes": os.path.getsize(p),
+        }
+        for p in sorted(new_files)
+    ]
+    if not infos:
+        raise ValueError("append_iceberg_snapshot: no new files")
+    fp = hashlib.sha256(
+        (json.dumps(infos, sort_keys=True) + f"|seq{seq}").encode()
+    ).digest()
+    snapshot_id = int.from_bytes(fp[:8], "big") & ((1 << 62) - 1)
+    sync = fp[16:32]
+
+    manifest_path = os.path.join(meta_dir, f"snap-{snapshot_id}-m0.avro")
+    entries = [
+        {
+            "status": 1,
+            "snapshot_id": snapshot_id,
+            "sequence_number": None,
+            "file_sequence_number": None,
+            "data_file": {
+                "content": 0,
+                "file_path": i["path"],
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": i["rows"],
+                "file_size_in_bytes": i["bytes"],
+            },
+        }
+        for i in infos
+    ]
+    manifest_len = write_avro_container(
+        manifest_path, MANIFEST_ENTRY_SCHEMA, entries, sync
+    )
+    added_rows = sum(i["rows"] for i in infos)
+
+    # prior manifests (from the current snapshot) ride along unchanged
+    cur_snap = next(
+        s for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    _, prior = read_avro_container(cur_snap["manifest-list"])
+    carried = []
+    for m in prior:
+        carried.append(
+            {
+                **m,
+                # files added by PRIOR snapshots are EXISTING here
+                "existing_files_count": m["added_files_count"]
+                + m["existing_files_count"],
+                "existing_rows_count": m["added_rows_count"]
+                + m["existing_rows_count"],
+                "added_files_count": 0,
+                "added_rows_count": 0,
+            }
+        )
+    new_entry = {
+        "manifest_path": os.path.abspath(manifest_path),
+        "manifest_length": manifest_len,
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(infos),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": added_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    list_path = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
+    write_avro_container(
+        list_path, MANIFEST_FILE_SCHEMA, [new_entry] + carried, sync
+    )
+
+    prev_total = int(cur_snap["summary"].get("total-records", "0"))
+    prev_files = int(cur_snap["summary"].get("total-data-files", "0"))
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "parent-snapshot-id": md["current-snapshot-id"],
+        "sequence-number": seq,
+        "timestamp-ms": ts_ms,
+        "manifest-list": os.path.abspath(list_path),
+        "summary": {
+            "operation": "append",
+            "added-data-files": str(len(infos)),
+            "added-records": str(added_rows),
+            "total-records": str(prev_total + added_rows),
+            "total-data-files": str(prev_files + len(infos)),
+        },
+        "schema-id": md["current-schema-id"],
+    }
+    new_md = {
+        **md,
+        "last-sequence-number": seq,
+        "last-updated-ms": ts_ms,
+        "current-snapshot-id": snapshot_id,
+        "snapshots": md["snapshots"] + [snapshot],
+        "snapshot-log": md["snapshot-log"]
+        + [{"snapshot-id": snapshot_id, "timestamp-ms": ts_ms}],
+        "metadata-log": md["metadata-log"]
+        + [
+            {
+                "metadata-file": os.path.join(
+                    meta_dir, f"v{v}.metadata.json"
+                ),
+                "timestamp-ms": md["last-updated-ms"],
+            }
+        ],
+    }
+    md_path = os.path.join(meta_dir, f"v{v + 1}.metadata.json")
+    with open(md_path, "w") as f:
+        json.dump(new_md, f, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(v + 1))
+    return {
+        "metadata": md_path,
+        "manifest_list": list_path,
+        "manifest": manifest_path,
+        "snapshot_id": snapshot_id,
+        "data_files": len(infos),
+        "rows": added_rows,
+    }
+
+
+def read_iceberg_table(
+    table_dir: str, snapshot_id: int | None = None
+) -> "object":
+    """Ray-side reader for tables this module writes (and any
+    unpartitioned v2 table whose manifests use the null Avro codec):
+    version-hint → vN.metadata.json → manifest list → live data files
+    → ``ray.data.read_parquet`` over exactly those paths.  Pass
+    ``snapshot_id`` for time travel to an earlier snapshot."""
+    import ray.data
+
+    md, _ = _current_metadata(table_dir)
+    sid = snapshot_id if snapshot_id is not None else md["current-snapshot-id"]
+    snap = next(
+        (s for s in md["snapshots"] if s["snapshot-id"] == sid), None
+    )
+    if snap is None:
+        raise ValueError(f"snapshot {sid} not in the metadata log")
+    _, mlist = read_avro_container(snap["manifest-list"])
+    paths = []
+    for m in mlist:
+        _, entries = read_avro_container(m["manifest_path"])
+        paths.extend(
+            e["data_file"]["file_path"]
+            for e in entries
+            if e["status"] != 2  # not DELETED
+        )
+    if not paths:
+        raise ValueError("snapshot lists no live data files")
+    return ray.data.read_parquet(sorted(paths))
+
+
 __all__ = [
     "freeze_iceberg_table",
+    "append_iceberg_snapshot",
+    "read_iceberg_table",
     "write_avro_container",
     "read_avro_container",
     "iceberg_schema_json",

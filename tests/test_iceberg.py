@@ -150,3 +150,48 @@ def test_freeze_rejects_empty_dir(tmp_path):
     os.makedirs(tmp_path / "data")
     with pytest.raises(ValueError):
         iceberg.freeze_iceberg_table(str(tmp_path))
+
+
+def test_append_snapshot_and_read_back(tmp_path):
+    table = str(tmp_path / "tbl")
+    data = os.path.join(table, "data")
+    os.makedirs(data)
+    df1 = pd.DataFrame({"k": range(50), "v": ["a"] * 50})
+    ray.data.from_pandas(df1).repartition(2).write_parquet(data)
+    iceberg.freeze_iceberg_table(table, snapshot_ts_ms=1700000000000)
+    first_md = json.load(
+        open(os.path.join(table, "metadata", "v1.metadata.json"))
+    )
+    first_snap = first_md["current-snapshot-id"]
+
+    # append a second batch of files
+    delta = os.path.join(table, "data_delta")
+    os.makedirs(delta)
+    df2 = pd.DataFrame({"k": range(50, 80), "v": ["b"] * 30})
+    ray.data.from_pandas(df2).repartition(1).write_parquet(delta)
+    out2 = iceberg.append_iceberg_snapshot(
+        table,
+        glob.glob(os.path.join(delta, "*.parquet")),
+        snapshot_ts_ms=1700000100000,
+    )
+
+    md2, v = iceberg._current_metadata(table)
+    assert v == 2
+    assert md2["current-snapshot-id"] == out2["snapshot_id"]
+    assert len(md2["snapshots"]) == 2
+    snap2 = md2["snapshots"][1]
+    assert snap2["parent-snapshot-id"] == first_snap
+    assert snap2["summary"]["total-records"] == "80"
+
+    # the new manifest list carries the prior manifest as EXISTING
+    _, mlist = iceberg.read_avro_container(out2["manifest_list"])
+    assert len(mlist) == 2
+    assert mlist[0]["added_rows_count"] == 30
+    assert mlist[1]["existing_rows_count"] == 50
+    assert mlist[1]["added_rows_count"] == 0
+
+    # Ray-side read: current snapshot = 80 rows; time travel = 50
+    full = iceberg.read_iceberg_table(table).to_pandas()
+    assert len(full) == 80 and sorted(full["k"]) == list(range(80))
+    old = iceberg.read_iceberg_table(table, snapshot_id=first_snap)
+    assert old.count() == 50
