@@ -202,11 +202,27 @@ BROADCAST_SKETCH_DOC_LIMIT = 1_000_000   # list sketches ≤ ~2 GB worst case
 BROADCAST_SCALAR_DOC_LIMIT = 20_000_000  # 16 B/doc scalar fingerprints
 
 
-def _bucketed_candidates(exploded: "ray.data.Dataset") -> "ray.data.Dataset":
+def _slim_block_target(slim_rows: int) -> int:
+    """Block count for the slim (bucket, doc_id) exchange: Ray's sort
+    shuffle pays a fixed cost PER INPUT BLOCK (measured 106 s for
+    1.9M rows fragmented into 1,536 tiny blocks vs 1.9 s after
+    repartition(32)), so coalesce to ~64 MB blocks bounded below by
+    the CPU count — at corpus scale the same formula yields thousands
+    of full blocks and the coalesce is a cheap narrow pass of
+    16 B rows."""
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return int(min(4096, max(2 * ncpu, (slim_rows * 16) // (64 << 20) + 1)))
+
+
+def _bucketed_candidates(
+    exploded: "ray.data.Dataset", slim_rows: int | None = None
+) -> "ray.data.Dataset":
     """Slim (bucket, doc_id) rows → deduped UNVERIFIED candidate pairs
     (id_a, id_b): same one-groupby/partition-sweep machinery as
     :func:`_bucketed_pairs`, but nothing heavier than 16 B/row crosses
-    the exchange — verification attaches sketches downstream."""
+    the exchange — verification attaches sketches downstream.
+    ``slim_rows`` (exploded row count, known cheaply by callers as
+    n_docs × bands) sizes the pre-groupby block coalesce."""
 
     def _part(batch: pa.Table) -> pa.Table:
         part = (
@@ -217,13 +233,12 @@ def _bucketed_candidates(exploded: "ray.data.Dataset") -> "ray.data.Dataset":
 
     from .relational import dedupe_by_key
 
-    cands = (
-        exploded.map_batches(_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(
-            lambda g: _emit_partition_bucket_pairs(g, None),
-            batch_format="pandas",
-        )
+    keyed = exploded.map_batches(_part, batch_format="pyarrow")
+    if slim_rows is not None:
+        keyed = keyed.repartition(_slim_block_target(slim_rows))
+    cands = keyed.groupby("part").map_groups(
+        lambda g: _emit_partition_bucket_pairs(g, None),
+        batch_format="pandas",
     )
     return dedupe_by_key(cands, ["id_a", "id_b"])
 
@@ -362,6 +377,7 @@ def minhash_dup_pairs(
     # One featurize pass, materialized: sketches stay PUT in their
     # blocks; neither derivation below re-tokenizes the corpus.
     feats = ds.map_batches(_featurize, batch_format="pyarrow").materialize()
+    n_docs = feats.count()
 
     def _explode(batch: pa.Table) -> pa.Table:
         offs, vals = _list_col_flat(batch, "buckets")
@@ -376,12 +392,13 @@ def minhash_dup_pairs(
     cands = _bucketed_candidates(
         feats.select_columns(["doc_id", "buckets"]).map_batches(
             _explode, batch_format="pyarrow"
-        )
+        ),
+        slim_rows=n_docs * bands,
     )
     sketches = feats.select_columns(["doc_id", "shingles"])
 
     if transport == "broadcast" or (
-        transport == "auto" and feats.count() <= broadcast_doc_limit
+        transport == "auto" and n_docs <= broadcast_doc_limit
     ):
         from ..functions.feature_store import IdListStore
 
@@ -585,6 +602,7 @@ def simhash_dup_pairs(
         )
 
     feats = ds.map_batches(_featurize, batch_format="pyarrow").materialize()
+    n_docs = feats.count()
 
     def _explode(batch: pa.Table) -> pa.Table:
         offs, vals = _list_col_flat(batch, "buckets")
@@ -599,7 +617,8 @@ def simhash_dup_pairs(
     cands = _bucketed_candidates(
         feats.select_columns(["doc_id", "buckets"]).map_batches(
             _explode, batch_format="pyarrow"
-        )
+        ),
+        slim_rows=n_docs * bands,
     )
     prints = feats.select_columns(["doc_id", "simhash"])
 
@@ -615,7 +634,7 @@ def simhash_dup_pairs(
         )
 
     if transport == "broadcast" or (
-        transport == "auto" and feats.count() <= broadcast_doc_limit
+        transport == "auto" and n_docs <= broadcast_doc_limit
     ):
         from ..functions.feature_store import IdScalarStore
 
@@ -990,6 +1009,7 @@ def embedding_dup_pairs(
         )
 
     feats = ds.map_batches(_featurize, batch_format="pyarrow").materialize()
+    n_docs = feats.count()
 
     def _explode(batch: pa.Table) -> pa.Table:
         offs, vals = _list_col_flat(batch, "buckets")
@@ -1004,7 +1024,8 @@ def embedding_dup_pairs(
     cands = _bucketed_candidates(
         feats.select_columns(["doc_id", "buckets"]).map_batches(
             _explode, batch_format="pyarrow"
-        )
+        ),
+        slim_rows=n_docs * n_bands,
     )
     sketches = feats.select_columns(["doc_id", "shingles"])
     scale = 10.0**round_nd
@@ -1022,7 +1043,7 @@ def embedding_dup_pairs(
         )
 
     if transport == "broadcast" or (
-        transport == "auto" and feats.count() <= broadcast_doc_limit
+        transport == "auto" and n_docs <= broadcast_doc_limit
     ):
         from ..functions.feature_store import IdListStore
 
