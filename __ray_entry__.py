@@ -3005,6 +3005,69 @@ def _q_iceberg_freeze(sf_dir: str):
     return res
 
 
+def _q_iceberg_incremental(sf_dir: str):
+    """Iceberg APPEND commit + snapshot time travel under the oracle
+    gate (`ops/iceberg.append_iceberg_snapshot` / `read_iceberg_table`):
+    freeze the even-doc_id half of documents as snapshot 1, append the
+    odd half as snapshot 2, then aggregate BOTH reads — the current
+    snapshot (full corpus) and a time-travel read of snapshot 1 (even
+    half) — tagged by snapshot label.  Oracle = the same two
+    aggregations over the documents view with the identical parity
+    predicate; green iff the metadata log's file accounting is exact
+    across commits."""
+    import shutil as _shutil
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import (
+        iceberg,
+    )
+
+    os_mod = __import__("os")
+    tag = os_mod.path.basename(sf_dir.rstrip("/"))
+    table = f"/tmp/iceberg_inc_{tag}"
+    _shutil.rmtree(table, ignore_errors=True)
+    data_dir = os_mod.path.join(table, "data")
+    delta_dir = os_mod.path.join(table, "delta")
+    for d in (data_dir, delta_dir):
+        os_mod.makedirs(d, exist_ok=True)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def _parity(p):
+        def _f(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t["doc_id"].combine_chunks(), np.int64)
+            return t.filter(pa.array(ids % 2 == p))
+
+        return _f
+
+    docs.map_batches(_parity(0), batch_format="pyarrow") \
+        .repartition(2).write_parquet(data_dir)
+    docs.map_batches(_parity(1), batch_format="pyarrow") \
+        .repartition(2).write_parquet(delta_dir)
+
+    first = iceberg.freeze_iceberg_table(table)
+    import glob as _glob
+
+    iceberg.append_iceberg_snapshot(
+        table, _glob.glob(os_mod.path.join(delta_dir, "*.parquet"))
+    )
+
+    def _agg(ds, label):
+        out = rel.grouped_aggregate(
+            ds,
+            ["lang"],
+            [("count_star", None, "n_docs"), ("sum", "n_chars", "sum_chars")],
+        ).to_pandas()
+        out.insert(0, "snapshot", label)
+        return out
+
+    cur = _agg(iceberg.read_iceberg_table(table), "current")
+    old = _agg(
+        iceberg.read_iceberg_table(table, snapshot_id=first["snapshot_id"]),
+        "v1",
+    )
+    return pd.concat([cur, old], ignore_index=True)
+
+
 def _q_er_incremental(sf_dir: str):
     """Incremental resolution: full ER on ~80% of the corpus, then the
     remaining ~20% folded in via resolve_entities_incremental (pair
@@ -6070,6 +6133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_assignment": _q_er_assignment,
         "er_production_job": _q_er_production_job,
         "iceberg_freeze": _q_iceberg_freeze,
+        "iceberg_incremental": _q_iceberg_incremental,
         "er_incremental": _q_er_incremental,
         "pca_embeddings": _q_pca_embeddings,
         "high_value_revenue": _q_high_value_revenue,
@@ -6337,6 +6401,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY 1, 2
+        """,
+        "iceberg_incremental": """
+            SELECT 'current' AS snapshot, lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY 2
+            UNION ALL
+            SELECT 'v1', lang, count(*),
+                   CAST(sum(n_chars) AS BIGINT)
+            FROM documents WHERE doc_id % 2 = 0 GROUP BY 2
         """,
         "canonical_url_dedup": _sql_canonical_url_dedup(_FIX01),
         "kmeans_clusters": f"""

@@ -65,6 +65,18 @@ def _quiet_data_workers() -> None:
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
 
+# Ray Data re-applies its own dictConfig inside each data task (console
+# handler at INFO), which resets the hook above — the supported override
+# is the RAY_DATA_LOGGING_CONFIG yaml, inherited by workers via the
+# raylet environment, so set it before any ray.init.
+os.environ.setdefault(
+    "RAY_DATA_LOGGING_CONFIG",
+    os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "ray_data_logging.yaml"
+    ),
+)
+
+
 def run_suite(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
