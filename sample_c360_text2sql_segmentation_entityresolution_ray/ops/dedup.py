@@ -108,12 +108,26 @@ def _jaccard_matrix_exact(sets: list[np.ndarray], ii: np.ndarray, jj: np.ndarray
     return out
 
 
+def _merge_pair_blocks(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Coalesce a pair stream to ~2×CPU blocks.  Two birds: (a) Ray's
+    groupby emits schema-LESS empty pandas blocks for empty partitions
+    (PandasBlockSchema(names=[])) that break a downstream Acero join
+    with 'No match for key field reference' — map_batches is never
+    invoked on empty blocks, so only a block MERGE can normalize them;
+    (b) one-block-per-partition pair outputs fragment downstream
+    sorts (the per-input-block fixed cost documented at
+    :func:`_slim_block_target`).  Pair rows are ≤ 24 B, so even
+    billion-pair streams stay within worker-heap block sizes."""
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return pairs.repartition(2 * ncpu)
+
+
 def _dedupe_pairs(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
     """One copy per (id_a, id_b): the same pair surfaces from many
     buckets; partition-hash dedupe (see relational.dedupe_by_key)."""
     from .relational import dedupe_by_key
 
-    return dedupe_by_key(pairs, ["id_a", "id_b"])
+    return _merge_pair_blocks(dedupe_by_key(pairs, ["id_a", "id_b"]))
 
 
 DEDUP_PAIR_PARTITIONS = 64
@@ -240,7 +254,7 @@ def _bucketed_candidates(
         lambda g: _emit_partition_bucket_pairs(g, None),
         batch_format="pandas",
     )
-    return dedupe_by_key(cands, ["id_a", "id_b"])
+    return _merge_pair_blocks(dedupe_by_key(cands, ["id_a", "id_b"]))
 
 
 def _ids64(batch: pa.Table, col: str) -> np.ndarray:
@@ -313,6 +327,46 @@ def _jaccard_pair_arrays(sa, sb) -> np.ndarray:
     return out
 
 
+# Below this corpus size the slim plan's fixed costs (materialize
+# barrier, candidate dedupe exchange, store round-trip) exceed the
+# payload shuffle it avoids (≤ ~64 MB of replicated sketches) — `auto`
+# then runs the single-exchange in-bucket plan FROM the already-
+# featurized table (no re-tokenize).  Measured crossover ~10-20k docs
+# (payload 1.4 s vs slim 2.1 s at 5k; payload 31 s vs slim 11 s at 40k).
+PAYLOAD_CUTOVER_DOCS = 20_000
+
+
+def _payload_pairs_from_feats(
+    feats: "ray.data.Dataset",
+    payload_col: str,
+    verify,
+) -> "ray.data.Dataset":
+    """Small-corpus plan: explode the featurized per-doc table into
+    (bucket, doc_id, <payload>) band rows — payload replicated per
+    band, acceptable under :data:`PAYLOAD_CUTOVER_DOCS` — and run the
+    single-exchange in-bucket sweep + verify."""
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        offs, vals = _list_col_flat(batch, "buckets")
+        ids = _ids64(batch, "doc_id")
+        reps = np.diff(offs)
+        idx = np.repeat(np.arange(batch.num_rows), reps)
+        payload = batch[payload_col].combine_chunks().take(
+            pa.array(idx, pa.int64())
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(vals, pa.uint64()),
+                "doc_id": pa.array(ids[idx], pa.int64()),
+                payload_col: payload,
+            }
+        )
+
+    return _bucketed_pairs(
+        feats.map_batches(_explode, batch_format="pyarrow"), verify
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash-LSH
 # ---------------------------------------------------------------------------
@@ -378,6 +432,16 @@ def minhash_dup_pairs(
     # blocks; neither derivation below re-tokenizes the corpus.
     feats = ds.map_batches(_featurize, batch_format="pyarrow").materialize()
     n_docs = feats.count()
+
+    if transport == "auto" and n_docs <= PAYLOAD_CUTOVER_DOCS:
+        def _verify_small(g: pd.DataFrame, ii, jj):
+            sets = [
+                np.asarray(s, np.uint64) for s in g["shingles"].to_numpy()
+            ]
+            sims = _jaccard_matrix_exact(sets, ii, jj)
+            return sims >= threshold, sims
+
+        return _payload_pairs_from_feats(feats, "shingles", _verify_small)
 
     def _explode(batch: pa.Table) -> pa.Table:
         offs, vals = _list_col_flat(batch, "buckets")
@@ -603,6 +667,14 @@ def simhash_dup_pairs(
 
     feats = ds.map_batches(_featurize, batch_format="pyarrow").materialize()
     n_docs = feats.count()
+
+    if transport == "auto" and n_docs <= PAYLOAD_CUTOVER_DOCS:
+        def _verify_small(g: pd.DataFrame, ii, jj):
+            h = g["simhash"].to_numpy().astype(np.uint64)
+            d = hamming64(h[ii], h[jj])
+            return d <= max_hamming, (64 - d) / 64.0
+
+        return _payload_pairs_from_feats(feats, "simhash", _verify_small)
 
     def _explode(batch: pa.Table) -> pa.Table:
         offs, vals = _list_col_flat(batch, "buckets")
@@ -1010,6 +1082,22 @@ def embedding_dup_pairs(
 
     feats = ds.map_batches(_featurize, batch_format="pyarrow").materialize()
     n_docs = feats.count()
+    scale = 10.0**round_nd
+
+    if transport == "auto" and n_docs <= PAYLOAD_CUTOVER_DOCS:
+        def _verify_small(g: pd.DataFrame, ii, jj):
+            m = np.stack(
+                [np.asarray(u, np.uint64) for u in g["shingles"].to_numpy()]
+            ).view(np.float64)
+            sims = np.einsum("ij,ij->i", m[ii], m[jj])
+            sims = np.trunc(sims * scale + np.copysign(0.5, sims)) / scale
+            return sims >= threshold, sims
+
+        pairs = _payload_pairs_from_feats(feats, "shingles", _verify_small)
+        return pairs.map_batches(
+            lambda df: df.rename(columns={"sim": "cos"}),
+            batch_format="pandas",
+        )
 
     def _explode(batch: pa.Table) -> pa.Table:
         offs, vals = _list_col_flat(batch, "buckets")
@@ -1028,7 +1116,6 @@ def embedding_dup_pairs(
         slim_rows=n_docs * n_bands,
     )
     sketches = feats.select_columns(["doc_id", "shingles"])
-    scale = 10.0**round_nd
 
     def _emit(ids_a, ids_b, ua, ub) -> pa.Table:
         sims = np.einsum("ij,ij->i", ua, ub)
