@@ -313,36 +313,46 @@ def _f(name, typ, fid, **kw):
     return d
 
 
-MANIFEST_ENTRY_SCHEMA = {
-    "type": "record",
-    "name": "manifest_entry",
-    "fields": [
-        _f("status", "int", 0),
-        _f("snapshot_id", ["null", "long"], 1, default=None),
-        _f("sequence_number", ["null", "long"], 3, default=None),
-        _f("file_sequence_number", ["null", "long"], 4, default=None),
-        _f(
-            "data_file",
-            {
-                "type": "record",
-                "name": "r2",
-                "fields": [
-                    _f("content", "int", 134),
-                    _f("file_path", "string", 100),
-                    _f("file_format", "string", 101),
-                    _f(
-                        "partition",
-                        {"type": "record", "name": "r102", "fields": []},
-                        102,
-                    ),
-                    _f("record_count", "long", 103),
-                    _f("file_size_in_bytes", "long", 104),
-                ],
-            },
-            2,
-        ),
-    ],
-}
+def manifest_entry_schema(partition_fields: list | None = None) -> dict:
+    """v2 manifest-entry Avro schema; ``partition_fields`` = list of
+    (name, avro_type, iceberg_partition_field_id) for the identity
+    partition struct (empty ⇒ unpartitioned r102)."""
+    pf = [
+        _f(name, typ, fid) for name, typ, fid in (partition_fields or [])
+    ]
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            _f("status", "int", 0),
+            _f("snapshot_id", ["null", "long"], 1, default=None),
+            _f("sequence_number", ["null", "long"], 3, default=None),
+            _f("file_sequence_number", ["null", "long"], 4, default=None),
+            _f(
+                "data_file",
+                {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        _f("content", "int", 134),
+                        _f("file_path", "string", 100),
+                        _f("file_format", "string", 101),
+                        _f(
+                            "partition",
+                            {"type": "record", "name": "r102", "fields": pf},
+                            102,
+                        ),
+                        _f("record_count", "long", 103),
+                        _f("file_size_in_bytes", "long", 104),
+                    ],
+                },
+                2,
+            ),
+        ],
+    }
+
+
+MANIFEST_ENTRY_SCHEMA = manifest_entry_schema([])
 
 MANIFEST_FILE_SCHEMA = {
     "type": "record",
@@ -369,40 +379,103 @@ MANIFEST_FILE_SCHEMA = {
 # table freeze
 # ---------------------------------------------------------------------------
 
-def freeze_iceberg_table(
-    table_dir: str,
-    data_dir: str | None = None,
-    snapshot_ts_ms: int | None = None,
-) -> dict:
-    """Wrap ``<table_dir>/data/*.parquet`` (or an explicit ``data_dir``)
-    in an Iceberg v2 metadata log under ``<table_dir>/metadata/``.
-
-    Single unpartitioned append snapshot over the current file listing
-    — exactly the shape of a `run_stage` full-refresh output (the
-    overwrite-prefix sink's swap makes every freeze a clean v1).  File
-    row counts and sizes come from the Parquet footers (no data read).
-    Returns a summary dict (paths + counts) for manifests/logs.
-    """
-    data_dir = data_dir or os.path.join(table_dir, "data")
-    files = sorted(
-        f for f in os.listdir(data_dir) if f.endswith(".parquet")
-    )
-    if not files:
-        raise ValueError(f"no parquet files under {data_dir}")
-    meta_dir = os.path.join(table_dir, "metadata")
-    os.makedirs(meta_dir, exist_ok=True)
+def _hive_partition_infos(data_dir: str, partition_by: list[str]) -> list:
+    """Recursive *.parquet listing with hive ``col=value`` dirs parsed
+    into typed partition values (int when every value parses, else
+    string — deterministic)."""
+    import glob as _glob
+    from urllib.parse import unquote
 
     infos = []
-    for name in files:
-        p = os.path.join(data_dir, name)
+    for p in sorted(
+        _glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
+    ):
+        rel = os.path.relpath(p, data_dir)
+        kv = {}
+        for seg in rel.split(os.sep)[:-1]:
+            if "=" in seg:
+                k, v = seg.split("=", 1)
+                kv[k] = unquote(v)
+        missing = [c for c in partition_by if c not in kv]
+        if missing:
+            raise ValueError(
+                f"{p}: hive dirs missing partition columns {missing}"
+            )
         infos.append(
             {
                 "path": os.path.abspath(p),
                 "rows": pq.ParquetFile(p).metadata.num_rows,
                 "bytes": os.path.getsize(p),
+                "partition": {c: kv[c] for c in partition_by},
             }
         )
-    schema = pq.ParquetFile(os.path.join(data_dir, files[0])).schema_arrow
+    if not infos:
+        raise ValueError(f"no parquet files under {data_dir}")
+
+    def _all_int(col):
+        try:
+            for i in infos:
+                int(i["partition"][col])
+            return True
+        except ValueError:
+            return False
+
+    for col in partition_by:
+        if _all_int(col):
+            for i in infos:
+                i["partition"][col] = int(i["partition"][col])
+    return infos
+
+
+def freeze_iceberg_table(
+    table_dir: str,
+    data_dir: str | None = None,
+    snapshot_ts_ms: int | None = None,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Wrap ``<table_dir>/data/*.parquet`` (or an explicit ``data_dir``)
+    in an Iceberg v2 metadata log under ``<table_dir>/metadata/``.
+
+    Single append snapshot over the current file listing — exactly the
+    shape of a `run_stage` full-refresh output (the overwrite-prefix
+    sink's swap makes every freeze a clean v1).  File row counts and
+    sizes come from the Parquet footers (no data read).
+
+    ``partition_by``: hive-layout identity partitioning (the layout
+    ``Dataset.write_parquet(partition_cols=...)`` produces).  Partition
+    VALUES are parsed from the ``col=value`` directory names, typed
+    int-if-every-value-parses else string, recorded per data file in
+    the manifest's partition struct, appended to the table schema
+    (hive files do not contain the columns), and declared as identity
+    partition-spec fields — an Iceberg reader (and
+    :func:`read_iceberg_table`) reconstitutes the columns from
+    metadata.  Returns a summary dict (paths + counts).
+    """
+    data_dir = data_dir or os.path.join(table_dir, "data")
+    partition_by = list(partition_by or [])
+    meta_dir = os.path.join(table_dir, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+
+    if partition_by:
+        infos = _hive_partition_infos(data_dir, partition_by)
+    else:
+        files = sorted(
+            f for f in os.listdir(data_dir) if f.endswith(".parquet")
+        )
+        if not files:
+            raise ValueError(f"no parquet files under {data_dir}")
+        infos = [
+            {
+                "path": os.path.abspath(os.path.join(data_dir, name)),
+                "rows": pq.ParquetFile(
+                    os.path.join(data_dir, name)
+                ).metadata.num_rows,
+                "bytes": os.path.getsize(os.path.join(data_dir, name)),
+                "partition": {},
+            }
+            for name in files
+        ]
+    schema = pq.ParquetFile(infos[0]["path"]).schema_arrow
 
     # deterministic ids from the listing (re-freeze == byte-identical)
     fp = hashlib.sha256(
@@ -418,8 +491,21 @@ def freeze_iceberg_table(
         time.time() * 1000
     )
 
+    # partition typing (avro + iceberg) from the parsed values
+    part_avro = {
+        c: (
+            "long"
+            if partition_by and isinstance(infos[0]["partition"][c], int)
+            else "string"
+        )
+        for c in partition_by
+    }
+
     # manifest
     manifest_path = os.path.join(meta_dir, f"snap-{snapshot_id}-m0.avro")
+    entry_schema = manifest_entry_schema(
+        [(c, part_avro[c], 1000 + i) for i, c in enumerate(partition_by)]
+    )
     entries = [
         {
             "status": 1,  # ADDED
@@ -430,7 +516,7 @@ def freeze_iceberg_table(
                 "content": 0,  # DATA
                 "file_path": i["path"],
                 "file_format": "PARQUET",
-                "partition": {},
+                "partition": i["partition"],
                 "record_count": i["rows"],
                 "file_size_in_bytes": i["bytes"],
             },
@@ -438,7 +524,7 @@ def freeze_iceberg_table(
         for i in infos
     ]
     manifest_len = write_avro_container(
-        manifest_path, MANIFEST_ENTRY_SCHEMA, entries, sync
+        manifest_path, entry_schema, entries, sync
     )
 
     # manifest list
@@ -468,6 +554,27 @@ def freeze_iceberg_table(
     )
 
     schema_json, last_col_id = iceberg_schema_json(schema)
+    # hive-partitioned files do not CONTAIN the partition columns —
+    # append them to the table schema; the identity spec sources them
+    spec_fields = []
+    for i, c in enumerate(partition_by):
+        last_col_id += 1
+        schema_json["fields"].append(
+            {
+                "id": last_col_id,
+                "name": c,
+                "required": False,
+                "type": "long" if part_avro[c] == "long" else "string",
+            }
+        )
+        spec_fields.append(
+            {
+                "name": c,
+                "transform": "identity",
+                "source-id": last_col_id,
+                "field-id": 1000 + i,
+            }
+        )
     metadata = {
         "format-version": 2,
         "table-uuid": table_uuid,
@@ -478,8 +585,8 @@ def freeze_iceberg_table(
         "current-schema-id": 0,
         "schemas": [schema_json],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": 999 + len(spec_fields),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {"write.format.default": "parquet"},
@@ -540,18 +647,50 @@ def append_iceberg_snapshot(
     with both snapshots and an extended snapshot-log/metadata-log.
     The incremental-ER delta fold-in's table-format counterpart: prior
     data files are never rewritten or re-listed file-by-file."""
+    from urllib.parse import unquote
+
     md, v = _current_metadata(table_dir)
     meta_dir = os.path.join(table_dir, "metadata")
     seq = md["last-sequence-number"] + 1
     ts_ms = snapshot_ts_ms if snapshot_ts_ms is not None else int(
         time.time() * 1000
     )
+    spec = next(
+        s for s in md["partition-specs"]
+        if s["spec-id"] == md["default-spec-id"]
+    )
+    part_cols = [f["name"] for f in spec["fields"]]
+    schema_fields = {
+        f["name"]: f
+        for f in next(
+            s for s in md["schemas"]
+            if s["schema-id"] == md["current-schema-id"]
+        )["fields"]
+    }
+
+    def _part_of(path: str) -> dict:
+        kv = {}
+        for seg in path.split(os.sep):
+            if "=" in seg and not seg.endswith(".parquet"):
+                k, val = seg.split("=", 1)
+                kv[k] = unquote(val)
+        out = {}
+        for c in part_cols:
+            if c not in kv:
+                raise ValueError(
+                    f"{path}: no hive '{c}=...' dir for partition column"
+                )
+            out[c] = (
+                int(kv[c]) if schema_fields[c]["type"] == "long" else kv[c]
+            )
+        return out
 
     infos = [
         {
             "path": os.path.abspath(p),
             "rows": pq.ParquetFile(p).metadata.num_rows,
             "bytes": os.path.getsize(p),
+            "partition": _part_of(os.path.abspath(p)),
         }
         for p in sorted(new_files)
     ]
@@ -574,15 +713,26 @@ def append_iceberg_snapshot(
                 "content": 0,
                 "file_path": i["path"],
                 "file_format": "PARQUET",
-                "partition": {},
+                "partition": i["partition"],
                 "record_count": i["rows"],
                 "file_size_in_bytes": i["bytes"],
             },
         }
         for i in infos
     ]
+    entry_schema = manifest_entry_schema(
+        [
+            (
+                f["name"],
+                "long" if schema_fields[f["name"]]["type"] == "long"
+                else "string",
+                f["field-id"],
+            )
+            for f in spec["fields"]
+        ]
+    )
     manifest_len = write_avro_container(
-        manifest_path, MANIFEST_ENTRY_SCHEMA, entries, sync
+        manifest_path, entry_schema, entries, sync
     )
     added_rows = sum(i["rows"] for i in infos)
 
@@ -694,17 +844,52 @@ def read_iceberg_table(
     if snap is None:
         raise ValueError(f"snapshot {sid} not in the metadata log")
     _, mlist = read_avro_container(snap["manifest-list"])
-    paths = []
+    files = []  # (path, partition dict)
     for m in mlist:
         _, entries = read_avro_container(m["manifest_path"])
-        paths.extend(
-            e["data_file"]["file_path"]
+        files.extend(
+            (e["data_file"]["file_path"], e["data_file"]["partition"])
             for e in entries
             if e["status"] != 2  # not DELETED
         )
-    if not paths:
+    if not files:
         raise ValueError("snapshot lists no live data files")
-    return ray.data.read_parquet(sorted(paths))
+
+    spec = next(
+        s for s in md["partition-specs"]
+        if s["spec-id"] == md["default-spec-id"]
+    )
+    if not spec["fields"]:
+        return ray.data.read_parquet(sorted(p for p, _ in files))
+
+    # identity-partitioned: reconstitute the partition columns from the
+    # manifest metadata (hive files do not contain them) — one read per
+    # partition value, constant columns appended, union of the reads
+    part_cols = [f["name"] for f in spec["fields"]]
+    groups: dict[tuple, list[str]] = {}
+    for p, part in files:
+        groups.setdefault(tuple(part[c] for c in part_cols), []).append(p)
+
+    pieces = []
+    for values, paths in sorted(groups.items()):
+        ds = ray.data.read_parquet(sorted(paths))
+
+        def _attach(batch: "pa.Table", _v=values) -> "pa.Table":
+            # ray.data.read_parquet may hive-infer the partition column
+            # from the path (as string) — REPLACE it with the manifest's
+            # typed value rather than duplicating the field
+            for c, v in zip(part_cols, _v):
+                arr = pa.array([v] * batch.num_rows)
+                if c in batch.column_names:
+                    batch = batch.set_column(
+                        batch.schema.get_field_index(c), c, arr
+                    )
+                else:
+                    batch = batch.append_column(c, arr)
+            return batch
+
+        pieces.append(ds.map_batches(_attach, batch_format="pyarrow"))
+    return pieces[0].union(*pieces[1:]) if len(pieces) > 1 else pieces[0]
 
 
 __all__ = [

@@ -195,3 +195,80 @@ def test_append_snapshot_and_read_back(tmp_path):
     assert len(full) == 80 and sorted(full["k"]) == list(range(80))
     old = iceberg.read_iceberg_table(table, snapshot_id=first_snap)
     assert old.count() == 50
+
+
+def test_partitioned_freeze_append_read(tmp_path):
+    """Identity-partitioned table: write_parquet(partition_cols) hive
+    layout → freeze with partition_by → the manifest carries typed
+    partition values per file, the schema/spec declare the identity
+    fields, and read_iceberg_table reconstitutes the partition column
+    from METADATA (hive files don't contain it)."""
+    table = str(tmp_path / "tbl")
+    data = os.path.join(table, "data")
+    os.makedirs(data)
+    df = pd.DataFrame(
+        {"k": range(60), "lang": ["en", "de", "fr"] * 20}
+    )
+    ray.data.from_pandas(df).repartition(2).write_parquet(
+        data, partition_cols=["lang"]
+    )
+    out = iceberg.freeze_iceberg_table(
+        table, partition_by=["lang"], snapshot_ts_ms=1700000000000
+    )
+
+    md = json.load(open(out["metadata"]))
+    spec = md["partition-specs"][0]
+    assert spec["fields"][0]["transform"] == "identity"
+    assert spec["fields"][0]["name"] == "lang"
+    src = spec["fields"][0]["source-id"]
+    schema_field = next(
+        f for f in md["schemas"][0]["fields"] if f["id"] == src
+    )
+    assert schema_field["name"] == "lang" and schema_field["type"] == "string"
+
+    _, entries = iceberg.read_avro_container(out["manifest"])
+    assert {e["data_file"]["partition"]["lang"] for e in entries} == {
+        "en", "de", "fr"
+    }
+
+    full = iceberg.read_iceberg_table(table).to_pandas()
+    assert len(full) == 60
+    assert sorted(full["lang"].unique()) == ["de", "en", "fr"]
+    assert full.groupby("lang")["k"].count().tolist() == [20, 20, 20]
+    # values round-trip exactly: k mod 3 encodes the lang it was written with
+    langs = {0: "en", 1: "de", 2: "fr"}
+    assert all(langs[k % 3] == l for k, l in zip(full["k"], full["lang"]))
+
+    # append a delta partition (hive dir) as snapshot 2
+    delta = os.path.join(table, "delta", "lang=it")
+    os.makedirs(delta)
+    ray.data.from_pandas(
+        pd.DataFrame({"k": range(100, 110)})
+    ).repartition(1).write_parquet(delta)
+    iceberg.append_iceberg_snapshot(
+        table,
+        glob.glob(os.path.join(delta, "*.parquet")),
+        snapshot_ts_ms=1700000100000,
+    )
+    full2 = iceberg.read_iceberg_table(table).to_pandas()
+    assert len(full2) == 70
+    assert (full2[full2["lang"] == "it"]["k"] >= 100).all()
+
+
+def test_partitioned_freeze_int_partition_values(tmp_path):
+    table = str(tmp_path / "tbl")
+    data = os.path.join(table, "data")
+    os.makedirs(data)
+    df = pd.DataFrame({"v": range(40), "year": [2024] * 20 + [2025] * 20})
+    ray.data.from_pandas(df).repartition(1).write_parquet(
+        data, partition_cols=["year"]
+    )
+    out = iceberg.freeze_iceberg_table(
+        table, partition_by=["year"], snapshot_ts_ms=1700000000000
+    )
+    _, entries = iceberg.read_avro_container(out["manifest"])
+    vals = {e["data_file"]["partition"]["year"] for e in entries}
+    assert vals == {2024, 2025}  # typed long, not '2024'/'2025' strings
+    back = iceberg.read_iceberg_table(table).to_pandas()
+    assert back["year"].dtype.kind == "i"
+    assert back.groupby("year")["v"].count().tolist() == [20, 20]
