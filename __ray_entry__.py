@@ -3068,6 +3068,38 @@ def _q_iceberg_incremental(sf_dir: str):
     return pd.concat([cur, old], ignore_index=True)
 
 
+def _q_iceberg_partitioned(sf_dir: str):
+    """Identity-partitioned Iceberg table under the oracle gate: write
+    documents hive-partitioned by lang (`write_parquet(partition_cols)`
+    — the partition column is NOT in the data files), freeze with
+    `partition_by=["lang"]`, read back through the metadata log (the
+    lang column is reconstituted from the manifests' typed partition
+    values), aggregate per lang.  Oracle = the same aggregation on the
+    documents view — green iff partition values survive the
+    path→manifest→schema round trip exactly."""
+    import shutil as _shutil
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import (
+        iceberg,
+    )
+
+    os_mod = __import__("os")
+    tag = os_mod.path.basename(sf_dir.rstrip("/"))
+    table = f"/tmp/iceberg_part_{tag}"
+    _shutil.rmtree(table, ignore_errors=True)
+    data_dir = os_mod.path.join(table, "data")
+    os_mod.makedirs(data_dir, exist_ok=True)
+
+    _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]) \
+        .repartition(2).write_parquet(data_dir, partition_cols=["lang"])
+    iceberg.freeze_iceberg_table(table, partition_by=["lang"])
+    return rel.grouped_aggregate(
+        iceberg.read_iceberg_table(table),
+        ["lang"],
+        [("count_star", None, "n_docs"), ("sum", "n_chars", "sum_chars")],
+    ).to_pandas()
+
+
 def _q_er_incremental(sf_dir: str):
     """Incremental resolution: full ER on ~80% of the corpus, then the
     remaining ~20% folded in via resolve_entities_incremental (pair
@@ -6133,6 +6165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_production_job": _q_er_production_job,
         "iceberg_freeze": _q_iceberg_freeze,
         "iceberg_incremental": _q_iceberg_incremental,
+        "iceberg_partitioned": _q_iceberg_partitioned,
         "er_incremental": _q_er_incremental,
         "pca_embeddings": _q_pca_embeddings,
         "high_value_revenue": _q_high_value_revenue,
@@ -6190,6 +6223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     window = [
         "events_autocorr", "orders_fd", "events_ewma",
         "er_production_job", "iceberg_freeze", "iceberg_incremental",
+        "iceberg_partitioned",
         "minhash_dup_docs", "simhash_dup_docs", "embedding_dup_pairs",
         "curated_corpus", "dup_cluster_sizes", "threshold_components",
         "cluster_transitivity", "components_cap_guard", "ingest_dedup",
@@ -6207,7 +6241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_roundtrip_orders", "revenue_by_nation",
         "price_iqr_outliers", "priority_distinct_custs",
         "events_daily_filled", "rollup_revenue", "custkey_dense_ids",
-        "orders_stratified_sample", "cube_revenue",
+        "orders_stratified_sample",
     ]
     head = {k: base[k] for k in window}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -6440,6 +6474,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'v1', lang, count(*),
                    CAST(sum(n_chars) AS BIGINT)
             FROM documents WHERE doc_id % 2 = 0 GROUP BY 2
+        """,
+        "iceberg_partitioned": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY 1
         """,
         "canonical_url_dedup": _sql_canonical_url_dedup(_FIX01),
         "kmeans_clusters": f"""
