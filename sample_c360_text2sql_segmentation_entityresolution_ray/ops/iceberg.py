@@ -826,6 +826,70 @@ def append_iceberg_snapshot(
     }
 
 
+def expire_iceberg_snapshots(table_dir: str, keep: int = 2) -> dict:
+    """Keep the ``keep`` newest snapshots; drop the rest from the
+    metadata log and delete manifest/manifest-list files referenced by
+    NO surviving snapshot.  The table-format twin of the engine's
+    keep-2 run-history retention (`state/checkpoint.gc_checkpoints`,
+    mirroring the reference's keep-2-newest-Personalize-solutions
+    policy, `create_personalize_solution/index.py:97-106`).  Data files
+    are NOT deleted (an expired snapshot's files may be EXISTING in a
+    survivor's manifests); writes vN+1 metadata."""
+    md, v = _current_metadata(table_dir)
+    meta_dir = os.path.join(table_dir, "metadata")
+    snaps = sorted(md["snapshots"], key=lambda s: s["sequence-number"])
+    if len(snaps) <= keep:
+        return {"expired": 0, "removed_files": [], "metadata": None}
+    keep_snaps = snaps[-keep:]
+    keep_ids = {s["snapshot-id"] for s in keep_snaps}
+    if md["current-snapshot-id"] not in keep_ids:
+        raise ValueError("cannot expire the current snapshot")
+
+    live: set[str] = set()
+    for s in keep_snaps:
+        live.add(os.path.abspath(s["manifest-list"]))
+        _, mlist = read_avro_container(s["manifest-list"])
+        live.update(os.path.abspath(m["manifest_path"]) for m in mlist)
+    removed = []
+    for s in snaps[:-keep]:
+        candidates = [os.path.abspath(s["manifest-list"])]
+        _, mlist = read_avro_container(s["manifest-list"])
+        candidates.extend(
+            os.path.abspath(m["manifest_path"]) for m in mlist
+        )
+        for p in candidates:
+            if p not in live and os.path.exists(p):
+                os.remove(p)
+                removed.append(p)
+
+    new_md = {
+        **md,
+        "snapshots": keep_snaps,
+        "snapshot-log": [
+            e for e in md["snapshot-log"] if e["snapshot-id"] in keep_ids
+        ],
+        "metadata-log": md["metadata-log"]
+        + [
+            {
+                "metadata-file": os.path.join(
+                    meta_dir, f"v{v}.metadata.json"
+                ),
+                "timestamp-ms": md["last-updated-ms"],
+            }
+        ],
+    }
+    md_path = os.path.join(meta_dir, f"v{v + 1}.metadata.json")
+    with open(md_path, "w") as f:
+        json.dump(new_md, f, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(v + 1))
+    return {
+        "expired": len(snaps) - keep,
+        "removed_files": removed,
+        "metadata": md_path,
+    }
+
+
 def read_iceberg_table(
     table_dir: str, snapshot_id: int | None = None
 ) -> "object":
@@ -896,6 +960,8 @@ __all__ = [
     "freeze_iceberg_table",
     "append_iceberg_snapshot",
     "read_iceberg_table",
+    "expire_iceberg_snapshots",
+    "manifest_entry_schema",
     "write_avro_container",
     "read_avro_container",
     "iceberg_schema_json",

@@ -272,3 +272,39 @@ def test_partitioned_freeze_int_partition_values(tmp_path):
     back = iceberg.read_iceberg_table(table).to_pandas()
     assert back["year"].dtype.kind == "i"
     assert back.groupby("year")["v"].count().tolist() == [20, 20]
+
+
+def test_expire_snapshots_keep2(tmp_path):
+    table = str(tmp_path / "tbl")
+    data = os.path.join(table, "data")
+    os.makedirs(data)
+    ray.data.from_pandas(pd.DataFrame({"k": range(10)})).repartition(
+        1
+    ).write_parquet(data)
+    iceberg.freeze_iceberg_table(table, snapshot_ts_ms=1700000000000)
+    for i in range(3):  # three appends → 4 snapshots
+        d = os.path.join(table, f"delta{i}")
+        os.makedirs(d)
+        ray.data.from_pandas(
+            pd.DataFrame({"k": range(10 * (i + 2), 10 * (i + 3))})
+        ).repartition(1).write_parquet(d)
+        iceberg.append_iceberg_snapshot(
+            table, glob.glob(os.path.join(d, "*.parquet")),
+            snapshot_ts_ms=1700000000000 + (i + 1) * 1000,
+        )
+    md, v = iceberg._current_metadata(table)
+    assert len(md["snapshots"]) == 4 and v == 4
+
+    out = iceberg.expire_iceberg_snapshots(table, keep=2)
+    assert out["expired"] == 2
+    md2, v2 = iceberg._current_metadata(table)
+    assert v2 == 5 and len(md2["snapshots"]) == 2
+    assert md2["current-snapshot-id"] == md["current-snapshot-id"]
+    # removed manifests are gone; surviving snapshots still read fine
+    for p in out["removed_files"]:
+        assert not os.path.exists(p)
+    assert iceberg.read_iceberg_table(table).count() == 40
+    older = md2["snapshots"][0]["snapshot-id"]
+    assert iceberg.read_iceberg_table(table, snapshot_id=older).count() == 30
+    # idempotent below the threshold
+    assert iceberg.expire_iceberg_snapshots(table, keep=2)["expired"] == 0
