@@ -826,6 +826,177 @@ def append_iceberg_snapshot(
     }
 
 
+def compact_iceberg_table(
+    table_dir: str,
+    target_file_rows: int = 1_000_000,
+    snapshot_ts_ms: int | None = None,
+) -> dict:
+    """Rewrite-data-files commit (operation ``replace``): coalesce the
+    current snapshot's live data files into ~``target_file_rows``
+    parquet files under ``<table>/data/compacted-<seq>/``, then commit
+    a snapshot whose manifest lists the new files as ADDED and the old
+    ones as DELETED (status 2) — total rows unchanged, small-file
+    count collapsed.  Prior snapshots still reference the old files
+    (which stay on disk until :func:`expire_iceberg_snapshots` retires
+    those snapshots AND a file GC removes unreferenced data).  Only
+    unpartitioned tables compact (a partitioned compaction must
+    preserve partition boundaries — raise loudly rather than merge
+    across them)."""
+    import ray.data
+
+    md, v = _current_metadata(table_dir)
+    meta_dir = os.path.join(table_dir, "metadata")
+    spec = next(
+        s for s in md["partition-specs"]
+        if s["spec-id"] == md["default-spec-id"]
+    )
+    if spec["fields"]:
+        raise NotImplementedError(
+            "compact_iceberg_table: partitioned tables need per-partition "
+            "compaction (not implemented); compact each partition dir and "
+            "append instead"
+        )
+    cur_snap = next(
+        s for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    _, mlist = read_avro_container(cur_snap["manifest-list"])
+    old_files = []
+    for m in mlist:
+        _, entries = read_avro_container(m["manifest_path"])
+        old_files.extend(
+            e["data_file"] for e in entries if e["status"] != 2
+        )
+    total_rows = sum(f["record_count"] for f in old_files)
+    seq = md["last-sequence-number"] + 1
+    out_dir = os.path.join(table_dir, "data", f"compacted-{seq}")
+    os.makedirs(out_dir, exist_ok=True)
+    n_out = max(1, -(-total_rows // target_file_rows))
+    ray.data.read_parquet(
+        sorted(f["file_path"] for f in old_files)
+    ).repartition(n_out).write_parquet(out_dir)
+
+    ts_ms = snapshot_ts_ms if snapshot_ts_ms is not None else int(
+        time.time() * 1000
+    )
+    new_infos = [
+        {
+            "path": os.path.abspath(os.path.join(out_dir, name)),
+            "rows": pq.ParquetFile(
+                os.path.join(out_dir, name)
+            ).metadata.num_rows,
+            "bytes": os.path.getsize(os.path.join(out_dir, name)),
+        }
+        for name in sorted(os.listdir(out_dir))
+        if name.endswith(".parquet")
+    ]
+    assert sum(i["rows"] for i in new_infos) == total_rows
+    fp = hashlib.sha256(
+        (json.dumps(new_infos, sort_keys=True) + f"|compact{seq}").encode()
+    ).digest()
+    snapshot_id = int.from_bytes(fp[:8], "big") & ((1 << 62) - 1)
+    sync = fp[16:32]
+
+    def _entry(status, df, snap_id):
+        return {
+            "status": status,
+            "snapshot_id": snap_id,
+            "sequence_number": None,
+            "file_sequence_number": None,
+            "data_file": df,
+        }
+
+    manifest_path = os.path.join(meta_dir, f"snap-{snapshot_id}-m0.avro")
+    entries = [
+        _entry(
+            1,
+            {
+                "content": 0,
+                "file_path": i["path"],
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": i["rows"],
+                "file_size_in_bytes": i["bytes"],
+            },
+            snapshot_id,
+        )
+        for i in new_infos
+    ] + [_entry(2, dict(f), snapshot_id) for f in old_files]  # DELETED
+    manifest_len = write_avro_container(
+        manifest_path, MANIFEST_ENTRY_SCHEMA, entries, sync
+    )
+    list_path = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
+    write_avro_container(
+        list_path,
+        MANIFEST_FILE_SCHEMA,
+        [
+            {
+                "manifest_path": os.path.abspath(manifest_path),
+                "manifest_length": manifest_len,
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(new_infos),
+                "existing_files_count": 0,
+                "deleted_files_count": len(old_files),
+                "added_rows_count": total_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": total_rows,
+            }
+        ],
+        sync,
+    )
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "parent-snapshot-id": md["current-snapshot-id"],
+        "sequence-number": seq,
+        "timestamp-ms": ts_ms,
+        "manifest-list": os.path.abspath(list_path),
+        "summary": {
+            "operation": "replace",
+            "added-data-files": str(len(new_infos)),
+            "deleted-data-files": str(len(old_files)),
+            "added-records": str(total_rows),
+            "deleted-records": str(total_rows),
+            "total-records": str(total_rows),
+            "total-data-files": str(len(new_infos)),
+        },
+        "schema-id": md["current-schema-id"],
+    }
+    new_md = {
+        **md,
+        "last-sequence-number": seq,
+        "last-updated-ms": ts_ms,
+        "current-snapshot-id": snapshot_id,
+        "snapshots": md["snapshots"] + [snapshot],
+        "snapshot-log": md["snapshot-log"]
+        + [{"snapshot-id": snapshot_id, "timestamp-ms": ts_ms}],
+        "metadata-log": md["metadata-log"]
+        + [
+            {
+                "metadata-file": os.path.join(
+                    meta_dir, f"v{v}.metadata.json"
+                ),
+                "timestamp-ms": md["last-updated-ms"],
+            }
+        ],
+    }
+    md_path = os.path.join(meta_dir, f"v{v + 1}.metadata.json")
+    with open(md_path, "w") as f:
+        json.dump(new_md, f, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(v + 1))
+    return {
+        "metadata": md_path,
+        "snapshot_id": snapshot_id,
+        "data_files": len(new_infos),
+        "replaced_files": len(old_files),
+        "rows": total_rows,
+    }
+
+
 def expire_iceberg_snapshots(table_dir: str, keep: int = 2) -> dict:
     """Keep the ``keep`` newest snapshots; drop the rest from the
     metadata log and delete manifest/manifest-list files referenced by
@@ -961,6 +1132,7 @@ __all__ = [
     "append_iceberg_snapshot",
     "read_iceberg_table",
     "expire_iceberg_snapshots",
+    "compact_iceberg_table",
     "manifest_entry_schema",
     "write_avro_container",
     "read_avro_container",

@@ -308,3 +308,54 @@ def test_expire_snapshots_keep2(tmp_path):
     assert iceberg.read_iceberg_table(table, snapshot_id=older).count() == 30
     # idempotent below the threshold
     assert iceberg.expire_iceberg_snapshots(table, keep=2)["expired"] == 0
+
+
+def test_compact_replace_snapshot(tmp_path):
+    """Compaction: N small files → 1, operation=replace, old files
+    DELETED (status 2) in the new manifest so the reader skips them;
+    prior snapshot still reads the original layout (time travel)."""
+    table = str(tmp_path / "tbl")
+    data = os.path.join(table, "data")
+    os.makedirs(data)
+    ray.data.from_pandas(pd.DataFrame({"k": range(90)})).repartition(
+        6
+    ).write_parquet(data)
+    iceberg.freeze_iceberg_table(table, snapshot_ts_ms=1700000000000)
+    md1, _ = iceberg._current_metadata(table)
+    first = md1["current-snapshot-id"]
+
+    out = iceberg.compact_iceberg_table(
+        table, target_file_rows=1000, snapshot_ts_ms=1700000100000
+    )
+    assert out["data_files"] == 1 and out["replaced_files"] == 6
+    md2, v = iceberg._current_metadata(table)
+    assert v == 2
+    snap = md2["snapshots"][-1]
+    assert snap["summary"]["operation"] == "replace"
+    assert snap["summary"]["total-data-files"] == "1"
+
+    # reader: current = 1 compacted file, same rows; DELETED skipped
+    cur = iceberg.read_iceberg_table(table).to_pandas()
+    assert sorted(cur["k"]) == list(range(90))
+    _, entries = iceberg.read_avro_container(
+        os.path.join(table, "metadata", f"snap-{out['snapshot_id']}-m0.avro")
+    )
+    assert sum(1 for e in entries if e["status"] == 2) == 6
+    # time travel to the pre-compaction snapshot still works
+    old = iceberg.read_iceberg_table(table, snapshot_id=first).to_pandas()
+    assert sorted(old["k"]) == list(range(90))
+
+
+def test_compact_rejects_partitioned(tmp_path):
+    table = str(tmp_path / "tbl")
+    data = os.path.join(table, "data")
+    os.makedirs(data)
+    df = pd.DataFrame({"k": range(20), "lang": ["en", "de"] * 10})
+    ray.data.from_pandas(df).repartition(1).write_parquet(
+        data, partition_cols=["lang"]
+    )
+    iceberg.freeze_iceberg_table(
+        table, partition_by=["lang"], snapshot_ts_ms=1700000000000
+    )
+    with pytest.raises(NotImplementedError):
+        iceberg.compact_iceberg_table(table)
