@@ -244,9 +244,9 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "part_hits",
         # r3 fifth-session additions (chain_components_ls is excluded:
         # it FORCES ~8 distributed alternating-star rounds on a
-        # diameter-193 graph, ~5 barrier-bound stages each — pure
-        # fixed-cost at sandbox scale, measured ~30 s / 15k rows and
-        # documented in BASELINE.md instead)
+        # diameter-193 graph — pure per-round barrier cost at sandbox
+        # scale; the r4 per-round block coalesce halved it 32 s → 14 s
+        # (BASELINE.md), still all fixed cost, still excluded)
         "components_incremental",
         "dup_cluster_sizes",
         "doc_partition_ari",

@@ -1256,6 +1256,18 @@ def connected_components_alternating(
             pairs, ["src", "dst"], [("count_star", None, "_n")]
         ).drop_columns(["_n"])
 
+    def _coalesce(ds: "ray.data.Dataset", n_rows: int) -> "ray.data.Dataset":
+        """Per-round block hygiene: every downstream stage launches one
+        task PER BLOCK, so the fragmented (±empty-schema) groupby
+        output makes each of the O(log²) rounds pay fixed cost × block
+        count — coalesce to ~64 MB of slim pairs (floor 2×CPU once the
+        edge set is large enough to feed every core)."""
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        target = max(1, (n_rows * 16) // (64 << 20) + 1)
+        if n_rows > 250_000:
+            target = max(target, 2 * ncpu)
+        return ds.repartition(min(4096, target))
+
     cur = _dedup(edges.map_batches(_canon, batch_format="pandas")).materialize()
 
     # full node set up front (for singleton/self-loop-only nodes)
@@ -1336,7 +1348,10 @@ def connected_components_alternating(
             keep = v > u
             return pd.DataFrame({"src": v[keep], "dst": m[keep]})
 
-        cur = _dedup(withm.map_batches(_ls_emit, batch_format="pandas")).materialize()
+        cur = _coalesce(
+            _dedup(withm.map_batches(_ls_emit, batch_format="pandas")),
+            sig[0],
+        ).materialize()
 
         # ---- small-star: every edge already points larger → smaller;
         # group by the LARGER endpoint u, m = min(N(u) ∪ {u}), emit
@@ -1355,7 +1370,10 @@ def connected_components_alternating(
                 }
             )
 
-        cur = _dedup(withm2.map_batches(_ss_emit, batch_format="pandas")).materialize()
+        cur = _coalesce(
+            _dedup(withm2.map_batches(_ss_emit, batch_format="pandas")),
+            sig[0],
+        ).materialize()
 
         new_sig = _edge_signature(cur)
         if new_sig == sig:
