@@ -6,7 +6,8 @@ given sf dir, the way the external driver does: row count, column-name
 set, and a value hash computed after sorting columns by name and rows
 by every column.  Use before handing the repo to the driver:
 
-    python scripts/check_correctness.py [/root/testdata/sf0.01] [name ...]
+    python scripts/check_correctness.py [/root/testdata/sf0.01] [--strict] \
+        [--oracle-timeout SECS] [name ...]
 
 Exit code 1 if any oracle-checked query mismatches.
 """
@@ -78,6 +79,11 @@ def _dtype_kind(s: pd.Series) -> str:
 def main() -> int:
     argv = [a for a in sys.argv[1:] if a != "--strict"]
     strict = "--strict" in sys.argv[1:]
+    oracle_timeout = None
+    if "--oracle-timeout" in argv:
+        i = argv.index("--oracle-timeout")
+        oracle_timeout = float(argv[i + 1])
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -113,8 +119,26 @@ def main() -> int:
             print(f"  ok {name}: rows={len(ray_df)} (no oracle) [{wall:.1f}s]")
             continue
         try:
-            o_df = con.execute(osql[name]).df()
+            timer = None
+            if oracle_timeout:
+                import threading
+
+                timer = threading.Timer(oracle_timeout, con.interrupt)
+                timer.start()
+            try:
+                o_df = con.execute(osql[name]).df()
+            finally:
+                if timer is not None:
+                    timer.cancel()
         except Exception as e:  # noqa: BLE001
+            msg = str(e)
+            if oracle_timeout and "INTERRUPT" in msg.upper():
+                # quadratic all-pairs oracles (documented in BASELINE.md)
+                # are intractable at sf0.1 — a timeout is recorded, not
+                # counted as a red row
+                print(f"  to {name}: oracle exceeded {oracle_timeout}s "
+                      f"(skipped, see BASELINE.md quadratic-oracle note)")
+                continue
             print(f"FAIL {name}: oracle error {e}")
             bad.append(name)
             continue
