@@ -4313,7 +4313,11 @@ def _q_embedding_dup_pairs(sf_dir: str):
     """Multi-band hyperplane-LSH cosine near-dup at the demo threshold
     0.4 (testdata max pairwise cosine ≈ 0.48, so the LSH path is
     actually exercised) — oracle-checked against the exact all-pairs
-    SQL; 4-bit × 80-band parameters put P(miss) < 1e-6 at 0.4."""
+    SQL.  Band parameters resolve from the MEASURED corpus size
+    (`dedup._auto_hyperplane_params`: bits ≈ log2(n/32), bands for
+    P(miss) ≤ 1e-6 at 0.4) — the r4 sf0.1 strict sweep caught the
+    fixed 4-bit default silently losing recall once buckets exceeded
+    the all-pairs cap at 2k vectors."""
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return dedup.embedding_dup_pairs(emb, threshold=0.4)
 

@@ -1024,13 +1024,46 @@ def _hyperplane_buckets(
     return (band_idx << np.uint64(band_bits)) | vals  # disjoint per band
 
 
+def _auto_hyperplane_params(
+    n_docs: int,
+    threshold: float,
+    band_bits,
+    n_bands,
+    target_bucket: int = 32,
+    target_miss: float = 1e-6,
+    max_bands: int = 1024,
+) -> "tuple[int, int]":
+    """Resolve ``"auto"`` hyperplane-LSH parameters from the MEASURED
+    corpus size: band_bits ≈ log2(n / target_bucket) keeps mean bucket
+    size under the all-pairs cap (a fixed 4-bit default left ~n/16-doc
+    buckets at 10× scale, tripping the SNM fallback and silently
+    losing recall), and n_bands re-derives so a pair AT the threshold
+    still shares ≥1 band with P ≥ 1 - target_miss
+    (p = 1 - arccos(c)/π per hyperplane)."""
+    import math
+
+    b = band_bits
+    if b == "auto":
+        b = max(4, math.ceil(math.log2(max(n_docs, 2) / target_bucket)))
+    nb = n_bands
+    if nb == "auto":
+        p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+        pb = p**b
+        if 0.0 < pb < 1.0:
+            nb = math.ceil(math.log(1.0 / target_miss) / -math.log1p(-pb))
+            nb = max(16, min(max_bands, nb))
+        else:
+            nb = 16
+    return int(b), int(nb)
+
+
 def embedding_dup_pairs(
     ds: "ray.data.Dataset",
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.9,
-    band_bits: int = 4,
-    n_bands: int = 80,
+    band_bits="auto",
+    n_bands="auto",
     seed: int = 97,
     round_nd: int = 4,
     transport: str = "auto",
@@ -1041,21 +1074,27 @@ def embedding_dup_pairs(
     ``list_cosine_similarity`` oracle).
 
     Recall: a pair at cosine c shares one band with
-    P = 1-(1-p^band_bits)^n_bands where p = 1-arccos(c)/π.  Defaults
-    (4 bits × 80 bands) give miss < 1e-6 down to c = 0.4 — the sandbox
-    demo threshold — so on the testdata the LSH output EQUALS the
-    exact all-pairs baseline (oracle-checked).  At corpus scale raise
-    ``band_bits`` (≈ log2(N / target_bucket)) and re-derive
-    ``n_bands`` for the target threshold; over-cap buckets degrade to
-    the bounded SNM sweep (observable via the generic pair kernel).
+    P = 1-(1-p^band_bits)^n_bands where p = 1-arccos(c)/π.
+    ``band_bits``/``n_bands`` default to ``"auto"``: resolved from the
+    MEASURED corpus size by :func:`_auto_hyperplane_params`, so mean
+    bucket size stays under the all-pairs cap at ANY scale while a
+    pair at the threshold still collides with P ≥ 1-1e-6 (a fixed
+    4-bit default silently lost recall at 10× the tuning scale when
+    ~n/16-doc buckets hit the SNM fallback — caught by the sf0.1
+    strict sweep).  Over-cap buckets still degrade to the bounded SNM
+    sweep (skew guard, observable via the generic pair kernel).
 
     ``transport`` as in :func:`minhash_dup_pairs` — and it matters
     MOST here: the payload plan ships the 8·dim-byte float64 unit
-    vector on EVERY one of the ``n_bands`` (80) band rows (~40 KB/doc
-    at dim 64), the slim plans shuffle 16 B rows and attach vectors to
-    the deduped candidates via a broadcast store (vectors ride the
-    generic uint64 store as lossless bit-views) or two hash joins."""
+    vector on EVERY band row (~40 KB/doc at dim 64 × 80 bands), the
+    slim plans shuffle 16 B rows and attach vectors to the deduped
+    candidates via a broadcast store (vectors ride the generic uint64
+    store as lossless bit-views) or two hash joins."""
     if transport == "payload":
+        if band_bits == "auto" or n_bands == "auto":
+            band_bits, n_bands = _auto_hyperplane_params(
+                ds.count(), threshold, band_bits, n_bands
+            )
         return _embedding_dup_pairs_payload(
             ds, emb_col, id_col, threshold, band_bits, n_bands, seed,
             round_nd,
@@ -1065,8 +1104,6 @@ def embedding_dup_pairs(
 
     def _featurize(batch: pa.Table) -> pa.Table:
         unit = _unit_rows(batch, emb_col)
-        bucket = _hyperplane_buckets(unit, band_bits, n_bands, seed)
-        n = len(unit)
         return pa.table(
             {
                 "doc_id": pa.array(_ids64(batch, id_col), pa.int64()),
@@ -1076,15 +1113,40 @@ def embedding_dup_pairs(
                 "shingles": pa.array(
                     list(unit.view(np.uint64)), pa.list_(pa.uint64())
                 ),
-                "buckets": pa.array(list(bucket), pa.list_(pa.uint64())),
             }
         )
 
+    # featurize BEFORE bucketing: band parameters resolve from the
+    # materialized count, then buckets derive per batch from the stored
+    # unit bit-views (planes re-seeded deterministically per batch)
     feats = ds.map_batches(_featurize, batch_format="pyarrow").materialize()
     n_docs = feats.count()
+    band_bits, n_bands = _auto_hyperplane_params(
+        n_docs, threshold, band_bits, n_bands
+    )
     scale = 10.0**round_nd
 
+    def _units_of(batch: pa.Table) -> "tuple[np.ndarray, np.ndarray]":
+        offs, vals = _list_col_flat(batch, "shingles")
+        dim = int(offs[1] - offs[0]) if batch.num_rows else 1
+        return _ids64(batch, "doc_id"), vals.view(np.float64).reshape(-1, dim)
+
     if transport == "auto" and n_docs <= PAYLOAD_CUTOVER_DOCS:
+        def _explode_pay(batch: pa.Table) -> pa.Table:
+            ids, unit = _units_of(batch)
+            bucket = _hyperplane_buckets(unit, band_bits, n_bands, seed)
+            idx = np.repeat(np.arange(len(ids)), n_bands)
+            sh = batch["shingles"].combine_chunks().take(
+                pa.array(idx, pa.int64())
+            )
+            return pa.table(
+                {
+                    "bucket": pa.array(bucket.reshape(-1), pa.uint64()),
+                    "doc_id": pa.array(ids[idx], pa.int64()),
+                    "shingles": sh,
+                }
+            )
+
         def _verify_small(g: pd.DataFrame, ii, jj):
             m = np.stack(
                 [np.asarray(u, np.uint64) for u in g["shingles"].to_numpy()]
@@ -1093,26 +1155,29 @@ def embedding_dup_pairs(
             sims = np.trunc(sims * scale + np.copysign(0.5, sims)) / scale
             return sims >= threshold, sims
 
-        pairs = _payload_pairs_from_feats(feats, "shingles", _verify_small)
+        pairs = _bucketed_pairs(
+            feats.map_batches(_explode_pay, batch_format="pyarrow"),
+            _verify_small,
+        )
         return pairs.map_batches(
             lambda df: df.rename(columns={"sim": "cos"}),
             batch_format="pandas",
         )
 
     def _explode(batch: pa.Table) -> pa.Table:
-        offs, vals = _list_col_flat(batch, "buckets")
-        ids = _ids64(batch, "doc_id")
+        ids, unit = _units_of(batch)
+        bucket = _hyperplane_buckets(unit, band_bits, n_bands, seed)
         return pa.table(
             {
-                "bucket": pa.array(vals, pa.uint64()),
-                "doc_id": pa.array(np.repeat(ids, np.diff(offs)), pa.int64()),
+                "bucket": pa.array(bucket.reshape(-1), pa.uint64()),
+                "doc_id": pa.array(
+                    np.repeat(ids, n_bands), pa.int64()
+                ),
             }
         )
 
     cands = _bucketed_candidates(
-        feats.select_columns(["doc_id", "buckets"]).map_batches(
-            _explode, batch_format="pyarrow"
-        ),
+        feats.map_batches(_explode, batch_format="pyarrow"),
         slim_rows=n_docs * n_bands,
     )
     sketches = feats.select_columns(["doc_id", "shingles"])
