@@ -33,7 +33,12 @@ import ray.data
 
 from ..functions import texthash
 from ..functions.minhash import band_keys, minhash_signatures_concat
-from ..functions.simhash import hamming64, simhash_band_keys, simhash_batch
+from ..functions.simhash import (
+    hamming64,
+    simhash_band_keys,
+    simhash_batch,
+    simhash_block_keys,
+)
 
 ALLPAIRS_CAP = 64  # max bucket size for all-pairs emission
 
@@ -618,18 +623,54 @@ def minhash_dedup(
 # SimHash
 # ---------------------------------------------------------------------------
 
+SIMHASH_BLOCK_SCHEME_DOCS = 1_000_000  # split-band bucket space = 2^16
+
+
+def _simhash_keys(
+    sh: np.ndarray, scheme: str, bands: int, max_hamming: int
+) -> np.ndarray:
+    """(n, k) bucket keys under the chosen scheme; both schemes
+    guarantee a pair within ``max_hamming`` shares ≥ 1 key."""
+    if scheme == "split":
+        keys = simhash_band_keys(sh, bands)  # (n, bands) of 64/bands bits
+        band_idx = np.arange(bands, dtype=np.uint64)[None, :]
+        return (band_idx << np.uint64(60)) | keys
+    if scheme == "blocks":
+        # Manku block-combinations: blocks − clean = max_hamming
+        return simhash_block_keys(
+            sh, blocks=max_hamming + 3, clean=3
+        )
+    raise ValueError(f"unknown simhash scheme {scheme!r}")
+
+
 def simhash_dup_pairs(
     ds: "ray.data.Dataset",
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 4,
+    scheme: str = "auto",
     transport: str = "auto",
     broadcast_doc_limit: int = BROADCAST_SCALAR_DOC_LIMIT,
 ) -> "ray.data.Dataset":
-    """Near-dup pairs by SimHash: 64-bit fingerprints, ``bands`` band
-    buckets (pigeonhole guarantees recall for Hamming ≤ bands-1),
+    """Near-dup pairs by SimHash: 64-bit fingerprints, banded buckets,
     exact Hamming verification.
+
+    ``scheme`` picks the bucketing (both pigeonhole-guarantee recall
+    for Hamming ≤ ``max_hamming``; identical verified output):
+
+    - ``"split"`` — ``bands`` contiguous 64/bands-bit bands (needs
+      bands ≥ max_hamming+1).  Bucket SPACE is only 2^(64/bands)
+      (65,536 at 4 bands), so mean bucket size grows linearly with
+      the corpus — fine to ~1M docs, then the all-pairs cap starts
+      clipping recall.
+    - ``"blocks"`` — Manku/Jain/Sarma block-combination keys
+      (functions/simhash.simhash_block_keys): C(max_hamming+3, 3)
+      tables of ~64·3/(max_hamming+3)-bit keys (20 × ~32-bit at
+      Hamming 3) — bucket space 2^32, recall holds at 10^12 docs.
+    - ``"auto"`` — split below ``SIMHASH_BLOCK_SCHEME_DOCS`` measured
+      docs (4 keys/doc beats 20 when buckets are sparse anyway),
+      blocks above.
 
     ``transport`` as in :func:`minhash_dup_pairs`: slim plans featurize
     ONCE, shuffle only (bucket, doc_id), dedupe candidates, then attach
@@ -638,9 +679,21 @@ def simhash_dup_pairs(
     default while docs ≤ ``broadcast_doc_limit`` — 16 B/doc of store)
     or two hash joins (``"join"``); ``"payload"`` keeps the legacy
     fingerprint-per-band-row plan as the path-equality baseline."""
+    if scheme == "split" and bands < max_hamming + 1:
+        raise ValueError(
+            f"split scheme needs bands ≥ max_hamming+1 for the "
+            f"pigeonhole guarantee, got bands={bands}, "
+            f"max_hamming={max_hamming}"
+        )
     if transport == "payload":
+        if scheme == "auto":
+            scheme = (
+                "split"
+                if ds.count() <= SIMHASH_BLOCK_SCHEME_DOCS
+                else "blocks"
+            )
         return _simhash_dup_pairs_payload(
-            ds, text_col, id_col, max_hamming, bands
+            ds, text_col, id_col, max_hamming, bands, scheme
         )
     if transport not in ("auto", "broadcast", "join"):
         raise ValueError(f"unknown transport {transport!r}")
@@ -649,48 +702,63 @@ def simhash_dup_pairs(
         texts = batch[text_col].to_pylist()
         tok_sets = [texthash.token_hashes(t, cap=512) for t in texts]
         sh = simhash_batch(tok_sets)
-        keys = simhash_band_keys(sh, bands)  # (n, bands)
-        n = batch.num_rows
-        band_idx = np.tile(np.arange(bands, dtype=np.uint64), n)
-        # bucket key = (band index, band bits) packed — distinct bands
-        # must not collide
-        bucket = (band_idx << np.uint64(60)) | keys.reshape(-1)
         return pa.table(
             {
                 "doc_id": pa.array(_ids64(batch, id_col), pa.int64()),
                 "simhash": pa.array(sh, pa.uint64()),
-                "buckets": pa.array(
-                    list(bucket.reshape(n, bands)), pa.list_(pa.uint64())
-                ),
             }
         )
 
+    # featurize BEFORE bucketing: the scheme resolves from the
+    # materialized count, keys derive per batch from the fingerprint
     feats = ds.map_batches(_featurize, batch_format="pyarrow").materialize()
     n_docs = feats.count()
+    if scheme == "auto":
+        scheme = "split" if n_docs <= SIMHASH_BLOCK_SCHEME_DOCS else "blocks"
+    import math as _math
+
+    n_keys = bands if scheme == "split" else _math.comb(max_hamming + 3, 3)
 
     if transport == "auto" and n_docs <= PAYLOAD_CUTOVER_DOCS:
+        def _explode_pay(batch: pa.Table) -> pa.Table:
+            sh = np.asarray(batch["simhash"].combine_chunks(), np.uint64)
+            ids = _ids64(batch, "doc_id")
+            keys = _simhash_keys(sh, scheme, bands, max_hamming)
+            idx = np.repeat(np.arange(len(ids)), keys.shape[1])
+            return pa.table(
+                {
+                    "bucket": pa.array(keys.reshape(-1), pa.uint64()),
+                    "doc_id": pa.array(ids[idx], pa.int64()),
+                    "simhash": pa.array(sh[idx], pa.uint64()),
+                }
+            )
+
         def _verify_small(g: pd.DataFrame, ii, jj):
             h = g["simhash"].to_numpy().astype(np.uint64)
             d = hamming64(h[ii], h[jj])
             return d <= max_hamming, (64 - d) / 64.0
 
-        return _payload_pairs_from_feats(feats, "simhash", _verify_small)
+        return _bucketed_pairs(
+            feats.map_batches(_explode_pay, batch_format="pyarrow"),
+            _verify_small,
+        )
 
     def _explode(batch: pa.Table) -> pa.Table:
-        offs, vals = _list_col_flat(batch, "buckets")
+        sh = np.asarray(batch["simhash"].combine_chunks(), np.uint64)
         ids = _ids64(batch, "doc_id")
+        keys = _simhash_keys(sh, scheme, bands, max_hamming)
         return pa.table(
             {
-                "bucket": pa.array(vals, pa.uint64()),
-                "doc_id": pa.array(np.repeat(ids, np.diff(offs)), pa.int64()),
+                "bucket": pa.array(keys.reshape(-1), pa.uint64()),
+                "doc_id": pa.array(
+                    np.repeat(ids, keys.shape[1]), pa.int64()
+                ),
             }
         )
 
     cands = _bucketed_candidates(
-        feats.select_columns(["doc_id", "buckets"]).map_batches(
-            _explode, batch_format="pyarrow"
-        ),
-        slim_rows=n_docs * bands,
+        feats.map_batches(_explode, batch_format="pyarrow"),
+        slim_rows=n_docs * n_keys,
     )
     prints = feats.select_columns(["doc_id", "simhash"])
 
@@ -749,6 +817,7 @@ def _simhash_dup_pairs_payload(
     id_col: str,
     max_hamming: int,
     bands: int,
+    scheme: str = "split",
 ) -> "ray.data.Dataset":
     """Legacy payload plan (fingerprint rides every band-key row)."""
 
@@ -756,16 +825,14 @@ def _simhash_dup_pairs_payload(
         texts = batch[text_col].to_pylist()
         tok_sets = [texthash.token_hashes(t, cap=512) for t in texts]
         sh = simhash_batch(tok_sets)
-        keys = simhash_band_keys(sh, bands)  # (n, bands)
+        keys = _simhash_keys(sh, scheme, bands, max_hamming)
         n = batch.num_rows
-        idx = np.repeat(np.arange(n), bands)
-        band_idx = np.tile(np.arange(bands, dtype=np.uint64), n)
-        bucket = (band_idx << np.uint64(60)) | keys.reshape(-1)
+        idx = np.repeat(np.arange(n), keys.shape[1])
         return pa.table(
             {
-                "bucket": pa.array(bucket, pa.uint64()),
+                "bucket": pa.array(keys.reshape(-1), pa.uint64()),
                 "doc_id": pa.array(_ids64(batch, id_col)[idx], pa.int64()),
-                "simhash": pa.array(np.repeat(sh, bands), pa.uint64()),
+                "simhash": pa.array(sh[idx], pa.uint64()),
             }
         )
 

@@ -335,3 +335,58 @@ def test_embedding_transport_path_equality():
     for t in ("broadcast", "join"):
         got = canon(dedup.embedding_dup_pairs(emb, threshold=0.4, transport=t))
         assert ref.equals(got), t
+
+
+def test_simhash_block_keys_pigeonhole():
+    """Manku block-combination keys: any pair within Hamming
+    blocks-clean MUST share >=1 key (recall guarantee); distant pairs
+    mostly don't (precision comes from exact verification anyway)."""
+    import numpy as np
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.functions.simhash import (
+        simhash_block_keys,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 2**63, 200, dtype=np.uint64)
+    for d in (1, 2, 3):
+        flips = np.zeros(200, np.uint64)
+        for i in range(200):
+            bits = rng.choice(64, size=d, replace=False)
+            m = np.uint64(0)
+            for b in bits:
+                m |= np.uint64(1) << np.uint64(b)
+            flips[i] = m
+        near = base ^ flips
+        ka = simhash_block_keys(base, blocks=6, clean=3)
+        kb = simhash_block_keys(near, blocks=6, clean=3)
+        shared = (ka == kb).any(axis=1)
+        assert shared.all(), f"hamming {d}: {(~shared).sum()} pairs missed"
+
+
+def test_simhash_scheme_equivalence():
+    """split and blocks schemes produce identical verified pairs."""
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def canon(d):
+        return (
+            d.to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+
+    split = canon(dedup.simhash_dup_pairs(docs, max_hamming=3, scheme="split"))
+    blocks = canon(
+        dedup.simhash_dup_pairs(docs, max_hamming=3, scheme="blocks")
+    )
+    assert len(split) > 0
+    assert split.equals(blocks)
+    # and through the payload transport too
+    pb = canon(
+        dedup.simhash_dup_pairs(
+            docs, max_hamming=3, scheme="blocks", transport="payload"
+        )
+    )
+    assert split.equals(pb)
