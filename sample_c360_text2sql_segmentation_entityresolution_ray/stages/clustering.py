@@ -128,14 +128,20 @@ def connected_components(
     from ..ops.graph import connected_components_alternating
     from ..ops.relational import grouped_aggregate
 
+    # TWO chained lazy joins run their aggregator pools CONCURRENTLY:
+    # at P=16 each, 32 actors × 0.25 cpu consume an entire 8-cpu
+    # cluster and the upstream map tasks starve (observed hang at
+    # sf0.1/8 cpus) — halve the partitions so the pair of pools
+    # leaves cpus for the stages feeding them.
+    P2 = max(2, P // 2)
     half = hash_join(
-        sym, labels, on=("src",), right_on=("node",), num_partitions=P
+        sym, labels, on=("src",), right_on=("node",), num_partitions=P2
     ).map_batches(
         lambda df: pd.DataFrame({"dst": df["dst"], "la": df["label"]}),
         batch_format="pandas",
     )
     quotient = hash_join(
-        half, labels, on=("dst",), right_on=("node",), num_partitions=P
+        half, labels, on=("dst",), right_on=("node",), num_partitions=P2
     ).map_batches(
         lambda df: pd.DataFrame({"src": df["la"], "dst": df["label"]}),
         batch_format="pandas",
