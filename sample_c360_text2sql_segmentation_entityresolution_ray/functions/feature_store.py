@@ -150,10 +150,23 @@ class FeatureStore:
         )
 
     def rows(self, urls: np.ndarray) -> np.ndarray:
-        """Row indices for an array of url strings."""
+        """Row indices for an array of url strings (must be present)."""
         h = hash_str_array(np.asarray(urls, dtype=object))
         pos = np.searchsorted(self.key_hashes, h)
-        pos = np.minimum(pos, len(self.key_hashes) - 1)
+        pos = np.minimum(pos, max(len(self.key_hashes) - 1, 0))
+        # presence contract (see IdListStore.rows): a clamped miss
+        # silently resolves to a neighbor's features
+        if len(h) and (
+            len(self.key_hashes) == 0
+            or not np.array_equal(self.key_hashes[pos], h)
+        ):
+            n_miss = int(
+                len(h) if len(self.key_hashes) == 0
+                else (self.key_hashes[pos] != h).sum()
+            )
+            raise KeyError(
+                f"FeatureStore: {n_miss} url(s) absent from the store"
+            )
         return pos
 
     def shingles(self, i: int) -> np.ndarray:
@@ -220,8 +233,20 @@ class IdListStore:
 
     def rows(self, ids: np.ndarray) -> np.ndarray:
         """Row indices for an int64 id array (ids must be present)."""
-        pos = np.searchsorted(self.ids, np.asarray(ids, np.int64))
-        return np.minimum(pos, max(len(self.ids) - 1, 0))
+        q = np.asarray(ids, np.int64)
+        pos = np.minimum(
+            np.searchsorted(self.ids, q), max(len(self.ids) - 1, 0)
+        )
+        # enforce the "ids must be present" contract: a clamped miss
+        # would silently resolve to a NEIGHBOR's sketch and yield
+        # plausible-but-wrong similarities downstream
+        if len(q) and (len(self.ids) == 0 or not np.array_equal(self.ids[pos], q)):
+            missing = q[self.ids[pos] != q] if len(self.ids) else q
+            raise KeyError(
+                f"IdListStore: {len(missing)} id(s) absent from the "
+                f"store (first few: {missing[:5].tolist()})"
+            )
+        return pos
 
     def get(self, i: int) -> np.ndarray:
         return self.val[self.off[i] : self.off[i + 1]]
@@ -252,8 +277,20 @@ class IdScalarStore:
         return IdScalarStore(ids[order], np.concatenate(val_parts)[order])
 
     def lookup(self, ids: np.ndarray) -> np.ndarray:
-        pos = np.searchsorted(self.ids, np.asarray(ids, np.int64))
-        return self.val[np.minimum(pos, max(len(self.ids) - 1, 0))]
+        """Values for an int64 id array (ids must be present)."""
+        q = np.asarray(ids, np.int64)
+        pos = np.minimum(
+            np.searchsorted(self.ids, q), max(len(self.ids) - 1, 0)
+        )
+        # same presence contract as IdListStore.rows: fail loudly
+        # instead of returning a neighbor's fingerprint on a miss
+        if len(q) and (len(self.ids) == 0 or not np.array_equal(self.ids[pos], q)):
+            missing = q[self.ids[pos] != q] if len(self.ids) else q
+            raise KeyError(
+                f"IdScalarStore: {len(missing)} id(s) absent from the "
+                f"store (first few: {missing[:5].tolist()})"
+            )
+        return self.val[pos]
 
 
 __all__ = ["FeatureStore", "IdListStore", "IdScalarStore"]

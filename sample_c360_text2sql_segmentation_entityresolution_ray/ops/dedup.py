@@ -626,6 +626,31 @@ def minhash_dedup(
 SIMHASH_BLOCK_SCHEME_DOCS = 1_000_000  # split-band bucket space = 2^16
 
 
+def _resolve_simhash_scheme(
+    scheme: str, n_docs: int, bands: int, max_hamming: int
+) -> str:
+    """Resolve ``scheme="auto"`` and re-check the pigeonhole bound
+    AFTER resolution: ``"split"`` needs ``bands ≥ max_hamming + 1``
+    (splitting 64 bits into `bands` bands, ≤ max_hamming flipped bits
+    can dirty at most max_hamming bands — one band is clean only if
+    there are more bands than flips).  An auto resolution that would
+    land on an under-banded split silently loses recall, so auto
+    falls back to the always-valid Manku block scheme instead; an
+    EXPLICIT under-banded split raises (caller asked for a config
+    that cannot meet the guarantee)."""
+    if scheme == "auto":
+        scheme = "split" if n_docs <= SIMHASH_BLOCK_SCHEME_DOCS else "blocks"
+        if scheme == "split" and bands < max_hamming + 1:
+            scheme = "blocks"  # pigeonhole would fail — take the safe keys
+    if scheme == "split" and bands < max_hamming + 1:
+        raise ValueError(
+            f"split scheme needs bands ≥ max_hamming+1 for the "
+            f"pigeonhole guarantee, got bands={bands}, "
+            f"max_hamming={max_hamming}"
+        )
+    return scheme
+
+
 def _simhash_keys(
     sh: np.ndarray, scheme: str, bands: int, max_hamming: int
 ) -> np.ndarray:
@@ -679,19 +704,12 @@ def simhash_dup_pairs(
     default while docs ≤ ``broadcast_doc_limit`` — 16 B/doc of store)
     or two hash joins (``"join"``); ``"payload"`` keeps the legacy
     fingerprint-per-band-row plan as the path-equality baseline."""
-    if scheme == "split" and bands < max_hamming + 1:
-        raise ValueError(
-            f"split scheme needs bands ≥ max_hamming+1 for the "
-            f"pigeonhole guarantee, got bands={bands}, "
-            f"max_hamming={max_hamming}"
-        )
+    if scheme not in ("auto", "split", "blocks"):
+        raise ValueError(f"unknown simhash scheme {scheme!r}")
     if transport == "payload":
-        if scheme == "auto":
-            scheme = (
-                "split"
-                if ds.count() <= SIMHASH_BLOCK_SCHEME_DOCS
-                else "blocks"
-            )
+        scheme = _resolve_simhash_scheme(
+            scheme, ds.count(), bands, max_hamming
+        )
         return _simhash_dup_pairs_payload(
             ds, text_col, id_col, max_hamming, bands, scheme
         )
@@ -713,8 +731,7 @@ def simhash_dup_pairs(
     # materialized count, keys derive per batch from the fingerprint
     feats = ds.map_batches(_featurize, batch_format="pyarrow").materialize()
     n_docs = feats.count()
-    if scheme == "auto":
-        scheme = "split" if n_docs <= SIMHASH_BLOCK_SCHEME_DOCS else "blocks"
+    scheme = _resolve_simhash_scheme(scheme, n_docs, bands, max_hamming)
     import math as _math
 
     n_keys = bands if scheme == "split" else _math.comb(max_hamming + 3, 3)
@@ -1115,12 +1132,41 @@ def _auto_hyperplane_params(
     nb = n_bands
     if nb == "auto":
         p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
-        pb = p**b
-        if 0.0 < pb < 1.0:
-            nb = math.ceil(math.log(1.0 / target_miss) / -math.log1p(-pb))
-            nb = max(16, min(max_bands, nb))
-        else:
-            nb = 16
+
+        def _need(bits: int) -> int:
+            pb = p**bits
+            if not (0.0 < pb < 1.0):
+                return 16
+            return max(
+                16,
+                math.ceil(math.log(1.0 / target_miss) / -math.log1p(-pb)),
+            )
+
+        nb = _need(b)
+        if nb > max_bands and band_bits == "auto":
+            # Silently clamping to max_bands would degrade the stated
+            # P(miss) ≤ target_miss guarantee (threshold 0.4 at ~2M
+            # docs needs ~22k bands at bucket-sized bits, and a 1024
+            # clamp leaves ~0.5 miss probability).  Trade bucket size
+            # for per-band collision probability instead: lower
+            # band_bits while mean bucket size still fits the
+            # all-pairs verification cap, so recall is preserved
+            # without the SNM fallback engaging.
+            while nb > max_bands and b > 1 and (
+                n_docs / 2.0 ** (b - 1) <= ALLPAIRS_CAP
+            ):
+                b -= 1
+                nb = _need(b)
+        if nb > max_bands:
+            raise ValueError(
+                f"hyperplane LSH cannot meet P(miss) ≤ {target_miss:g} "
+                f"at threshold {threshold} within max_bands={max_bands} "
+                f"(needs {nb} bands at band_bits={b}, n_docs={n_docs}); "
+                "raise the threshold, pass explicit band_bits/n_bands "
+                "(accepting the measured recall), or use "
+                "embedding_dup_pairs_exact / semantic_dedup for "
+                "low-threshold regimes"
+            )
     return int(b), int(nb)
 
 

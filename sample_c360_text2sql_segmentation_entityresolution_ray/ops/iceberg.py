@@ -115,10 +115,23 @@ def _avro_encode(schema, value, out: bytearray) -> None:
 
 
 def write_avro_container(
-    path: str, schema: dict, records: list[dict], sync: bytes
+    path: str,
+    schema: dict,
+    records: list[dict],
+    sync: bytes,
+    extra_meta: dict | None = None,
 ) -> int:
     """One-block Avro object container file (null codec).  Returns the
-    file length in bytes (the manifest list needs it)."""
+    file length in bytes (the manifest list needs it).
+
+    ``extra_meta``: additional key→value container metadata.  The
+    Iceberg spec REQUIRES manifest files to carry ``schema``,
+    ``schema-id``, ``partition-spec``, ``partition-spec-id``,
+    ``format-version`` and ``content`` keys (and manifest lists
+    ``snapshot-id``/``parent-snapshot-id``/``sequence-number``/
+    ``format-version``) — external readers (pyiceberg, Spark, Trino)
+    read the partition spec from the container header, not from the
+    table metadata."""
     assert len(sync) == 16
     body = bytearray()
     for rec in records:
@@ -127,6 +140,7 @@ def write_avro_container(
         "avro.schema": json.dumps(schema, separators=(",", ":")),
         "avro.codec": "null",
     }
+    meta.update(extra_meta or {})
     out = bytearray(_MAGIC)
     out += _zigzag(len(meta))
     for k, v in meta.items():
@@ -210,6 +224,17 @@ class _Reader:
                     k = self.read(self.long()).decode()
                     out[k] = self.decode(schema["values"])
         raise NotImplementedError(t)
+
+
+def read_avro_meta(path: str) -> dict:
+    """Container-header key→value metadata (bytes values decoded to
+    str) — lets tests assert the spec-required manifest keys."""
+    with open(path, "rb") as f:
+        r = _Reader(f.read())
+    if r.read(4) != _MAGIC:
+        raise ValueError("not an Avro object container")
+    meta = r.decode({"type": "map", "values": "bytes"})
+    return {k: v.decode("utf-8") for k, v in meta.items()}
 
 
 def read_avro_container(path: str) -> tuple[dict, list[dict]]:
@@ -375,6 +400,38 @@ MANIFEST_FILE_SCHEMA = {
 }
 
 
+def manifest_meta(
+    schema_json: dict, spec_fields: list, spec_id: int = 0
+) -> dict:
+    """Spec-required manifest-file container metadata (Iceberg spec
+    "Manifests": schema / schema-id / partition-spec /
+    partition-spec-id / format-version / content)."""
+    return {
+        "schema": json.dumps(schema_json, separators=(",", ":")),
+        "schema-id": str(schema_json.get("schema-id", 0)),
+        "partition-spec": json.dumps(spec_fields, separators=(",", ":")),
+        "partition-spec-id": str(spec_id),
+        "format-version": "2",
+        "content": "data",
+    }
+
+
+def manifest_list_meta(
+    snapshot_id: int, parent_snapshot_id, sequence_number: int
+) -> dict:
+    """Spec-required manifest-list container metadata (Iceberg spec
+    "Snapshots": snapshot-id / parent-snapshot-id / sequence-number /
+    format-version)."""
+    return {
+        "snapshot-id": str(snapshot_id),
+        "parent-snapshot-id": (
+            "null" if parent_snapshot_id is None else str(parent_snapshot_id)
+        ),
+        "sequence-number": str(sequence_number),
+        "format-version": "2",
+    }
+
+
 # ---------------------------------------------------------------------------
 # table freeze
 # ---------------------------------------------------------------------------
@@ -501,6 +558,31 @@ def freeze_iceberg_table(
         for c in partition_by
     }
 
+    # table schema + identity partition spec (also stamped into the
+    # manifest container header below — spec-required metadata keys)
+    schema_json, last_col_id = iceberg_schema_json(schema)
+    # hive-partitioned files do not CONTAIN the partition columns —
+    # append them to the table schema; the identity spec sources them
+    spec_fields = []
+    for i, c in enumerate(partition_by):
+        last_col_id += 1
+        schema_json["fields"].append(
+            {
+                "id": last_col_id,
+                "name": c,
+                "required": False,
+                "type": "long" if part_avro[c] == "long" else "string",
+            }
+        )
+        spec_fields.append(
+            {
+                "name": c,
+                "transform": "identity",
+                "source-id": last_col_id,
+                "field-id": 1000 + i,
+            }
+        )
+
     # manifest
     manifest_path = os.path.join(meta_dir, f"snap-{snapshot_id}-m0.avro")
     entry_schema = manifest_entry_schema(
@@ -524,7 +606,8 @@ def freeze_iceberg_table(
         for i in infos
     ]
     manifest_len = write_avro_container(
-        manifest_path, entry_schema, entries, sync
+        manifest_path, entry_schema, entries, sync,
+        extra_meta=manifest_meta(schema_json, spec_fields),
     )
 
     # manifest list
@@ -551,30 +634,9 @@ def freeze_iceberg_table(
             }
         ],
         sync,
+        extra_meta=manifest_list_meta(snapshot_id, None, 1),
     )
 
-    schema_json, last_col_id = iceberg_schema_json(schema)
-    # hive-partitioned files do not CONTAIN the partition columns —
-    # append them to the table schema; the identity spec sources them
-    spec_fields = []
-    for i, c in enumerate(partition_by):
-        last_col_id += 1
-        schema_json["fields"].append(
-            {
-                "id": last_col_id,
-                "name": c,
-                "required": False,
-                "type": "long" if part_avro[c] == "long" else "string",
-            }
-        )
-        spec_fields.append(
-            {
-                "name": c,
-                "transform": "identity",
-                "source-id": last_col_id,
-                "field-id": 1000 + i,
-            }
-        )
     metadata = {
         "format-version": 2,
         "table-uuid": table_uuid,
@@ -731,8 +793,15 @@ def append_iceberg_snapshot(
             for f in spec["fields"]
         ]
     )
+    cur_schema = next(
+        s for s in md["schemas"]
+        if s["schema-id"] == md["current-schema-id"]
+    )
     manifest_len = write_avro_container(
-        manifest_path, entry_schema, entries, sync
+        manifest_path, entry_schema, entries, sync,
+        extra_meta=manifest_meta(
+            cur_schema, spec["fields"], spec["spec-id"]
+        ),
     )
     added_rows = sum(i["rows"] for i in infos)
 
@@ -773,7 +842,10 @@ def append_iceberg_snapshot(
     }
     list_path = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
     write_avro_container(
-        list_path, MANIFEST_FILE_SCHEMA, [new_entry] + carried, sync
+        list_path, MANIFEST_FILE_SCHEMA, [new_entry] + carried, sync,
+        extra_meta=manifest_list_meta(
+            snapshot_id, md["current-snapshot-id"], seq
+        ),
     )
 
     prev_total = int(cur_snap["summary"].get("total-records", "0"))
@@ -922,8 +994,13 @@ def compact_iceberg_table(
         )
         for i in new_infos
     ] + [_entry(2, dict(f), snapshot_id) for f in old_files]  # DELETED
+    cur_schema = next(
+        s for s in md["schemas"]
+        if s["schema-id"] == md["current-schema-id"]
+    )
     manifest_len = write_avro_container(
-        manifest_path, MANIFEST_ENTRY_SCHEMA, entries, sync
+        manifest_path, MANIFEST_ENTRY_SCHEMA, entries, sync,
+        extra_meta=manifest_meta(cur_schema, [], spec["spec-id"]),
     )
     list_path = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
     write_avro_container(
@@ -947,6 +1024,9 @@ def compact_iceberg_table(
             }
         ],
         sync,
+        extra_meta=manifest_list_meta(
+            snapshot_id, md["current-snapshot-id"], seq
+        ),
     )
     snapshot = {
         "snapshot-id": snapshot_id,

@@ -390,3 +390,51 @@ def test_simhash_scheme_equivalence():
         )
     )
     assert split.equals(pb)
+
+
+def test_resolve_simhash_scheme_pigeonhole_after_auto():
+    """scheme='auto' must re-check bands >= max_hamming+1 AFTER
+    resolution: an under-banded auto-split silently loses recall, so
+    auto falls back to the Manku block scheme; an EXPLICIT
+    under-banded split still raises."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.dedup import (
+        _resolve_simhash_scheme,
+    )
+
+    # small corpus, bands ok -> split
+    assert _resolve_simhash_scheme("auto", 1000, 4, 3) == "split"
+    # small corpus, bands=4 < max_hamming+1=5 -> auto takes blocks
+    assert _resolve_simhash_scheme("auto", 1000, 4, 4) == "blocks"
+    # big corpus -> blocks regardless
+    assert _resolve_simhash_scheme("auto", 10_000_000, 8, 3) == "blocks"
+    with pytest.raises(ValueError, match="pigeonhole"):
+        _resolve_simhash_scheme("split", 1000, 4, 4)
+    assert _resolve_simhash_scheme("blocks", 1000, 4, 4) == "blocks"
+
+
+def test_auto_hyperplane_params_clamp_is_not_silent():
+    """When the derived band count exceeds max_bands the resolver must
+    either trade band_bits for collision probability (keeping the
+    P(miss) target) or raise — never silently clamp to ~0.5 miss."""
+    import math
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops.dedup import (
+        _auto_hyperplane_params,
+    )
+
+    # trade path: 40k docs at threshold 0.5 needs ~1190 bands at the
+    # bucket-sized 11 bits; one bit of bucket headroom brings it under
+    b, nb = _auto_hyperplane_params(40_000, 0.5, "auto", "auto")
+    assert nb <= 1024
+    p = 1.0 - math.acos(0.5) / math.pi
+    miss = (1.0 - p**b) ** nb
+    assert miss <= 1e-6  # the stated guarantee survives the trade
+    # no-bucket-headroom regime: must raise, not clamp
+    with pytest.raises(ValueError, match="max_bands"):
+        _auto_hyperplane_params(2_000_000, 0.4, "auto", "auto")
+    # explicit band_bits that cannot meet the guarantee: raise (do not
+    # silently change the caller's geometry)
+    with pytest.raises(ValueError, match="max_bands"):
+        _auto_hyperplane_params(2_000_000, 0.4, 16, "auto")
+    # explicit n_bands is the caller accepting the measured recall
+    assert _auto_hyperplane_params(2_000_000, 0.4, "auto", 64) == (16, 64)

@@ -55,3 +55,48 @@ def test_from_arrow_matches_build_and_lookup():
 def test_empty_store():
     s = FeatureStore.from_arrow([])
     assert len(s.key_hashes) == 0
+
+
+def test_id_stores_raise_on_absent_ids():
+    """Presence contract: a clamped searchsorted miss must raise, not
+    silently resolve to a neighbor's sketch/fingerprint."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.functions.feature_store import (
+        IdListStore,
+        IdScalarStore,
+    )
+    import pytest
+
+    tbl = pa.table({
+        "doc_id": pa.array([10, 20, 30], pa.int64()),
+        "shingles": pa.array([[1, 2], [3], [4, 5, 6]], pa.list_(pa.uint64())),
+    })
+    ls = IdListStore.from_arrow([tbl], "doc_id", "shingles")
+    rows = ls.rows(np.array([30, 10], np.int64))
+    assert list(ls.get(rows[0])) == [4, 5, 6]
+    with pytest.raises(KeyError, match="absent"):
+        ls.rows(np.array([10, 25], np.int64))
+    with pytest.raises(KeyError):
+        ls.rows(np.array([99], np.int64))
+
+    sv = pa.table({
+        "doc_id": pa.array([10, 20], pa.int64()),
+        "simhash": pa.array([111, 222], pa.uint64()),
+    })
+    ss = IdScalarStore.from_arrow([sv], "doc_id", "simhash")
+    assert ss.lookup(np.array([20, 10], np.int64)).tolist() == [222, 111]
+    with pytest.raises(KeyError, match="absent"):
+        ss.lookup(np.array([21], np.int64))
+    # empty store + non-empty query also raises (not an index error)
+    empty = IdScalarStore.from_arrow([], "doc_id", "simhash")
+    with pytest.raises(KeyError):
+        empty.lookup(np.array([1], np.int64))
+
+
+def test_feature_store_rows_raises_on_absent_url():
+    import pytest
+
+    urls, sh, sh2, mh8 = _fixture(n=10)
+    st = FeatureStore.from_arrow(_arrow_batches(urls, sh, sh2, mh8))
+    st.rows(np.array(urls[:3], dtype=object))  # present: fine
+    with pytest.raises(KeyError, match="absent"):
+        st.rows(np.array(["https://nope.example.com/"], dtype=object))

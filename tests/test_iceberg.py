@@ -359,3 +359,72 @@ def test_compact_rejects_partitioned(tmp_path):
     )
     with pytest.raises(NotImplementedError):
         iceberg.compact_iceberg_table(table)
+
+
+def test_manifest_container_carries_spec_required_meta(tmp_path):
+    """Iceberg spec: manifest files must carry schema / schema-id /
+    partition-spec / partition-spec-id / format-version / content in
+    the Avro container header, and manifest lists snapshot-id /
+    parent-snapshot-id / sequence-number / format-version — external
+    readers (pyiceberg, Spark, Trino) read the spec from the header,
+    not from metadata.json."""
+    data_dir = str(tmp_path / "t" / "data")
+    os.makedirs(data_dir)
+    pa_tbl = pa.table({"k": [1, 2, 3], "v": ["a", "b", "c"]})
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa_tbl, os.path.join(data_dir, "part-0.parquet"))
+    out = iceberg.freeze_iceberg_table(str(tmp_path / "t"))
+
+    mmeta = iceberg.read_avro_meta(out["manifest"])
+    for k in (
+        "schema", "schema-id", "partition-spec", "partition-spec-id",
+        "format-version", "content",
+    ):
+        assert k in mmeta, f"manifest header missing {k!r}"
+    assert mmeta["format-version"] == "2"
+    assert mmeta["content"] == "data"
+    assert mmeta["partition-spec-id"] == "0"
+    sch = json.loads(mmeta["schema"])
+    assert [f["name"] for f in sch["fields"]] == ["k", "v"]
+    assert json.loads(mmeta["partition-spec"]) == []
+
+    lmeta = iceberg.read_avro_meta(out["manifest_list"])
+    assert lmeta["snapshot-id"] == str(out["snapshot_id"])
+    assert lmeta["parent-snapshot-id"] == "null"
+    assert lmeta["sequence-number"] == "1"
+    assert lmeta["format-version"] == "2"
+
+    # append: new manifest + list carry the keys; parent id chains
+    pq.write_table(
+        pa.table({"k": [4], "v": ["d"]}),
+        os.path.join(data_dir, "part-1.parquet"),
+    )
+    ap = iceberg.append_iceberg_snapshot(
+        str(tmp_path / "t"), [os.path.join(data_dir, "part-1.parquet")]
+    )
+    m2 = iceberg.read_avro_meta(ap["manifest"])
+    assert m2["content"] == "data" and "schema" in m2
+    l2 = iceberg.read_avro_meta(ap["manifest_list"])
+    assert l2["snapshot-id"] == str(ap["snapshot_id"])
+    assert l2["parent-snapshot-id"] == str(out["snapshot_id"])
+    assert l2["sequence-number"] == "2"
+
+
+def test_partitioned_manifest_meta_spec_fields(tmp_path):
+    """Partitioned freeze: the container header's partition-spec must
+    name the identity fields with their source/field ids."""
+    import pyarrow.parquet as pq
+
+    data_dir = str(tmp_path / "t" / "data")
+    for g in ("x", "y"):
+        d = os.path.join(data_dir, f"g={g}")
+        os.makedirs(d)
+        pq.write_table(pa.table({"v": [1, 2]}), os.path.join(d, "f.parquet"))
+    out = iceberg.freeze_iceberg_table(
+        str(tmp_path / "t"), partition_by=["g"]
+    )
+    spec = json.loads(iceberg.read_avro_meta(out["manifest"])["partition-spec"])
+    assert [f["name"] for f in spec] == ["g"]
+    assert spec[0]["transform"] == "identity"
+    assert spec[0]["field-id"] == 1000
