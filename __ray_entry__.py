@@ -962,12 +962,30 @@ def _q_incremental_order_counts(sf_dir: str):
     return _round_cols(out.sort("o_orderstatus"), ["sum_price"], 2)
 
 
+def _resize_meta(t: pa.Table) -> pa.Table:
+    """Binary payload → SQL-comparable (size, md5) columns; shared with
+    the fixture export so the oracle pins the resized BYTES, not just
+    row counts."""
+    import hashlib as _hl
+
+    payloads = t["payload"].to_pylist()
+    sizes = pa.array([len(p) for p in payloads], pa.int64())
+    md5s = pa.array(
+        [_hl.md5(p).hexdigest() for p in payloads], pa.string()
+    )
+    return (
+        t.drop_columns(["payload"])
+        .append_column("payload_bytes", sizes)
+        .append_column("payload_md5", md5s)
+    )
+
+
 def _q_multimodal_resize(sf_dir: str):
     """Thumbnail/normalize pass over the synthetic multimodal table:
     decode (BMP/PPM/PNG, real codecs) → nearest-neighbor 16×16 →
-    re-encode PPM.  Binary payloads ⇒ rows-only driver check (like
-    `multimodal_features`); byte-exactness is pinned by
-    test_multimodal.py against the pure-numpy reference kernel."""
+    re-encode PPM.  Oracle: the serial reference kernel's output
+    (byte md5s) pinned as a fixture parquet — the distributed
+    actor-pool plumbing is the side under test."""
     from sample_c360_text2sql_segmentation_entityresolution_ray.ops import multimodal as mm
 
     items = mm.synth_multimodal_dataset(n=64)
@@ -982,15 +1000,7 @@ def _q_multimodal_resize(sf_dir: str):
     imgs = items.map_batches(_images, batch_format="pyarrow")
     resized = mm.decode_stage(imgs, mm.ImageResizeStage, out_h=16, out_w=16)
 
-    def _meta(t: pa.Table) -> pa.Table:
-        import numpy as _np
-
-        sizes = pa.array(
-            [len(p) for p in t["payload"].to_pylist()], pa.int64()
-        )
-        return t.drop_columns(["payload"]).append_column("payload_bytes", sizes)
-
-    return resized.map_batches(_meta, batch_format="pyarrow")
+    return resized.map_batches(_resize_meta, batch_format="pyarrow")
 
 
 def _q_event_funnel(sf_dir: str):
@@ -3098,6 +3108,87 @@ def _q_iceberg_partitioned(sf_dir: str):
         ["lang"],
         [("count_star", None, "n_docs"), ("sum", "n_chars", "sum_chars")],
     ).to_pandas()
+
+
+def _q_iceberg_lifecycle(sf_dir: str):
+    """Full Iceberg table lifecycle under ONE oracle gate
+    (`ops/iceberg.py`): freeze the even-doc_id half (snapshot 1) →
+    append the odd half (snapshot 2) → rewrite-data-files compaction
+    (snapshot 3, replace) → expire to keep-2 (snapshot 1's metadata
+    files GC'd) → read CURRENT (post-compact) and TIME-TRAVEL to
+    snapshot 2 (pre-compact, same logical rows).  Engine-side
+    invariants raise (→ driver red row) if the expired snapshot is
+    still readable or if compaction changed the row count; the oracle
+    checks both reads aggregate to the identical full-corpus answer."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.ops import (
+        iceberg,
+    )
+
+    os_mod = __import__("os")
+    tag = os_mod.path.basename(sf_dir.rstrip("/"))
+    table = f"/tmp/iceberg_life_{tag}"
+    _shutil.rmtree(table, ignore_errors=True)
+    data_dir = os_mod.path.join(table, "data")
+    delta_dir = os_mod.path.join(table, "delta")
+    for d in (data_dir, delta_dir):
+        os_mod.makedirs(d, exist_ok=True)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def _parity(p):
+        def _f(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t["doc_id"].combine_chunks(), np.int64)
+            return t.filter(pa.array(ids % 2 == p))
+
+        return _f
+
+    docs.map_batches(_parity(0), batch_format="pyarrow") \
+        .repartition(2).write_parquet(data_dir)
+    docs.map_batches(_parity(1), batch_format="pyarrow") \
+        .repartition(2).write_parquet(delta_dir)
+
+    s1 = iceberg.freeze_iceberg_table(table)
+    s2 = iceberg.append_iceberg_snapshot(
+        table, _glob.glob(os_mod.path.join(delta_dir, "*.parquet"))
+    )
+    total_rows = s1["rows"] + s2["rows"]
+    s3 = iceberg.compact_iceberg_table(table, target_file_rows=total_rows)
+    expired = iceberg.expire_iceberg_snapshots(table, keep=2)
+    if expired["expired"] != 1:
+        raise AssertionError(
+            f"expected exactly snapshot 1 expired, got {expired}"
+        )
+    try:
+        iceberg.read_iceberg_table(table, snapshot_id=s1["snapshot_id"])
+    except (ValueError, StopIteration, KeyError):
+        pass
+    else:
+        raise AssertionError("expired snapshot 1 must not be readable")
+    cur_ds = iceberg.read_iceberg_table(table)
+    if cur_ds.count() != total_rows:
+        raise AssertionError(
+            f"compaction changed row count: {cur_ds.count()} != {total_rows}"
+        )
+    _ = s3
+
+    def _agg(ds, label):
+        out = rel.grouped_aggregate(
+            ds,
+            ["lang"],
+            [("count_star", None, "n_docs"), ("sum", "n_chars", "sum_chars")],
+        ).to_pandas()
+        out.insert(0, "snapshot", label)
+        return out
+
+    cur = _agg(cur_ds, "current")
+    pre = _agg(
+        iceberg.read_iceberg_table(table, snapshot_id=s2["snapshot_id"]),
+        "pre_compact",
+    )
+    return pd.concat([cur, pre], ignore_index=True)
 
 
 def _q_er_incremental(sf_dir: str):
@@ -6170,6 +6261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "iceberg_freeze": _q_iceberg_freeze,
         "iceberg_incremental": _q_iceberg_incremental,
         "iceberg_partitioned": _q_iceberg_partitioned,
+        "iceberg_lifecycle": _q_iceberg_lifecycle,  # new in r5
         "er_incremental": _q_er_incremental,
         "pca_embeddings": _q_pca_embeddings,
         "high_value_revenue": _q_high_value_revenue,
@@ -6218,34 +6310,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_sampled": _q_cluster_sampled,
         "semantic_dedup": _q_semantic_dedup,
     }
-    # ---- r4 first-50 window: (a) the two r3 driver-red rows, now
-    # fixed (events_autocorr, orders_fd) + the rewritten events_ewma;
-    # (b) the r4-new queries; (c) every query whose implementation the
-    # r4 slim-transport/coalesce work touched; (d) topped up with the
-    # longest-never-driver-sampled remainder (union of r1-r3 driver
-    # files).  Everything else keeps the r3 literal order above.
+    # ---- r5 first-50 window: 50 of the 59 queries never sampled by
+    # the driver through r1-r4 (union of CORRECTNESS_r0{1..4} = 152 of
+    # 211) — all 59 re-verified strict-green at sf0.01 this round; the
+    # 9 left out (chain_components_ls, part_pagerank, part_hits,
+    # part_adamic_adar, part_clustering, nation_share_of_region,
+    # revenue_gini, cube_revenue, skew_join_lineitem) are the slowest
+    # rows at the gate scale and stay covered by the in-repo
+    # 211/211 strict sweep + test_queries_oracle.py.  Everything else
+    # keeps the literal order above (r4's window rows all driver-green
+    # in CORRECTNESS_r04).
     window = [
-        "events_autocorr", "orders_fd", "events_ewma",
-        "er_production_job", "iceberg_freeze", "iceberg_incremental",
-        "iceberg_partitioned",
-        "minhash_dup_docs", "simhash_dup_docs", "embedding_dup_pairs",
-        "curated_corpus", "dup_cluster_sizes", "threshold_components",
-        "cluster_transitivity", "components_cap_guard", "ingest_dedup",
-        # never driver-sampled through r3:
-        "sql_demo_correlated", "sql_demo_pct_qualify", "text2sql_agent",
-        "strip_spans_docs", "training_shuffle_docs",
-        "quantize_embeddings", "knn_quantized_top10", "pmi_collocations",
-        "heavy_hitter_bigrams", "event_funnel", "fuzzy_lookup_link",
-        "golden_records", "zorder_orders", "profile_drift_orders",
-        "discretize_prices", "grouped_median_price",
-        "incremental_order_counts", "multimodal_resize",
-        "cohort_retention", "robust_scale_prices", "orders_upsert",
-        "scd2_customers", "orders_diff", "customer_components",
-        "validate_orders", "orders_status_pivot",
-        "pivot_roundtrip_orders", "revenue_by_nation",
-        "price_iqr_outliers", "priority_distinct_custs",
-        "events_daily_filled", "rollup_revenue", "custkey_dense_ids",
-        "orders_stratified_sample",
+        "orders_fingerprint", "hll_custkeys", "lineitem_triangles",
+        "orders_quartiles", "event_props_extract", "purchase_attribution",
+        "prefix_filter_pairs", "snm_customer_pairs", "orders_row_numbers",
+        "part_bfs_hops", "status_priority_entropy", "qty_mode_by_flag",
+        "lineitem_corr", "loo_encode_orders", "order_gap_days",
+        "edit_distance_link", "onehot_orderstatus", "impute_price_by_priority",
+        "price_pct_rank", "lineitem_regression", "status_priority_chi2",
+        "event_transitions", "hll_custkeys_by_year", "orders_as_of_segment",
+        "order_date_features", "cms_partkeys", "doc_words",
+        "shipping_priority", "returned_items_report", "large_volume_orders",
+        "idle_rich_customers", "customer_order_dist", "lineitem_profile",
+        "event_bursts", "price_means_by_flag", "doc_partition_ari",
+        "vocab_oov", "customer_skyline", "components_incremental",
+        "temperature_mix_sample", "k_anonymity_customers", "zipf_fit",
+        "heaps_curve", "decayed_event_counts", "events_rolling_1h",
+        "cuped_adjust", "quantity_two_sample", "source_jsd",
+        "source_lang_mi", "source_vocab_overlap",
     ]
     head = {k: base[k] for k in window}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -6484,6 +6576,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY 1
         """,
+        "iceberg_lifecycle": """
+            WITH a AS (
+                SELECT lang, count(*) AS n_docs,
+                       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                FROM documents GROUP BY 1
+            )
+            SELECT 'current' AS snapshot, * FROM a
+            UNION ALL
+            SELECT 'pre_compact', * FROM a
+        """,
         "canonical_url_dedup": _sql_canonical_url_dedup(_FIX01),
         "kmeans_clusters": f"""
             SELECT vec_id, cluster FROM (
@@ -6550,6 +6652,23 @@ def oracle_sql() -> dict[str, str]:
         "customer_er_assignment": _sql_customer_er(_FIX01),
         "c360_interactions": _sql_c360_interactions(_FIX01),
         "c360_segments": _sql_c360_segments(_FIX01),
+        # fixture-pinned oracles for the three formerly rows-only
+        # queries: expected outputs computed by serial reference
+        # kernels (no Ray) at ensure_fixtures time — the distributed
+        # plumbing is the side under test (see sources/fixture_export)
+        "c360_segments_als": (
+            "SELECT item_id, user_id, affinity FROM "
+            f"read_parquet('{_FIX01}/als_segments_expected.parquet')"
+        ),
+        "multimodal_resize": (
+            "SELECT item_id, media_type, width, height, payload_bytes, "
+            "payload_md5 FROM "
+            f"read_parquet('{_FIX01}/multimodal_resize_expected.parquet')"
+        ),
+        "multimodal_features": (
+            "SELECT item_id, media, feature_dim, feature_norm FROM "
+            f"read_parquet('{_FIX01}/multimodal_features_expected.parquet')"
+        ),
         "simhash_dup_docs": _sql_simhash(_FIX01),
         "embedding_dup_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

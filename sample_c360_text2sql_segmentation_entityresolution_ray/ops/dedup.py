@@ -341,15 +341,49 @@ def _jaccard_pair_arrays(sa, sb) -> np.ndarray:
 PAYLOAD_CUTOVER_DOCS = 20_000
 
 
+def _payload_block_target(rows: int, exploded_bytes: int) -> int:
+    """Pre-explode block count for the small-corpus payload plans.
+
+    Two competing fixed costs (both measured at sf0.1/32 cpus on the
+    embedding path): read parallelism fragments a toy corpus into
+    ~32-row blocks and every op pays per-block scheduling (64 blocks →
+    2.4 s); but Ray's sort-based groupby emits ONE reduce partition
+    per input block, so too FEW blocks serialize the in-bucket pair
+    sweep (2 blocks → 3.6 s).  ~16 MB of exploded payload per block
+    with a row-count floor landed at 16 blocks → 1.3 s."""
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return int(
+        min(
+            2 * ncpu,
+            max(1, rows // 1000, exploded_bytes // (16 << 20) + 1),
+        )
+    )
+
+
+def _coalesce_payload_feats(
+    feats: "ray.data.Dataset", rows: int, exploded_bytes: int
+) -> "ray.data.Dataset":
+    target = _payload_block_target(rows, exploded_bytes)
+    if feats.num_blocks() > target:
+        feats = feats.repartition(target)
+    return feats
+
+
 def _payload_pairs_from_feats(
     feats: "ray.data.Dataset",
     payload_col: str,
     verify,
+    n_docs: int | None = None,
+    bands: int = 16,
 ) -> "ray.data.Dataset":
     """Small-corpus plan: explode the featurized per-doc table into
     (bucket, doc_id, <payload>) band rows — payload replicated per
     band, acceptable under :data:`PAYLOAD_CUTOVER_DOCS` — and run the
     single-exchange in-bucket sweep + verify."""
+    if n_docs:
+        feats = _coalesce_payload_feats(
+            feats, n_docs, (feats.size_bytes() or 0) * bands
+        )
 
     def _explode(batch: pa.Table) -> pa.Table:
         offs, vals = _list_col_flat(batch, "buckets")
@@ -446,7 +480,9 @@ def minhash_dup_pairs(
             sims = _jaccard_matrix_exact(sets, ii, jj)
             return sims >= threshold, sims
 
-        return _payload_pairs_from_feats(feats, "shingles", _verify_small)
+        return _payload_pairs_from_feats(
+            feats, "shingles", _verify_small, n_docs=n_docs, bands=bands
+        )
 
     def _explode(batch: pa.Table) -> pa.Table:
         offs, vals = _list_col_flat(batch, "buckets")
@@ -737,6 +773,8 @@ def simhash_dup_pairs(
     n_keys = bands if scheme == "split" else _math.comb(max_hamming + 3, 3)
 
     if transport == "auto" and n_docs <= PAYLOAD_CUTOVER_DOCS:
+        feats = _coalesce_payload_feats(feats, n_docs, n_docs * n_keys * 24)
+
         def _explode_pay(batch: pa.Table) -> pa.Table:
             sh = np.asarray(batch["simhash"].combine_chunks(), np.uint64)
             ids = _ids64(batch, "doc_id")
@@ -1245,6 +1283,10 @@ def embedding_dup_pairs(
         return _ids64(batch, "doc_id"), vals.view(np.float64).reshape(-1, dim)
 
     if transport == "auto" and n_docs <= PAYLOAD_CUTOVER_DOCS:
+        feats = _coalesce_payload_feats(
+            feats, n_docs, (feats.size_bytes() or 0) * n_bands
+        )
+
         def _explode_pay(batch: pa.Table) -> pa.Table:
             ids, unit = _units_of(batch)
             bucket = _hyperplane_buckets(unit, band_bits, n_bands, seed)

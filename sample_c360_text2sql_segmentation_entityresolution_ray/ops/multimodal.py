@@ -278,12 +278,12 @@ def decode_stage(
     )
 
 
-def synth_multimodal_dataset(
+def synth_multimodal_rows(
     n: int = 64, img_side: int = 24, wav_ms: int = 80, vid_frames: int = 6
-) -> "ray.data.Dataset":
-    """Deterministic multimodal table with REAL payloads: BMP gradient
-    images, WAV sine tones, RVID clips — every row decodable by the
-    stages above with no codec library and no external data."""
+) -> list[dict]:
+    """Deterministic multimodal rows with REAL payloads — the pure
+    generator under :func:`synth_multimodal_dataset`, also used by the
+    oracle fixture export (no Ray)."""
     rows = []
     for i in range(n):
         rng = np.random.default_rng(1000 + i)
@@ -335,7 +335,18 @@ def synth_multimodal_dataset(
                     "duration_ms": vid_frames * 40,
                 }
             )
-    return ray.data.from_items(rows)
+    return rows
+
+
+def synth_multimodal_dataset(
+    n: int = 64, img_side: int = 24, wav_ms: int = 80, vid_frames: int = 6
+) -> "ray.data.Dataset":
+    """Deterministic multimodal table with REAL payloads: BMP gradient
+    images, WAV sine tones, RVID clips — every row decodable by the
+    stages above with no codec library and no external data."""
+    return ray.data.from_items(
+        synth_multimodal_rows(n, img_side, wav_ms, vid_frames)
+    )
 
 
 __all__ = [
@@ -345,5 +356,6 @@ __all__ = [
     "AudioFeatureStage",
     "VideoFrameSampleStage",
     "decode_stage",
+    "synth_multimodal_rows",
     "synth_multimodal_dataset",
 ]

@@ -149,6 +149,70 @@ def _item_partials(
     return out
 
 
+def _sweep_partition(
+    g: pd.DataFrame,
+    y_map: dict,
+    yty_reg: np.ndarray,
+    alpha: float,
+    factors: int,
+) -> pd.DataFrame:
+    """One ALS half-sweep over one user partition: solve the users,
+    emit per-item Gramian partials tagged with the partition id (the
+    driver combines partials in ascending ``_part`` order so the float
+    accumulation is partition-ORDER-invariant — which is what lets the
+    serial reference in :func:`als_train_local` reproduce the
+    distributed result bit-for-bit)."""
+    part = int(g["_part"].iloc[0]) if len(g) else -1
+    users, X, g2 = _solve_users(g, y_map, yty_reg, alpha, factors)
+    if not len(users):
+        return pd.DataFrame(
+            {"item_id": pd.Series(dtype=object), "A": [], "b": [],
+             "_part": pd.Series(dtype="int32")}
+        )
+    out = _item_partials(g2, X, alpha, factors)
+    out["_part"] = np.int32(part)
+    return out
+
+
+def _combine_partials(
+    partial_frames: list, item_list: list, factors: int, reg: float
+) -> pd.DataFrame:
+    """Driver-side item solve from per-partition Gramian partials.
+    Partials are summed in ascending ``_part`` order (stable), so the
+    result is a pure function of the partition CONTENTS, independent
+    of block arrival order."""
+    eye = np.eye(factors)
+    frames = [f for f in partial_frames if len(f)]
+    acc_a: dict = {}
+    acc_b: dict = {}
+    xtx = np.zeros((factors, factors))
+    if frames:
+        allp = pd.concat(frames, ignore_index=True).sort_values(
+            "_part", kind="mergesort"
+        )
+        for item, a_v, b_v in zip(allp["item_id"], allp["A"], allp["b"]):
+            a_v = np.asarray(a_v)
+            b_v = np.asarray(b_v)
+            if item == _XTX_KEY:
+                xtx += a_v.reshape(factors, factors)
+                continue
+            if item in acc_a:
+                acc_a[item] += a_v
+                acc_b[item] += b_v
+            else:
+                acc_a[item] = a_v.copy()
+                acc_b[item] = b_v.copy()
+    xtx_reg = xtx + reg * eye
+    new_rows = []
+    for item in item_list:
+        if item in acc_a:
+            A = xtx_reg + acc_a[item].reshape(factors, factors)
+            new_rows.append(np.linalg.solve(A, acc_b[item]))
+        else:
+            new_rows.append(np.zeros(factors))
+    return pd.DataFrame({"item_id": item_list, "y": new_rows})
+
+
 def als_train(
     interactions,
     factors: int = 16,
@@ -183,44 +247,19 @@ def als_train(
 
         def _sweep(g: pd.DataFrame) -> pd.DataFrame:
             y_map_l, yty_l = ray.get(ref)
-            users, X, g2 = _solve_users(g, y_map_l, yty_l, alpha, factors)
-            if not len(users):
-                return pd.DataFrame(
-                    {"item_id": pd.Series(dtype=object), "A": [], "b": []}
-                )
-            return _item_partials(g2, X, alpha, factors)
+            return _sweep_partition(g, y_map_l, yty_l, alpha, factors)
 
-        partials = (
-            ui.groupby("_part")
-            .map_groups(_sweep, batch_format="pandas")
-            .iter_batches(batch_size=None, batch_format="pandas")
-        )
         # driver combine: ≤ partitions × |items| tiny rows
-        acc_a: dict = {}
-        acc_b: dict = {}
-        xtx = np.zeros((factors, factors))
-        for part in partials:
-            for item, a_v, b_v in zip(part["item_id"], part["A"], part["b"]):
-                a_v = np.asarray(a_v)
-                b_v = np.asarray(b_v)
-                if item == _XTX_KEY:
-                    xtx += a_v.reshape(factors, factors)
-                    continue
-                if item in acc_a:
-                    acc_a[item] += a_v
-                    acc_b[item] += b_v
-                else:
-                    acc_a[item] = a_v.copy()
-                    acc_b[item] = b_v.copy()
-        xtx_reg = xtx + reg * eye
-        new_rows = []
-        for item in item_list:
-            if item in acc_a:
-                A = xtx_reg + acc_a[item].reshape(factors, factors)
-                new_rows.append(np.linalg.solve(A, acc_b[item]))
-            else:
-                new_rows.append(np.zeros(factors))
-        Y = pd.DataFrame({"item_id": item_list, "y": new_rows})
+        Y = _combine_partials(
+            list(
+                ui.groupby("_part")
+                .map_groups(_sweep, batch_format="pandas")
+                .iter_batches(batch_size=None, batch_format="pandas")
+            ),
+            item_list,
+            factors,
+            reg,
+        )
     return Y
 
 
@@ -289,41 +328,9 @@ def als_item_based_segments(
 
     def _score(g: pd.DataFrame) -> pd.DataFrame:
         y_map, yty_reg, tgt_l, tmat_l = ray.get(ref)
-        empty = pd.DataFrame(
-            {
-                "item_id": pd.Series(dtype=object),
-                "user_id": pd.Series(dtype=object),
-                "affinity": pd.Series(dtype=np.float64),
-            }
+        return _score_partition(
+            g, y_map, yty_reg, tgt_l, tmat_l, alpha, factors, n
         )
-        if not len(tgt_l):
-            return empty
-        users, X, g2 = _solve_users(g, y_map, yty_reg, alpha, factors)
-        if not len(users):
-            return empty
-        scores = X @ tmat_l.T  # (users, targets)
-        # local ownership mask: user's full item set is in this partition
-        tpos = {t: k for k, t in enumerate(tgt_l)}
-        owned_rows = g2[g2["ITEM_ID"].isin(tpos)]
-        scores[
-            owned_rows["_uord"].to_numpy(),
-            owned_rows["ITEM_ID"].map(tpos).to_numpy(),
-        ] = -np.inf
-        uu, tt = np.nonzero(np.isfinite(scores))
-        out = pd.DataFrame(
-            {
-                "item_id": np.asarray(tgt_l, object)[tt],
-                "user_id": users[uu],
-                "affinity": scores[uu, tt],
-            }
-        )
-        # per-partition pre-cap: global top-n ⊆ union of partition top-n
-        out = out.sort_values(
-            ["item_id", "affinity", "user_id"],
-            ascending=[True, False, True],
-            kind="mergesort",
-        )
-        return out.groupby("item_id", sort=False).head(n)
 
     scored = ui.groupby("_part").map_groups(_score, batch_format="pandas")
     return topn_per_group(
@@ -331,9 +338,156 @@ def als_item_based_segments(
     )
 
 
+def _score_partition(
+    g: pd.DataFrame,
+    y_map: dict,
+    yty_reg: np.ndarray,
+    tgt_l: list,
+    tmat_l: np.ndarray,
+    alpha: float,
+    factors: int,
+    n: int,
+) -> pd.DataFrame:
+    """Score one user partition against the target items (shared by the
+    distributed map_groups closure and the serial reference)."""
+    empty = pd.DataFrame(
+        {
+            "item_id": pd.Series(dtype=object),
+            "user_id": pd.Series(dtype=object),
+            "affinity": pd.Series(dtype=np.float64),
+        }
+    )
+    if not len(tgt_l):
+        return empty
+    users, X, g2 = _solve_users(g, y_map, yty_reg, alpha, factors)
+    if not len(users):
+        return empty
+    scores = X @ tmat_l.T  # (users, targets)
+    # local ownership mask: user's full item set is in this partition
+    tpos = {t: k for k, t in enumerate(tgt_l)}
+    owned_rows = g2[g2["ITEM_ID"].isin(tpos)]
+    scores[
+        owned_rows["_uord"].to_numpy(),
+        owned_rows["ITEM_ID"].map(tpos).to_numpy(),
+    ] = -np.inf
+    uu, tt = np.nonzero(np.isfinite(scores))
+    out = pd.DataFrame(
+        {
+            "item_id": np.asarray(tgt_l, object)[tt],
+            "user_id": users[uu],
+            "affinity": scores[uu, tt],
+        }
+    )
+    # per-partition pre-cap: global top-n ⊆ union of partition top-n
+    out = out.sort_values(
+        ["item_id", "affinity", "user_id"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    return out.groupby("item_id", sort=False).head(n)
+
+
+# ---------------------------------------------------------------------------
+# Serial reference (oracle-fixture generator)
+# ---------------------------------------------------------------------------
+
+def user_item_counts_local(
+    df: pd.DataFrame, partitions: int = DEDUP_PARTITIONS
+) -> pd.DataFrame:
+    """Plain-pandas mirror of :func:`user_item_counts` (identical
+    counts + ``_part`` assignment; no Ray)."""
+    out = (
+        df.groupby(["USER_ID", "ITEM_ID"], sort=False)
+        .size()
+        .reset_index(name="n")
+    )
+    out["_part"] = (
+        pd.util.hash_array(out["USER_ID"].to_numpy()) % partitions
+    ).astype("int32")
+    return out
+
+
+def als_train_local(
+    interactions_df: pd.DataFrame,
+    factors: int = 16,
+    iterations: int = 8,
+    alpha: float = 40.0,
+    reg: float = 0.1,
+    seed: int = 7,
+    partitions: int = DEDUP_PARTITIONS,
+) -> pd.DataFrame:
+    """Serial reference for :func:`als_train`: same partition layout,
+    same per-partition kernels, same ascending-``_part`` combine —
+    bit-identical item factors (asserted by tests/test_affinity.py).
+    Exists so the driver's oracle gate can pin the iterative model's
+    output as a fixture without running Ray."""
+    ui = user_item_counts_local(interactions_df, partitions)
+    item_list = sorted(ui["ITEM_ID"].unique().tolist())
+    Y = _init_item_factors(item_list, factors, seed)
+    eye = np.eye(factors)
+    for _ in range(iterations):
+        y_map = dict(zip(Y["item_id"], Y["y"]))
+        ymat = np.stack(Y["y"].to_numpy())
+        yty_reg = ymat.T @ ymat + reg * eye
+        frames = [
+            _sweep_partition(g, y_map, yty_reg, alpha, factors)
+            for _, g in ui.groupby("_part", sort=True)
+        ]
+        Y = _combine_partials(frames, item_list, factors, reg)
+    return Y
+
+
+def als_item_based_segments_local(
+    interactions_df: pd.DataFrame,
+    target_items: list,
+    n: int = 100,
+    factors: int = 16,
+    iterations: int = 8,
+    alpha: float = 40.0,
+    reg: float = 0.1,
+    seed: int = 7,
+    partitions: int = DEDUP_PARTITIONS,
+    item_factors: pd.DataFrame | None = None,
+) -> pd.DataFrame:
+    """Serial reference for :func:`als_item_based_segments` (same
+    kernels per partition, same global top-n semantics as
+    ``topn_per_group``)."""
+    if item_factors is None:
+        item_factors = als_train_local(
+            interactions_df, factors, iterations, alpha, reg, seed, partitions
+        )
+    factors = len(item_factors["y"].iloc[0])
+    tgt = [t for t in target_items if (item_factors["item_id"] == t).any()]
+    tmat = np.stack(
+        item_factors.set_index("item_id").loc[tgt, "y"].to_numpy()
+    ) if tgt else np.zeros((0, factors))
+    ymat = np.stack(item_factors["y"].to_numpy())
+    y_map = dict(zip(item_factors["item_id"], item_factors["y"]))
+    yty_reg = ymat.T @ ymat + reg * np.eye(factors)
+    ui = user_item_counts_local(interactions_df, partitions)
+    parts = [
+        _score_partition(g, y_map, yty_reg, tgt, tmat, alpha, factors, n)
+        for _, g in ui.groupby("_part", sort=True)
+    ]
+    scored = pd.concat(parts, ignore_index=True) if parts else parts
+    if not len(scored):
+        return _score_partition(
+            ui.iloc[:0], y_map, yty_reg, [], tmat, alpha, factors, n
+        )
+    out = scored.sort_values(
+        ["item_id", "affinity", "user_id"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    return out.groupby("item_id", sort=False).head(n).reset_index(drop=True)
+
+
 __all__ = [
     "user_item_counts",
     "als_train",
     "als_user_factors",
     "als_item_based_segments",
+    "user_item_counts_local",
+    "als_train_local",
+    "als_item_based_segments_local",
 ]

@@ -34,7 +34,7 @@ FIXTURE_ROOT = "/tmp/graft_oracle_fixtures/v1"
 # content revision written into the _SUCCESS marker: bumping forces a
 # regeneration of already-materialized fixture dirs (e.g. when a new
 # fixture table is added) without changing the oracle-visible paths
-FIXTURE_REV = "6"
+FIXTURE_REV = "7"
 
 
 def fixture_dir(sf_dir: str) -> str:
@@ -99,6 +99,10 @@ def ensure_fixtures(sf_dir: str) -> str:
     _export_pca_components(sf_dir, out)
 
     _export_quality_coefs(docs, out)
+
+    _export_multimodal_expected(out)
+
+    _export_als_segments(out)
 
     with open(marker, "w") as f:
         f.write(FIXTURE_REV)
@@ -253,6 +257,146 @@ def _export_pca_components(sf_dir: str, out: str) -> None:
             }
         ),
         f"{out}/pca_components.parquet",
+    )
+
+
+def _export_multimodal_expected(out: str) -> None:
+    """Expected outputs of the two multimodal queries, computed by the
+    SAME pure codec/feature kernels the actor-pool stages run — but
+    serially, with no Ray: what the fixture pins is the DISTRIBUTED
+    plumbing (actor pool, batch splits, unions), the kernels being
+    independently byte-round-trip tested in tests/test_multimodal.py."""
+    import hashlib
+
+    from ..ops.multimodal import (
+        AudioFeatureStage,
+        ImageDecodeStage,
+        ImageResizeStage,
+        VideoFrameSampleStage,
+        synth_multimodal_rows,
+    )
+
+    def _table(rows: list[dict]) -> pa.Table:
+        return pa.table(
+            {
+                "item_id": pa.array([r["item_id"] for r in rows], pa.string()),
+                "payload": pa.array([r["payload"] for r in rows], pa.binary()),
+                "media_type": pa.array(
+                    [r["media_type"] for r in rows], pa.string()
+                ),
+            }
+        )
+
+    # --- multimodal_resize (n=64, images only, 16×16 PPM re-encode) ---
+    rows = synth_multimodal_rows(n=64)
+    imgs = _table(
+        [
+            r for r in rows
+            if r["media_type"] in ("image/bmp", "image/png", "image/ppm")
+        ]
+    )
+    resized = ImageResizeStage(out_h=16, out_w=16)(imgs)
+    payloads = resized["payload"].to_pylist()
+    pq.write_table(
+        resized.drop_columns(["payload"])
+        .append_column(
+            "payload_bytes",
+            pa.array([len(p) for p in payloads], pa.int64()),
+        )
+        .append_column(
+            "payload_md5",
+            pa.array(
+                [hashlib.md5(p).hexdigest() for p in payloads], pa.string()
+            ),
+        ),
+        f"{out}/multimodal_resize_expected.parquet",
+    )
+
+    # --- multimodal_features (n=96, per-media summaries) ---
+    rows = synth_multimodal_rows(n=96)
+
+    def _summarize(kind: str, table: pa.Table, feat_col: str) -> pa.Table:
+        # mirrors __ray_entry__._q_multimodal_features._summary exactly
+        feats = table[feat_col].to_pylist()
+        norms = [float(np.linalg.norm(np.asarray(f))) for f in feats]
+        return pa.table(
+            {
+                "item_id": table["item_id"],
+                "media": pa.array([kind] * len(feats), pa.string()),
+                "feature_dim": pa.array([len(f) for f in feats], pa.int32()),
+                "feature_norm": pa.array(norms, pa.float64()),
+            }
+        )
+
+    def _only(mt: str) -> pa.Table:
+        return _table([r for r in rows if r["media_type"] == mt])
+
+    parts = [
+        _summarize("image", ImageDecodeStage()(_only("image/bmp")), "feature"),
+        _summarize("audio", AudioFeatureStage()(_only("audio/wav")), "mfcc"),
+        _summarize(
+            "video",
+            VideoFrameSampleStage()(_only("video/x-rvid")),
+            "frame_feature",
+        ),
+    ]
+    pq.write_table(
+        pa.concat_tables(parts), f"{out}/multimodal_features_expected.parquet"
+    )
+
+
+ALS_TARGETS = [str(i) for i in range(1, 6)]
+ALS_N = 20
+ALS_FACTORS = 16
+ALS_ITERATIONS = 4
+
+
+def _export_als_segments(out: str) -> None:
+    """Expected `c360_segments_als` output from the SERIAL reference
+    solver (`pipelines/affinity.py::als_item_based_segments_local`) —
+    bit-identical to the distributed ALS by construction (same
+    partition layout, same kernels, ascending-_part combine; asserted
+    by tests/test_affinity.py).  Interactions re-derive from the truth
+    labels exactly as the driver-green `c360_interactions` oracle
+    does (assignment == truth at F1 = 1.0)."""
+    import pandas as pd
+
+    from ..pipelines.affinity import als_item_based_segments_local
+
+    rel = pq.read_table(f"{out}/customer_relations.parquet").to_pandas()
+    lab = dict(
+        zip(rel["subbrand_customer_id"], rel["main_customer_id"])
+    )
+    frames = []
+    for path, prefix in (
+        (f"{out}/purchase_history.parquet", ""),
+        (f"{out}/subbrand_purchase_history.parquet", "sub_"),
+    ):
+        p = pq.read_table(
+            path, columns=["customer_id", "item_id"]
+        ).to_pandas()
+        frames.append(
+            pd.DataFrame(
+                {
+                    "USER_ID": p["customer_id"].map(lambda c: lab.get(c, c)),
+                    "ITEM_ID": prefix + p["item_id"],
+                }
+            )
+        )
+    inter = pd.concat(frames, ignore_index=True)
+    seg = als_item_based_segments_local(
+        inter, ALS_TARGETS, n=ALS_N, factors=ALS_FACTORS,
+        iterations=ALS_ITERATIONS,
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "item_id": pa.array(seg["item_id"], pa.string()),
+                "user_id": pa.array(seg["user_id"], pa.string()),
+                "affinity": pa.array(seg["affinity"], pa.float64()),
+            }
+        ),
+        f"{out}/als_segments_expected.parquet",
     )
 
 

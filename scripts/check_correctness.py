@@ -19,7 +19,15 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+# same worker-log override the bench uses: Ray Data re-applies its own
+# dictConfig per data task, so the yaml (not a logging hook) is the only
+# thing that keeps the schema-hash WARNING spam out of audit output
+os.environ.setdefault(
+    "RAY_DATA_LOGGING_CONFIG", os.path.join(_REPO, "ray_data_logging.yaml")
+)
 
 import numpy as np
 import pandas as pd
@@ -84,6 +92,7 @@ def main() -> int:
         i = argv.index("--oracle-timeout")
         oracle_timeout = float(argv[i + 1])
         del argv[i : i + 2]
+    argv = [a for a in argv if a != "--only"]  # optional separator token
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -104,9 +113,11 @@ def main() -> int:
 
     qs, osql = m.queries(), m.oracle_sql()
     bad: list[str] = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             ray_df = _to_pandas(fn(sf_dir))
@@ -173,7 +184,13 @@ def main() -> int:
         print(f"{status} {name}: rows={len(ray_df)}/{len(o_df)} "
               f"schema={schema} hash={vh} [{wall:.1f}s]")
 
-    print(f"\n{len(qs) - len(bad)}/{len(qs)} green; failures: {bad}")
+    # count what was ATTEMPTED (an --only subset run must not claim the
+    # full suite green)
+    print(f"\n{n_run - len(bad)}/{n_run} green; failures: {bad}")
+    if only:
+        missing = sorted(only - set(qs))
+        if missing:
+            print(f"unknown query names (not run): {missing}")
     return 1 if bad else 0
 
 

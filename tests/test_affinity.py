@@ -117,3 +117,41 @@ def test_als_segments_schema_matches_cooccurrence_path(ray_session, block_ds):
     ).to_pandas()
     assert list(seg.columns) == ["item_id", "user_id", "affinity"]
     assert seg["affinity"].dtype == np.float64
+
+
+def test_als_local_reference_bit_equal(ray_session, block_ds):
+    """The serial reference (oracle-fixture generator) must reproduce
+    the distributed ALS bit-for-bit: same partition layout, same
+    kernels, ascending-_part combine makes the float accumulation
+    partition-order-invariant on both sides."""
+    from sample_c360_text2sql_segmentation_entityresolution_ray.pipelines.affinity import (
+        als_item_based_segments,
+        als_item_based_segments_local,
+        als_train,
+        als_train_local,
+    )
+
+    df = _block_interactions()
+    y_d = als_train(block_ds, factors=8, iterations=3)
+    y_l = als_train_local(df, factors=8, iterations=3)
+    assert list(y_d["item_id"]) == list(y_l["item_id"])
+    np.testing.assert_array_equal(
+        np.stack(y_d["y"].to_numpy()), np.stack(y_l["y"].to_numpy())
+    )
+
+    tgts = ["A0", "B3"]
+    seg_d = (
+        als_item_based_segments(block_ds, tgts, n=5, factors=8, iterations=3)
+        .to_pandas()
+        .sort_values(["item_id", "user_id"])
+        .reset_index(drop=True)
+    )
+    seg_l = (
+        als_item_based_segments_local(df, tgts, n=5, factors=8, iterations=3)
+        .sort_values(["item_id", "user_id"])
+        .reset_index(drop=True)
+    )
+    assert seg_d[["item_id", "user_id"]].equals(seg_l[["item_id", "user_id"]])
+    np.testing.assert_array_equal(
+        seg_d["affinity"].to_numpy(), seg_l["affinity"].to_numpy()
+    )
