@@ -257,8 +257,15 @@ def _read_blocks(sf_dir: str, replicate: int = 1) -> int:
     n_docs = pq.read_metadata(documents_path(sf_dir)).num_rows
     by_data = max(1, n_docs // MIN_DOCS_PER_BLOCK)
     total_cap = max(16, 4 * ncpu)
-    per_read = min(by_data, max(4, total_cap // max(1, replicate)))
-    return max(4, per_read)
+    # r5 (generator replication): the replicate op FUSES with the
+    # downstream expansion map, so the BASE read's block count is the
+    # parallelism grain of the whole pre-shuffle chain — it must NOT
+    # shrink with the replica count (the union-era `cap // replicate`
+    # throttled the 16-cpu scaling leg to 4 tasks).  Downstream block
+    # count is bounded separately by the replica GROUPING in
+    # `_docs_dataset`.
+    _ = replicate
+    return max(4, min(by_data, total_cap))
 
 
 REPLICA_STRIDE = 100_000  # doc_id offset between replicas (>> any sf's max id)
@@ -273,21 +280,52 @@ def _docs_dataset(sf_dir: str, replicate: int) -> "ray.data.Dataset":
     if replicate <= 1:
         return base
 
-    def _shift(r: int):
-        off = REPLICA_STRIDE * r
+    # ONE generator op that yields R shifted copies per input block —
+    # NOT an R-way union: Ray 2.49 chains union branches into an O(R)-
+    # deep plan/stats tree (RecursionError in stats.to_summary at
+    # R=240, measured on the 2M-page soak), and per-branch planning
+    # cost grows with R.  Replicas are GROUPED per yield so the total
+    # output block count stays ~4×CPU regardless of R (block-count
+    # hygiene both directions: the op's input blocks set pre-shuffle
+    # parallelism, its yields set downstream per-block fixed costs).
+    import ray as _ray
 
-        def fn(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
+    ncpu = (
+        int(_ray.cluster_resources().get("CPU", 8))
+        if _ray.is_initialized()
+        else 8
+    )
+    total_cap = max(16, 4 * ncpu)
+    in_blocks = _read_blocks(sf_dir, replicate)
+    group = max(1, (in_blocks * replicate) // total_cap)
+    # yield-size ceiling: the fused downstream expansion turns each
+    # doc into page rows WITH html, so an unbounded group (61 replicas
+    # ≈ 9k docs/yield at R=240) produced ~100 MB+ expansion batches
+    # and worker OOM kills; cap a yield at ~2k docs (the measured-safe
+    # granularity) and accept more, smaller downstream blocks instead
+    import pyarrow.parquet as pq  # noqa: F811 — local, cheap metadata read
 
-            idx = batch.schema.get_field_index("doc_id")
-            return batch.set_column(
-                idx, "doc_id", pc.add(batch["doc_id"], off)
+    n_docs = pq.read_metadata(documents_path(sf_dir)).num_rows
+    docs_per_block = max(1, n_docs // in_blocks)
+    group = min(group, max(1, 2000 // docs_per_block))
+
+    def _explode(batch: pa.Table):
+        import pyarrow.compute as pc
+
+        idx = batch.schema.get_field_index("doc_id")
+        for g0 in range(0, replicate, group):
+            yield pa.concat_tables(
+                [
+                    batch.set_column(
+                        idx,
+                        "doc_id",
+                        pc.add(batch["doc_id"], REPLICA_STRIDE * r),
+                    )
+                    for r in range(g0, min(g0 + group, replicate))
+                ]
             )
 
-        return fn
-
-    parts = [base.map_batches(_shift(r), batch_format="pyarrow") for r in range(replicate)]
-    return parts[0].union(*parts[1:])
+    return base.map_batches(_explode, batch_format="pyarrow")
 
 
 def pages_dataset(

@@ -13,9 +13,10 @@ auto LSH params, `_read_blocks`, nested-join partitioning) hold at
    the strict oracle gate's job at sf0.01/sf0.1).  MinHash + SimHash
    pair passes, transport="auto".
 
-Reports wall, rows, peak driver+workers RSS (sampled /proc/meminfo),
-and Ray object-store spill (parsed from memory_summary) as one JSON
-line per job; paste into BASELINE.md.
+Reports wall, rows, peak machine memory delta (sampled /proc/meminfo)
+and Ray object-store spill (spill-file bytes under the session dir —
+the gRPC memory_summary API is unavailable in this container) as one
+JSON line per job; paste into BASELINE.md.
 
 Usage: python scripts/soak_2m.py [--replicate 240] [--cpus 32]
        [--jobs er,minhash,simhash]
@@ -25,7 +26,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import re
 import sys
 import threading
 import time
@@ -79,13 +79,22 @@ class MemSampler:
 
 
 def _spilled_gib() -> float:
-    """Object-store spill from Ray's memory summary (0.0 if none)."""
+    """Cumulative object-store spill: sum of spill files under the
+    live session's spill directory (gRPC-based memory_summary is
+    unavailable in this container)."""
     try:
-        from ray._private.internal_api import memory_summary
+        import glob
 
-        s = memory_summary(stats_only=True)
-        m = re.search(r"Spilled (\d+) MiB", s)
-        return round(int(m.group(1)) / 1024, 2) if m else 0.0
+        import ray
+
+        sess = ray._private.worker._global_node.get_session_dir_path()
+        total = sum(
+            os.path.getsize(p)
+            for p in glob.glob(
+                os.path.join(sess, "**", "*multi*"), recursive=True
+            )
+        )
+        return round(total / 2**30, 2)
     except Exception:  # noqa: BLE001 — diagnostics only
         return -1.0
 
@@ -110,17 +119,20 @@ def _shuffled_docs(sf_dir: str, replicate: int):
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
 
-    def _perturb(r: int):
-        def fn(t: pa.Table) -> pa.Table:
-            ids = t["doc_id"].to_pylist()
-            texts = t["text"].to_pylist()
+    # generator explode, not an R-way union (Ray's union chains into an
+    # O(R)-deep plan/stats tree — RecursionError at R=240; see
+    # sources/pages._docs_dataset)
+    def _perturb(t: pa.Table):
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        for r in range(replicate):
             out = []
             for i, txt in zip(ids, texts):
                 toks = txt.split()
                 rng = np.random.default_rng((r << 32) ^ i)
                 rng.shuffle(toks)
                 out.append(" ".join(toks))
-            return pa.table(
+            yield pa.table(
                 {
                     "doc_id": pa.array(
                         [i + r * 100_000_000 for i in ids], pa.int64()
@@ -129,13 +141,7 @@ def _shuffled_docs(sf_dir: str, replicate: int):
                 }
             )
 
-        return fn
-
-    parts = [
-        base.map_batches(_perturb(r), batch_format="pyarrow")
-        for r in range(replicate)
-    ]
-    return parts[0].union(*parts[1:])
+    return base.map_batches(_perturb, batch_format="pyarrow")
 
 
 def run_er(sf_dir: str, cpus: int, replicate: int) -> dict:
