@@ -43,3 +43,34 @@ def test_extraction_byte_identical_per_url(sf_dir):
         bad += int((batch["text"] != batch["golden_text"]).sum())
     assert total > 0
     assert bad == 0, f"{bad}/{total} rows differ from golden text"
+
+
+def test_docs_replication_generator_semantics(ray_session, sf_dir):
+    """Corpus replication (r5: grouped generator explode, NOT an R-way
+    union — Ray chains union branches into an O(R)-deep plan/stats
+    tree that RecursionErrors at R=240): R disjoint doc_id-shifted
+    copies, replica 0 bit-equal to the base, every replica's payload
+    identical to the base's."""
+    import pandas as pd
+
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sources.pages import (
+        REPLICA_STRIDE,
+        _docs_dataset,
+    )
+
+    base = (
+        _docs_dataset(sf_dir, 1).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    R = 12
+    rep = _docs_dataset(sf_dir, R).to_pandas()
+    assert len(rep) == R * len(base)
+    assert rep["doc_id"].is_unique
+    for r in range(R):
+        lo, hi = r * REPLICA_STRIDE, (r + 1) * REPLICA_STRIDE
+        part = (
+            rep[(rep.doc_id >= lo) & (rep.doc_id < hi)]
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        part["doc_id"] -= lo
+        pd.testing.assert_frame_equal(part, base)
