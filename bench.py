@@ -103,6 +103,16 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     )
 
     queries = entrymod.queries()
+    # prewarm THIS sf dir's oracle fixtures before any timed row:
+    # queries() only ensures the driver defaults (sf0.001/sf0.01), and
+    # a FIXTURE_REV bump otherwise lands the whole regeneration inside
+    # the first fixture-reading query's timing (measured: a one-time
+    # 14× outlier on canonical_url_dedup in the r5 bench)
+    from sample_c360_text2sql_segmentation_entityresolution_ray.sources.fixture_export import (
+        ensure_fixtures,
+    )
+
+    ensure_fixtures(sf_dir)
     timings: dict[str, float] = {}
 
     # headline: the flagship ER pipeline (docs/sec is the BASELINE metric)
